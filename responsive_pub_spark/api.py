@@ -1,0 +1,461 @@
+"""KStream/KTable-flavored fluent API compiling to Spark DataFrame plans.
+
+The engine analog of the reference's topology surface: a user builds a
+dataflow with ``Pipeline``/``KStream``/``KTable`` and every method
+immediately compiles to a declarative DataFrame operation, so Catalyst
+performs predicate pushdown, column pruning, join selection and AQE — the
+optimizer layer the reference does not have (SURVEY.md §4).
+
+Reference parity map (SURVEY.md §2):
+- ``Pipeline``            ~ ResponsiveKafkaStreams + StreamsBuilder
+  (api/ResponsiveKafkaStreams.java:96)
+- ``KStream``             ~ org.apache.kafka.streams.kstream.KStream used via
+  Responsive stores (api/stores/ResponsiveDslStoreSuppliers.java:23-51)
+- ``KTable``              ~ KTable (latest-per-key changelog snapshot;
+  builder.table at STJoinExample.java:63-64)
+- ``GlobalKTable``        ~ builder.globalTable
+  (integration/GlobalStoreIntegrationTest.java:147-153) — broadcast join
+- ``KGroupedStream``      ~ groupByKey() (MinimalIntegrationTest.java:136-139)
+- windowed/session aggs   ~ ResponsiveWindowStore / ResponsiveSessionStore
+  integration tests (SURVEY.md §2.5)
+
+Batch and streaming share this plan-building layer: the same topology runs
+on a static DataFrame (batch correctness, DuckDB-oracled) or a streaming
+DataFrame (Structured Streaming), the analog of the reference's
+ResponsiveTopologyTestDriver vs production runtime split
+(responsive-test-utils/.../ResponsiveTopologyTestDriver.java:47).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.windows import JoinWindows, SessionWindows, TimeWindows
+
+
+def _as_list(cols: "str | Sequence[str]") -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def _epoch(col: Column) -> Column:
+    """Event-time column -> epoch seconds BIGINT (oracle-stable output)."""
+    return F.unix_timestamp(col).cast("bigint")
+
+
+@dataclass
+class Pipeline:
+    """Owns the SparkSession, sources, and sink/checkpoint configuration.
+
+    Analog of ``new ResponsiveKafkaStreams(topology, props)``
+    (api/ResponsiveKafkaStreams.java:96): the object a user constructs first
+    and from which all streams/tables hang.
+    """
+
+    spark: SparkSession
+    checkpoint_dir: str | None = None
+
+    # -- sources (SURVEY.md §2.1) ------------------------------------------
+    def stream(
+        self,
+        source: "str | DataFrame",
+        key: "str | Sequence[str]",
+        ts_col: str = "ts",
+        fmt: str = "parquet",
+        streaming: bool = False,
+        schema=None,
+    ) -> "KStream":
+        """builder.stream(topic) analog. `source` is a path or a DataFrame."""
+        if isinstance(source, DataFrame):
+            df = source
+        elif streaming:
+            reader = self.spark.readStream.format(fmt)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.load(source)
+        else:
+            df = self.spark.read.format(fmt).load(source)
+        return KStream(df, _as_list(key), ts_col)
+
+    def table(
+        self,
+        source: "str | DataFrame",
+        key: "str | Sequence[str]",
+        ts_col: str | None = None,
+        fmt: str = "parquet",
+    ) -> "KTable":
+        """builder.table(topic) analog: changelog -> latest-per-key snapshot.
+
+        With a ts_col, duplicate keys collapse to the latest row (changelog
+        upsert semantics, ChangelogMigrationTool.java:88-96); without, the
+        input must already be one-row-per-key.
+        """
+        df = source if isinstance(source, DataFrame) else self.spark.read.format(fmt).load(source)
+        stream = KStream(df, _as_list(key), ts_col or "ts")
+        if ts_col is not None:
+            return stream.to_table()
+        return KTable(df, _as_list(key))
+
+    def global_table(
+        self, source: "str | DataFrame", key: "str | Sequence[str]", fmt: str = "parquet"
+    ) -> "GlobalKTable":
+        """builder.globalTable analog — fully replicated via broadcast join
+        (GlobalStoreIntegrationTest.java:147-153)."""
+        df = source if isinstance(source, DataFrame) else self.spark.read.format(fmt).load(source)
+        return GlobalKTable(df, _as_list(key))
+
+
+@dataclass
+class KStream:
+    """Unbounded (or batch-bounded) event stream with designated key columns
+    and an event-time column — the ``(key, value, timestamp)`` record model
+    (internal/stores/PartitionedOperations.java:326-338) with typed columns
+    instead of opaque bytes (SURVEY.md §1.5)."""
+
+    df: DataFrame
+    key: list[str]
+    ts_col: str = "ts"
+
+    def _with(self, df: DataFrame) -> "KStream":
+        return KStream(df, list(self.key), self.ts_col)
+
+    # -- stateless ops (SURVEY.md §2.2) ------------------------------------
+    def filter(self, cond: "Column | str") -> "KStream":
+        return self._with(self.df.filter(cond))
+
+    def filter_not(self, cond: "Column | str") -> "KStream":
+        c = F.expr(cond) if isinstance(cond, str) else cond
+        return self._with(self.df.filter(~c))
+
+    def map_values(self, **cols: "Column | str") -> "KStream":
+        """mapValues analog: add/replace value columns (key preserved)."""
+        out = self.df
+        for name, expr in cols.items():
+            out = out.withColumn(name, F.expr(expr) if isinstance(expr, str) else expr)
+        return self._with(out)
+
+    def select(self, *cols: "Column | str") -> "KStream":
+        return self._with(self.df.select(*cols))
+
+    def flat_map_values(self, explode_expr: "Column | str", alias: str) -> "KStream":
+        """flatMapValues analog: one input row -> N rows via explode."""
+        e = F.expr(explode_expr) if isinstance(explode_expr, str) else explode_expr
+        return self._with(self.df.withColumn(alias, F.explode(e)))
+
+    def select_key(self, *key_cols: str) -> "KStream":
+        """selectKey analog (STJoinExample.java:94): re-key the stream.
+        The shuffle happens lazily at the next keyed operation, exactly like
+        KS marking the stream for repartitioning."""
+        return KStream(self.df, list(key_cols), self.ts_col)
+
+    def peek(self, fn: Callable[[DataFrame], None] | None = None) -> "KStream":
+        """peek analog (STJoinExample.java:81-88). In a declarative engine a
+        driver-side callback on the full stream would break distribution, so
+        peek is observation-only; use `observe` metrics for production."""
+        if fn is not None:
+            fn(self.df)
+        return self
+
+    def merge(self, other: "KStream") -> "KStream":
+        return self._with(self.df.unionByName(other.df, allowMissingColumns=False))
+
+    def branch(self, *conds: "Column | str") -> list["KStream"]:
+        """split/branch analog: N filtered streams + default branch."""
+        branches = [self.filter(c) for c in conds]
+        neg = None
+        for c in conds:
+            cc = F.expr(c) if isinstance(c, str) else c
+            neg = cc if neg is None else (neg | cc)
+        branches.append(self._with(self.df.filter(~neg)))
+        return branches
+
+    def repartition(self, num_partitions: int | None = None) -> "KStream":
+        """.repartition(Repartitioned) analog — explicit reshuffle on key."""
+        cols = [F.col(c) for c in self.key]
+        if num_partitions:
+            return self._with(self.df.repartition(num_partitions, *cols))
+        return self._with(self.df.repartition(*cols))
+
+    # -- grouping ----------------------------------------------------------
+    def group_by_key(self) -> "KGroupedStream":
+        return KGroupedStream(self.df, list(self.key), self.ts_col)
+
+    def group_by(self, *cols: str) -> "KGroupedStream":
+        return KGroupedStream(self.df, list(cols), self.ts_col)
+
+    # -- joins (SURVEY.md §2.4) --------------------------------------------
+    def join(
+        self,
+        table: "KTable",
+        how: str = "inner",
+        select: Sequence["Column | str"] | None = None,
+    ) -> "KStream":
+        """Stream-table join (STJoinExample.java:68-77): each event is
+        enriched with the table's current row for its key."""
+        on = [self.df[k].eqNullSafe(table.df[tk]) for k, tk in zip(self.key, table.key)]
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        joined = self.df.join(table.df, cond, "left" if how == "left" else "inner")
+        # drop the table's duplicate key columns
+        for tk in table.key:
+            joined = joined.drop(table.df[tk])
+        out = self._with(joined)
+        if select:
+            out = out.select(*select)
+        return out
+
+    def join_global(
+        self,
+        table: "GlobalKTable",
+        key_extractor: "Column | str | None" = None,
+        how: str = "inner",
+    ) -> "KStream":
+        """Global-table join (GlobalStoreIntegrationTest.java:153): per-record
+        lookup into a replicated table == broadcast hash join; never shuffles
+        the (100 TB) stream side."""
+        left_keys = (
+            [key_extractor] if key_extractor is not None else [F.col(k) for k in self.key]
+        )
+        left_keys = [F.expr(k) if isinstance(k, str) else k for k in left_keys]
+        cond = None
+        for lk, rk in zip(left_keys, table.key):
+            c = lk.eqNullSafe(table.df[rk])
+            cond = c if cond is None else (cond & c)
+        joined = self.df.join(F.broadcast(table.df), cond, how)
+        for rk in table.key:
+            joined = joined.drop(table.df[rk])
+        return self._with(joined)
+
+    def join_windowed(
+        self,
+        other: "KStream",
+        windows: JoinWindows,
+        how: str = "inner",
+        left_alias: str = "l",
+        right_alias: str = "r",
+    ) -> DataFrame:
+        """Stream-stream windowed join (ResponsiveStores.streamStreamJoin,
+        api/stores/ResponsiveStores.java:200-246): join events of equal key
+        within [-before, +after]. Duplicate events both match — the
+        reference's retainDuplicates STREAM store semantics
+        (internal/stores/DuplicateKeyBuffer.java:28-59) — because a join has
+        one output row per matching pair. Returns an aliased DataFrame
+        (column namespaces `l`/`r`)."""
+        left = self.df.alias(left_alias)
+        right = other.df.alias(right_alias)
+        cond = None
+        for lk, rk in zip(self.key, other.key):
+            c = F.col(f"{left_alias}.{lk}") == F.col(f"{right_alias}.{rk}")
+            cond = c if cond is None else (cond & c)
+        lts = F.col(f"{left_alias}.{self.ts_col}").cast("double")
+        rts = F.col(f"{right_alias}.{other.ts_col}").cast("double")
+        cond = cond & (rts >= lts - windows.before_s) & (rts <= lts + windows.after_s)
+        return left.join(right, cond, how)
+
+    # -- stream -> table ----------------------------------------------------
+    def to_table(self, tiebreak: Sequence[str] = ()) -> "KTable":
+        """Materialize as latest-per-key (KTable semantics). Batch: max_by on
+        (ts, tiebreak...); streaming: update-mode stateful latest (see
+        streaming/state.py)."""
+        ordcols = [self.ts_col, *tiebreak]
+        ord_struct = F.struct(*[F.col(c) for c in ordcols])
+        value_cols = [c for c in self.df.columns if c not in self.key]
+        aggs = [F.max_by(F.col(c), ord_struct).alias(c) for c in value_cols]
+        snap = self.df.groupBy(*self.key).agg(*aggs)
+        return KTable(snap, list(self.key))
+
+    def to_fact_table(self, tiebreak: Sequence[str] = ()) -> "KTable":
+        """FACT-store semantics: FIRST write per key wins (write-once facts /
+        dedup, api/stores/ResponsiveStores.java:73-96). min_by on event time."""
+        ordcols = [self.ts_col, *tiebreak]
+        ord_struct = F.struct(*[F.col(c) for c in ordcols])
+        value_cols = [c for c in self.df.columns if c not in self.key]
+        aggs = [F.min_by(F.col(c), ord_struct).alias(c) for c in value_cols]
+        snap = self.df.groupBy(*self.key).agg(*aggs)
+        return KTable(snap, list(self.key))
+
+    # -- sink ---------------------------------------------------------------
+    def to(self, path: str, fmt: str = "parquet", mode: str = "append", **options):
+        """.to(topic) analog (STJoinExample.java:94-98): write the stream."""
+        if self.df.isStreaming:
+            writer = self.df.writeStream.format(fmt).outputMode(mode)
+            for k, v in options.items():
+                writer = writer.option(k, v)
+            return writer.start(path)
+        self.df.write.format(fmt).mode(mode).options(**options).save(path)
+        return None
+
+
+@dataclass
+class KGroupedStream:
+    """Result of groupByKey()/groupBy() — aggregation entry point.
+
+    Aggregations shuffle once on the grouping key with map-side partial
+    aggregation (Spark's HashAggregate partial/final), the scale analog of
+    the reference's CommitBuffer batching write path
+    (internal/stores/CommitBuffer.java:340-395)."""
+
+    df: DataFrame
+    key: list[str]
+    ts_col: str
+
+    # -- unwindowed (SURVEY.md §2.3) ---------------------------------------
+    def count(self, alias: str = "cnt") -> "KTable":
+        """groupByKey().count() (MinimalIntegrationTest.java:136-139)."""
+        return KTable(self.df.groupBy(*self.key).agg(F.count("*").alias(alias)), list(self.key))
+
+    def reduce(self, *aggs: Column) -> "KTable":
+        """groupByKey().reduce(fn) for algebraic folds (sum/min/max...)."""
+        return KTable(self.df.groupBy(*self.key).agg(*aggs), list(self.key))
+
+    def aggregate(self, *aggs: Column) -> "KTable":
+        """groupByKey().aggregate(init, agg): generic fold. Order-sensitive
+        folds must sort on (ts, tiebreak) inside the agg expression, e.g.
+        array_sort(collect_list(struct(ts, v))) — exactly how the reference's
+        concat-agg tests fix order via per-partition input
+        (ResponsiveKeyValueStoreIntegrationTest.java:213)."""
+        return KTable(self.df.groupBy(*self.key).agg(*aggs), list(self.key))
+
+    def windowed_by(self, windows: "TimeWindows | SessionWindows") -> "TimeWindowedKStream":
+        return TimeWindowedKStream(self.df, self.key, self.ts_col, windows)
+
+
+@dataclass
+class TimeWindowedKStream:
+    """Windowed aggregation builder (tumbling / hopping / session)."""
+
+    df: DataFrame
+    key: list[str]
+    ts_col: str
+    windows: "TimeWindows | SessionWindows"
+
+    def _grace_filtered(self) -> DataFrame:
+        """Apply grace: drop records older than (max event time - grace) —
+        KS grace semantics (ResponsiveWindowStoreIntegrationTest.java:290-293
+        late-record drop vectors). Batch analog of the final watermark; in
+        streaming this becomes withWatermark(ts, grace)."""
+        g = self.windows.grace_s
+        if g is None:
+            return self.df
+        if self.df.isStreaming:
+            return self.df.withWatermark(self.ts_col, f"{int(g)} seconds")
+        wm = self.df.agg(F.max(F.col(self.ts_col).cast("double")).alias("m"))
+        return self.df.join(F.broadcast(wm)).filter(
+            F.col(self.ts_col).cast("double") >= F.col("m") - F.lit(g)
+        ).drop("m")
+
+    def agg(self, *aggs: Column) -> DataFrame:
+        """Aggregate per (key, window). Output columns: key..., window_start
+        and window_end as epoch-second BIGINTs, then the aggregates."""
+        df = self._grace_filtered()
+        w = self.windows
+        if isinstance(w, SessionWindows):
+            win = F.session_window(F.col(self.ts_col), w.gap_str)
+        elif w.advance_s != w.size_s:
+            win = F.window(F.col(self.ts_col), w.size_str, w.advance_str)
+        else:
+            win = F.window(F.col(self.ts_col), w.size_str)
+        out = df.groupBy(win.alias("w"), *[F.col(k) for k in self.key]).agg(*aggs)
+        return out.select(
+            *[F.col(k) for k in self.key],
+            _epoch(F.col("w.start")).alias("window_start"),
+            _epoch(F.col("w.end")).alias("window_end"),
+            *[F.col(a) for a in out.columns if a != "w" and a not in self.key],
+        )
+
+    def count(self, alias: str = "cnt") -> DataFrame:
+        return self.agg(F.count("*").alias(alias))
+
+
+@dataclass
+class KTable:
+    """Changelog-table snapshot: exactly one row per key."""
+
+    df: DataFrame
+    key: list[str]
+
+    def _with(self, df: DataFrame) -> "KTable":
+        return KTable(df, list(self.key))
+
+    def filter(self, cond: "Column | str") -> "KTable":
+        return self._with(self.df.filter(cond))
+
+    def map_values(self, **cols: "Column | str") -> "KTable":
+        out = self.df
+        for name, expr in cols.items():
+            out = out.withColumn(name, F.expr(expr) if isinstance(expr, str) else expr)
+        return self._with(out)
+
+    def to_stream(self, ts_col: str = "ts") -> KStream:
+        return KStream(self.df, list(self.key), ts_col)
+
+    def join(self, other: "KTable", how: str = "inner") -> "KTable":
+        """Primary-key table-table join (SURVEY.md §2.4): both sides are
+        latest-per-key snapshots joined on the shared key."""
+        on = list(zip(self.key, other.key))
+        right = other.df
+        # align right key column names to left for equi-join
+        for lk, rk in on:
+            if rk != lk:
+                right = right.withColumnRenamed(rk, lk)
+        joined = self.df.join(right, on=[lk for lk, _ in on], how=how)
+        return KTable(joined, list(self.key))
+
+    def fk_join(
+        self,
+        other: "KTable",
+        fk: "str | Sequence[str]",
+        how: str = "inner",
+        select: Sequence["Column | str"] | None = None,
+    ) -> "KTable":
+        """Foreign-key table-table join
+        (integration/ResponsiveForeignKeyJoinIntegrationTest.java:150-154):
+        join on a foreign key extracted from the LEFT value against the
+        RIGHT primary key. The reference implements this with internal
+        subscription/response topics re-keying by FK; declaratively it is an
+        equi-join on the FK — Catalyst plans the re-key shuffle, and a
+        right-side update re-emits all referencing left rows on recompute
+        (update fan-out covered by the streaming layer)."""
+        fks = _as_list(fk)
+        cond = None
+        for f_, rk in zip(fks, other.key):
+            c = self.df[f_].eqNullSafe(other.df[rk])
+            cond = c if cond is None else (cond & c)
+        joined = self.df.join(other.df, cond, how)
+        for rk in other.key:
+            if rk not in fks:
+                joined = joined.drop(other.df[rk])
+        out = KTable(joined, list(self.key))
+        if select:
+            out = KTable(joined.select(*select), list(self.key))
+        return out
+
+    def group_by(self, *cols: str) -> "KGroupedTable":
+        """KGroupedTable re-aggregation (SURVEY.md §2.3): re-key the table
+        and aggregate; add/subtract retraction semantics are implicit in
+        recomputing over the current snapshot."""
+        return KGroupedTable(self.df, list(cols))
+
+
+@dataclass
+class KGroupedTable:
+    df: DataFrame
+    key: list[str]
+
+    def count(self, alias: str = "cnt") -> KTable:
+        return KTable(self.df.groupBy(*self.key).agg(F.count("*").alias(alias)), list(self.key))
+
+    def aggregate(self, *aggs: Column) -> KTable:
+        return KTable(self.df.groupBy(*self.key).agg(*aggs), list(self.key))
+
+
+@dataclass
+class GlobalKTable:
+    """Fully replicated table — always broadcast on join."""
+
+    df: DataFrame
+    key: list[str]

@@ -1,0 +1,75 @@
+"""Vector math over array<float> embedding columns.
+
+Engine-portable (Spark SQL + DuckDB) double-precision expressions: both
+engines fold the list left-to-right in index order, so IEEE-754 results are
+bit-identical and ROUND(x, 6) hashes match in the oracle.
+
+JVM-side higher-order functions keep this in whole-stage codegen — no Python
+in the hot path; a 100 TB scan of embeddings never leaves the executor JVM.
+"""
+
+from __future__ import annotations
+
+#: Random-hyperplane LSH for cosine buckets: number of sign bits.
+RHP_BITS = 8
+
+#: Deterministic pseudo-random hyperplane coefficients: plane j, dim d
+#: -> integer weight in [-3, 3]. Pure arithmetic, portable to SQL.
+def _plane_weight(j: int, d: int) -> int:
+    return ((j * 131 + d * 31 + 7) % 7) - 3
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Spark SQL: double dot product of two array<float> expressions."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def dot_duck(a: str, b: str) -> str:
+    """DuckDB SQL: identical left-fold dot product."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def norm_duck(a: str) -> str:
+    return f"sqrt({dot_duck(a, a)})"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """Spark SQL cosine similarity (double)."""
+    return f"({dot_sql(a, b)}) / (({norm_sql(a)}) * ({norm_sql(b)}))"
+
+
+def cosine_duck(a: str, b: str) -> str:
+    return f"({dot_duck(a, b)}) / (({norm_duck(a)}) * ({norm_duck(b)}))"
+
+
+def rhp_bucket_sql(a: str, dim: int, dialect: str, bits: int = RHP_BITS) -> str:
+    """Random-hyperplane LSH bucket id: packed sign bits of <v, plane_j>.
+
+    plane_j has small integer weights from a fixed arithmetic schedule, so
+    the dot product is exact integer-weighted float math — identical in both
+    engines. Bucket = sum over j of (dot_j > 0) * 2^j.
+    """
+    terms = []
+    for j in range(bits):
+        prods = []
+        for d in range(dim):
+            w = _plane_weight(j, d)
+            if w == 0:
+                continue
+            idx = f"{a}[{d}]" if dialect == "spark" else f"{a}[{d + 1}]"
+            prods.append(f"({w}) * CAST({idx} AS DOUBLE)")
+        dot = " + ".join(prods) if prods else "0"
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,412 @@
+"""Deduplication operators: exact, FACT-store, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine.
+
+The reference treats dedup as a first-class store use case: the FACT store
+exists for "deduplication [and] time-series" write-once rows
+(api/stores/ResponsiveStores.java:79-96); its putIfAbsent bootstrap path
+(bootstrap/ChangelogMigrationTool.java:74-78) is first-write-wins. The
+near-dup family (MinHash/SimHash/Jaccard/embedding) is the LLM-pipeline
+extension surface.
+
+Scale design (100 TB posture):
+- signatures/fingerprints are per-row JVM expressions (whole-stage codegen;
+  linear scan, no Python);
+- candidate generation is an equi-join on band buckets (hash shuffle on the
+  bucket key — the only shuffle; no O(n^2) cross join);
+- SimHash banding is EXACT for hamming <= BANDS-1 by pigeonhole, so the
+  block-join loses nothing vs brute force;
+- verification joins fetch only (id, signature-set) columns — column pruning
+  keeps the shuffled payload small.
+
+Every operator has a DuckDB oracle twin built from the same constants in
+``functions.hashing`` — identical integer arithmetic, identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    P,
+    band_hash_sql,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_HASHES,
+)
+from responsive_pub_spark.functions import text as T
+from responsive_pub_spark.functions.portable import pround
+
+# thresholds pinned for the fixture corpus (planted near-dups have 3-gram
+# jaccard >= 0.97 with a clean gap below 0.2)
+MINHASH_JACCARD_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 3          # exact under 4-band blocking (pigeonhole)
+NGRAM_JACCARD_THRESHOLD = 0.6
+EMBEDDING_COSINE_THRESHOLD = 0.4
+
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 8
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group documents by content fingerprint; keep the lowest doc_id.
+
+    One shuffle on the fingerprint (a 64-bit int, tiny payload); at 100 TB
+    this is the canonical hash-dedup: map-side partial agg collapses
+    duplicates before the shuffle.
+    """
+    fp = F.expr(T.fingerprint_sql("text", "spark"))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count("*") - F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup_oracle() -> str:
+    fp = T.fingerprint_sql("text", "duck")
+    return f"""
+        SELECT {fp} AS fingerprint,
+               min(doc_id) AS keep_doc_id,
+               CAST(count(*) - 1 AS BIGINT) AS n_dups
+        FROM documents
+        GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# FACT-store dedup: first write per key wins
+# ---------------------------------------------------------------------------
+
+def fact_dedup(events: DataFrame) -> DataFrame:
+    """First event per (user_id, event_type) — FACT-store putIfAbsent
+    semantics (ResponsiveStores.java:79-96; ChangelogMigrationTool.java:74-78).
+    min_by on (ts, event_id): a total order, so deterministic."""
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return events.groupBy("user_id", "event_type").agg(
+        F.min_by(F.col("event_id"), ord_).alias("first_event_id"),
+        F.unix_timestamp(F.min_by(F.col("ts"), ord_)).cast("bigint").alias("first_ts_sec"),
+        F.count("*").cast("bigint").alias("n_suppressed"),
+    )
+
+
+def fact_dedup_oracle() -> str:
+    return """
+        WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+        grp AS (
+            SELECT user_id, event_type, event_id, ts,
+                   count(*) OVER (PARTITION BY user_id, event_type) AS n,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM ev
+        )
+        SELECT user_id, event_type,
+               event_id AS first_event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS first_ts_sec,
+               CAST(n AS BIGINT) AS n_suppressed
+        FROM grp WHERE rn = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _sig_df(docs: DataFrame) -> DataFrame:
+    """doc_id, shingle-hash set, minhash signature — all per-row JVM exprs."""
+    hs = T.shingle_hashes_sql("text")
+    out = docs.select(F.col("doc_id"), F.expr(hs).alias("hs"))
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(hs, h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P}))"
+        ).alias(f"mh{j}")
+        for j in range(NUM_HASHES)
+    ]
+    return out.select("doc_id", "hs", *sig_cols)
+
+
+def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD) -> DataFrame:
+    """Near-duplicate pairs via shingle→minhash→band→bucket-join→verify.
+
+    Candidates: docs sharing any LSH band bucket (equi-join on
+    (band_id, band_hash)). Verify: exact Jaccard over distinct shingle-hash
+    sets >= threshold. Output (doc_a, doc_b, jaccard)."""
+    sig = _sig_df(docs)
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.expr(band_hash_sql(cols)).alias("band_hash"),
+            )
+        )
+    allbands = bands[0]
+    for bdf in bands[1:]:
+        allbands = allbands.unionByName(bdf)
+    cand = (
+        allbands.alias("a")
+        .join(
+            allbands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sig.select("doc_id", "hs")
+    verified = (
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_pairs_oracle(threshold: float = MINHASH_JACCARD_THRESHOLD) -> str:
+    hs = T.shingle_hashes_duck("text")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P})) AS mh{j}"
+        for j in range(NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"{band_hash_sql([f'mh{b * LSH_ROWS + r}' for r in range(LSH_ROWS)])} AS band_hash "
+        f"FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH hsets AS (
+            SELECT doc_id, {hs} AS hs FROM documents
+        ), sig AS (
+            SELECT doc_id, hs, {sig_items} FROM hsets
+        ), bands AS (
+            {band_rows}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               (floor((CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                     / len(list_distinct(list_cat(ha.hs, hb.hs)))) * 1000000 + 0.5) / 1000000) AS jaccard
+        FROM cand
+        JOIN hsets ha ON ha.doc_id = cand.doc_a
+        JOIN hsets hb ON hb.doc_id = cand.doc_b
+        WHERE (floor((CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                    / len(list_distinct(list_cat(ha.hs, hb.hs)))) * 1000000 + 0.5) / 1000000) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _simhash_sql(dialect: str) -> str:
+    """32-bit SimHash of the token multiset as one SQL expression.
+
+    bit_k = 1 iff sum over distinct tokens of freq * (bit k of hash ? 1 : -1)
+    is > 0. Token frequencies via a sorted-token fold would be costly in SQL;
+    instead we sum over ALL token instances (equivalent: each instance
+    contributes ±1)."""
+    toks = T.tokens_sql("text") if dialect == "spark" else T.tokens_duck("text")
+    if dialect == "spark":
+        hashes = f"transform({toks}, t -> {T.poly_hash_sql('t')})"
+        terms = []
+        for k in range(32):
+            bit = (
+                f"aggregate({hashes}, 0L, (acc, h) -> acc + "
+                f"(CASE WHEN (h div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
+            )
+            terms.append(f"(CASE WHEN ({bit}) > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+    hashes = f"list_transform({toks}, t -> {T.poly_hash_duck('t')})"
+    terms = []
+    for k in range(32):
+        bit = (
+            f"list_sum(list_prepend(CAST(0 AS BIGINT), list_transform({hashes}, h -> "
+            f"CASE WHEN (h // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END)))"
+        )
+        terms.append(f"(CASE WHEN ({bit}) > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: split the 32-bit simhash into 4 bytes; pairs within hamming 3
+    must agree on >= 1 byte (pigeonhole), so an equi-join on (byte_pos,
+    byte_value) is exact — no O(n^2) comparison at scale."""
+    sh = docs.select(F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash"))
+    bands = None
+    for b in range(SIMHASH_BANDS):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("byte_pos"),
+            F.expr(f"(simhash div {1 << (8 * b)}) % 256").alias("byte_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.byte_pos") == F.col("b.byte_pos"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(CAST(sh_a AS BIGINT) ^ CAST(sh_b AS BIGINT))").cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs_oracle(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    sh = _simhash_sql("duck")
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS byte_pos, (simhash // {1 << (8 * b)}) % 256 AS byte_val FROM sh"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, {sh} AS simhash FROM documents
+        ), bands AS (
+            {band_rows}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM bands a JOIN bands b
+              ON a.byte_pos = b.byte_pos AND a.byte_val = b.byte_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (one-permutation minhash blocking)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_THRESHOLD) -> DataFrame:
+    """Exact word-3-gram Jaccard >= threshold, blocked on the single minimum
+    shingle hash (one-permutation MinHash): near-identical docs almost surely
+    share their minimum shingle, so blocking is a single cheap equi-join."""
+    hs = T.shingle_hashes_sql("text")
+    d = docs.select(
+        "doc_id",
+        F.expr(hs).alias("hs"),
+        F.expr(f"array_min({hs})").alias("min_h"),
+    )
+    cand = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.min_h") == F.col("b.min_h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.hs").alias("hs_a"),
+            F.col("b.hs").alias("hs_b"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            pround(
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_oracle(threshold: float = NGRAM_JACCARD_THRESHOLD) -> str:
+    hs = T.shingle_hashes_duck("text")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {hs} AS hs, list_min({hs}) AS min_h FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                     / len(list_distinct(list_cat(a.hs, b.hs)))) * 1000000 + 0.5) / 1000000) AS jaccard
+        FROM d a JOIN d b ON a.min_h = b.min_h AND a.doc_id < b.doc_id
+        WHERE (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                    / len(list_distinct(list_cat(a.hs, b.hs)))) * 1000000 + 0.5) / 1000000) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    emb: DataFrame, threshold: float = EMBEDDING_COSINE_THRESHOLD
+) -> DataFrame:
+    """Embedding near-dups: cosine >= threshold over array<float> columns.
+
+    Correctness baseline is the all-pairs comparison below; the scale path is
+    ``similarity.lsh_topk``'s hyperplane bucketing (same arithmetic). Cosine
+    is computed JVM-side as a double left-fold (functions/vectors.py) so the
+    oracle matches bit-for-bit."""
+    from responsive_pub_spark.functions.vectors import cosine_sql
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", pround(F.expr(cosine_sql("va", "vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_dup_pairs_oracle(threshold: float = EMBEDDING_COSINE_THRESHOLD) -> str:
+    from responsive_pub_spark.functions.vectors import cosine_duck
+
+    cos = cosine_duck("a.embedding", "b.embedding")
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               (floor(({cos}) * 1000000 + 0.5) / 1000000) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE (floor(({cos}) * 1000000 + 0.5) / 1000000) >= {threshold}
+    """

@@ -1,0 +1,813 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark-builder, duckdb-oracle-SQL) pair.
+
+This is the engine's A/B regression harness, modeled on the reference's
+regression suite that runs the SAME topology on vanilla Kafka Streams and on
+Responsive and compares outputs
+(kafka-client-examples/e2e-test/.../regression/ResultsComparatorService.java):
+here the "vanilla" side is DuckDB ANSI SQL over the same parquet fixtures.
+
+Conventions for oracle-stable results (driver hashes values order-insensitively
+after sorting columns by name):
+- every computed column is aliased identically on both sides;
+- event-time outputs are epoch-second BIGINTs (unix_timestamp vs
+  floor(epoch(ts))) — never raw timestamps;
+- every double is ROUND(x, n) on both sides;
+- ranking/argmax uses a total order (ties broken by a unique id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.api import KStream, KTable, Pipeline
+from responsive_pub_spark.operators import dedup, similarity, textops
+from responsive_pub_spark.operators.ttl import ttl_filter
+from responsive_pub_spark.sources.readers import read_table
+from responsive_pub_spark.windows import JoinWindows, SessionWindows, TimeWindows
+from responsive_pub_spark.functions.portable import pround
+
+DAY = 86400
+
+#: DuckDB CTE shadowing the raw events view with microsecond-truncated
+#: timestamps — exact parity with the Spark side, which reads the fixture's
+#: TIMESTAMP(NANOS) as long and truncates to micros (sources/readers.py).
+_EV = "ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)"
+
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One operator's correctness contract."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered fixture views
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# flagship: stream-table join + windowed aggregation (STJoinExample analog)
+# ---------------------------------------------------------------------------
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (stream) join customers (table) -> 30-day tumbling revenue per
+    market segment. Mirrors the reference's flagship e2e topology
+    (e2e-test/.../STJoinExample.java:58-98: stream-table join then windowed
+    reduce)."""
+    p = Pipeline(spark)
+    orders = p.stream(_t(spark, sf_dir, "orders"), key="o_custkey", ts_col="o_orderdate")
+    customers = p.table(_t(spark, sf_dir, "customer"), key="c_custkey")
+    joined = orders.join(customers)
+    return (
+        joined.group_by("c_mktsegment")
+        .windowed_by(TimeWindows.of_size_with_no_grace(30 * DAY))
+        .agg(
+            F.count("*").alias("cnt"),
+            pround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_FLAGSHIP = f"""
+    SELECT c.c_mktsegment,
+           (CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // {30 * DAY}) * {30 * DAY} AS window_start,
+           (CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // {30 * DAY}) * {30 * DAY} + {30 * DAY} AS window_end,
+           CAST(count(*) AS BIGINT) AS cnt,
+           (floor((sum(o.o_totalprice)) * 100 + 0.5) / 100) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# stateless transforms (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+def q_stateless_filter_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter + mapValues (KS DSL surface; predicate logic as in e2e tests)."""
+    s = KStream(_t(spark, sf_dir, "lineitem"), key=["l_orderkey"], ts_col="l_shipdate")
+    return (
+        s.filter(F.col("l_quantity") > 25)
+        .map_values(
+            revenue=pround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2),
+            flag=F.upper(F.concat_ws("-", "l_returnflag", "l_linestatus")),
+        )
+        .select("l_orderkey", "l_linenumber", "revenue", "flag")
+        .df
+    )
+
+
+ORACLE_STATELESS_FILTER_MAP = """
+    SELECT l_orderkey, l_linenumber,
+           (floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100) AS revenue,
+           UPPER(l_returnflag || '-' || l_linestatus) AS flag
+    FROM lineitem
+    WHERE l_quantity > 25
+"""
+
+
+def q_stateless_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatMapValues via explode: document -> word tokens -> word counts."""
+    from responsive_pub_spark.functions.text import tokens_sql
+
+    s = KStream(_t(spark, sf_dir, "documents"), key=["doc_id"], ts_col="doc_id")
+    return (
+        s.flat_map_values(tokens_sql("text"), alias="word")
+        .group_by("word")
+        .count("cnt")
+        .df
+    )
+
+
+ORACLE_STATELESS_FLATMAP = """
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    )
+    GROUP BY 1
+"""
+
+
+def q_stateless_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/branch into N predicate streams, transform each, merge back
+    (KS DSL split/branch + merge surface)."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["user_id"])
+    purchases, errors, rest = s.branch(
+        F.col("event_type") == "purchase", F.col("event_type") == "error"
+    )
+    purchases = purchases.map_values(label=F.lit("purchase"), weight=F.col("value") * 2)
+    errors = errors.map_values(label=F.lit("error"), weight=F.lit(0.0))
+    rest = rest.map_values(label=F.lit("other"), weight=F.col("value"))
+    merged = purchases.merge(errors).merge(rest)
+    return (
+        merged.group_by("label")
+        .aggregate(
+            F.count("*").alias("cnt"), pround(F.sum("weight"), 2).alias("total_weight")
+        )
+        .df
+    )
+
+
+ORACLE_STATELESS_BRANCH_MERGE = f"""
+    WITH {_EV}
+    SELECT CASE WHEN event_type = 'purchase' THEN 'purchase'
+                WHEN event_type = 'error' THEN 'error'
+                ELSE 'other' END AS label,
+           CAST(count(*) AS BIGINT) AS cnt,
+           (floor((sum(CASE WHEN event_type = 'purchase' THEN value * 2
+                          WHEN event_type = 'error' THEN 0.0
+                          ELSE value END)) * 100 + 0.5) / 100) AS total_weight
+    FROM ev
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+def q_agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByKey().count() — MinimalIntegrationTest.java:136-139."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["user_id"])
+    return s.group_by_key().count("cnt").df
+
+
+ORACLE_AGG_COUNT_BY_KEY = (
+    f"WITH {_EV} SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY 1"
+)
+
+
+def q_agg_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByKey().reduce (STJoinExample.java:91-92 sum-reduce analog)."""
+    s = KStream(_t(spark, sf_dir, "orders"), key=["o_custkey"], ts_col="o_orderdate")
+    return (
+        s.group_by_key()
+        .reduce(
+            pround(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .df
+    )
+
+
+ORACLE_AGG_REDUCE = """
+    SELECT o_custkey, (floor((sum(o_totalprice)) * 100 + 0.5) / 100) AS total_spend,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+"""
+
+
+def q_agg_fold_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive generic fold: per-key concat in (ts, event_id) order —
+    the reference's aggregate(() -> "", (k,v,agg) -> agg+v)
+    (ResponsiveKeyValueStoreIntegrationTest.java:213)."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["user_id"])
+    fold = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+        " x -> x.event_type), ',')"
+    ).alias("type_seq")
+    return s.group_by_key().aggregate(fold).df
+
+
+ORACLE_AGG_FOLD_CONCAT = f"""
+    WITH {_EV}
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+    FROM ev GROUP BY 1
+"""
+
+
+def q_agg_table_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable latest-per-key snapshot (builder.table changelog upsert,
+    STJoinExample.java:63-64; ChangelogMigrationTool.java:88-96)."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["user_id"])
+    t = s.to_table(tiebreak=["event_id"])
+    return t.df.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        pround("value", 2).alias("last_value"),
+        F.unix_timestamp("ts").cast("bigint").alias("last_ts_sec"),
+    )
+
+
+ORACLE_AGG_TABLE_LATEST = f"""
+    WITH {_EV}
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           (floor((value) * 100 + 0.5) / 100) AS last_value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_sec
+    FROM ev
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_agg_table_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGroupedTable re-aggregation: table groupBy + agg with implicit
+    retraction (old-value subtract, PartitionedOperations.java:364-371) —
+    declaratively: aggregate over the current snapshot."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["user_id"])
+    t = s.to_table(tiebreak=["event_id"])
+    return (
+        t.group_by("event_type")
+        .aggregate(
+            F.count("*").alias("n_users"),
+            pround(F.sum("value"), 2).alias("sum_last_value"),
+        )
+        .df
+    )
+
+
+ORACLE_AGG_TABLE_REGROUP = f"""
+    WITH {_EV}, latest AS (
+        SELECT user_id, event_type, value
+        FROM ev
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           (floor((sum(value)) * 100 + 0.5) / 100) AS sum_last_value
+    FROM latest GROUP BY 1
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-cardinality surface (approximateNumEntries,
+    PartitionedOperations.java:440-443) — exact distinct for the oracle;
+    approx_count_distinct is the production scale path."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["event_type"])
+    return (
+        s.group_by_key()
+        .aggregate(
+            F.count_distinct("user_id").cast("bigint").alias("n_distinct_users"),
+            F.count("*").alias("cnt"),
+        )
+        .df
+    )
+
+
+ORACLE_AGG_DISTINCT = f"""
+    WITH {_EV}
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY 1
+"""
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate fold over the big fact table (bench headline)."""
+    s = KStream(_t(spark, sf_dir, "lineitem"), key=["l_returnflag", "l_linestatus"], ts_col="l_shipdate")
+    return (
+        s.group_by_key()
+        .aggregate(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 6).alias("avg_qty"),
+            pround(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .df
+    )
+
+
+ORACLE_AGG_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           (floor((sum(l_quantity)) * 100 + 0.5) / 100) AS sum_qty,
+           (floor((sum(l_extendedprice)) * 100 + 0.5) / 100) AS sum_base_price,
+           (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100) AS sum_disc_price,
+           (floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100) AS sum_charge,
+           (floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000) AS avg_qty,
+           (floor((avg(l_discount)) * 1000000 + 0.5) / 1000000) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregate (TimeWindows.ofSizeWithNoGrace,
+    ResponsiveWindowStoreIntegrationTest.java:113-114)."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["event_type"])
+    return (
+        s.group_by_key()
+        .windowed_by(TimeWindows.of_size_with_no_grace(DAY))
+        .agg(F.count("*").alias("cnt"), pround(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE_WINDOW_TUMBLING = f"""
+    WITH {_EV}
+    SELECT event_type,
+           (CAST(floor(epoch(ts)) AS BIGINT) // {DAY}) * {DAY} AS window_start,
+           (CAST(floor(epoch(ts)) AS BIGINT) // {DAY}) * {DAY} + {DAY} AS window_end,
+           CAST(count(*) AS BIGINT) AS cnt,
+           (floor((sum(value)) * 100 + 0.5) / 100) AS sum_value
+    FROM ev GROUP BY 1, 2, 3
+"""
+
+
+def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window (TimeWindows...advanceBy,
+    ResponsiveWindowStoreIntegrationTest.java:263-264): 1h size, 15m advance."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["event_type"])
+    return (
+        s.group_by_key()
+        .windowed_by(TimeWindows(size=3600, advance=900))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+ORACLE_WINDOW_HOPPING = f"""
+    WITH {_EV}
+    SELECT event_type,
+           w AS window_start, w + 3600 AS window_end,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT event_type, epoch(ts) AS e,
+               ((CAST(floor(epoch(ts)) AS BIGINT) // 900) - k) * 900 AS w
+        FROM ev, (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    WHERE w <= e AND w + 3600 > e
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with inactivity gap
+    (SessionWindows.ofInactivityGap, ResponsiveSessionStoreIntegrationTest
+    .java:116-158; session merge at ResponsiveSessionStore.java:131-165 —
+    Spark's session_window merges natively)."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["user_id"])
+    return (
+        s.group_by_key()
+        .windowed_by(SessionWindows.of_inactivity_gap(1800))
+        .agg(F.count("*").alias("cnt"), pround(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE_WINDOW_SESSION = f"""
+    WITH {_EV}, seq AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS window_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS window_end,
+           CAST(count(*) AS BIGINT) AS cnt,
+           (floor((sum(value)) * 100 + 0.5) / 100) AS sum_value
+    FROM islands
+    GROUP BY user_id, session_id
+"""
+
+
+def q_window_grace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grace-period late-record dropping (TimeWindows.ofSizeAndGrace,
+    STJoinExample.java:90; late-drop vectors at
+    ResponsiveWindowStoreIntegrationTest.java:290-293): records older than
+    stream-time - grace are excluded."""
+    s = KStream(_t(spark, sf_dir, "events"), key=["event_type"])
+    return (
+        s.group_by_key()
+        .windowed_by(TimeWindows.of_size_and_grace(DAY, 7 * DAY))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+ORACLE_WINDOW_GRACE = f"""
+    WITH {_EV}
+    SELECT event_type,
+           (CAST(floor(epoch(ts)) AS BIGINT) // {DAY}) * {DAY} AS window_start,
+           (CAST(floor(epoch(ts)) AS BIGINT) // {DAY}) * {DAY} + {DAY} AS window_end,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM ev
+    WHERE epoch(ts) >= (SELECT max(epoch(ts)) FROM ev) - {7 * DAY}
+    GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def q_join_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table inner join (STJoinExample.java:68-77)."""
+    p = Pipeline(spark)
+    orders = p.stream(_t(spark, sf_dir, "orders"), key="o_custkey", ts_col="o_orderdate")
+    customers = p.table(_t(spark, sf_dir, "customer"), key="c_custkey")
+    return orders.join(
+        customers,
+        select=[
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            "c_mktsegment",
+            pround("o_totalprice", 2).alias("total"),
+        ],
+    ).df
+
+
+ORACLE_JOIN_STREAM_TABLE = """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+           (floor((o.o_totalprice) * 100 + 0.5) / 100) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_join_stream_table_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table LEFT join: unmatched events pass through with nulls."""
+    p = Pipeline(spark)
+    orders = p.stream(_t(spark, sf_dir, "orders"), key="o_custkey", ts_col="o_orderdate")
+    customers = p.table(
+        _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0), key="c_custkey"
+    )
+    return orders.join(
+        customers,
+        how="left",
+        select=[
+            "o_orderkey",
+            "c_name",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        ],
+    ).df
+
+
+ORACLE_JOIN_STREAM_TABLE_LEFT = """
+    SELECT o.o_orderkey, c.c_name,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+    FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+      ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key table-table join
+    (ResponsiveForeignKeyJoinIntegrationTest.java:150-154): left pk=s_suppkey,
+    FK s_nationkey in the value, joined to nation's pk."""
+    p = Pipeline(spark)
+    supplier = p.table(_t(spark, sf_dir, "supplier"), key="s_suppkey")
+    nation = p.table(_t(spark, sf_dir, "nation"), key="n_nationkey")
+    return supplier.fk_join(
+        nation, fk="s_nationkey", select=["s_suppkey", "s_name", "n_name"]
+    ).df
+
+
+ORACLE_JOIN_FK = """
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+def q_join_table_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key table-table join: latest click vs latest view per user."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = KStream(ev.filter(F.col("event_type") == "click"), key=["user_id"]).to_table(
+        tiebreak=["event_id"]
+    )
+    views = KStream(ev.filter(F.col("event_type") == "view"), key=["user_id"]).to_table(
+        tiebreak=["event_id"]
+    )
+    clicks = KTable(
+        clicks.df.select("user_id", F.col("event_id").alias("click_event_id"),
+                         F.unix_timestamp("ts").cast("bigint").alias("click_ts")),
+        ["user_id"],
+    )
+    views = KTable(
+        views.df.select("user_id", F.col("event_id").alias("view_event_id"),
+                        F.unix_timestamp("ts").cast("bigint").alias("view_ts")),
+        ["user_id"],
+    )
+    out = clicks.join(views)
+    return out.df.withColumn("gap_sec", F.col("click_ts") - F.col("view_ts"))
+
+
+ORACLE_JOIN_TABLE_TABLE = f"""
+    WITH {_EV}, clicks AS (
+        SELECT user_id, event_id AS click_event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS click_ts
+        FROM ev WHERE event_type = 'click'
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    ), views AS (
+        SELECT user_id, event_id AS view_event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS view_ts
+        FROM ev WHERE event_type = 'view'
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT c.user_id, c.click_event_id, c.click_ts,
+           v.view_event_id, v.view_ts,
+           c.click_ts - v.view_ts AS gap_sec
+    FROM clicks c JOIN views v ON c.user_id = v.user_id
+"""
+
+
+def q_join_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-table (broadcast) join
+    (GlobalStoreIntegrationTest.java:147-153): the 100 TB fact side is never
+    shuffled; the dimension is replicated to every task."""
+    p = Pipeline(spark)
+    li = p.stream(_t(spark, sf_dir, "lineitem"), key="l_partkey", ts_col="l_shipdate")
+    part = p.global_table(_t(spark, sf_dir, "part"), key="p_partkey")
+    joined = li.join_global(part)
+    return (
+        joined.group_by("p_brand")
+        .aggregate(
+            F.count("*").alias("cnt"),
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .df
+    )
+
+
+ORACLE_JOIN_GLOBAL = """
+    SELECT p.p_brand, CAST(count(*) AS BIGINT) AS cnt,
+           (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+"""
+
+
+def q_join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream windowed join with duplicate retention
+    (ResponsiveStores.streamStreamJoin, ResponsiveStores.java:200-246;
+    DuplicateKeyBuffer.java:28-59): purchases matched to every click by the
+    same user in the preceding hour."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = KStream(ev.filter(F.col("event_type") == "purchase"), key=["user_id"])
+    clicks = KStream(ev.filter(F.col("event_type") == "click"), key=["user_id"])
+    joined = purchases.join_windowed(clicks, JoinWindows(before=3600, after=0))
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_event_id"),
+        F.col("r.event_id").alias("click_event_id"),
+    )
+
+
+ORACLE_JOIN_STREAM_STREAM = f"""
+    WITH {_EV}
+    SELECT p.user_id, p.event_id AS purchase_event_id, c.event_id AS click_event_id
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch(c.ts) >= epoch(p.ts) - 3600
+     AND epoch(c.ts) <= epoch(p.ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TTL (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+def q_ttl_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default TTL: rows older than stream-time - ttl are invisible
+    (TtlProvider.withDefaultTimeToLive, api/stores/TtlProvider.java:32-56;
+    read filter at MongoKVTable.java:164)."""
+    ev = _t(spark, sf_dir, "events")
+    kept = ttl_filter(ev, ttl_seconds=7 * DAY)
+    return (
+        KStream(kept, key=["user_id"])
+        .group_by_key()
+        .aggregate(F.count("*").alias("cnt"), pround(F.sum("value"), 2).alias("sum_value"))
+        .df
+    )
+
+
+ORACLE_TTL_DEFAULT = f"""
+    WITH {_EV}
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt, (floor((sum(value)) * 100 + 0.5) / 100) AS sum_value
+    FROM ev
+    WHERE epoch(ts) >= (SELECT max(epoch(ts)) FROM ev) - {7 * DAY}
+    GROUP BY 1
+"""
+
+
+def q_ttl_row_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level TTL override computed from the value
+    (TtlProvider.fromValue, TtlProvider.java:74-113;
+    integration/RowLevelTtlIntegrationTest.java)."""
+    ev = _t(spark, sf_dir, "events")
+    ttl = (
+        F.when(F.col("event_type") == "click", 3 * DAY)
+        .when(F.col("event_type") == "view", 5 * DAY)
+        .when(F.col("event_type") == "purchase", 10 * DAY)
+        .when(F.col("event_type") == "signup", 30 * DAY)
+        .otherwise(1 * DAY)
+    )
+    kept = ttl_filter(ev, ttl_seconds=ttl)
+    return (
+        KStream(kept, key=["event_type"])
+        .group_by_key()
+        .aggregate(F.count("*").alias("cnt"))
+        .df
+    )
+
+
+ORACLE_TTL_ROW_LEVEL = f"""
+    WITH {_EV}
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM ev
+    WHERE epoch(ts) >= (SELECT max(epoch(ts)) FROM ev) -
+          (CASE WHEN event_type = 'click' THEN {3 * DAY}
+                WHEN event_type = 'view' THEN {5 * DAY}
+                WHEN event_type = 'purchase' THEN {10 * DAY}
+                WHEN event_type = 'signup' THEN {30 * DAY}
+                ELSE {DAY} END)
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text (LLM-pipeline extensions + FACT-store surface)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_fact(spark, sf_dir):
+    return dedup.fact_dedup(_t(spark, sf_dir, "events"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return dedup.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def q_sim_bruteforce(spark, sf_dir):
+    return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_sim_lsh(spark, sf_dir):
+    return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_text_lang(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_tokens(spark, sf_dir):
+    return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_bytes(spark, sf_dir):
+    """Opaque-binary column plumbing: text encoded to a binary payload column
+    with typed metadata — the pattern for image/audio columns (decode UDFs
+    are stubbed; see streaming/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+    ).select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    )
+
+
+ORACLE_MULTIMODAL_BYTES = """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    "flagship_stjoin_window": QuerySpec(q_flagship, ORACLE_FLAGSHIP, bench=True),
+    "stateless_filter_map": QuerySpec(q_stateless_filter_map, ORACLE_STATELESS_FILTER_MAP),
+    "stateless_flatmap": QuerySpec(q_stateless_flatmap, ORACLE_STATELESS_FLATMAP),
+    "stateless_branch_merge": QuerySpec(q_stateless_branch_merge, ORACLE_STATELESS_BRANCH_MERGE),
+    "agg_count_by_key": QuerySpec(q_agg_count_by_key, ORACLE_AGG_COUNT_BY_KEY),
+    "agg_reduce": QuerySpec(q_agg_reduce, ORACLE_AGG_REDUCE),
+    "agg_fold_concat": QuerySpec(q_agg_fold_concat, ORACLE_AGG_FOLD_CONCAT),
+    "agg_table_latest": QuerySpec(q_agg_table_latest, ORACLE_AGG_TABLE_LATEST),
+    "agg_table_regroup": QuerySpec(q_agg_table_regroup, ORACLE_AGG_TABLE_REGROUP),
+    "agg_distinct": QuerySpec(q_agg_distinct, ORACLE_AGG_DISTINCT),
+    "agg_pricing_summary": QuerySpec(q_agg_pricing_summary, ORACLE_AGG_PRICING_SUMMARY, bench=True),
+    "window_tumbling": QuerySpec(q_window_tumbling, ORACLE_WINDOW_TUMBLING, bench=True),
+    "window_hopping": QuerySpec(q_window_hopping, ORACLE_WINDOW_HOPPING),
+    "window_session": QuerySpec(q_window_session, ORACLE_WINDOW_SESSION, bench=True),
+    "window_grace": QuerySpec(q_window_grace, ORACLE_WINDOW_GRACE),
+    "join_stream_table": QuerySpec(q_join_stream_table, ORACLE_JOIN_STREAM_TABLE),
+    "join_stream_table_left": QuerySpec(q_join_stream_table_left, ORACLE_JOIN_STREAM_TABLE_LEFT),
+    "join_fk": QuerySpec(q_join_fk, ORACLE_JOIN_FK),
+    "join_table_table": QuerySpec(q_join_table_table, ORACLE_JOIN_TABLE_TABLE),
+    "join_global": QuerySpec(q_join_global, ORACLE_JOIN_GLOBAL, bench=True),
+    "join_stream_stream": QuerySpec(q_join_stream_stream, ORACLE_JOIN_STREAM_STREAM, bench=True),
+    "ttl_default": QuerySpec(q_ttl_default, ORACLE_TTL_DEFAULT),
+    "ttl_row_level": QuerySpec(q_ttl_row_level, ORACLE_TTL_ROW_LEVEL),
+    "dedup_exact": QuerySpec(q_dedup_exact, dedup.exact_dedup_oracle()),
+    "dedup_fact_store": QuerySpec(q_dedup_fact, dedup.fact_dedup_oracle()),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, dedup.minhash_pairs_oracle(), bench=True),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, dedup.simhash_pairs_oracle()),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram, dedup.ngram_jaccard_pairs_oracle()),
+    "dedup_embedding": QuerySpec(q_dedup_embedding, dedup.embedding_dup_pairs_oracle()),
+    "sim_search_bruteforce": QuerySpec(q_sim_bruteforce, similarity.brute_force_topk_oracle(), bench=True),
+    "sim_search_lsh": QuerySpec(q_sim_lsh, similarity.lsh_topk_oracle()),
+    "text_lang_id": QuerySpec(q_text_lang, textops.lang_id_oracle()),
+    "text_quality": QuerySpec(q_text_quality, textops.quality_score_oracle()),
+    "text_token_count": QuerySpec(q_text_tokens, textops.token_counts_oracle()),
+    "text_fingerprint": QuerySpec(q_text_fingerprint, textops.fingerprints_oracle()),
+    "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.bench}

@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference engine tunes its physical runtime via ResponsiveConfig
+(kafka-client/.../api/config/ResponsiveConfig.java). Our analog is a small
+set of Spark confs chosen for large-cluster behavior (AQE, skew handling,
+Arrow for the Python boundary) that also behave well on local[N] for tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(
+    app_name: str = "responsive-pub-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with engine defaults.
+
+    Defaults matter at scale:
+    - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+      replaces the reference's static sub-partitioning
+      (internal/db/partitioning/SubPartitioner.java:29-101).
+    - Arrow on: every Python-boundary op (pandas UDFs, applyInPandas) is
+      vectorized, the analog of the reference's async batching
+      (internal/async/AsyncThreadPool).
+    - UTC session timezone: deterministic event-time semantics.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
+        )
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,39 @@
+"""The A/B regression gate: every registry query vs its DuckDB oracle at the
+test scale factor — the local replica of the driver's CORRECTNESS check and
+the analog of the reference's regression harness
+(e2e-test/.../regression/ResultsComparatorService.java)."""
+
+from __future__ import annotations
+
+import pytest
+
+from responsive_pub_spark.registry import REGISTRY
+
+from tests.oracle_util import compare
+
+CASES = [(name, spec) for name, spec in REGISTRY.items() if spec.oracle]
+
+
+@pytest.mark.parametrize("name,spec", CASES, ids=[c[0] for c in CASES])
+def test_query_matches_oracle(spark, duck, sf_dir, name, spec):
+    df = spec.fn(spark, sf_dir)
+    ok, msg = compare(df, duck, spec.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_oracle_or_reason():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    # all current queries are batch-expressible; streaming-only entries may
+    # be oracle-less later
+    assert len(qs) >= 30
