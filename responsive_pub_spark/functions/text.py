@@ -60,34 +60,46 @@ def tokens_duck(text_expr: str) -> str:
     )
 
 
-def shingles_sql(toks_expr: str, n: int = SHINGLE_N) -> str:
-    """Spark SQL: distinct word n-gram shingles (whole doc if < n tokens)."""
-    return (
-        f"array_distinct(transform("
-        f"sequence(0, greatest(size({toks_expr}) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice({toks_expr}, i + 1, {n}))))"
+def token_hashes_sql(text_expr: str) -> str:
+    """Spark SQL: polynomial hash per token. The token array is the transform
+    input (not captured inside a lambda body), so tokenization runs once per
+    row and each token is hashed exactly once."""
+    return f"transform({tokens_sql(text_expr)}, t -> {poly_hash_sql('t')})"
+
+
+def token_hashes_duck(text_expr: str) -> str:
+    """DuckDB SQL: identical per-token hashes."""
+    return f"list_transform({tokens_duck(text_expr)}, t -> {poly_hash_duck('t')})"
+
+
+def shingle_hashes_sql(text_expr: str, n: int = SHINGLE_N) -> str:
+    """Spark SQL: distinct hashes of word n-gram shingles, composed from the
+    per-token hashes: shingle_hash = fold (acc*31 + token_hash) % P.
+
+    The token-hash array is let-bound via a single-element ``transform`` so
+    the whole upstream pipeline evaluates ONCE per row; without the binding,
+    Spark's interpreted higher-order functions re-evaluate a captured
+    expression per lambda element (observed ~50x slowdown on the dedup
+    bench). Shingling over bound ``th`` is then pure integer arithmetic.
+    """
+    th = token_hashes_sql(text_expr)
+    inner = (
+        f"array_distinct(transform(sequence(0, greatest(size(th) - {n}, 0)), "
+        f"i -> aggregate(slice(th, i + 1, {n}), 0L, "
+        f"(acc, h) -> (acc * 31 + h) % {P})))"
     )
+    return f"element_at(transform(array({th}), th -> {inner}), 1)"
 
 
-def shingles_duck(toks_expr: str, n: int = SHINGLE_N) -> str:
-    """DuckDB SQL: identical distinct word n-gram shingles."""
-    return (
-        f"list_distinct(list_transform("
-        f"range(0, greatest(len({toks_expr}) - {n}, 0) + 1), "
-        f"i -> array_to_string(list_slice({toks_expr}, i + 1, i + {n}), ' ')))"
+def shingle_hashes_duck(text_expr: str, n: int = SHINGLE_N) -> str:
+    """DuckDB SQL: identical distinct shingle hashes (same let-binding shape)."""
+    th = token_hashes_duck(text_expr)
+    inner = (
+        f"list_distinct(list_transform(range(0, greatest(len(th) - {n}, 0) + 1), "
+        f"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i + 1, i + {n})), "
+        f"(acc, h) -> (acc * 31 + h) % {P})))"
     )
-
-
-def shingle_hashes_sql(text_expr: str) -> str:
-    """Spark SQL: distinct polynomial hashes of the doc's word shingles."""
-    sh = shingles_sql(tokens_sql(text_expr))
-    return f"array_distinct(transform({sh}, s -> {poly_hash_sql('s')}))"
-
-
-def shingle_hashes_duck(text_expr: str) -> str:
-    """DuckDB SQL: identical distinct shingle hashes."""
-    sh = shingles_duck(tokens_duck(text_expr))
-    return f"list_distinct(list_transform({sh}, s -> {poly_hash_duck('s')}))"
+    return f"list_transform([{th}], th -> {inner})[1]"
 
 
 # -- language id ------------------------------------------------------------

@@ -140,20 +140,19 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD)
     Candidates: docs sharing any LSH band bucket (equi-join on
     (band_id, band_hash)). Verify: exact Jaccard over distinct shingle-hash
     sets >= threshold. Output (doc_a, doc_b, jaccard)."""
-    sig = _sig_df(docs)
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.expr(band_hash_sql(cols)).alias("band_hash"),
-            )
-        )
-    allbands = bands[0]
-    for bdf in bands[1:]:
-        allbands = allbands.unionByName(bdf)
+    # Persist the signatures: every downstream branch (band explode, both
+    # self-join sides, both verify joins) reuses the one materialization —
+    # at 100 TB this is the "write signatures once, join many" pattern.
+    sig = _sig_df(docs).persist()
+    band_arr = F.array(
+        *[
+            F.expr(band_hash_sql([f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    allbands = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id", "band_hash")
+    )
     cand = (
         allbands.alias("a")
         .join(
@@ -229,27 +228,29 @@ def _simhash_sql(dialect: str) -> str:
     bit_k = 1 iff sum over distinct tokens of freq * (bit k of hash ? 1 : -1)
     is > 0. Token frequencies via a sorted-token fold would be costly in SQL;
     instead we sum over ALL token instances (equivalent: each instance
-    contributes ±1)."""
-    toks = T.tokens_sql("text") if dialect == "spark" else T.tokens_duck("text")
+    contributes ±1). The token-hash array is let-bound (single-element
+    transform) so tokenize+hash runs once per row, not once per bit."""
     if dialect == "spark":
-        hashes = f"transform({toks}, t -> {T.poly_hash_sql('t')})"
+        hashes = T.token_hashes_sql("text")
         terms = []
         for k in range(32):
             bit = (
-                f"aggregate({hashes}, 0L, (acc, h) -> acc + "
+                f"aggregate(hs, 0L, (acc, h) -> acc + "
                 f"(CASE WHEN (h div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
             )
             terms.append(f"(CASE WHEN ({bit}) > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)")
-        return "(" + " + ".join(terms) + ")"
-    hashes = f"list_transform({toks}, t -> {T.poly_hash_duck('t')})"
+        body = "(" + " + ".join(terms) + ")"
+        return f"element_at(transform(array({hashes}), hs -> {body}), 1)"
+    hashes = T.token_hashes_duck("text")
     terms = []
     for k in range(32):
         bit = (
-            f"list_sum(list_prepend(CAST(0 AS BIGINT), list_transform({hashes}, h -> "
+            f"list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(hs, h -> "
             f"CASE WHEN (h // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END)))"
         )
         terms.append(f"(CASE WHEN ({bit}) > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+    body = "(" + " + ".join(terms) + ")"
+    return f"list_transform([{hashes}], hs -> {body})[1]"
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
@@ -258,16 +259,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     Blocking: split the 32-bit simhash into 4 bytes; pairs within hamming 3
     must agree on >= 1 byte (pigeonhole), so an equi-join on (byte_pos,
     byte_value) is exact — no O(n^2) comparison at scale."""
-    sh = docs.select(F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash"))
-    bands = None
-    for b in range(SIMHASH_BANDS):
-        part = sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("byte_pos"),
-            F.expr(f"(simhash div {1 << (8 * b)}) % 256").alias("byte_val"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    sh = docs.select(
+        F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash")
+    ).persist()
+    byte_arr = F.array(
+        *[F.expr(f"(simhash div {1 << (8 * b)}) % 256") for b in range(SIMHASH_BANDS)]
+    )
+    bands = sh.select(
+        "doc_id", "simhash", F.posexplode(byte_arr).alias("byte_pos", "byte_val")
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -327,12 +327,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_THRESH
     """Exact word-3-gram Jaccard >= threshold, blocked on the single minimum
     shingle hash (one-permutation MinHash): near-identical docs almost surely
     share their minimum shingle, so blocking is a single cheap equi-join."""
-    hs = T.shingle_hashes_sql("text")
     d = docs.select(
-        "doc_id",
-        F.expr(hs).alias("hs"),
-        F.expr(f"array_min({hs})").alias("min_h"),
-    )
+        "doc_id", F.expr(T.shingle_hashes_sql("text")).alias("hs")
+    ).withColumn("min_h", F.expr("array_min(hs)")).persist()
     cand = (
         d.alias("a")
         .join(

@@ -39,6 +39,9 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events fixture stores TIMESTAMP(NANOS); Spark's parquet reader has
+        # no nanos type — read as long and convert (sources/readers.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
