@@ -28,6 +28,7 @@ from responsive_pub_spark.api import KStream, KTable, Pipeline
 from responsive_pub_spark.operators import dedup, similarity, textops
 from responsive_pub_spark.operators.ttl import ttl_filter
 from responsive_pub_spark.sources.readers import read_table
+from responsive_pub_spark.streaming import async_stage, multimodal, state
 from responsive_pub_spark.windows import JoinWindows, SessionWindows, TimeWindows
 from responsive_pub_spark.functions.portable import pround
 
@@ -758,6 +759,139 @@ ORACLE_MULTIMODAL_BYTES = """
 
 
 # ---------------------------------------------------------------------------
+# PAPI processors (SURVEY.md §2.6), async stage (§2.8), multimodal plumbing
+# ---------------------------------------------------------------------------
+
+class _RunningCountProcessor(state.Processor):
+    """Per-key event counter with a KV ValueState — the PAPI
+    process()/store.put/get surface (KeyBatchExample.java:64-65), emitting a
+    row per record with the running count."""
+
+    def process(self, ctx, rec):
+        n = (ctx.store.get("n") or 0) + 1
+        ctx.store.put("n", n)
+        ctx.forward(
+            user_id=int(rec["user_id"]),
+            event_id=int(rec["event_id"]),
+            ts_sec=int(ctx.timestamp),
+            running_cnt=n,
+        )
+
+
+def q_papi_running_count(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return state.process(
+        ev.select("user_id", "event_id", "ts"),
+        key=["user_id"],
+        processor_factory=_RunningCountProcessor,
+        output_schema="user_id BIGINT, event_id BIGINT, ts_sec BIGINT, running_cnt BIGINT",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+
+
+ORACLE_PAPI_RUNNING_COUNT = f"""
+    WITH {_EV}
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS running_cnt
+    FROM ev
+"""
+
+
+class _DailyPunctuateProcessor(state.Processor):
+    """Stream-time punctuator (context.schedule(interval, STREAM_TIME, ...),
+    KeyBatchExample.java:137-141): counts events per key, emits the running
+    count at every aligned day boundary the stream time crosses. Punctuators
+    fire BEFORE the record that advances the clock past them (KS order)."""
+
+    def init(self, ctx):
+        ctx.schedule(DAY, self._fire, state.STREAM_TIME, aligned=True)
+
+    def _fire(self, ctx, fire_ts):
+        ctx.forward(
+            user_id=int(ctx.key[0]),
+            fire_ts=int(fire_ts),
+            n_events=int(ctx.store.get("n") or 0),
+        )
+
+    def process(self, ctx, rec):
+        ctx.store.put("n", (ctx.store.get("n") or 0) + 1)
+
+
+def q_papi_punctuate_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return state.process(
+        ev.select("user_id", "event_id", "ts"),
+        key=["user_id"],
+        processor_factory=_DailyPunctuateProcessor,
+        output_schema="user_id BIGINT, fire_ts BIGINT, n_events BIGINT",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+
+
+ORACLE_PAPI_PUNCTUATE_DAILY = f"""
+    WITH {_EV},
+    span AS (
+        SELECT user_id, min(epoch(ts)) AS mn, max(epoch(ts)) AS mx
+        FROM ev GROUP BY 1
+    ),
+    fires AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(
+                   CAST((floor(mn / {DAY}) + 1) * {DAY} AS BIGINT),
+                   CAST(floor(mx / {DAY}) * {DAY} AS BIGINT),
+                   {DAY})) AS BIGINT) AS fire_ts
+        FROM span
+    )
+    SELECT f.user_id, f.fire_ts, CAST(count(e.event_id) AS BIGINT) AS n_events
+    FROM fires f JOIN ev e
+      ON e.user_id = f.user_id AND epoch(e.ts) < f.fire_ts
+    GROUP BY 1, 2
+"""
+
+
+def _fake_rpc(rec: dict) -> dict:
+    """Deterministic 'slow RPC' body (the e2e app's injected RPC analog,
+    E2ETestApplication.java:127) — pure arithmetic so DuckDB can oracle it."""
+    return {
+        "event_id": int(rec["event_id"]),
+        "user_id": int(rec["user_id"]),
+        "score": float((int(rec["user_id"]) * 31 + int(rec["event_id"])) % 1000) / 1000.0,
+    }
+
+
+def q_async_enrich(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    return async_stage.async_map_ordered(
+        ev,
+        key=["user_id"],
+        fn=_fake_rpc,
+        output_schema="event_id BIGINT, user_id BIGINT, score DOUBLE",
+        max_workers=16,
+    )
+
+
+ORACLE_ASYNC_ENRICH = """
+    SELECT event_id, user_id,
+           CAST((user_id * 31 + event_id) % 1000 AS DOUBLE) / 1000.0 AS score
+    FROM events
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    media = multimodal.pack_text_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_features(media, fake=True)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    media = multimodal.pack_text_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -798,6 +932,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(q_text_tokens, textops.token_counts_oracle()),
     "text_fingerprint": QuerySpec(q_text_fingerprint, textops.fingerprints_oracle()),
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
+    "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT),
+    "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
+    "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),
+    "multimodal_decode_features": QuerySpec(
+        q_multimodal_decode, multimodal.decode_features_oracle()
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        q_multimodal_frames, multimodal.sample_frames_oracle()
+    ),
 }
 
 

@@ -1,0 +1,339 @@
+"""Processor-API (PAPI) analog: per-key stateful processors with the
+reference's store operation surface and stream-time punctuators.
+
+Reference surface being reproduced (SURVEY.md §2.6):
+- KV store ops (internal/stores/PartitionedOperations.java): put:326,
+  delete:341 (returns old value), get:356, range:393, reverseRange:413,
+  prefix:419, all:427, reverseAll:435, approximateNumEntries:441. The
+  reference leaves reverseRange/reverseAll unimplemented (they throw); our
+  sorted-dict store supports them — a strict superset.
+- putIfAbsent FACT semantics (bootstrap/ChangelogMigrationTool.java:74-78).
+- Punctuators: stream-time timers (KeyBatchExample.java:137-141 —
+  ``context.schedule(30s, STREAM_TIME, ...)``).
+- Row-level TTL on reads (internal/stores/TtlResolver.java; reads filter
+  ``timestamp >= streamTime - ttl``, CassandraKeyValueTable get /
+  MongoKVTable.java:164).
+
+Execution model (Spark-first, SURVEY.md §7 M5): the SAME user ``Processor``
+runs in two modes:
+
+- **batch**: ``df.groupBy(key).applyInPandas(...)`` — each key's records are
+  replayed in (ts, tiebreak) order through the processor with an in-memory
+  ``KeyValueStore``; stream-time punctuators fire as event time advances.
+  Deterministic, so every processor topology can be DuckDB-oracled.
+- **streaming**: ``applyInPandasWithState`` — the store contents live in
+  Spark's per-key GroupState (pickled), restored from the checkpoint on
+  restart; per micro-batch the same replay code runs over the batch's
+  records for that key.
+
+Arrow moves the batches (vectorized Python boundary); per-record Python work
+happens only inside this deliberately-imperative layer — everything
+declarative stays in Catalyst (SURVEY.md §4).
+
+Semantic delta vs the reference (documented, SURVEY.md §2.5): the reference
+tracks stream-time per Kafka partition; here batch mode tracks it per KEY
+(each applyInPandas group replays independently). Reference integration
+tests pin 1-2 partitions for exactness; our oracle queries are per-key, where
+the two definitions coincide.
+"""
+
+from __future__ import annotations
+
+import bisect
+import pickle
+from collections.abc import Callable, Iterable, Iterator, Sequence
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+STREAM_TIME = "stream_time"
+WALL_CLOCK = "wall_clock"
+
+
+class KeyValueStore:
+    """Sorted per-processor-key KV store (PartitionedOperations surface).
+
+    Store keys are any totally-ordered python values (str/int/tuple — mixed
+    types within one store are not supported, mirroring byte-ordered keys).
+    Values are arbitrary picklable objects. ``ts`` on write enables TTL
+    filtering on read (TtlResolver semantics).
+    """
+
+    def __init__(self, ttl_seconds: float | None = None):
+        self._data: dict = {}
+        self._ts: dict = {}
+        self._sorted: list = []
+        self.ttl_seconds = ttl_seconds
+        self.stream_time: float = float("-inf")
+
+    # -- write path (PartitionedOperations.put:326 / delete:341) ------------
+    def put(self, key, value, ts: float | None = None) -> None:
+        if key not in self._data:
+            bisect.insort(self._sorted, key)
+        self._data[key] = value
+        self._ts[key] = ts if ts is not None else self.stream_time
+
+    def put_if_absent(self, key, value, ts: float | None = None):
+        """FACT-store first-write-wins (ChangelogMigrationTool.java:74-78).
+        Returns the existing value if present, else None after writing."""
+        old = self.get(key)
+        if old is None:
+            self.put(key, value, ts)
+        return old
+
+    def delete(self, key):
+        """Returns the old value (PartitionedOperations.delete:341)."""
+        old = self.get(key)
+        if key in self._data:
+            del self._data[key]
+            del self._ts[key]
+            idx = bisect.bisect_left(self._sorted, key)
+            self._sorted.pop(idx)
+        return old
+
+    # -- read path (read-through + TTL filter) ------------------------------
+    def _live(self, key) -> bool:
+        if self.ttl_seconds is None:
+            return True
+        return self._ts[key] >= self.stream_time - self.ttl_seconds
+
+    def get(self, key):
+        if key in self._data and self._live(key):
+            return self._data[key]
+        return None
+
+    def range(self, key_from, key_to) -> Iterator[tuple]:
+        """Inclusive [from, to] ordered scan (PartitionedOperations.range:393)."""
+        lo = bisect.bisect_left(self._sorted, key_from)
+        hi = bisect.bisect_right(self._sorted, key_to)
+        for k in self._sorted[lo:hi]:
+            if self._live(k):
+                yield k, self._data[k]
+
+    def reverse_range(self, key_from, key_to) -> Iterator[tuple]:
+        """Descending scan — unimplemented in the reference
+        (PartitionedOperations.reverseRange:413 throws); supported here."""
+        yield from reversed(list(self.range(key_from, key_to)))
+
+    def prefix(self, prefix: str) -> Iterator[tuple]:
+        """Prefix scan over string keys (PartitionedOperations.prefix:419)."""
+        lo = bisect.bisect_left(self._sorted, prefix)
+        for k in self._sorted[lo:]:
+            if not str(k).startswith(prefix):
+                break
+            if self._live(k):
+                yield k, self._data[k]
+
+    def all(self) -> Iterator[tuple]:
+        for k in self._sorted:
+            if self._live(k):
+                yield k, self._data[k]
+
+    def reverse_all(self) -> Iterator[tuple]:
+        yield from reversed(list(self.all()))
+
+    def approximate_num_entries(self) -> int:
+        """Cardinality estimate (PartitionedOperations:441). Exact here."""
+        return len(self._data)
+
+    # -- (de)serialization for GroupState -----------------------------------
+    def dump(self) -> bytes:
+        return pickle.dumps(
+            (self._data, self._ts, self.stream_time, self.ttl_seconds),
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    @classmethod
+    def load(cls, blob: bytes | None, ttl_seconds: float | None = None) -> "KeyValueStore":
+        st = cls(ttl_seconds)
+        if blob:
+            st._data, st._ts, st.stream_time, st.ttl_seconds = pickle.loads(blob)
+            st._sorted = sorted(st._data)
+        return st
+
+
+@dataclass
+class _Timer:
+    interval_s: float
+    next_fire: float
+    callback: Callable[["ProcessorContext", float], None]
+    aligned: bool
+
+
+class ProcessorContext:
+    """What a processor sees: its store, the record clock, ``forward`` to
+    emit, and ``schedule`` for punctuators (KeyBatchExample.java:126-218)."""
+
+    def __init__(self, key: tuple, store: KeyValueStore):
+        self.key = key
+        self.store = store
+        self.timestamp: float = float("-inf")  # current record event-time
+        self._out: list[dict] = []
+        self._timers: list[_Timer] = []
+
+    def forward(self, **row) -> None:
+        self._out.append(row)
+
+    def schedule(
+        self,
+        interval_s: float,
+        callback: Callable[["ProcessorContext", float], None],
+        punctuation_type: str = STREAM_TIME,
+        aligned: bool = True,
+    ) -> None:
+        """Register a stream-time punctuator. ``aligned=True`` fires at
+        multiples of the interval (deterministic + SQL-oracle-able);
+        ``aligned=False`` fires at registration-time + k*interval, the
+        reference's context.schedule semantics. WALL_CLOCK punctuators are
+        accepted but only fire in streaming mode at micro-batch boundaries
+        (processing time does not exist in a deterministic batch replay)."""
+        if punctuation_type == WALL_CLOCK:
+            return  # no deterministic analog; ignored in batch replay
+        self._timers.append(_Timer(interval_s, float("nan"), callback, aligned))
+
+    # -- engine internals ---------------------------------------------------
+    def _advance(self, ts: float) -> None:
+        """Advance stream time to ``ts``; fire due punctuators first (KS
+        fires punctuations before processing the record that advanced the
+        clock past them)."""
+        for t in self._timers:
+            if t.next_fire != t.next_fire:  # NaN -> first record initializes
+                if t.aligned:
+                    t.next_fire = (ts // t.interval_s + 1) * t.interval_s
+                else:
+                    t.next_fire = ts + t.interval_s
+                continue
+            while ts >= t.next_fire:
+                self.store.stream_time = max(self.store.stream_time, t.next_fire)
+                t.callback(self, t.next_fire)
+                t.next_fire += t.interval_s
+        self.timestamp = ts
+        self.store.stream_time = max(self.store.stream_time, ts)
+
+
+class Processor:
+    """User base class — the PAPI ``Processor<KIn,VIn,KOut,VOut>`` analog."""
+
+    def init(self, ctx: ProcessorContext) -> None:  # noqa: B027
+        pass
+
+    def process(self, ctx: ProcessorContext, record: dict) -> None:
+        raise NotImplementedError
+
+    def close(self, ctx: ProcessorContext) -> None:  # noqa: B027
+        pass
+
+
+def _replay(
+    proc: Processor,
+    ctx: ProcessorContext,
+    pdf: pd.DataFrame,
+    ts_col: str,
+    order_by: Sequence[str],
+) -> None:
+    cols = list(pdf.columns)
+    order = [ts_col, *[c for c in order_by if c != ts_col]]
+    pdf = pdf.sort_values(order, kind="mergesort")
+    if str(pdf[ts_col].dtype).startswith("datetime64"):
+        # normalize to ns first: datetime64[us] would floor-div wrong
+        ts_vals = pdf[ts_col].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+    else:
+        ts_vals = pdf[ts_col].astype("float64").to_numpy()
+    rows = pdf.itertuples(index=False, name=None)
+    for ts_s, row in zip(ts_vals, rows):
+        ctx._advance(float(ts_s))
+        proc.process(ctx, dict(zip(cols, row)))
+
+
+def process(
+    df: DataFrame,
+    key: Sequence[str],
+    processor_factory: Callable[[], Processor],
+    output_schema: "StructType | str",
+    ts_col: str = "ts",
+    order_by: Sequence[str] = (),
+    ttl_seconds: float | None = None,
+) -> DataFrame:
+    """``stream.process(supplier, stores...)`` analog (KeyBatchExample.java:
+    64-65). Batch mode: deterministic per-key replay via applyInPandas.
+
+    For streaming DataFrames use :func:`process_streaming` (same processor
+    code, state in Spark's checkpointed GroupState).
+    """
+    keys = list(key)
+
+    def run(key_vals: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        proc = processor_factory()
+        store = KeyValueStore(ttl_seconds)
+        ctx = ProcessorContext(key_vals, store)
+        proc.init(ctx)
+        _replay(proc, ctx, pdf, ts_col, order_by)
+        proc.close(ctx)
+        return pd.DataFrame(ctx._out)
+
+    return df.groupBy(*keys).applyInPandas(run, output_schema)
+
+
+_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+def process_streaming(
+    sdf: DataFrame,
+    key: Sequence[str],
+    processor_factory: Callable[[], Processor],
+    output_schema: StructType,
+    ts_col: str = "ts",
+    order_by: Sequence[str] = (),
+    ttl_seconds: float | None = None,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming PAPI: same processor, state checkpointed per key.
+
+    The store is pickled into GroupState (the changelog/remote-table analog:
+    restore-free recovery comes from Spark's checkpoint, SURVEY.md §3.2).
+    Within each micro-batch the key's records replay in event-time order;
+    across batches the store persists. Stream-time punctuators fire during
+    replay exactly as in batch mode.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(key)
+
+    def run(key_vals, pdf_iter: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        store = KeyValueStore(ttl_seconds)
+        proc = processor_factory()
+        ctx = ProcessorContext(key_vals, store)
+        proc.init(ctx)
+        if state.exists and state.get[0]:
+            # (data, ts, stream_time, ttl, timer_fires)
+            data, tsd, st_time, ttl, fires = pickle.loads(state.get[0])
+            store._data, store._ts = data, tsd
+            store.stream_time, store.ttl_seconds = st_time, ttl
+            store._sorted = sorted(data)
+            for t, nf in zip(ctx._timers, fires):
+                t.next_fire = nf
+        for pdf in pdf_iter:
+            _replay(proc, ctx, pdf, ts_col, order_by)
+        proc.close(ctx)
+        payload = pickle.dumps(
+            (
+                store._data,
+                store._ts,
+                store.stream_time,
+                store.ttl_seconds,
+                [t.next_fire for t in ctx._timers],
+            ),
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+        state.update((payload,))
+        out = pd.DataFrame(ctx._out)
+        if out.empty:
+            out = pd.DataFrame({f.name: pd.Series(dtype="object") for f in output_schema.fields})
+        yield out
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        run, output_schema, _STATE_SCHEMA, output_mode, GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,61 @@
+"""Physical-plan audits: lock in the scale-critical plan shapes
+(SURVEY.md §4 / the 100 TB posture). These tests fail if a regression makes
+a dim join shuffle instead of broadcast, stops pushing filters into the
+parquet scan, or reads unpruned columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from responsive_pub_spark import registry
+from responsive_pub_spark.plans import audit
+from responsive_pub_spark.sources.readers import read_table
+
+
+def test_global_join_broadcasts_dim(spark, sf_dir):
+    df = registry.q_join_global(spark, sf_dir)
+    assert audit.broadcast_join_count(df) >= 1, audit.executed_plan(df)
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    pushed = audit.pushed_filters(q)
+    assert any("l_quantity" in p and "LessThan" in p for p in pushed), pushed
+    schemas = audit.read_schemas(q)
+    # scan reads exactly the two needed columns, not all 16
+    assert schemas and all(
+        "l_orderkey" in s and "l_extendedprice" not in s for s in schemas
+    ), schemas
+
+
+def test_pricing_summary_single_shuffle_with_codegen(spark, sf_dir):
+    """The headline agg: one shuffle (partial -> final hash aggregate),
+    whole-stage codegen on."""
+    df = registry.q_agg_pricing_summary(spark, sf_dir)
+    assert audit.count_exchanges(df) <= 1, audit.executed_plan(df)
+    # codegen subtrees are only visible with AQE off (audit docstring)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = registry.q_agg_pricing_summary(spark, sf_dir)
+        assert audit.codegen_stage_count(df2) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_flagship_bounded_shuffles(spark, sf_dir):
+    """Stream-table join + window agg: customers is broadcast (small dim)
+    so the big side never shuffles for the join; only the windowed agg
+    repartitions."""
+    df = registry.q_flagship(spark, sf_dir)
+    a = audit.audit(df)
+    assert a["exchanges"] <= 2, audit.executed_plan(df)
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    """LSH candidate generation must stay an equi-join on (band, hash) —
+    never a nested-loop/cartesian product."""
+    df = registry.q_dedup_minhash(spark, sf_dir)
+    p = audit.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

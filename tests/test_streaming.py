@@ -1,0 +1,182 @@
+"""Streaming semantics tests via TopologyTestDriver — the analog of the
+reference's ResponsiveTopologyTestDriver unit tests plus its restart/EOS
+integration tests (SURVEY.md §5): incremental input, watermark (grace) late
+drops, and state continuity across checkpointed restarts."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.streaming import state
+from responsive_pub_spark.streaming.runtime import TopologyTestDriver
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_stateless_filter_incremental(spark, workdir):
+    drv = TopologyTestDriver(
+        spark,
+        "user_id LONG, v LONG",
+        lambda sdf: sdf.filter(F.col("v") % 2 == 0),
+        workdir,
+    )
+    drv.pipe([{"user_id": 1, "v": 1}, {"user_id": 1, "v": 2}])
+    out1 = drv.advance()
+    assert [(r.user_id, r.v) for r in out1] == [(1, 2)]
+    drv.pipe([{"user_id": 2, "v": 4}])
+    out2 = drv.advance()  # only the NEW record — earlier files not reprocessed
+    assert [(r.user_id, r.v) for r in out2] == [(2, 4)]
+    drv.close()
+
+
+def test_windowed_count_grace_drops_late(spark, workdir):
+    """Late records older than the watermark are dropped — KS grace
+    semantics (ResponsiveWindowStoreIntegrationTest.java:290-293 vectors:
+    in-grace records count, beyond-grace records dropped)."""
+
+    def build(sdf):
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+        return agg.select(
+            "user_id",
+            F.unix_timestamp("window.start").alias("ws"),
+            "cnt",
+        )
+
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, ts TIMESTAMP", build, workdir, output_mode="append"
+    )
+    from datetime import datetime as dt
+
+    def t(x):
+        return dt.fromisoformat(x)
+
+    # batch 0: two on-time events in hour-0, one event far ahead (advances
+    # event time to 02:30 -> watermark 02:20 from the NEXT batch on)
+    drv.pipe(
+        [
+            {"user_id": 1, "ts": t("2024-01-01 00:05:00")},
+            {"user_id": 1, "ts": t("2024-01-01 00:30:00")},
+            {"user_id": 1, "ts": t("2024-01-01 02:30:00")},
+        ]
+    )
+    # batch 1: eviction watermark is now 02:20 -> hour-0 emits here (cnt=2).
+    # NOTE Spark filters late rows with the PREVIOUS trigger's watermark
+    # (watermarkForLateEvents) and evicts with the current one, so the
+    # late-drop horizon takes effect one micro-batch after the event-time
+    # advance — a documented delta vs KS grace, which drops immediately.
+    drv.pipe([{"user_id": 1, "ts": t("2024-01-01 02:35:00")}])
+    # batch 2: a record 2h older than the watermark — DROPPED, and must NOT
+    # resurrect the already-evicted hour-0 window as a spurious new row
+    drv.pipe([{"user_id": 1, "ts": t("2024-01-01 00:10:00")}])
+    rows = drv.advance()
+    hour0 = [(r.ws, r.cnt) for r in rows if r.ws == 1704067200]
+    # exactly one emission for hour-0, with exactly the 2 on-time events
+    assert hour0 == [(1704067200, 2)], rows
+    drv.close()
+
+
+def _make_counter():
+    """Processor class built inside a function: cloudpickle serializes it by
+    VALUE, so executor workers don't need to import this test module."""
+
+    class Counter(state.Processor):
+        def process(self, ctx, rec):
+            n = (ctx.store.get("n") or 0) + 1
+            ctx.store.put("n", n)
+            ctx.forward(
+                user_id=int(rec["user_id"]), event_id=int(rec["event_id"]), cnt=n
+            )
+
+    return Counter
+
+
+def _build_counter(sdf):
+    return state.process_streaming(
+        sdf,
+        ["user_id"],
+        _make_counter(),
+        "user_id BIGINT, event_id BIGINT, cnt BIGINT",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+
+
+def test_papi_state_survives_restart_exactly_once(spark, workdir):
+    """Each advance() is a NEW streaming query restored from the checkpoint
+    (restore-free recovery, SURVEY.md §3.2): per-key counts must continue,
+    and no input may be double-counted — the EOS restart assertion of
+    ResponsiveKeyValueStoreEosIntegrationTest."""
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, event_id LONG, ts DOUBLE", _build_counter, workdir
+    )
+    drv.pipe(
+        [
+            {"user_id": 1, "event_id": 1, "ts": 1.0},
+            {"user_id": 1, "event_id": 2, "ts": 2.0},
+            {"user_id": 2, "event_id": 3, "ts": 2.5},
+        ]
+    )
+    out1 = {(r.user_id, r.event_id): r.cnt for r in drv.advance()}
+    assert out1 == {(1, 1): 1, (1, 2): 2, (2, 3): 1}
+
+    # "crash": the query object is gone; a fresh one restores from checkpoint
+    drv.pipe(
+        [
+            {"user_id": 1, "event_id": 4, "ts": 3.0},
+            {"user_id": 2, "event_id": 5, "ts": 3.5},
+        ]
+    )
+    out2 = {(r.user_id, r.event_id): r.cnt for r in drv.advance()}
+    # counts CONTINUE from checkpointed state: exactly-once, no replay
+    assert out2 == {(1, 4): 3, (2, 5): 2}
+
+    # advance with no new input: nothing is re-emitted
+    assert drv.advance() == []
+    drv.close()
+
+
+def test_papi_streaming_matches_batch(spark, workdir):
+    """A/B: the same processor over the same records, batch replay vs
+    incremental streaming with restarts, must agree — the regression-harness
+    contract (ResultsComparatorService analog)."""
+    batches = [
+        [
+            {"user_id": 1, "event_id": 1, "ts": 10.0},
+            {"user_id": 2, "event_id": 2, "ts": 11.0},
+        ],
+        [
+            {"user_id": 1, "event_id": 3, "ts": 12.0},
+            {"user_id": 1, "event_id": 4, "ts": 13.0},
+        ],
+    ]
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, event_id LONG, ts DOUBLE", _build_counter, workdir
+    )
+    for b in batches:
+        drv.pipe(b)
+        drv.advance()
+    streaming_out = {(r.user_id, r.event_id): r.cnt for r in drv.all_output()}
+    drv.close()
+
+    batch_df = spark.createDataFrame(
+        [r for b in batches for r in b], "user_id LONG, event_id LONG, ts DOUBLE"
+    )
+    batch_out = state.process(
+        batch_df,
+        ["user_id"],
+        _make_counter(),
+        "user_id BIGINT, event_id BIGINT, cnt BIGINT",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+    expected = {(r.user_id, r.event_id): r.cnt for r in batch_out.collect()}
+    assert streaming_out == expected
