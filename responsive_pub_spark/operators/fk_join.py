@@ -1,0 +1,171 @@
+"""Foreign-key table-table join with bidirectional update propagation.
+
+Reference semantics (integration/ResponsiveForeignKeyJoinIntegrationTest.java:
+150-154, 199-238): ``left.join(right, fk_extractor, joiner)`` — the join key
+is extracted from the LEFT row's value and matches the RIGHT table's primary
+key; the join output updates when EITHER side changes. Kafka Streams
+implements it with two internal topics (observed at :251-256): a
+SUBSCRIPTION topic keyed by FK (left rows register with the right side, and
+re-register when their FK value changes) and a RESPONSE path fanning a
+right-side update out to every subscriber.
+
+Spark-first build — the same dataflow as two chained stateful stages (each
+stage boundary is one hash shuffle, exactly the reference's two repartition
+topics):
+
+  stage 0 (keyed by LEFT key): FK-transition tracker. State = the left
+      row's last FK. A left update whose FK changed emits
+      UNSUBSCRIBE(old_fk) + SUBSCRIBE(new_fk); a tombstone emits
+      UNSUBSCRIBE. (KafkaStreams' SubscriptionWrapper stage.)
+  stage 1 (keyed by FK / right PK): subscription store. State =
+      {('r',): right_payload} ∪ {('s', left_key): left_payload}. A right
+      update re-emits EVERY subscription with the new payload (the fan-out
+      an equi-join cannot express incrementally); subscribe emits one row.
+
+The emitted stream is the join changelog; ``fk_join_snapshot`` compacts it
+to the joined table (latest per left key). The same processors run in batch
+(deterministic replay; oracled against a plain SQL FK join of the final
+versions) and in streaming (subscription store checkpointed per key).
+
+Scale: two shuffles total, payload-pruned before each. A hot right key (FK
+skew) concentrates its subscribers on one partition — mitigate by salting
+('s', salt, left_key) and replicating right updates per salt, the salted-
+join pattern; state per FK is O(#subscribers), same as the reference's
+subscription store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.streaming import state
+
+
+class _FkTransitionProcessor(state.Processor):
+    """Stage 0: per-left-key FK tracking -> subscribe/unsubscribe events."""
+
+    def process(self, ctx, rec):
+        old_fk = ctx.store.get("fk")
+        new_fk = rec["join_key"]
+        lk = rec["left_key"]
+        if rec["payload"] is None:  # left tombstone
+            if old_fk is not None:
+                ctx.store.delete("fk")
+                ctx.forward(kind="U", join_key=old_fk, left_key=lk,
+                            payload=None, ts=ctx.timestamp)
+            return
+        if old_fk is not None and old_fk != new_fk:
+            ctx.forward(kind="U", join_key=old_fk, left_key=lk,
+                        payload=None, ts=ctx.timestamp)
+        ctx.store.put("fk", new_fk)
+        ctx.forward(kind="S", join_key=new_fk, left_key=lk,
+                    payload=rec["payload"], ts=ctx.timestamp)
+
+
+class _FkJoinProcessor(state.Processor):
+    """Stage 1: subscription store per FK; fan out right updates."""
+
+    def process(self, ctx, rec):
+        kind = rec["kind"]
+        if kind == "R":
+            if rec["payload"] is None:
+                ctx.store.delete(("r",))
+            else:
+                ctx.store.put(("r",), rec["payload"])
+            rp = ctx.store.get(("r",))
+            for (_, lk), lp in ctx.store.prefix_tuple(("s",)):
+                ctx.forward(left_key=lk, left_payload=lp, right_payload=rp,
+                            ts_sec=int(ctx.timestamp))
+        elif kind == "S":
+            ctx.store.put(("s", rec["left_key"]), rec["payload"])
+            ctx.forward(
+                left_key=rec["left_key"],
+                left_payload=rec["payload"],
+                right_payload=ctx.store.get(("r",)),
+                ts_sec=int(ctx.timestamp),
+            )
+        else:  # "U": unsubscribe — moved or deleted left row
+            ctx.store.delete(("s", rec["left_key"]))
+            ctx.forward(left_key=rec["left_key"], left_payload=None,
+                        right_payload=None, ts_sec=int(ctx.timestamp))
+
+
+_STAGE1_SCHEMA = "kind STRING, join_key STRING, left_key STRING, payload STRING, ts DOUBLE"
+_OUT_SCHEMA = "left_key STRING, left_payload STRING, right_payload STRING, ts_sec BIGINT"
+
+
+def fk_join_changelog(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    fk: "str | Column",
+    right_key: str,
+    left_payload: Column,
+    right_payload: Column,
+    ts_col: str = "ts",
+    streaming: bool = False,
+) -> DataFrame:
+    """Join changelog: one row per emission including right-side fan-outs.
+
+    ``left``/``right`` are CHANGELOG relations (multiple versions per key,
+    ordered by ``ts_col``; equal-ts versions of one key tie-break on the
+    payload string); payload Columns are the user serde (opaque to the
+    engine, SURVEY.md §1.1). A null payload row is a tombstone.
+    """
+    runner = state.process_streaming if streaming else state.process
+    fk_col = F.col(fk) if isinstance(fk, str) else fk
+    lrec = left.select(
+        fk_col.cast("string").alias("join_key"),
+        F.col(left_key).cast("string").alias("left_key"),
+        left_payload.cast("string").alias("payload"),
+        F.col(ts_col).cast("double").alias("ts"),
+    )
+    subs = runner(
+        lrec,
+        key=["left_key"],
+        processor_factory=_FkTransitionProcessor,
+        output_schema=_STAGE1_SCHEMA,
+        ts_col="ts",
+        order_by=["join_key", "payload"],
+    )
+    rrec = right.select(
+        F.lit("R").alias("kind"),
+        F.col(right_key).cast("string").alias("join_key"),
+        F.lit(None).cast("string").alias("left_key"),
+        right_payload.cast("string").alias("payload"),
+        F.col(ts_col).cast("double").alias("ts"),
+    )
+    # ts tie-break: 'R' before 'S'/'U' so a right version at the same
+    # instant is visible to same-instant subscriptions (KS offset order is
+    # per-topic; we pin a deterministic merge order instead)
+    merged = subs.unionByName(rrec)
+    return runner(
+        merged,
+        key=["join_key"],
+        processor_factory=_FkJoinProcessor,
+        output_schema=_OUT_SCHEMA,
+        ts_col="ts",
+        order_by=["kind", "left_key"],
+    )
+
+
+def fk_join_snapshot(changelog: DataFrame, inner: bool = True) -> DataFrame:
+    """Compact the changelog to the joined KTable: latest emission per left
+    key. Tie-break at equal ts_sec prefers the non-null right payload
+    (subscribe-then-fanout within one instant resolves to the join result).
+    """
+    ord_ = F.struct(
+        F.col("ts_sec"),
+        F.col("right_payload").isNotNull(),
+        F.coalesce(F.col("right_payload"), F.lit("")),
+    )
+    snap = changelog.groupBy("left_key").agg(
+        F.max_by("left_payload", ord_).alias("left_payload"),
+        F.max_by("right_payload", ord_).alias("right_payload"),
+    )
+    if inner:
+        snap = snap.filter(
+            F.col("left_payload").isNotNull() & F.col("right_payload").isNotNull()
+        )
+    return snap

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.api import KStream, KTable, Pipeline
-from responsive_pub_spark.operators import dedup, similarity, textops
+from responsive_pub_spark.operators import dedup, fk_join, similarity, textops
 from responsive_pub_spark.operators.ttl import ttl_filter
 from responsive_pub_spark.sources.readers import read_table
 from responsive_pub_spark.streaming import async_stage, multimodal, state
@@ -853,6 +853,54 @@ ORACLE_PAPI_PUNCTUATE_DAILY = f"""
 """
 
 
+def q_fk_join_changelog(spark, sf_dir):
+    """Subscription-based FK join with update propagation (the reference's
+    two-internal-topic design, ResponsiveForeignKeyJoinIntegrationTest):
+    events as the LEFT changelog (key=user_id, fk=event_type — a user's FK
+    MOVES over time, exercising unsubscribe/resubscribe), a per-type table
+    as the RIGHT side; final compacted snapshot must equal the SQL FK join
+    of latest-left vs right."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_type", "event_id", "ts")
+    right = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("ts", F.lit(0.0))
+    )
+    chg = fk_join.fk_join_changelog(
+        left,
+        right,
+        left_key="user_id",
+        fk="event_type",
+        right_key="event_type",
+        left_payload=F.concat_ws("#", "event_type", "event_id"),
+        right_payload=F.col("n").cast("string"),
+        ts_col="ts",
+    )
+    return fk_join.fk_join_snapshot(chg)
+
+
+ORACLE_FK_JOIN_CHANGELOG = f"""
+    WITH {_EV},
+    ordered AS (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM ev
+    ),
+    latest AS (
+        SELECT user_id, event_type, event_id FROM ordered WHERE rn = cnt
+    ),
+    rt AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1
+    )
+    SELECT CAST(l.user_id AS VARCHAR) AS left_key,
+           l.event_type || '#' || CAST(l.event_id AS VARCHAR) AS left_payload,
+           CAST(rt.n AS VARCHAR) AS right_payload
+    FROM latest l JOIN rt USING (event_type)
+"""
+
+
 def _fake_rpc(rec: dict) -> dict:
     """Deterministic 'slow RPC' body (the e2e app's injected RPC analog,
     E2ETestApplication.java:127) — pure arithmetic so DuckDB can oracle it."""
@@ -932,6 +980,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(q_text_tokens, textops.token_counts_oracle()),
     "text_fingerprint": QuerySpec(q_text_fingerprint, textops.fingerprints_oracle()),
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
+    "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG),
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT),
     "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
     "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),

@@ -127,6 +127,18 @@ class KeyValueStore:
             if self._live(k):
                 yield k, self._data[k]
 
+    def prefix_tuple(self, prefix: tuple) -> Iterator[tuple]:
+        """Prefix scan over tuple keys: all keys whose leading components
+        equal ``prefix`` (the composite-key analog of byte-prefix scans —
+        WindowedKey/SessionKey layouts, internal/utils/WindowedKey.java)."""
+        lo = bisect.bisect_left(self._sorted, prefix)
+        n = len(prefix)
+        for k in self._sorted[lo:]:
+            if not (isinstance(k, tuple) and k[:n] == prefix):
+                break
+            if self._live(k):
+                yield k, self._data[k]
+
     def all(self) -> Iterator[tuple]:
         for k in self._sorted:
             if self._live(k):

@@ -1,0 +1,123 @@
+"""FK-join update-propagation vectors — modeled on the reference's
+ResponsiveForeignKeyJoinIntegrationTest.java:199-238 expectations:
+right-side updates fan out to all referencing left rows; a left row whose
+FK changes moves between right keys (unsubscribe + resubscribe); tombstones
+retract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.operators import fk_join
+
+
+def _changelog(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        left_rows, "user STRING, team STRING, name STRING, ts DOUBLE"
+    )
+    right = spark.createDataFrame(right_rows, "team STRING, org STRING, ts DOUBLE")
+    return fk_join.fk_join_changelog(
+        left,
+        right,
+        left_key="user",
+        fk="team",
+        right_key="team",
+        left_payload=F.col("name"),
+        right_payload=F.col("org"),
+        ts_col="ts",
+    )
+
+
+def test_right_update_fans_out_to_all_subscribers(spark):
+    chg = _changelog(
+        spark,
+        [
+            ("u1", "blue", "alice", 1.0),
+            ("u2", "blue", "bob", 2.0),
+            ("u3", "red", "carol", 3.0),
+        ],
+        [
+            ("blue", "acme", 0.0),
+            ("red", "globex", 0.0),
+            ("blue", "acme-v2", 10.0),  # update AFTER subscriptions exist
+        ],
+    ).collect()
+    # the blue update at t=10 re-emitted BOTH blue subscribers
+    fanout = [(r.left_key, r.right_payload) for r in chg if r.ts_sec == 10]
+    assert sorted(fanout) == [("u1", "acme-v2"), ("u2", "acme-v2")]
+    snap = {
+        r.left_key: (r.left_payload, r.right_payload)
+        for r in fk_join.fk_join_snapshot(
+            _changelog(
+                spark,
+                [
+                    ("u1", "blue", "alice", 1.0),
+                    ("u2", "blue", "bob", 2.0),
+                    ("u3", "red", "carol", 3.0),
+                ],
+                [
+                    ("blue", "acme", 0.0),
+                    ("red", "globex", 0.0),
+                    ("blue", "acme-v2", 10.0),
+                ],
+            )
+        ).collect()
+    }
+    assert snap == {
+        "u1": ("alice", "acme-v2"),
+        "u2": ("bob", "acme-v2"),
+        "u3": ("carol", "globex"),
+    }
+
+
+def test_fk_change_moves_subscription(spark):
+    """u1 moves blue -> red: must stop receiving blue updates and start
+    receiving red's value (the subscription-topic re-key)."""
+    chg = _changelog(
+        spark,
+        [
+            ("u1", "blue", "alice", 1.0),
+            ("u1", "red", "alice", 5.0),  # FK transition
+        ],
+        [
+            ("blue", "acme", 0.0),
+            ("red", "globex", 0.0),
+            ("blue", "acme-v2", 10.0),  # after the move: must NOT reach u1
+        ],
+    )
+    rows = chg.collect()
+    # no emission for u1 carries the post-move blue update
+    assert not any(r.right_payload == "acme-v2" for r in rows)
+    snap = {r.left_key: (r.left_payload, r.right_payload)
+            for r in fk_join.fk_join_snapshot(chg).collect()}
+    assert snap == {"u1": ("alice", "globex")}
+
+
+def test_left_tombstone_retracts(spark):
+    chg = _changelog(
+        spark,
+        [
+            ("u1", "blue", "alice", 1.0),
+            ("u1", "blue", None, 5.0),  # tombstone: null payload deletes
+        ],
+        [("blue", "acme", 0.0), ("blue", "acme-v2", 10.0)],
+    )
+    rows = chg.collect()
+    # post-tombstone right update fans out to nobody
+    assert not any(r.right_payload == "acme-v2" for r in rows)
+    assert fk_join.fk_join_snapshot(chg).collect() == []
+
+
+def test_subscribe_before_right_exists_then_right_arrives(spark):
+    """Left arrives first (right row missing -> null join), right arrives
+    later and back-fills — the bidirectional propagation direction the
+    plain equi-join recompute cannot express incrementally."""
+    chg = _changelog(
+        spark,
+        [("u1", "blue", "alice", 1.0)],
+        [("blue", "acme", 5.0)],  # right arrives AFTER the subscription
+    )
+    rows = sorted(chg.collect(), key=lambda r: r.ts_sec)
+    assert [(r.ts_sec, r.right_payload) for r in rows] == [(1, None), (5, "acme")]
+    snap = fk_join.fk_join_snapshot(chg).collect()
+    assert [(r.left_key, r.right_payload) for r in snap] == [("u1", "acme")]

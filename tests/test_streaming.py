@@ -180,3 +180,87 @@ def test_papi_streaming_matches_batch(spark, workdir):
     )
     expected = {(r.user_id, r.event_id): r.cnt for r in batch_out.collect()}
     assert streaming_out == expected
+
+
+def test_interactive_query_reads_live_store(spark, workdir):
+    """IQ (SURVEY.md §2.9): query a running topology's store contents from
+    the checkpoint — the StoreQueryIntegrationTest analog (range query over
+    a store, :145), served by the statestore reader without stopping
+    anything."""
+    from responsive_pub_spark.streaming import iq
+
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, event_id LONG, ts DOUBLE", _build_counter, workdir
+    )
+    drv.pipe(
+        [
+            {"user_id": 1, "event_id": 1, "ts": 1.0},
+            {"user_id": 1, "event_id": 2, "ts": 2.0},
+            {"user_id": 2, "event_id": 3, "ts": 3.0},
+        ]
+    )
+    drv.advance()
+    st = iq.read_processor_state(spark, drv.checkpoint, ["user_id"])
+    rows = {(r.user_id, r.store_key): r.store_value for r in st.collect()}
+    assert rows == {(1, "'n'"): "2", (2, "'n'"): "1"}
+    drv.close()
+
+
+def _make_checksum():
+    """AccumulatingChecksum analog (e2e-test/.../AccumulatingChecksum.java:
+    20-48): per-key rolling digest over (event_id, value) proving order +
+    completeness through restarts."""
+
+    class Checksum(state.Processor):
+        def process(self, ctx, rec):
+            c = ctx.store.get("c") or 0
+            c = (c * 31 + int(rec["event_id"])) % 1_000_000_007
+            ctx.store.put("c", c)
+            ctx.forward(user_id=int(rec["user_id"]), checksum=c)
+
+    return Checksum
+
+
+def test_checksum_chain_through_restarts(spark, workdir):
+    """Chaos-harness contract (E2ETestDriver): the per-key checksum chain
+    after N restarts equals the single-pass batch checksum — any dropped,
+    duplicated, or reordered record would diverge."""
+
+    def build(sdf):
+        return state.process_streaming(
+            sdf,
+            ["user_id"],
+            _make_checksum(),
+            "user_id BIGINT, checksum BIGINT",
+            ts_col="ts",
+            order_by=("event_id",),
+        )
+
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, event_id LONG, ts DOUBLE", build, workdir
+    )
+    rows = [
+        {"user_id": u, "event_id": u * 100 + i, "ts": float(i)}
+        for u in (1, 2) for i in range(9)
+    ]
+    # feed in 3 chunks with a restart between each
+    for chunk in (rows[0:6], rows[6:12], rows[12:18]):
+        drv.pipe(chunk)
+        drv.advance()
+    final = {}
+    for r in drv.all_output():
+        final[r.user_id] = r.checksum  # last per key wins
+    drv.close()
+
+    batch = state.process(
+        spark.createDataFrame(rows, "user_id LONG, event_id LONG, ts DOUBLE"),
+        ["user_id"],
+        _make_checksum(),
+        "user_id BIGINT, checksum BIGINT",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+    expected = {}
+    for r in batch.orderBy("user_id").collect():
+        expected[r.user_id] = r.checksum
+    assert final == expected
