@@ -278,6 +278,50 @@ class KStream:
         snap = self.df.groupBy(*self.key).agg(*aggs)
         return KTable(snap, list(self.key))
 
+    # -- PAPI (SURVEY.md §2.6) ----------------------------------------------
+    def process(
+        self,
+        processor_factory,
+        output_schema,
+        order_by: Sequence[str] = (),
+        ttl_seconds: float | None = None,
+    ) -> "KStream":
+        """stream.process(supplier, stores...) analog (KeyBatchExample.java:
+        64-65): run a stateful Processor per key with the full store surface
+        (put/get/delete/range/prefix/...), stream-time punctuators and TTL.
+        Batch DataFrames replay deterministically; streaming DataFrames run
+        on checkpointed per-key state (streaming/state.py)."""
+        from responsive_pub_spark.streaming import state as _state
+
+        runner = _state.process_streaming if self.df.isStreaming else _state.process
+        out = runner(
+            self.df,
+            key=self.key,
+            processor_factory=processor_factory,
+            output_schema=output_schema,
+            ts_col=self.ts_col,
+            order_by=order_by,
+            ttl_seconds=ttl_seconds,
+        )
+        return KStream(out, list(self.key), self.ts_col)
+
+    def process_async(
+        self,
+        fn,
+        output_schema,
+        max_workers: int = 16,
+        repartition_by_key: bool = False,
+    ) -> "KStream":
+        """Async per-record stage with same-key ordering (SURVEY.md §2.8 —
+        AsyncProcessorSupplier analog; streaming/async_stage.py)."""
+        from responsive_pub_spark.streaming.async_stage import async_map_ordered
+
+        out = async_map_ordered(
+            self.df, self.key, fn, output_schema,
+            max_workers=max_workers, repartition_by_key=repartition_by_key,
+        )
+        return KStream(out, list(self.key), self.ts_col)
+
     # -- sink ---------------------------------------------------------------
     def to(self, path: str, fmt: str = "parquet", mode: str = "append", **options):
         """.to(topic) analog (STJoinExample.java:94-98): write the stream."""

@@ -109,6 +109,101 @@ def lsh_topk(
     )
 
 
+IVF_CENTROIDS = 8
+IVF_PROBES = 2
+IVF_K = 3
+IVF_QUERY_VECS = 10
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = IVF_K,
+    n_queries: int = IVF_QUERY_VECS,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    (inverted lists); a query probes only its ``n_probes`` nearest lists.
+
+    Centroids are pinned deterministically (the first ``n_centroids``
+    vectors) instead of k-means — the index STRUCTURE is the scale story:
+    at 100 TB the assignment is one broadcast-join pass over the corpus
+    (centroids are tiny), the probe lookup shuffles only on centroid id,
+    and each query scores ~corpus/n_centroids*n_probes candidates instead
+    of the full corpus. Swapping in trained centroids changes recall, not
+    the plan."""
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
+    )
+    scored_c = emb.join(F.broadcast(cent)).withColumn(
+        "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+    )
+    # inverted-list assignment: argmax centroid per vector (ties -> low cid)
+    assign = scored_c.groupBy("vec_id", "embedding").agg(
+        F.max_by(F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))).alias("cid")
+    )
+    # query probe lists: top n_probes centroids per query
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        scored_c.filter(F.col("vec_id") < n_queries)
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probes)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
+    )
+    cand = assign.join(F.broadcast(probes), "cid").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.withColumn(
+        "cosine", pround(F.expr(cosine_sql("qv", "embedding")), 6)
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk_oracle(
+    k: int = IVF_K,
+    n_queries: int = IVF_QUERY_VECS,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+) -> str:
+    ccos = cosine_duck("e.embedding", "c.embedding")
+    qcos = cosine_duck("p.qv", "a.embedding")
+    return f"""
+        WITH scored_c AS (
+            SELECT e.vec_id, e.embedding, c.vec_id AS cid,
+                   (floor(({ccos}) * 1000000 + 0.5) / 1000000) AS ccos
+            FROM embeddings e JOIN embeddings c ON c.vec_id < {n_centroids}
+        ), assign AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM scored_c
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS prank
+                FROM scored_c WHERE vec_id < {n_queries}
+            ) WHERE prank <= {n_probes}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   (floor(({qcos}) * 1000000 + 0.5) / 1000000) AS cosine
+            FROM assign a JOIN probes p USING (cid)
+            WHERE p.query_id <> a.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+                AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def lsh_topk_oracle(
     k: int = LSH_K, n_queries: int = LSH_QUERY_VECS, dim: int = EMBED_DIM
 ) -> str:

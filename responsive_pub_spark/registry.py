@@ -853,6 +853,64 @@ ORACLE_PAPI_PUNCTUATE_DAILY = f"""
 """
 
 
+def q_sim_ivf(spark, sf_dir):
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_bootstrap_compact(spark, sf_dir):
+    """Changelog-migration analog (bootstrap/ChangelogMigrationTool.java:
+    41-96): compact a changelog with tombstones into the store image —
+    latest version per key, keys whose latest version is a delete removed."""
+    from responsive_pub_spark.sources import bootstrap
+
+    ev = _t(spark, sf_dir, "events")
+    chg = ev.select(
+        "user_id",
+        "event_type",
+        F.when(F.col("value") < 0.1, None)
+        .otherwise(pround(F.col("value"), 6))
+        .alias("payload"),
+        "ts",
+        "event_id",
+    )
+    snap = bootstrap.compact_changelog(
+        chg,
+        ["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak=("event_id",),
+        mode="latest",
+        drop_tombstones="payload",
+    )
+    return snap.select(
+        "user_id",
+        "event_type",
+        "payload",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+        "event_id",
+    )
+
+
+ORACLE_BOOTSTRAP_COMPACT = f"""
+    WITH {_EV},
+    chg AS (
+        SELECT user_id, event_type,
+               CASE WHEN value < 0.1 THEN NULL
+                    ELSE (floor(value * 1000000 + 0.5) / 1000000) END AS payload,
+               ts, event_id
+        FROM ev
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM chg
+    )
+    SELECT user_id, event_type, payload,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+    FROM r WHERE rn = 1 AND payload IS NOT NULL
+"""
+
+
 def q_fk_join_changelog(spark, sf_dir):
     """Subscription-based FK join with update propagation (the reference's
     two-internal-topic design, ResponsiveForeignKeyJoinIntegrationTest):
@@ -975,6 +1033,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(q_dedup_embedding, dedup.embedding_dup_pairs_oracle()),
     "sim_search_bruteforce": QuerySpec(q_sim_bruteforce, similarity.brute_force_topk_oracle(), bench=True),
     "sim_search_lsh": QuerySpec(q_sim_lsh, similarity.lsh_topk_oracle()),
+    "sim_search_ivf": QuerySpec(q_sim_ivf, similarity.ivf_topk_oracle()),
+    "bootstrap_compact": QuerySpec(q_bootstrap_compact, ORACLE_BOOTSTRAP_COMPACT),
     "text_lang_id": QuerySpec(q_text_lang, textops.lang_id_oracle()),
     "text_quality": QuerySpec(q_text_quality, textops.quality_score_oracle()),
     "text_token_count": QuerySpec(q_text_tokens, textops.token_counts_oracle()),

@@ -264,3 +264,47 @@ def test_checksum_chain_through_restarts(spark, workdir):
     for r in batch.orderBy("user_id").collect():
         expected[r.user_id] = r.checksum
     assert final == expected
+
+
+def test_session_window_streaming_merge_and_close(spark, workdir):
+    """Session windows in streaming append mode: events within the gap merge
+    into one session (start=first event, end=last event + gap); the session
+    emits once the watermark passes its end
+    (ResponsiveSessionStoreIntegrationTest session-merge semantics)."""
+
+    def build(sdf):
+        agg = (
+            sdf.withWatermark("ts", "5 minutes")
+            .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+        return agg.select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("ss"),
+            F.unix_timestamp("session_window.end").alias("se"),
+            "cnt",
+        )
+
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, ts TIMESTAMP", build, workdir, output_mode="append"
+    )
+    from datetime import datetime as dt
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    drv.pipe(
+        [
+            {"user_id": 1, "ts": dt.fromisoformat("2024-01-01 00:00:00")},
+            {"user_id": 1, "ts": dt.fromisoformat("2024-01-01 00:05:00")},  # merges
+            {"user_id": 1, "ts": dt.fromisoformat("2024-01-01 01:00:00")},  # new session
+        ]
+    )
+    drv.pipe([{"user_id": 1, "ts": dt.fromisoformat("2024-01-01 02:00:00")}])
+    rows = drv.advance()
+    sessions = {(r.ss, r.se): r.cnt for r in rows}
+    # first session: [00:00, 00:05+gap) with BOTH events merged
+    assert sessions[(base, base + 5 * 60 + 10 * 60)] == 2
+    # the 01:00 singleton also closed (watermark 01:55 > 01:10)
+    assert sessions[(base + 3600, base + 3600 + 10 * 60)] == 1
+    # the 02:00 session is still OPEN: not emitted
+    assert (base + 7200, base + 7200 + 10 * 60) not in sessions
+    drv.close()
