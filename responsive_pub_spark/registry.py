@@ -853,6 +853,61 @@ ORACLE_PAPI_PUNCTUATE_DAILY = f"""
 """
 
 
+def q_serde_roundtrip(spark, sf_dir):
+    """Byte-record model round trip (SURVEY.md §1.1): typed events -> the
+    Kafka wire shape (key BINARY, value BINARY, timestamp) -> typed rows.
+    Decoded output must equal a plain projection of the source."""
+    from responsive_pub_spark.sources import serde
+
+    ev = _t(spark, sf_dir, "events")
+    wire = serde.to_kafka_records(
+        ev, key_cols=["user_id"], value_cols=["event_id", "event_type", "value"]
+    )
+    back = serde.from_kafka_records(
+        wire,
+        key_names=["user_id"],
+        key_types=["bigint"],
+        value_schema="event_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    return back.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        pround(F.col("value"), 6).alias("value_r"),
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+    )
+
+
+ORACLE_SERDE_ROUNDTRIP = f"""
+    WITH {_EV}
+    SELECT user_id, event_id, event_type,
+           (floor(value * 1000000 + 0.5) / 1000000) AS value_r,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+    FROM ev
+"""
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation on a deliberately hot key (event_type
+    has ~5 distinct values over all events — every group is a hot key).
+    Must produce exactly the plain GROUP BY result."""
+    from responsive_pub_spark.operators.skew import salted_count_sum
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_sum(
+        ev, key=["event_type"], value_col="event_id", salt_cols=["event_id"]
+    )
+
+
+ORACLE_SKEW_SALTED_AGG = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(event_id) AS BIGINT) AS sum_value
+    FROM events
+    GROUP BY 1
+"""
+
+
 def q_sim_ivf(spark, sf_dir):
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
@@ -1033,19 +1088,21 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(q_dedup_embedding, dedup.embedding_dup_pairs_oracle()),
     "sim_search_bruteforce": QuerySpec(q_sim_bruteforce, similarity.brute_force_topk_oracle(), bench=True),
     "sim_search_lsh": QuerySpec(q_sim_lsh, similarity.lsh_topk_oracle()),
-    "sim_search_ivf": QuerySpec(q_sim_ivf, similarity.ivf_topk_oracle()),
+    "sim_search_ivf": QuerySpec(q_sim_ivf, similarity.ivf_topk_oracle(), bench=True),
     "bootstrap_compact": QuerySpec(q_bootstrap_compact, ORACLE_BOOTSTRAP_COMPACT),
+    "skew_salted_agg": QuerySpec(q_skew_salted_agg, ORACLE_SKEW_SALTED_AGG),
+    "serde_roundtrip": QuerySpec(q_serde_roundtrip, ORACLE_SERDE_ROUNDTRIP),
     "text_lang_id": QuerySpec(q_text_lang, textops.lang_id_oracle()),
     "text_quality": QuerySpec(q_text_quality, textops.quality_score_oracle()),
     "text_token_count": QuerySpec(q_text_tokens, textops.token_counts_oracle()),
     "text_fingerprint": QuerySpec(q_text_fingerprint, textops.fingerprints_oracle()),
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
-    "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG),
-    "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT),
+    "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
+    "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT, bench=True),
     "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
     "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),
     "multimodal_decode_features": QuerySpec(
-        q_multimodal_decode, multimodal.decode_features_oracle()
+        q_multimodal_decode, multimodal.decode_features_oracle(), bench=True
     ),
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frames, multimodal.sample_frames_oracle()

@@ -167,6 +167,103 @@ class KeyValueStore:
         return st
 
 
+class WindowStore:
+    """Windowed-store view over a :class:`KeyValueStore` — the
+    RemoteWindowOperations surface (SURVEY.md §2.6:
+    internal/stores/RemoteWindowOperations.java put:290 delete:295
+    fetch(key,ts):300 fetch(key,from,to):315 fetchAll:343 all:351; the
+    reference's backwardFetch variants throw — supported here).
+
+    Keys are ``(key, window_start)`` tuples, the WindowedKey layout
+    (internal/utils/WindowedKey.java:18-24); ordered scans come from the
+    store's sorted keyspace. ``expire(retention)`` drops windows older than
+    stream_time - retention — the Segmenter whole-segment-drop analog
+    (internal/db/partitioning/Segmenter.java:24-75)."""
+
+    def __init__(self, kv: KeyValueStore):
+        self.kv = kv
+
+    def put(self, key, window_start: float, value) -> None:
+        self.kv.put((key, float(window_start)), value, ts=window_start)
+
+    def delete(self, key, window_start: float):
+        return self.kv.delete((key, float(window_start)))
+
+    def fetch(self, key, window_start: float):
+        return self.kv.get((key, float(window_start)))
+
+    def fetch_range(self, key, t_from: float, t_to: float) -> Iterator[tuple]:
+        """All windows of ``key`` with start in [t_from, t_to] (inclusive,
+        matching KS WindowStore.fetch)."""
+        for (k, ws), v in self.kv.range((key, float(t_from)), (key, float(t_to))):
+            yield (k, ws), v
+
+    def fetch_all(self, t_from: float, t_to: float) -> Iterator[tuple]:
+        for (k, ws), v in self.kv.all():
+            if t_from <= ws <= t_to:
+                yield (k, ws), v
+
+    def all(self) -> Iterator[tuple]:
+        return self.kv.all()
+
+    def backward_fetch_range(self, key, t_from: float, t_to: float) -> Iterator[tuple]:
+        yield from reversed(list(self.fetch_range(key, t_from, t_to)))
+
+    def expire(self, retention_s: float) -> int:
+        """Drop windows with start < stream_time - retention; returns count."""
+        cutoff = self.kv.stream_time - retention_s
+        doomed = [k for k, _ in self.kv.all() if k[1] < cutoff]
+        for k in doomed:
+            self.kv.delete(k)
+        return len(doomed)
+
+
+class SessionStore:
+    """Session-store view — SessionOperationsImpl surface (SURVEY.md §2.6:
+    put:224 delete:232 fetch:237 fetchAll:253; findSessions merge scan
+    ResponsiveSessionStore.java:166-224). Keys are
+    ``(key, session_start, session_end)`` — the SessionKey layout
+    (internal/utils/SessionKey.java:19-31)."""
+
+    def __init__(self, kv: KeyValueStore):
+        self.kv = kv
+
+    def put(self, key, start: float, end: float, value) -> None:
+        self.kv.put((key, float(start), float(end)), value, ts=end)
+
+    def delete(self, key, start: float, end: float):
+        return self.kv.delete((key, float(start), float(end)))
+
+    def fetch(self, key) -> Iterator[tuple]:
+        """All sessions for a key, ordered by (start, end)."""
+        return self.kv.prefix_tuple((key,))
+
+    def fetch_all(self) -> Iterator[tuple]:
+        return self.kv.all()
+
+    def find_sessions(self, key, earliest_end: float, latest_start: float) -> list:
+        """Sessions overlapping [earliest_end, latest_start] — the
+        merge-candidate scan used for inactivity-gap session merging."""
+        out = []
+        for (k, s, e), v in self.kv.prefix_tuple((key,)):
+            if e >= earliest_end and s <= latest_start:
+                out.append(((k, s, e), v))
+        return out
+
+    def merge_in(self, key, ts: float, value, gap_s: float, merger):
+        """KS session-aggregate update: merge all sessions within ``gap_s``
+        of ``ts`` plus the new event into one session
+        (ResponsiveSessionStore.java:131-165 semantics)."""
+        cands = self.find_sessions(key, ts - gap_s, ts + gap_s)
+        start, end, agg = ts, ts, value
+        for (k, s, e), v in cands:
+            self.delete(k, s, e)
+            start, end = min(start, s), max(end, e)
+            agg = merger(agg, v)
+        self.put(key, start, end, agg)
+        return (start, end, agg)
+
+
 @dataclass
 class _Timer:
     interval_s: float
@@ -183,11 +280,29 @@ class ProcessorContext:
         self.key = key
         self.store = store
         self.timestamp: float = float("-inf")  # current record event-time
-        self._out: list[dict] = []
+        # columnar accumulation: building one pandas DataFrame from column
+        # lists is ~10x cheaper than from 100k per-row dicts
+        self._out_cols: list[str] | None = None
+        self._out_data: list[list] = []
         self._timers: list[_Timer] = []
 
     def forward(self, **row) -> None:
-        self._out.append(row)
+        if self._out_cols is None:
+            self._out_cols = list(row)
+            self._out_data = [[] for _ in self._out_cols]
+        for i, c in enumerate(self._out_cols):
+            self._out_data[i].append(row.get(c))
+
+    def emitted(self) -> list[dict]:
+        """Emitted rows as dicts (test/debug view)."""
+        if self._out_cols is None:
+            return []
+        return [dict(zip(self._out_cols, vals)) for vals in zip(*self._out_data)]
+
+    def _to_pdf(self) -> pd.DataFrame:
+        if self._out_cols is None:
+            return pd.DataFrame()
+        return pd.DataFrame(dict(zip(self._out_cols, self._out_data)))
 
     def schedule(
         self,
@@ -276,6 +391,17 @@ def process(
     code, state in Spark's checkpointed GroupState).
     """
     keys = list(key)
+    # Pin the stage's parallelism with an explicit hash repartition on the
+    # key: AQE sizes post-shuffle partitions by BYTES, and a per-record
+    # Python stage is CPU-bound, not byte-bound — letting AQE coalesce a
+    # small-by-bytes shuffle to 1 partition serializes every group through
+    # one worker (measured 6x slower at sf0.1). A user-numbered repartition
+    # is exempt from AQE coalescing, and HashPartitioning(keys) satisfies
+    # applyInPandas' clustering requirement so no second shuffle happens.
+    from pyspark.sql import functions as F  # local: keep module import-light
+
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n, *[F.col(k) for k in keys])
 
     def run(key_vals: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         proc = processor_factory()
@@ -284,7 +410,7 @@ def process(
         proc.init(ctx)
         _replay(proc, ctx, pdf, ts_col, order_by)
         proc.close(ctx)
-        return pd.DataFrame(ctx._out)
+        return ctx._to_pdf()
 
     return df.groupBy(*keys).applyInPandas(run, output_schema)
 
@@ -341,7 +467,7 @@ def process_streaming(
             protocol=pickle.HIGHEST_PROTOCOL,
         )
         state.update((payload,))
-        out = pd.DataFrame(ctx._out)
+        out = ctx._to_pdf()
         if out.empty:
             out = pd.DataFrame({f.name: pd.Series(dtype="object") for f in output_schema.fields})
         yield out

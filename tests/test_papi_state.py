@@ -92,7 +92,7 @@ def test_punctuator_fires_before_advancing_record():
     for ts in [1.0, 9.0, 12.0, 35.0]:
         ctx._advance(ts)
         p.process(ctx, {"ts": ts})
-    kinds = [(r["kind"], r["at"], r["n"]) for r in ctx._out]
+    kinds = [(r["kind"], r["at"], r["n"]) for r in ctx.emitted()]
     assert kinds == [
         ("rec", 1.0, 1),
         ("rec", 9.0, 2),

@@ -1,0 +1,70 @@
+"""Window/Session store views — the §2.6 operation surfaces
+(RemoteWindowOperations.java / SessionOperationsImpl.java op lists)."""
+
+from __future__ import annotations
+
+from responsive_pub_spark.streaming.state import (
+    KeyValueStore,
+    SessionStore,
+    WindowStore,
+)
+
+
+def test_window_store_ops():
+    ws = WindowStore(KeyValueStore())
+    ws.put("a", 0, 1)
+    ws.put("a", 60, 2)
+    ws.put("a", 120, 3)
+    ws.put("b", 60, 9)
+    assert ws.fetch("a", 60) == 2
+    assert ws.fetch("a", 30) is None
+    assert [(k[1], v) for k, v in ws.fetch_range("a", 0, 60)] == [(0, 1), (60, 2)]
+    assert [(k[1], v) for k, v in ws.backward_fetch_range("a", 0, 120)] == [
+        (120, 3), (60, 2), (0, 1),
+    ]
+    # fetchAll crosses keys within the time range
+    assert sorted((k[0], v) for k, v in ws.fetch_all(60, 60)) == [("a", 2), ("b", 9)]
+    assert ws.delete("a", 0) == 1
+    assert ws.fetch("a", 0) is None
+
+
+def test_window_store_retention_expiry():
+    """Segmenter analog: advancing stream time drops whole old windows
+    (Segmenter.java:24-75 segment drop)."""
+    kv = KeyValueStore()
+    ws = WindowStore(kv)
+    for s in (0, 60, 120, 180):
+        ws.put("a", s, s)
+    kv.stream_time = 200.0
+    dropped = ws.expire(retention_s=100)  # cutoff = 100
+    assert dropped == 2  # windows 0 and 60
+    assert [k[1] for k, _ in ws.all()] == [120, 180]
+
+
+def test_session_store_ops_and_merge():
+    ss = SessionStore(KeyValueStore())
+    ss.put("a", 0, 10, "x")
+    ss.put("a", 100, 110, "y")
+    ss.put("b", 0, 5, "z")
+    assert [(s, e) for (_, s, e), _ in ss.fetch("a")] == [(0, 10), (100, 110)]
+    assert len(list(ss.fetch_all())) == 3
+    # merge-candidate scan: sessions overlapping [5, 120]
+    assert [(s, e) for (_, s, e), _ in ss.find_sessions("a", 5, 120)] == [
+        (0, 10), (100, 110),
+    ]
+    assert ss.delete("b", 0, 5) == "z"
+
+
+def test_session_merge_in_gap_semantics():
+    """An event within the gap of two existing sessions merges BOTH into
+    one (ResponsiveSessionStore.java:131-165): sessions [0,10] and [30,40]
+    with gap 15 merge via an event at t=20."""
+    ss = SessionStore(KeyValueStore())
+    ss.put("a", 0, 10, 1)
+    ss.put("a", 30, 40, 2)
+    start, end, agg = ss.merge_in("a", 20.0, 4, gap_s=15, merger=lambda x, y: x + y)
+    assert (start, end, agg) == (0, 40, 7)
+    assert [(s, e) for (_, s, e), _ in ss.fetch("a")] == [(0, 40)]
+    # an event OUTSIDE the gap starts its own session
+    ss.merge_in("a", 100.0, 5, gap_s=15, merger=lambda x, y: x + y)
+    assert [(s, e) for (_, s, e), _ in ss.fetch("a")] == [(0, 40), (100, 100)]
