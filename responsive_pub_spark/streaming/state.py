@@ -360,9 +360,17 @@ def _replay(
     pdf: pd.DataFrame,
     ts_col: str,
     order_by: Sequence[str],
+    arrival_col: str | None = None,
 ) -> None:
+    """Replay records through the processor. Default order is event time
+    (+tiebreaks); ``arrival_col`` replays in ARRIVAL order instead — records
+    may then be out-of-order in event time, exactly like a Kafka partition,
+    which is what KS grace/lateness semantics are defined against."""
     cols = list(pdf.columns)
-    order = [ts_col, *[c for c in order_by if c != ts_col]]
+    if arrival_col is not None:
+        order = [arrival_col]
+    else:
+        order = [ts_col, *[c for c in order_by if c != ts_col]]
     pdf = pdf.sort_values(order, kind="mergesort")
     if str(pdf[ts_col].dtype).startswith("datetime64"):
         # normalize to ns first: datetime64[us] would floor-div wrong
@@ -383,6 +391,7 @@ def process(
     ts_col: str = "ts",
     order_by: Sequence[str] = (),
     ttl_seconds: float | None = None,
+    arrival_col: str | None = None,
 ) -> DataFrame:
     """``stream.process(supplier, stores...)`` analog (KeyBatchExample.java:
     64-65). Batch mode: deterministic per-key replay via applyInPandas.
@@ -408,7 +417,7 @@ def process(
         store = KeyValueStore(ttl_seconds)
         ctx = ProcessorContext(key_vals, store)
         proc.init(ctx)
-        _replay(proc, ctx, pdf, ts_col, order_by)
+        _replay(proc, ctx, pdf, ts_col, order_by, arrival_col)
         proc.close(ctx)
         return ctx._to_pdf()
 
