@@ -121,14 +121,42 @@ def fk_join_changelog(
         left_payload.cast("string").alias("payload"),
         F.col(ts_col).cast("double").alias("ts"),
     )
-    subs = runner(
-        lrec,
-        key=["left_key"],
-        processor_factory=_FkTransitionProcessor,
-        output_schema=_STAGE1_SCHEMA,
-        ts_col="ts",
-        order_by=["join_key", "payload"],
-    )
+    if streaming:
+        subs = runner(
+            lrec,
+            key=["left_key"],
+            processor_factory=_FkTransitionProcessor,
+            output_schema=_STAGE1_SCHEMA,
+            ts_col="ts",
+            order_by=["join_key", "payload"],
+        )
+    else:
+        # Batch stage 0 stays declarative (JVM window function, no Python):
+        # the per-left-key FK state after each changelog row is simply
+        # NULL if that row is a tombstone else its FK, so the previous
+        # state is lag() of that expression — subscribe rows are all
+        # non-tombstones, unsubscribe rows fire when prev_state exists and
+        # differs (or on tombstone). Identical semantics to
+        # _FkTransitionProcessor, one hash shuffle, fully codegen'd.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("left_key").orderBy("ts", "join_key", "payload")
+        eff = F.when(F.col("payload").isNull(), None).otherwise(F.col("join_key"))
+        lrec2 = lrec.withColumn("prev_state", F.lag(eff).over(w))
+        sub_rows = lrec2.filter(F.col("payload").isNotNull()).select(
+            F.lit("S").alias("kind"), "join_key", "left_key", "payload", "ts"
+        )
+        unsub_rows = lrec2.filter(
+            F.col("prev_state").isNotNull()
+            & (F.col("payload").isNull() | (F.col("prev_state") != F.col("join_key")))
+        ).select(
+            F.lit("U").alias("kind"),
+            F.col("prev_state").alias("join_key"),
+            "left_key",
+            F.lit(None).cast("string").alias("payload"),
+            "ts",
+        )
+        subs = sub_rows.unionByName(unsub_rows)
     rrec = right.select(
         F.lit("R").alias("kind"),
         F.col(right_key).cast("string").alias("join_key"),

@@ -96,17 +96,20 @@ class SessionAggregateProcessor(Processor):
         for (k, s, e), _ in list(ss.fetch(ctx.key)):
             if e < cutoff:
                 ss.delete(k, s, e)
-        # merge scan: sessions overlapping [ts-gap, ts+gap]
+        # merge scan: sessions overlapping [ts-gap, ts+gap]. KS fold order
+        # (KStreamSessionWindowAggregate): merge found sessions in start
+        # order into the initializer, then apply the NEW value last.
         cands = ss.find_sessions(ctx.key, ts - self.gap, ts + self.gap)
         start, end = ts, ts
-        agg = self.agg(self.init_value, rec[self.value_col])
+        agg = self.init_value
         for (k, s, e), v in cands:
             ss.delete(k, s, e)
             # tombstone for every session the merge consumes (KS emits
             # nulls for replaced sessions before the merged result)
             self._emit(ctx, s, e, None)
             start, end = min(start, s), max(end, e)
-            agg = self.merger(v, agg)
+            agg = self.merger(agg, v)
+        agg = self.agg(agg, rec[self.value_col])
         ss.put(ctx.key, start, end, agg)
         self._emit(ctx, start, end, agg)
 

@@ -1014,6 +1014,100 @@ ORACLE_FK_JOIN_CHANGELOG = f"""
 """
 
 
+def q_papi_window_concat(spark, sf_dir):
+    """Order-sensitive tumbling concat on the PAPI WindowStore processor
+    (the KS aggregate(() -> \"\", (k,v,agg) -> agg+v) shape from
+    ResponsiveWindowStoreIntegrationTest.java:113-114), compacted to the
+    final value per (key, window)."""
+    from responsive_pub_spark.operators.windows_papi import WindowAggregateProcessor
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id", "event_id", "ts", F.substring("event_type", 1, 1).alias("v")
+    )
+    emits = state.process(
+        src,
+        key=["user_id"],
+        processor_factory=lambda: WindowAggregateProcessor(size=3600.0),
+        output_schema="key STRING, seq BIGINT, window_start DOUBLE, window_end DOUBLE, agg STRING",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+    return emits.groupBy("key", "window_start").agg(
+        F.max_by("agg", F.col("seq")).alias("agg")
+    ).select(
+        F.col("key").cast("bigint").alias("user_id"),
+        F.col("window_start").cast("bigint").alias("window_start"),
+        "agg",
+    )
+
+
+ORACLE_PAPI_WINDOW_CONCAT = f"""
+    WITH {_EV}
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS agg
+    FROM ev
+    GROUP BY 1, 2
+"""
+
+
+def q_papi_session_concat(spark, sf_dir):
+    """Inactivity-gap session concat on the PAPI SessionStore processor
+    (session merge semantics, ResponsiveSessionStoreIntegrationTest):
+    final sessions = last emission per (key, start, end) that is not a
+    merge tombstone. Gap 4h over the events stream."""
+    from responsive_pub_spark.operators.windows_papi import SessionAggregateProcessor
+
+    gap = 4 * 3600.0
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id", "event_id", "ts", F.substring("event_type", 1, 1).alias("v")
+    )
+    emits = state.process(
+        src,
+        key=["user_id"],
+        processor_factory=lambda: SessionAggregateProcessor(gap=gap),
+        output_schema="key STRING, seq BIGINT, session_start DOUBLE, session_end DOUBLE, agg STRING",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+    final = emits.groupBy("key", "session_start", "session_end").agg(
+        F.max_by("agg", F.col("seq")).alias("agg")
+    )
+    return final.filter(F.col("agg").isNotNull()).select(
+        F.col("key").cast("bigint").alias("user_id"),
+        F.col("session_start").cast("bigint").alias("session_start"),
+        F.col("session_end").cast("bigint").alias("session_end"),
+        "agg",
+    )
+
+
+ORACLE_PAPI_SESSION_CONCAT = f"""
+    WITH {_EV},
+    o AS (
+        SELECT user_id, ts, event_id, epoch(ts) AS es,
+               substr(event_type, 1, 1) AS c,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) > {4 * 3600}
+                    THEN 1 ELSE 0 END AS brk
+        FROM ev
+    ),
+    s AS (
+        SELECT *, sum(brk) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           CAST(floor(min(es)) AS BIGINT) AS session_start,
+           CAST(floor(max(es)) AS BIGINT) AS session_end,
+           string_agg(c, '' ORDER BY ts, event_id) AS agg
+    FROM s
+    GROUP BY user_id, sid
+"""
+
+
 def _fake_rpc(rec: dict) -> dict:
     """Deterministic 'slow RPC' body (the e2e app's injected RPC analog,
     E2ETestApplication.java:127) — pure arithmetic so DuckDB can oracle it."""
@@ -1100,6 +1194,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT, bench=True),
     "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
+    "papi_window_concat": QuerySpec(q_papi_window_concat, ORACLE_PAPI_WINDOW_CONCAT),
+    "papi_session_concat": QuerySpec(q_papi_session_concat, ORACLE_PAPI_SESSION_CONCAT),
     "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),
     "multimodal_decode_features": QuerySpec(
         q_multimodal_decode, multimodal.decode_features_oracle(), bench=True
