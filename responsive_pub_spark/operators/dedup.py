@@ -373,6 +373,86 @@ def ngram_jaccard_pairs_oracle(threshold: float = NGRAM_JACCARD_THRESHOLD) -> st
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> canonical doc
+# ---------------------------------------------------------------------------
+
+def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Group near-duplicate pairs into clusters and elect a canonical doc
+    (the minimum doc_id) — the keep/drop decision step of a dedup pipeline.
+
+    Distributed min-label propagation: every doc starts labeled with its
+    own id; each round every doc takes the min label over itself and its
+    neighbors; converged when no label changes. Rounds needed = graph
+    diameter (near-dup clusters are small, so a handful); each round is
+    one shuffle join on doc_id — no driver-side graph materialization, so
+    it scales to billions of edges. ``max_iters`` bounds the loop; the
+    early-exit check is one count per round."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("label")).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("canonical_id"),
+        (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
+    )
+
+
+def cluster_pairs_oracle(pairs_cte: str) -> str:
+    """DuckDB oracle: connected components via a recursive min-label
+    closure over the same pair set (``pairs_cte`` must define ``pairs``
+    with doc_a < doc_b)."""
+    return f"""
+        WITH RECURSIVE {pairs_cte},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc_id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+            WHERE r.label < e.dst
+        )
+        SELECT doc_id, min(label) AS canonical_id,
+               (doc_id <> min(label)) AS is_duplicate
+        FROM reach
+        GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup pairs
 # ---------------------------------------------------------------------------
 

@@ -714,6 +714,15 @@ def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: minhash pairs -> connected components ->
+    canonical doc election (the keep/drop step of the dedup pipeline).
+    Distributed min-label propagation, oracled by a recursive-CTE closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_pairs(docs)
+    return dedup.cluster_pairs(docs.select("doc_id"), pairs)
+
+
 def q_sim_bruteforce(spark, sf_dir):
     return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"))
 
@@ -1180,6 +1189,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(q_dedup_simhash, dedup.simhash_pairs_oracle()),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram, dedup.ngram_jaccard_pairs_oracle()),
     "dedup_embedding": QuerySpec(q_dedup_embedding, dedup.embedding_dup_pairs_oracle()),
+    "dedup_clusters": QuerySpec(
+        q_dedup_clusters,
+        dedup.cluster_pairs_oracle(f"pairs AS ({dedup.minhash_pairs_oracle()})"),
+    ),
     "sim_search_bruteforce": QuerySpec(q_sim_bruteforce, similarity.brute_force_topk_oracle(), bench=True),
     "sim_search_lsh": QuerySpec(q_sim_lsh, similarity.lsh_topk_oracle()),
     "sim_search_ivf": QuerySpec(q_sim_ivf, similarity.ivf_topk_oracle(), bench=True),

@@ -52,7 +52,8 @@ def read_processor_state(
                 blob = row.blob
                 if blob is None:
                     continue
-                data, tsd, _stream_time, _ttl, _timers = pickle.loads(bytes(blob))
+                saved = pickle.loads(bytes(blob))
+                data, tsd = saved[0], saved[1]
                 for sk, sv in data.items():
                     for k in key_cols:
                         out[k].append(getattr(row, k))

@@ -285,6 +285,7 @@ class ProcessorContext:
         self._out_cols: list[str] | None = None
         self._out_data: list[list] = []
         self._timers: list[_Timer] = []
+        self._wc_timers: list[_Timer] = []
 
     def forward(self, **row) -> None:
         if self._out_cols is None:
@@ -314,12 +315,28 @@ class ProcessorContext:
         """Register a stream-time punctuator. ``aligned=True`` fires at
         multiples of the interval (deterministic + SQL-oracle-able);
         ``aligned=False`` fires at registration-time + k*interval, the
-        reference's context.schedule semantics. WALL_CLOCK punctuators are
-        accepted but only fire in streaming mode at micro-batch boundaries
-        (processing time does not exist in a deterministic batch replay)."""
+        reference's context.schedule semantics. WALL_CLOCK punctuators fire
+        in STREAMING mode at micro-batch boundaries when due (the commit-
+        aligned approximation of KS wall-clock punctuation; interval <= 0
+        means every batch); in a deterministic batch replay processing time
+        does not exist, so they never fire there."""
         if punctuation_type == WALL_CLOCK:
-            return  # no deterministic analog; ignored in batch replay
+            self._wc_timers.append(_Timer(interval_s, float("nan"), callback, aligned))
+            return
         self._timers.append(_Timer(interval_s, float("nan"), callback, aligned))
+
+    def _fire_wall_clock(self, now: float) -> None:
+        """Fire due wall-clock punctuators (streaming, at batch end)."""
+        for t in self._wc_timers:
+            if t.interval_s <= 0:
+                t.callback(self, now)
+                continue
+            if t.next_fire != t.next_fire:  # first batch arms the timer
+                t.next_fire = now + t.interval_s
+                continue
+            while now >= t.next_fire:
+                t.callback(self, t.next_fire)
+                t.next_fire += t.interval_s
 
     # -- engine internals ---------------------------------------------------
     def _advance(self, ts: float) -> None:
@@ -427,6 +444,26 @@ def process(
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
 
+def _schema_field_names(schema: "StructType | str") -> list[str]:
+    """Top-level field names of a StructType or DDL string, without needing
+    a SparkContext (runs inside executor Python workers)."""
+    if not isinstance(schema, str):
+        return [f.name for f in schema.fields]
+    names, depth, token_start = [], 0, 0
+    s = schema.strip()
+    for i, ch in enumerate(s + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            field = s[token_start:i].strip()
+            if field:
+                names.append(field.split(":")[0].split()[0].strip("`"))
+            token_start = i + 1
+    return names
+
+
 def process_streaming(
     sdf: DataFrame,
     key: Sequence[str],
@@ -455,15 +492,22 @@ def process_streaming(
         ctx = ProcessorContext(key_vals, store)
         proc.init(ctx)
         if state.exists and state.get[0]:
-            # (data, ts, stream_time, ttl, timer_fires)
-            data, tsd, st_time, ttl, fires = pickle.loads(state.get[0])
+            # (data, ts, stream_time, ttl, timer_fires, wc_fires)
+            saved = pickle.loads(state.get[0])
+            data, tsd, st_time, ttl, fires = saved[:5]
             store._data, store._ts = data, tsd
             store.stream_time, store.ttl_seconds = st_time, ttl
             store._sorted = sorted(data)
             for t, nf in zip(ctx._timers, fires):
                 t.next_fire = nf
+            if len(saved) > 5:
+                for t, nf in zip(ctx._wc_timers, saved[5]):
+                    t.next_fire = nf
         for pdf in pdf_iter:
             _replay(proc, ctx, pdf, ts_col, order_by)
+        import time as _time
+
+        ctx._fire_wall_clock(_time.time())
         proc.close(ctx)
         payload = pickle.dumps(
             (
@@ -472,13 +516,16 @@ def process_streaming(
                 store.stream_time,
                 store.ttl_seconds,
                 [t.next_fire for t in ctx._timers],
+                [t.next_fire for t in ctx._wc_timers],
             ),
             protocol=pickle.HIGHEST_PROTOCOL,
         )
         state.update((payload,))
         out = ctx._to_pdf()
         if out.empty:
-            out = pd.DataFrame({f.name: pd.Series(dtype="object") for f in output_schema.fields})
+            out = pd.DataFrame(
+                {n: pd.Series(dtype="object") for n in _schema_field_names(output_schema)}
+            )
         yield out
 
     return sdf.groupBy(*keys).applyInPandasWithState(

@@ -308,3 +308,77 @@ def test_session_window_streaming_merge_and_close(spark, workdir):
     # the 02:00 session is still OPEN: not emitted
     assert (base + 7200, base + 7200 + 10 * 60) not in sessions
     drv.close()
+
+
+def test_fact_store_dedup_streaming_across_restarts(spark, workdir):
+    """FACT-store dedup in streaming: put_if_absent keeps the FIRST value
+    per key across micro-batches AND restarts
+    (ResponsiveStores.java:79-96 write-once facts; the dedup use case the
+    FACT store exists for). Re-sends of a key emit nothing."""
+
+    def make():
+        class FactDedup(state.Processor):
+            def process(self, ctx, rec):
+                prior = ctx.store.put_if_absent(rec["k"], rec["event_id"])
+                if prior is None:  # first sighting only
+                    ctx.forward(k=rec["k"], event_id=int(rec["event_id"]))
+
+        return FactDedup
+
+    def build(sdf):
+        return state.process_streaming(
+            sdf, ["k"], make(), "k STRING, event_id BIGINT", ts_col="ts"
+        )
+
+    drv = TopologyTestDriver(
+        spark, "k STRING, event_id LONG, ts DOUBLE", build, workdir
+    )
+    drv.pipe([
+        {"k": "a", "event_id": 1, "ts": 1.0},
+        {"k": "a", "event_id": 2, "ts": 2.0},  # duplicate key: suppressed
+        {"k": "b", "event_id": 3, "ts": 3.0},
+    ])
+    out1 = [(r.k, r.event_id) for r in drv.advance()]
+    assert sorted(out1) == [("a", 1), ("b", 3)]
+    # restart; duplicates of already-seen keys still suppressed
+    drv.pipe([
+        {"k": "a", "event_id": 4, "ts": 4.0},
+        {"k": "c", "event_id": 5, "ts": 5.0},
+    ])
+    out2 = [(r.k, r.event_id) for r in drv.advance()]
+    assert sorted(out2) == [("c", 5)]
+    drv.close()
+
+
+def test_wall_clock_punctuator_fires_at_batch_boundary(spark, workdir):
+    """Wall-clock punctuators fire at micro-batch boundaries in streaming
+    (the commit-aligned approximation of KS WALL_CLOCK_TIME punctuation,
+    documented delta); interval<=0 means every batch."""
+
+    def make():
+        class Snap(state.Processor):
+            def init(self, ctx):
+                ctx.schedule(0.0, self._snap, state.WALL_CLOCK)
+
+            def _snap(self, ctx, now):
+                ctx.forward(k=str(ctx.key[0]), kind="snapshot",
+                            n=int(ctx.store.get("n") or 0))
+
+            def process(self, ctx, rec):
+                ctx.store.put("n", (ctx.store.get("n") or 0) + 1)
+
+        return Snap
+
+    def build(sdf):
+        return state.process_streaming(
+            sdf, ["k"], make(), "k STRING, kind STRING, n BIGINT", ts_col="ts"
+        )
+
+    drv = TopologyTestDriver(spark, "k STRING, ts DOUBLE", build, workdir)
+    drv.pipe([{"k": "a", "ts": 1.0}, {"k": "a", "ts": 2.0}])
+    out1 = [(r.k, r.n) for r in drv.advance()]
+    assert out1 == [("a", 2)]  # one snapshot at the batch boundary
+    drv.pipe([{"k": "a", "ts": 3.0}])
+    out2 = [(r.k, r.n) for r in drv.advance()]
+    assert out2 == [("a", 3)]  # state carried; fired again this batch
+    drv.close()
