@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): the KV store against a dict+sort
+model, and the session processor against an independent gap-island model —
+randomized analogs of the reference's store unit tests
+(CommitBufferTest / SizeTrackingBufferTest style)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from responsive_pub_spark.operators.windows_papi import SessionAggregateProcessor
+from responsive_pub_spark.streaming.state import (
+    KeyValueStore,
+    ProcessorContext,
+)
+
+keys = st.text(alphabet="abcde", min_size=1, max_size=3)
+ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("put"), keys, st.integers(0, 100)),
+        st.tuples(st.just("delete"), keys, st.none()),
+        st.tuples(st.just("put_if_absent"), keys, st.integers(0, 100)),
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ops)
+def test_kv_store_matches_dict_model(op_seq):
+    store, model = KeyValueStore(), {}
+    for op, k, v in op_seq:
+        if op == "put":
+            store.put(k, v)
+            model[k] = v
+        elif op == "delete":
+            assert store.delete(k) == model.pop(k, None)
+        else:
+            prior = store.put_if_absent(k, v)
+            assert prior == model.get(k)
+            model.setdefault(k, v)
+    assert dict(store.all()) == model
+    assert [k for k, _ in store.all()] == sorted(model)
+    assert store.approximate_num_entries() == len(model)
+    if model:
+        lo, hi = min(model), max(model)
+        assert dict(store.range(lo, hi)) == model
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    st.integers(1, 50),
+)
+def test_session_processor_matches_island_model(ts_list, gap):
+    """Final sessions from ts-ordered replay == gap-island partition of the
+    sorted timestamps (sessions split where consecutive gap > `gap`)."""
+    ts_sorted = sorted(ts_list)
+    # independent island model
+    islands, cur = [], [ts_sorted[0]]
+    for t in ts_sorted[1:]:
+        if t - cur[-1] > gap:
+            islands.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    islands.append(cur)
+    expected = {
+        (float(i[0]), float(i[-1])): len(i) for i in islands
+    }
+
+    proc = SessionAggregateProcessor(
+        gap=gap, init=0, agg=lambda a, v: a + 1, merger=lambda a, b: a + b
+    )
+    ctx = ProcessorContext(("k",), KeyValueStore())
+    proc.init(ctx)
+    for t in ts_sorted:
+        ctx._advance(float(t))
+        proc.process(ctx, {"v": 1})
+    # final = last emission per (start, end) that is not a tombstone, and
+    # whose (start,end) was never replaced later
+    final: dict = {}
+    for r in ctx.emitted():
+        k = (r["session_start"], r["session_end"])
+        if r["agg"] is None:
+            final.pop(k, None)
+        else:
+            final[k] = r["agg"]
+    assert final == expected
