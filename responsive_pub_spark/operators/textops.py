@@ -86,3 +86,34 @@ def fingerprints_oracle() -> str:
         f"SELECT doc_id, {T.fingerprint_sql('text', 'duck')} AS fingerprint "
         f"FROM documents"
     )
+
+
+def text_clean(docs: DataFrame) -> DataFrame:
+    """Normalization for training corpora: NFC-agnostic lowercase, control
+    chars stripped, punctuation runs collapsed to single spaces, whitespace
+    squeezed + trimmed. Emits cleaned text plus before/after lengths (the
+    usual filter signal for destructive cleaning)."""
+    cleaned = (
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[\\\\p{Cntrl}]', ' '), '\\\\s+', ' '))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(cleaned).alias("clean_text"),
+        F.length("text").cast("bigint").alias("n_chars_in"),
+        F.expr(f"length({cleaned})").cast("bigint").alias("n_chars_clean"),
+    )
+
+
+def text_clean_oracle() -> str:
+    cleaned = (
+        r"trim(regexp_replace(regexp_replace(lower(text), "
+        r"'[\p{Cc}]', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+    return f"""
+        SELECT doc_id,
+               {cleaned} AS clean_text,
+               CAST(length(text) AS BIGINT) AS n_chars_in,
+               CAST(length({cleaned}) AS BIGINT) AS n_chars_clean
+        FROM documents
+    """

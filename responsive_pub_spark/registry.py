@@ -743,6 +743,10 @@ def q_text_tokens(spark, sf_dir):
     return textops.token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_text_clean(spark, sf_dir):
+    return textops.text_clean(_t(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -1203,6 +1207,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(q_text_quality, textops.quality_score_oracle()),
     "text_token_count": QuerySpec(q_text_tokens, textops.token_counts_oracle()),
     "text_fingerprint": QuerySpec(q_text_fingerprint, textops.fingerprints_oracle()),
+    "text_clean": QuerySpec(q_text_clean, textops.text_clean_oracle()),
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
     "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT, bench=True),
