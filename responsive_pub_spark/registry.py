@@ -1159,6 +1159,11 @@ def q_multimodal_frames(spark, sf_dir):
     return multimodal.sample_frames(media)
 
 
+def q_multimodal_audio(spark, sf_dir):
+    media = multimodal.pack_text_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.chunk_audio(media)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1217,6 +1222,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),
     "multimodal_decode_features": QuerySpec(
         q_multimodal_decode, multimodal.decode_features_oracle(), bench=True
+    ),
+    "multimodal_audio_chunks": QuerySpec(
+        q_multimodal_audio, multimodal.chunk_audio_oracle()
     ),
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frames, multimodal.sample_frames_oracle()

@@ -108,6 +108,40 @@ def sample_frames(media: DataFrame, every_k: int = 7) -> DataFrame:
     )
 
 
+def chunk_audio(media: DataFrame, chunk_bytes: int = 256, fake: bool = True) -> DataFrame:
+    """Audio chunking: one row per fixed-size payload chunk with a
+    per-chunk feature (RMS-energy stand-in). The Spark-side plumbing is
+    real — the binary is sliced per chunk inside the Arrow batch, the
+    explode shape matches what a librosa/torchaudio decode would emit —
+    but the feature math is the deterministic fake (oracle-able) because
+    no audio codec ships in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires librosa/torchaudio; not available in "
+            "this container — use fake=True for the plumbing path"
+        )
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, lens, energies = [], [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                for ci, start in enumerate(range(0, len(p), chunk_bytes)):
+                    cl = len(p[start:start + chunk_bytes])
+                    ids.append(d)
+                    idxs.append(ci)
+                    lens.append(cl)
+                    energies.append(float((int(d) * 17 + ci * cl) % FAKE_MOD))
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_idx": idxs, "n_bytes": lens, "energy": energies}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, "doc_id BIGINT, chunk_idx BIGINT, n_bytes BIGINT, energy DOUBLE"
+    )
+
+
 # -- DuckDB oracles (identical arithmetic) ----------------------------------
 
 def decode_features_oracle() -> str:
@@ -118,6 +152,27 @@ def decode_features_oracle() -> str:
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id, [{feats}] AS features
         FROM documents
+    """
+
+
+def chunk_audio_oracle(chunk_bytes: int = 256) -> str:
+    return f"""
+        WITH m AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n,
+                   CAST(unnest(range(0, n, {chunk_bytes})) AS BIGINT) AS start
+            FROM m
+        )
+        SELECT doc_id,
+               CAST(start // {chunk_bytes} AS BIGINT) AS chunk_idx,
+               CAST(least({chunk_bytes}, n - start) AS BIGINT) AS n_bytes,
+               CAST((doc_id * 17 + (start // {chunk_bytes})
+                     * least({chunk_bytes}, n - start)) % {FAKE_MOD} AS DOUBLE) AS energy
+        FROM c
     """
 
 
