@@ -437,6 +437,34 @@ class KTable:
     def to_stream(self, ts_col: str = "ts") -> KStream:
         return KStream(self.df, list(self.key), ts_col)
 
+    def materialize(self, path: str, checkpoint: "str | None" = None,
+                    ts_col: "str | None" = None):
+        """Durably materialize as a keyed KV table — the analog of
+        ``Materialized.as(store)`` on a Responsive remote store
+        (api/stores/ResponsiveStores.java:116-127): batch writes one delta;
+        a streaming changelog runs update-mode through the exactly-once
+        ``KeyValueTableSink`` (commit-aligned flush + batch-id fencing,
+        SURVEY.md §3.2). Returns the sink; ``sink.read(spark)`` is the
+        interactive-query surface over the materialized table."""
+        from responsive_pub_spark.streaming.kv_sink import KeyValueTableSink
+
+        value_cols = [c for c in self.df.columns if c not in self.key and c != ts_col]
+        sink = KeyValueTableSink(path, list(self.key), value_cols, ts_col=ts_col)
+        if self.df.isStreaming:
+            if checkpoint is None:
+                raise ValueError("streaming materialize requires a checkpoint dir")
+            q = (
+                self.df.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        else:
+            sink(self.df, sink._last_applied() + 1)
+        return sink
+
     def join(self, other: "KTable", how: str = "inner") -> "KTable":
         """Primary-key table-table join (SURVEY.md §2.4): both sides are
         latest-per-key snapshots joined on the shared key."""
