@@ -1,0 +1,120 @@
+"""End-to-end corpus curation: the LLM-training-data pipeline as ONE query.
+
+Chains the extension operators the way a 100 TB pretraining-data job would
+(quality filter -> exact dedup -> near-dup removal -> per-language corpus
+stats), all on the declarative JVM path except nothing — every stage here is
+pure Catalyst:
+
+  1. quality gate   — per-row codegen'd metrics (operators/textops.py),
+                      filter pushes to the scan;
+  2. exact dedup    — one shuffle on the 64-bit fingerprint, map-side
+                      partial agg collapses duplicates before the wire;
+  3. near-dup drop  — minhash-LSH pairs (operators/dedup.py: signatures
+                      persisted once, candidates via band equi-join); a kept
+                      doc is dropped when it pairs with a smaller kept
+                      doc_id. Deterministic greedy: on a chain a<b<c every
+                      non-minimal doc drops (stricter than cluster-keep-min,
+                      identical on both engine and oracle);
+  4. corpus stats   — per-language doc + BPE-token totals: the tiny
+                      stable-result summary a curation job reports.
+
+Stage order matters at scale: the quality gate runs FIRST so dedup hashing
+and LSH banding only touch surviving rows' fingerprints — but minhash pairs
+are computed over the full corpus and restricted to survivors afterward,
+which is equivalent (a pair survives iff both endpoints survive) and lets
+the signature table be built once and reused across curation configs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.functions import text as T
+from responsive_pub_spark.operators import dedup, textops
+
+MIN_TOKENS = 20
+MAX_PUNCT_RATIO = 0.19
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    max_punct_ratio: float = MAX_PUNCT_RATIO,
+) -> DataFrame:
+    """Curated-corpus summary: (lang, n_docs, sum_bpe_tokens)."""
+    quality = textops.quality_score(docs)
+    kept_q = quality.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("punct_ratio") <= max_punct_ratio)
+    ).select("doc_id")
+
+    fp = docs.select(
+        "doc_id", F.expr(T.fingerprint_sql("text", "spark")).alias("fingerprint")
+    )
+    kept_exact = (
+        fp.join(kept_q, "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    pairs = dedup.minhash_pairs(docs)
+    dropped = (
+        pairs.join(kept_exact.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(kept_exact.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    curated = kept_exact.join(dropped, "doc_id", "left_anti")
+
+    toks = textops.token_counts(docs).select("doc_id", "n_bpe_tokens")
+    return (
+        docs.select("doc_id", "lang")
+        .join(curated, "doc_id")
+        .join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("sum_bpe_tokens"),
+        )
+    )
+
+
+def curate_corpus_oracle(
+    min_tokens: int = MIN_TOKENS, max_punct_ratio: float = MAX_PUNCT_RATIO
+) -> str:
+    toks = T.tokens_duck("text")
+    qcols = T.quality_cols_sql("text", toks, "duck")
+    fp = T.fingerprint_sql("text", "duck")
+    bpe = f"len(regexp_extract_all(text, '{T.BPE_TOKEN_REGEX}'))"
+    return f"""
+        WITH q AS (
+            SELECT doc_id, {qcols["n_tokens"]} AS n_tokens,
+                   {qcols["punct_ratio"]} AS punct_ratio
+            FROM documents
+        ), kept_q AS (
+            SELECT doc_id FROM q
+            WHERE n_tokens >= {min_tokens} AND punct_ratio <= {max_punct_ratio}
+        ), fp AS (
+            SELECT doc_id, {fp} AS fingerprint FROM documents
+        ), kept_exact AS (
+            SELECT min(doc_id) AS doc_id
+            FROM fp JOIN kept_q USING (doc_id)
+            GROUP BY fingerprint
+        ), pairs AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_pairs_oracle()}) mh
+        ), dropped AS (
+            SELECT DISTINCT p.doc_b AS doc_id
+            FROM pairs p
+            JOIN kept_exact a ON p.doc_a = a.doc_id
+            JOIN kept_exact b ON p.doc_b = b.doc_id
+        ), curated AS (
+            SELECT doc_id FROM kept_exact
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        )
+        SELECT d.lang AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({bpe}) AS BIGINT) AS sum_bpe_tokens
+        FROM curated JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.api import KStream, KTable, Pipeline
-from responsive_pub_spark.operators import dedup, fk_join, similarity, textops
+from responsive_pub_spark.operators import curation, dedup, fk_join, similarity, textops
 from responsive_pub_spark.operators.ttl import ttl_filter
 from responsive_pub_spark.sources.readers import read_table
 from responsive_pub_spark.streaming import async_stage, multimodal, state
@@ -747,6 +747,10 @@ def q_text_clean(spark, sf_dir):
     return textops.text_clean(_t(spark, sf_dir, "documents"))
 
 
+def q_curate_corpus(spark, sf_dir):
+    return curation.curate_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -1213,6 +1217,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(q_text_tokens, textops.token_counts_oracle()),
     "text_fingerprint": QuerySpec(q_text_fingerprint, textops.fingerprints_oracle()),
     "text_clean": QuerySpec(q_text_clean, textops.text_clean_oracle()),
+    "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
     "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT, bench=True),
