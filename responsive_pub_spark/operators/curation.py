@@ -51,11 +51,14 @@ def curate_corpus(
     fp = docs.select(
         "doc_id", F.expr(T.fingerprint_sql("text", "spark")).alias("fingerprint")
     )
+    # kept_exact feeds three consumers (both endpoint joins + the anti-join);
+    # persist so the quality+dedup subtree runs once, not three times
     kept_exact = (
         fp.join(kept_q, "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .persist()
     )
 
     pairs = dedup.minhash_pairs(docs)

@@ -382,3 +382,65 @@ def test_wall_clock_punctuator_fires_at_batch_boundary(spark, workdir):
     out2 = [(r.k, r.n) for r in drv.advance()]
     assert out2 == [("a", 3)]  # state carried; fired again this batch
     drv.close()
+
+
+def test_stream_stream_join_duplicates_and_cross_batch(spark, workdir):
+    """Streaming stream-stream windowed join (ResponsiveStores.streamStreamJoin):
+    duplicate left events each match (STREAM-store retainDuplicates,
+    DuplicateKeyBuffer.java:28-59), and a left event buffered in batch 1
+    joins a right event arriving in batch 2 (symmetric state, watermark
+    retention)."""
+
+    def build(sdf):
+        clicks = (
+            sdf.filter(F.col("kind") == "c")
+            .select("k", F.col("ts").alias("l_ts"), F.col("v").alias("l_v"))
+            .withWatermark("l_ts", "10 seconds")
+        )
+        buys = (
+            sdf.filter(F.col("kind") == "b")
+            .select(F.col("k").alias("rk"), F.col("ts").alias("r_ts"),
+                    F.col("v").alias("r_v"))
+            .withWatermark("r_ts", "10 seconds")
+        )
+        j = clicks.join(
+            buys,
+            F.expr("k = rk AND r_ts BETWEEN l_ts AND l_ts + interval 5 seconds"),
+        )
+        return j.select(
+            "k",
+            F.unix_timestamp("l_ts").alias("lt"),
+            F.unix_timestamp("r_ts").alias("rt"),
+            "l_v",
+            "r_v",
+        )
+
+    drv = TopologyTestDriver(
+        spark, "k LONG, kind STRING, ts TIMESTAMP, v LONG", build, workdir,
+        output_mode="append",
+    )
+    from datetime import datetime as dt
+
+    def t(s):
+        return dt.fromisoformat(f"2024-01-01 00:{s}")
+
+    # batch 1: two DUPLICATE clicks (same key+ts) + one in-window buy
+    drv.pipe(
+        [
+            {"k": 1, "kind": "c", "ts": t("00:00"), "v": 1},
+            {"k": 1, "kind": "c", "ts": t("00:00"), "v": 1},
+            {"k": 1, "kind": "b", "ts": t("00:03"), "v": 10},
+        ]
+    )
+    out1 = drv.advance()
+    # both duplicate clicks matched the buy -> two pairs
+    assert len(out1) == 2
+    assert {(r.l_v, r.r_v) for r in out1} == {(1, 10)}
+    # batch 2: a buy arriving later still joins the batch-1 click (in window)
+    drv.pipe([{"k": 1, "kind": "b", "ts": t("00:04"), "v": 20}])
+    out2 = drv.advance()
+    assert len(out2) == 2 and {r.r_v for r in out2} == {20}
+    # batch 3: out-of-window buy -> no match
+    drv.pipe([{"k": 1, "kind": "b", "ts": t("00:30"), "v": 30}])
+    assert drv.advance() == []
+    drv.close()
