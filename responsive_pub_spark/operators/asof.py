@@ -1,0 +1,87 @@
+"""As-of join: enrich each event with the latest prior observation per key.
+
+The reference has no as-of operator (its KS DSL joins are windowed/equi —
+SURVEY.md §2.4 flags as-of as "available free in Spark"); it IS the
+canonical time-series enrichment (trade->latest-quote), so the engine ships
+it as a first-class extension.
+
+Spark-first plan — the union trick, not a range join: tag both streams,
+hash-shuffle once on the key, sort within partitions by event time, and a
+``last(value, ignorenulls)`` running window carries the most recent right-
+side row forward onto every left row. One shuffle + one sort, O(n log n)
+per key and no candidate blow-up — a range join would produce
+O(left x right) candidate pairs per key before filtering; at 100 TB the
+union trick's single ordered pass is the difference between a join that
+finishes and one that doesn't. Ties (right row at exactly the left row's
+ts) count as "prior", matching DuckDB's ASOF ``>=`` (the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_events(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """For every ``left_type`` event: ts + value of the same user's most
+    recent ``right_type`` event at-or-before it (NULL if none yet)."""
+    tagged = events.filter(
+        F.col("event_type").isin(left_type, right_type)
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+        "value",
+        (F.col("event_type") == left_type).alias("is_left"),
+    )
+    # right rows sort BEFORE left rows at equal ts: equal-ts right matches
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", F.col("is_left").cast("int"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumns(
+        {
+            "asof_ts": F.last(
+                F.when(~F.col("is_left"), F.col("ts_sec")), ignorenulls=True
+            ).over(w),
+            "asof_value": F.last(
+                F.when(~F.col("is_left"), F.col("value")), ignorenulls=True
+            ).over(w),
+        }
+    )
+    return carried.filter("is_left").select(
+        "event_id", "user_id", "ts_sec", "asof_ts", "asof_value"
+    )
+
+
+def asof_join_events_oracle(
+    left_type: str = "purchase", right_type: str = "click"
+) -> str:
+    # DuckDB has native ASOF JOIN; right-side duplicates at one (user, ts)
+    # are collapsed deterministically first (max event_id wins) because the
+    # union-trick side carries the LAST right row in (ts, event_id) order.
+    return f"""
+        WITH ev AS (
+            SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+        ), l AS (
+            SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+            FROM ev WHERE event_type = '{left_type}'
+        ), r AS (
+            SELECT user_id, ts_sec, max_by(value, event_id) AS value
+            FROM (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                       event_id, value
+                FROM ev WHERE event_type = '{right_type}'
+            )
+            GROUP BY user_id, ts_sec
+        )
+        SELECT l.event_id, l.user_id, l.ts_sec,
+               r.ts_sec AS asof_ts, r.value AS asof_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
+    """

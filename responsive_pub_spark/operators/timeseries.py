@@ -1,0 +1,101 @@
+"""Time-series rollup + gap-fill over the events stream.
+
+Time-series is one of the two use cases the reference names for its FACT
+store (api/stores/ResponsiveStores.java:79-84 — write-once points, TTL
+retention); the query side it leaves to the user. This module supplies the
+hypertable-style operator a telemetry pipeline needs:
+
+- fixed-interval downsampling (per-key count/avg/max per bucket) — one hash
+  shuffle with map-side partials, exactly the windowed-agg shape;
+- dense gap-fill: every bucket between a key's first and last point exists
+  in the output, empty buckets flagged with n_events = 0 and NULL stats.
+
+Scale: the rollup is one shuffle on (key, bucket). Gap-fill generates
+buckets per KEY via ``sequence()`` + ``explode`` (JVM codegen, no Python),
+so the fill cost is O(active span / bucket), independent of raw point
+count; the final join is bucket-aligned (same key partitioning reused).
+A key idle for years would explode its span — bound it with retention
+(TTL) upstream, as the reference's FACT stores do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.functions.portable import pround
+
+BUCKET_S = 3600
+
+
+def rollup_gapfill(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = BUCKET_S,
+) -> DataFrame:
+    """(key, bucket_start, n_events, avg_value, max_value) — dense per key."""
+    bucket = (
+        (F.unix_timestamp(F.col(ts_col)).cast("bigint") / bucket_s).cast("bigint")
+        * bucket_s
+    ).alias("bucket_start")
+    rolled = (
+        events.select(F.col(key), bucket, F.col(value_col).alias("v"))
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            pround(F.avg("v"), 6).alias("avg_value"),
+            pround(F.max("v"), 6).alias("max_value"),
+        )
+    )
+    spans = rolled.groupBy(key).agg(
+        F.min("bucket_start").alias("b0"), F.max("bucket_start").alias("b1")
+    )
+    dense = spans.select(
+        key,
+        F.explode(F.sequence("b0", "b1", F.lit(int(bucket_s)))).alias("bucket_start"),
+    )
+    return (
+        dense.join(rolled, [key, "bucket_start"], "left")
+        .select(
+            key,
+            "bucket_start",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            "avg_value",
+            "max_value",
+        )
+    )
+
+
+def rollup_gapfill_oracle(
+    key: str = "user_id",
+    value_col: str = "value",
+    bucket_s: int = BUCKET_S,
+) -> str:
+    return f"""
+        WITH ev AS (
+            SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+        ), rolled AS (
+            SELECT {key},
+                   (CAST(floor(epoch(ts)) AS BIGINT) // {bucket_s}) * {bucket_s} AS bucket_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   (floor((avg({value_col})) * 1000000 + 0.5) / 1000000) AS avg_value,
+                   (floor((max({value_col})) * 1000000 + 0.5) / 1000000) AS max_value
+            FROM ev
+            GROUP BY 1, 2
+        ), spans AS (
+            SELECT {key}, min(bucket_start) AS b0, max(bucket_start) AS b1
+            FROM rolled GROUP BY 1
+        ), dense AS (
+            SELECT {key},
+                   CAST(unnest(range(b0, b1 + {bucket_s}, {bucket_s})) AS BIGINT)
+                       AS bucket_start
+            FROM spans
+        )
+        SELECT d.{key}, d.bucket_start,
+               CAST(coalesce(r.n_events, 0) AS BIGINT) AS n_events,
+               r.avg_value, r.max_value
+        FROM dense d
+        LEFT JOIN rolled r USING ({key}, bucket_start)
+    """

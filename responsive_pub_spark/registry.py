@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.api import KStream, KTable, Pipeline
-from responsive_pub_spark.operators import curation, dedup, fk_join, similarity, textops
+from responsive_pub_spark.operators import asof, curation, dedup, fk_join, similarity, textops, timeseries
 from responsive_pub_spark.operators.ttl import ttl_filter
 from responsive_pub_spark.sources.readers import read_table
 from responsive_pub_spark.streaming import async_stage, multimodal, state
@@ -751,6 +751,14 @@ def q_curate_corpus(spark, sf_dir):
     return curation.curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_timeseries_rollup(spark, sf_dir):
+    return timeseries.rollup_gapfill(_t(spark, sf_dir, "events"))
+
+
+def q_asof_join(spark, sf_dir):
+    return asof.asof_join_events(_t(spark, sf_dir, "events"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -1218,6 +1226,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(q_text_fingerprint, textops.fingerprints_oracle()),
     "text_clean": QuerySpec(q_text_clean, textops.text_clean_oracle()),
     "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
+    "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle()),
+    "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle()),
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
     "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT, bench=True),
