@@ -115,12 +115,52 @@ IVF_K = 3
 IVF_QUERY_VECS = 10
 
 
+def train_centroids(
+    emb: DataFrame, n_centroids: int = IVF_CENTROIDS, iters: int = 2
+) -> DataFrame:
+    """Lloyd k-means for IVF centroids, fully declarative (no Python loop
+    over data — the driver loop iterates PLANS, each iteration is one
+    broadcast-join assignment pass + one element-wise mean):
+
+      assign: corpus x broadcast(centroids) -> argmax-cosine cid
+      update: posexplode embedding -> avg per (cid, dim) -> re-assembled
+              array via sorted collect
+
+    Components are rounded to 6 decimals per iteration so the result is
+    reproducible across partition orders (float summation order). Init =
+    the first ``n_centroids`` vectors (deterministic, same as the pinned
+    variant). Iterative -> not SQL-oracle-able; the registry records it
+    with the weaker rows-only check, and the PLAN is identical to the
+    pinned-centroid ``ivf_topk``, which IS hash-oracled."""
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
+    )
+    for _ in range(iters):
+        scored = emb.join(F.broadcast(cent)).withColumn(
+            "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+        )
+        assign = scored.groupBy("vec_id", "embedding").agg(
+            F.max_by(F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))).alias("cid")
+        )
+        dims = assign.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        means = dims.groupBy("cid", "pos").agg(
+            F.round(F.avg("x"), 6).alias("m")
+        )
+        cent = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centv")
+        )
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = IVF_K,
     n_queries: int = IVF_QUERY_VECS,
     n_centroids: int = IVF_CENTROIDS,
     n_probes: int = IVF_PROBES,
+    centroids: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest centroid
     (inverted lists); a query probes only its ``n_probes`` nearest lists.
@@ -130,11 +170,14 @@ def ivf_topk(
     at 100 TB the assignment is one broadcast-join pass over the corpus
     (centroids are tiny), the probe lookup shuffles only on centroid id,
     and each query scores ~corpus/n_centroids*n_probes candidates instead
-    of the full corpus. Swapping in trained centroids changes recall, not
-    the plan."""
-    cent = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
-    )
+    of the full corpus. Pass ``centroids=train_centroids(emb)`` for k-means
+    lists — changes recall, not the plan."""
+    if centroids is not None:
+        cent = centroids
+    else:
+        cent = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
+        )
     scored_c = emb.join(F.broadcast(cent)).withColumn(
         "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
     )
