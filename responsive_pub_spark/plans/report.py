@@ -4,6 +4,20 @@ bench query. Run: ``python -m responsive_pub_spark.plans.report``."""
 from __future__ import annotations
 
 SCALE_NOTES = {
+    "timeseries_rollup_gapfill": (
+        "downsample is one (key, bucket) hash shuffle with map-side "
+        "partials; gap-fill generates buckets per key via sequence()+explode "
+        "(JVM codegen) so fill cost is O(active span / bucket), not O(raw "
+        "points), and the final left join reuses the key partitioning. Idle "
+        "keys bound their span via TTL upstream (FACT-store retention)."
+    ),
+    "join_asof": (
+        "union trick: both sides tagged and hash-shuffled ONCE on the key, "
+        "then a single ordered window pass carries the latest right row "
+        "forward — no range-join candidate blow-up (O(n log n) per key vs "
+        "O(left x right)). Skewed keys split fine: the sort is per "
+        "partition, AQE splits oversized ones."
+    ),
     "curate_corpus": (
         "four chained stages sharing one documents scan: quality gate is "
         "per-row codegen; exact dedup shuffles only (fingerprint, doc_id); "

@@ -1235,8 +1235,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(q_text_fingerprint, textops.fingerprints_oracle()),
     "text_clean": QuerySpec(q_text_clean, textops.text_clean_oracle()),
     "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
-    "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle()),
-    "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle()),
+    "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
+    "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "sim_search_ivf_trained": QuerySpec(q_sim_ivf_trained, None),
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
     "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
