@@ -105,6 +105,7 @@ def fk_join_changelog(
     right_payload: Column,
     ts_col: str = "ts",
     streaming: bool = False,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Join changelog: one row per emission including right-side fan-outs.
 
@@ -112,6 +113,14 @@ def fk_join_changelog(
     ordered by ``ts_col``; equal-ts versions of one key tie-break on the
     payload string); payload Columns are the user serde (opaque to the
     engine, SURVEY.md §1.1). A null payload row is a tombstone.
+
+    ``n_salts > 1`` splits each FK's subscription list across salt
+    sub-partitions (the hot-right-key mitigation): subscriptions salt
+    deterministically by ``hash(left_key) % n_salts`` and right updates
+    REPLICATE to every salt, so a dim row with millions of referrers fans
+    out from ``n_salts`` partitions in parallel instead of one. Each
+    emission still happens in exactly one salt partition, so the changelog
+    is identical to the unsalted one (asserted in tests/test_fk_join.py).
     """
     runner = state.process_streaming if streaming else state.process
     fk_col = F.col(fk) if isinstance(fk, str) else fk
@@ -167,15 +176,35 @@ def fk_join_changelog(
     # ts tie-break: 'R' before 'S'/'U' so a right version at the same
     # instant is visible to same-instant subscriptions (KS offset order is
     # per-topic; we pin a deterministic merge order instead)
-    merged = subs.unionByName(rrec)
-    return runner(
+    if n_salts <= 1:
+        merged = subs.unionByName(rrec)
+        return runner(
+            merged,
+            key=["join_key"],
+            processor_factory=_FkJoinProcessor,
+            output_schema=_OUT_SCHEMA,
+            ts_col="ts",
+            order_by=["kind", "left_key"],
+        )
+    # salted: subscriptions partition by hash(left_key), right rows fan out
+    # to every salt (xxhash64, not rand(): task retries must re-land rows
+    # in the same salt or exactly-once breaks — same rule as operators/skew)
+    salted_subs = subs.withColumn(
+        "salt", F.pmod(F.xxhash64("left_key"), F.lit(n_salts)).cast("int")
+    )
+    salted_r = rrec.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    merged = salted_subs.unionByName(salted_r)
+    out = runner(
         merged,
-        key=["join_key"],
+        key=["join_key", "salt"],
         processor_factory=_FkJoinProcessor,
         output_schema=_OUT_SCHEMA,
         ts_col="ts",
         order_by=["kind", "left_key"],
     )
+    return out
 
 
 def fk_join_snapshot(changelog: DataFrame, inner: bool = True) -> DataFrame:

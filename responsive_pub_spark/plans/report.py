@@ -76,8 +76,9 @@ SCALE_NOTES = {
         "detects FK moves (JVM window, 1 exchange), subscription stage keyed "
         "by FK fans out right-updates (1 pinned repartition), plus the final "
         "snapshot agg -- 4 exchanges total here. FK skew == hot subscription "
-        "list; salt the subscription key if one dim row has millions of "
-        "referrers."
+        "list; n_salts>1 splits each FK's subscribers across salt "
+        "sub-partitions (right updates replicate per salt) with an "
+        "emission-identical changelog — tests/test_fk_join.py."
     ),
     "papi_running_count": (
         "per-record Python path (the deliberate slow lane). Parallelism "

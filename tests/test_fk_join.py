@@ -121,3 +121,40 @@ def test_subscribe_before_right_exists_then_right_arrives(spark):
     assert [(r.ts_sec, r.right_payload) for r in rows] == [(1, None), (5, "acme")]
     snap = fk_join.fk_join_snapshot(chg).collect()
     assert [(r.left_key, r.right_payload) for r in snap] == [("u1", "acme")]
+
+
+def test_salted_changelog_identical_to_unsalted(spark):
+    """FK-skew mitigation: salting the subscription store must not change a
+    single changelog emission (each subscription lives in exactly one salt;
+    right updates replicate to all salts)."""
+    left_rows = [
+        ("u1", "blue", "alice", 1.0),
+        ("u2", "blue", "bob", 2.0),
+        ("u3", "blue", "carol", 3.0),
+        ("u4", "red", "dave", 4.0),
+        ("u2", "red", "bob2", 5.0),  # FK move off the hot key
+        ("u3", None, None, 6.0),     # tombstone
+    ]
+    right_rows = [
+        ("blue", "acme", 0.0),
+        ("red", "globex", 0.0),
+        ("blue", "acme-v2", 10.0),   # hot-key fan-out
+        ("red", None, 11.0),         # right tombstone fan-out
+    ]
+    left = spark.createDataFrame(
+        left_rows, "user STRING, team STRING, name STRING, ts DOUBLE"
+    )
+    right = spark.createDataFrame(right_rows, "team STRING, org STRING, ts DOUBLE")
+
+    def run(n_salts):
+        rows = fk_join.fk_join_changelog(
+            left, right, left_key="user", fk="team", right_key="team",
+            left_payload=F.col("name"), right_payload=F.col("org"),
+            ts_col="ts", n_salts=n_salts,
+        ).collect()
+        emissions = [
+            (r.left_key, r.left_payload, r.right_payload, r.ts_sec) for r in rows
+        ]
+        return sorted(emissions, key=lambda t: tuple("" if x is None else str(x) for x in t))
+
+    assert run(1) == run(4)
