@@ -163,11 +163,18 @@ class KStream:
         return self._with(self.df.unionByName(other.df, allowMissingColumns=False))
 
     def branch(self, *conds: "Column | str") -> list["KStream"]:
-        """split/branch analog: N filtered streams + default branch."""
+        """split/branch analog: N filtered streams + default branch. Every
+        record lands in exactly one branch (KS split() contract): a predicate
+        that evaluates to NULL counts as not-matched, so the default-branch
+        filter coalesces each predicate to FALSE instead of negating a
+        possibly-NULL disjunction (which would drop the row everywhere)."""
+        if not conds:
+            return [self]
         branches = [self.filter(c) for c in conds]
         neg = None
         for c in conds:
             cc = F.expr(c) if isinstance(c, str) else c
+            cc = F.coalesce(cc, F.lit(False))
             neg = cc if neg is None else (neg | cc)
         branches.append(self._with(self.df.filter(~neg)))
         return branches

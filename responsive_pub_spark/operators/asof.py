@@ -44,18 +44,22 @@ def asof_join_events(
         .orderBy("ts_sec", F.col("is_left").cast("int"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = tagged.withColumns(
-        {
-            "asof_ts": F.last(
-                F.when(~F.col("is_left"), F.col("ts_sec")), ignorenulls=True
-            ).over(w),
-            "asof_value": F.last(
-                F.when(~F.col("is_left"), F.col("value")), ignorenulls=True
-            ).over(w),
-        }
+    # one struct per right row so (asof_ts, asof_value) always come from the
+    # SAME right-side row — two independent last(..., ignorenulls) columns
+    # would skip a NULL value but not its ts, yielding an inconsistent pair
+    carried = tagged.withColumn(
+        "asof",
+        F.last(
+            F.when(~F.col("is_left"), F.struct("ts_sec", "value")),
+            ignorenulls=True,
+        ).over(w),
     )
     return carried.filter("is_left").select(
-        "event_id", "user_id", "ts_sec", "asof_ts", "asof_value"
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.col("asof.ts_sec").alias("asof_ts"),
+        F.col("asof.value").alias("asof_value"),
     )
 
 

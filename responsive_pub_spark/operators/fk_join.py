@@ -155,9 +155,16 @@ def fk_join_changelog(
         sub_rows = lrec2.filter(F.col("payload").isNotNull()).select(
             F.lit("S").alias("kind"), "join_key", "left_key", "payload", "ts"
         )
+        # null-safe FK compare: a live row whose FK becomes NULL must still
+        # unsubscribe from the old FK (prev != NULL is NULL under SQL
+        # three-valued logic and would silently drop the U row, leaving a
+        # stale subscription the streaming processor correctly removes)
         unsub_rows = lrec2.filter(
             F.col("prev_state").isNotNull()
-            & (F.col("payload").isNull() | (F.col("prev_state") != F.col("join_key")))
+            & (
+                F.col("payload").isNull()
+                | ~F.col("prev_state").eqNullSafe(F.col("join_key"))
+            )
         ).select(
             F.lit("U").alias("kind"),
             F.col("prev_state").alias("join_key"),

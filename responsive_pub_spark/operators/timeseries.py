@@ -36,8 +36,12 @@ def rollup_gapfill(
     bucket_s: int = BUCKET_S,
 ) -> DataFrame:
     """(key, bucket_start, n_events, avg_value, max_value) — dense per key."""
+    # floor(), not bigint-cast: cast truncates toward zero, diverging from
+    # the oracle's floor-division for pre-1970 (negative-epoch) timestamps
     bucket = (
-        (F.unix_timestamp(F.col(ts_col)).cast("bigint") / bucket_s).cast("bigint")
+        F.floor(F.unix_timestamp(F.col(ts_col)).cast("bigint") / bucket_s).cast(
+            "bigint"
+        )
         * bucket_s
     ).alias("bucket_start")
     rolled = (

@@ -1,0 +1,58 @@
+"""Null-semantics edge vectors from the round-1 advisor: branch() must
+place every record in exactly one branch even when predicates evaluate to
+NULL (KS split() contract), and the as-of join must keep (asof_ts,
+asof_value) consistent when a right-side value is NULL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.api import KStream
+from responsive_pub_spark.operators.asof import asof_join_events
+
+
+def test_branch_null_predicate_goes_to_default(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 10)], "k STRING, v INT"
+    )
+    s = KStream(df, ["k"], "v")
+    b1, b2, default = s.branch(F.col("v") < 5, F.col("v") >= 5)
+    assert [r.k for r in b1.df.collect()] == ["a"]
+    assert [r.k for r in b2.df.collect()] == ["c"]
+    # NULL predicate row lands in the default branch, not nowhere
+    assert [r.k for r in default.df.collect()] == ["b"]
+    # total partition: every row in exactly one branch
+    total = b1.df.count() + b2.df.count() + default.df.count()
+    assert total == df.count()
+
+
+def test_branch_no_predicates_returns_self(spark):
+    df = spark.createDataFrame([("a", 1)], "k STRING, v INT")
+    s = KStream(df, ["k"], "v")
+    out = s.branch()
+    assert len(out) == 1 and out[0].df.count() == 1
+
+
+def test_asof_null_right_value_pair_consistent(spark):
+    """A right event with NULL value is still the as-of match: asof_ts must
+    come from that row and asof_value must be its NULL — not a (newer ts,
+    older value) mixture."""
+    rows = [
+        ("e1", "u1", "2024-01-01 00:00:00", 1.0, "click"),
+        ("e2", "u1", "2024-01-01 00:10:00", None, "click"),  # NULL value
+        ("e3", "u1", "2024-01-01 00:20:00", 9.0, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id STRING, user_id STRING, ts STRING, value DOUBLE, event_type STRING"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join_events(events).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the NULL-valued e2 is the latest prior right row: both fields from it
+    import datetime
+
+    e2_ts = int(
+        datetime.datetime(2024, 1, 1, 0, 10, tzinfo=datetime.timezone.utc).timestamp()
+    )
+    assert r.asof_ts == e2_ts
+    assert r.asof_value is None

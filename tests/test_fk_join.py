@@ -158,3 +158,26 @@ def test_salted_changelog_identical_to_unsalted(spark):
         return sorted(emissions, key=lambda t: tuple("" if x is None else str(x) for x in t))
 
     assert run(1) == run(4)
+
+
+def test_fk_to_null_on_live_row_unsubscribes(spark):
+    """ADVICE r1: a live left row whose FK becomes NULL must unsubscribe
+    from the old FK (null-safe compare in the batch stage-0); otherwise a
+    stale subscription keeps receiving the old FK's fan-outs."""
+    chg = _changelog(
+        spark,
+        [
+            ("u1", "blue", "alice", 1.0),
+            ("u1", None, "alice2", 5.0),  # live row, FK -> NULL
+        ],
+        [("blue", "acme", 0.0), ("blue", "acme-v2", 10.0)],
+    )
+    rows = chg.collect()
+    # the post-transition blue update must fan out to nobody
+    assert not any(r.right_payload == "acme-v2" for r in rows)
+    # inner snapshot: u1 has no right match any more
+    assert fk_join.fk_join_snapshot(chg).collect() == []
+    # left snapshot keeps the live row with NULL right side
+    snap = {r.left_key: (r.left_payload, r.right_payload)
+            for r in fk_join.fk_join_snapshot(chg, inner=False).collect()}
+    assert snap == {"u1": ("alice2", None)}
