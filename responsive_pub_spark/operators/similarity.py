@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from responsive_pub_spark.functions.portable import pround
+from responsive_pub_spark.functions.portable import dround, pround
 from responsive_pub_spark.functions.vectors import (
     RHP_BITS,
     cosine_duck,
@@ -123,15 +123,18 @@ def train_centroids(
     broadcast-join assignment pass + one element-wise mean):
 
       assign: corpus x broadcast(centroids) -> argmax-cosine cid
-      update: posexplode embedding -> avg per (cid, dim) -> re-assembled
+      update: posexplode embedding -> per-(cid, dim) mean -> re-assembled
               array via sorted collect
 
-    Components are rounded to 6 decimals per iteration so the result is
-    reproducible across partition orders (float summation order). Init =
-    the first ``n_centroids`` vectors (deterministic, same as the pinned
-    variant). Iterative -> not SQL-oracle-able; the registry records it
-    with the weaker rows-only check, and the PLAN is identical to the
-    pinned-centroid ``ivf_topk``, which IS hash-oracled."""
+    Engine-portable determinism: the per-dimension mean is a LEFT FOLD in
+    vec_id order (sorted collect + ``aggregate``), not ``avg()`` — float
+    summation order is pinned, so the same IEEE-754 result falls out of
+    Spark and DuckDB and the unrolled-SQL oracle (``ivf_trained_oracle``)
+    hash-matches. Components are pround'd to 6 decimals per iteration.
+    Init = the first ``n_centroids`` vectors (deterministic, same as the
+    pinned variant). Training state per group is O(cluster size) via
+    collect_list — fine for centroid training, which at 100 TB runs on a
+    sample of the corpus, not the full table."""
     cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
     )
@@ -142,9 +145,25 @@ def train_centroids(
         assign = scored.groupBy("vec_id", "embedding").agg(
             F.max_by(F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))).alias("cid")
         )
-        dims = assign.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        dims = assign.select(
+            "vec_id", "cid", F.posexplode("embedding").alias("pos", "x")
+        )
         means = dims.groupBy("cid", "pos").agg(
-            F.round(F.avg("x"), 6).alias("m")
+            pround(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("vec_id"), F.col("x").cast("double").alias("x")
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("m")
         )
         cent = means.groupBy("cid").agg(
             F.transform(
@@ -235,6 +254,93 @@ def ivf_topk_oracle(
         ), scored AS (
             SELECT p.query_id, a.vec_id AS neighbor_id,
                    (floor(({qcos}) * 1000000 + 0.5) / 1000000) AS cosine
+            FROM assign a JOIN probes p USING (cid)
+            WHERE p.query_id <> a.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+                AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _kmeans_cte(n_centroids: int, iters: int) -> str:
+    """DuckDB CTE chain unrolling ``train_centroids``: ``iters`` Lloyd
+    iterations as SQL, ending in ``cent_{iters}(cid, centv)``. Every float
+    op mirrors the Spark side exactly: pround'd cosines, and per-dimension
+    means as a left fold in vec_id order (list(... ORDER BY vec_id) +
+    list_reduce) — the order-pinning that makes the iterative query
+    hash-oracle-able at all."""
+    fold_mean = dround(
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list(CAST(x AS DOUBLE) ORDER BY vec_id)), (acc, v) -> acc + v)"
+        " / CAST(count(*) AS DOUBLE)",
+        6,
+    )
+    parts = [
+        f"cent_0 AS (SELECT vec_id AS cid, embedding AS centv "
+        f"FROM embeddings WHERE vec_id < {n_centroids})"
+    ]
+    for i in range(1, iters + 1):
+        ccos = dround(cosine_duck("e.embedding", "c.centv"), 6)
+        parts.append(
+            f"scored_{i} AS (SELECT e.vec_id, e.embedding, c.cid, {ccos} AS ccos "
+            f"FROM embeddings e CROSS JOIN cent_{i - 1} c)"
+        )
+        parts.append(
+            f"assign_{i} AS (SELECT vec_id, embedding, cid FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY ccos DESC, cid ASC) AS rn FROM scored_{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"dims_{i} AS (SELECT vec_id, cid, "
+            f"generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x "
+            f"FROM assign_{i})"
+        )
+        parts.append(
+            f"means_{i} AS (SELECT cid, pos, {fold_mean} AS m "
+            f"FROM dims_{i} GROUP BY cid, pos)"
+        )
+        parts.append(
+            f"cent_{i} AS (SELECT cid, list(m ORDER BY pos) AS centv "
+            f"FROM means_{i} GROUP BY cid)"
+        )
+    return ",\n".join(parts)
+
+
+def ivf_trained_oracle(
+    k: int = IVF_K,
+    n_queries: int = IVF_QUERY_VECS,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+    iters: int = 2,
+) -> str:
+    """Full hash-match oracle for the k-means-trained IVF query: unrolled
+    Lloyd training (``_kmeans_cte``) feeding the same probe/assign/top-k
+    pipeline as ``ivf_topk_oracle``."""
+    ccos = dround(cosine_duck("e.embedding", "c.centv"), 6)
+    qcos = dround(cosine_duck("p.qv", "a.embedding"), 6)
+    return f"""
+        WITH {_kmeans_cte(n_centroids, iters)},
+        scored_c AS (
+            SELECT e.vec_id, e.embedding, c.cid, {ccos} AS ccos
+            FROM embeddings e CROSS JOIN cent_{iters} c
+        ), assign AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM scored_c
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS prank
+                FROM scored_c WHERE vec_id < {n_queries}
+            ) WHERE prank <= {n_probes}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, {qcos} AS cosine
             FROM assign a JOIN probes p USING (cid)
             WHERE p.query_id <> a.vec_id
         )

@@ -760,9 +760,9 @@ def q_asof_join(spark, sf_dir):
 
 
 def q_sim_ivf_trained(spark, sf_dir):
-    """IVF with k-means-trained centroids (iterative -> rows-only check;
-    the identical plan with pinned centroids is hash-oracled as
-    sim_search_ivf)."""
+    """IVF with k-means-trained centroids. Hash-oracled: training is two
+    Lloyd iterations with order-pinned float folds, unrolled to DuckDB SQL
+    by similarity.ivf_trained_oracle()."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = similarity.train_centroids(emb).persist()
     return similarity.ivf_topk(emb, centroids=cent)
@@ -1237,7 +1237,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
-    "sim_search_ivf_trained": QuerySpec(q_sim_ivf_trained, None),
+    "sim_search_ivf_trained": QuerySpec(
+        q_sim_ivf_trained, similarity.ivf_trained_oracle()
+    ),
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
     "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT, bench=True),
