@@ -54,6 +54,50 @@ def cosine_duck(a: str, b: str) -> str:
     return f"({dot_duck(a, b)}) / (({norm_duck(a)}) * ({norm_duck(b)}))"
 
 
+#: Banded RHP for near-dup blocking: bands of sign bits OR'd together
+#: (any shared band -> candidate), the cosine analog of MinHash banding.
+#: Geometry picks the recall/selectivity point: with per-plane flip
+#: probability p = theta/pi, recall = 1 - (1 - (1-p)^BITS)^BANDS.
+#: 16 bands x 4 bits: ~0.99999 at cosine>=0.9 (true near-dups), ~0.9 even
+#: at the wide 0.4 threshold; widen the bands for bigger corpora to cut
+#: candidate volume (selectivity ~ BANDS / 2^BITS per uniform bucket).
+RHP_BAND_BITS = 4
+RHP_BANDS = 16
+
+
+def _band_plane_weight(j: int, d: int) -> int:
+    """Plane weights for the BANDED signature. The simple affine schedule
+    ``_plane_weight`` repeats planes with period 7 (weights depend only on
+    j mod 7), which is fine for one 8-bit bucket but would make bands
+    correlated; this md5-seeded schedule gives 32+ independent planes.
+    Evaluated at SQL-GENERATION time — only literal weights reach either
+    engine, so portability is trivial."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.md5(f"rhp-band:{j}:{d}".encode()).digest()[:4], "big"
+    )
+    return (h % 7) - 3
+
+
+def rhp_band_sql(a: str, dim: int, dialect: str, band: int, bits: int = RHP_BAND_BITS) -> str:
+    """Packed sign bits of planes [band*bits, (band+1)*bits) under the
+    banded schedule — one band's bucket value."""
+    terms = []
+    for jj in range(bits):
+        j = band * bits + jj
+        prods = []
+        for d in range(dim):
+            w = _band_plane_weight(j, d)
+            if w == 0:
+                continue
+            idx = f"{a}[{d}]" if dialect == "spark" else f"{a}[{d + 1}]"
+            prods.append(f"({w}) * CAST({idx} AS DOUBLE)")
+        dot = " + ".join(prods) if prods else "0"
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << jj} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def rhp_bucket_sql(a: str, dim: int, dialect: str, bits: int = RHP_BITS) -> str:
     """Random-hyperplane LSH bucket id: packed sign bits of <v, plane_j>.
 

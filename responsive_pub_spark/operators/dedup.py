@@ -323,28 +323,46 @@ def simhash_pairs_oracle(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
 # n-gram Jaccard near-dup pairs (one-permutation minhash blocking)
 # ---------------------------------------------------------------------------
 
+#: k-min-hash blocking width: recall = 1 - (1-J)^k, so >= 0.9993 at the
+#: J=0.6 threshold and ~1 for true near-dups (J >= 0.97). Single-min
+#: blocking (k=1) would capture a J-threshold pair with probability only
+#: ~J — up to 40% silently dropped at theta=0.6.
+NGRAM_BLOCK_HASHES = 8
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_THRESHOLD) -> DataFrame:
-    """Exact word-3-gram Jaccard >= threshold, blocked on the single minimum
-    shingle hash (one-permutation MinHash): near-identical docs almost surely
-    share their minimum shingle, so blocking is a single cheap equi-join."""
+    """Word-3-gram Jaccard >= threshold, blocked on k permuted min-hashes:
+    a pair is a candidate if ANY of its k one-permutation MinHash values
+    match (k single-row LSH bands), then verified with the exact Jaccard
+    over the full shingle sets. Candidate generation is an equi-join on
+    (permutation, min-hash) — one shuffle, no cross join; a true pair at
+    exactly the threshold is missed with probability (1-J)^k <= 0.07%
+    (recall referee: tests/test_ngram_recall.py)."""
     d = docs.select(
         "doc_id", F.expr(T.shingle_hashes_sql("text")).alias("hs")
-    ).withColumn("min_h", F.expr("array_min(hs)")).persist()
+    ).withColumn(
+        "mins",
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(hs, h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P}))"
+                )
+                for j in range(NGRAM_BLOCK_HASHES)
+            ]
+        ),
+    ).persist()
+    bands = d.select("doc_id", F.posexplode("mins").alias("perm", "min_h"))
     cand = (
-        d.alias("a")
-        .join(
-            d.alias("b"),
-            (F.col("a.min_h") == F.col("b.min_h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.hs").alias("hs_a"),
-            F.col("b.hs").alias("hs_b"),
-        )
+        bands.alias("a")
+        .join(bands.alias("b"), ["perm", "min_h"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    return (
-        cand.withColumn(
+    verified = (
+        cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
+        .withColumn(
             "jaccard",
             pround(
                 F.size(F.array_intersect("hs_a", "hs_b"))
@@ -355,20 +373,36 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_THRESH
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return verified
 
 
 def ngram_jaccard_pairs_oracle(threshold: float = NGRAM_JACCARD_THRESHOLD) -> str:
     hs = T.shingle_hashes_duck("text")
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {j} AS perm, "
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P})) AS min_h "
+        f"FROM d"
+        for j in range(NGRAM_BLOCK_HASHES)
+    )
+    jac = (
+        "(floor((CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)"
+        " / len(list_distinct(list_cat(da.hs, db.hs)))) * 1000000 + 0.5) / 1000000)"
+    )
     return f"""
         WITH d AS (
-            SELECT doc_id, {hs} AS hs, list_min({hs}) AS min_h FROM documents
+            SELECT doc_id, {hs} AS hs FROM documents
+        ), bands AS (
+            {band_rows}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.perm = b.perm AND a.min_h = b.min_h AND a.doc_id < b.doc_id
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-                     / len(list_distinct(list_cat(a.hs, b.hs)))) * 1000000 + 0.5) / 1000000) AS jaccard
-        FROM d a JOIN d b ON a.min_h = b.min_h AND a.doc_id < b.doc_id
-        WHERE (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-                    / len(list_distinct(list_cat(a.hs, b.hs)))) * 1000000 + 0.5) / 1000000) >= {threshold}
+        SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+        FROM cand c
+        JOIN d da ON da.doc_id = c.doc_a
+        JOIN d db ON db.doc_id = c.doc_b
+        WHERE {jac} >= {threshold}
     """
 
 
@@ -457,33 +491,101 @@ def cluster_pairs_oracle(pairs_cte: str) -> str:
 # ---------------------------------------------------------------------------
 
 def embedding_dup_pairs(
-    emb: DataFrame, threshold: float = EMBEDDING_COSINE_THRESHOLD
+    emb: DataFrame,
+    threshold: float = EMBEDDING_COSINE_THRESHOLD,
+    exact: bool = False,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding near-dups: cosine >= threshold over array<float> columns.
 
-    Correctness baseline is the all-pairs comparison below; the scale path is
-    ``similarity.lsh_topk``'s hyperplane bucketing (same arithmetic). Cosine
-    is computed JVM-side as a double left-fold (functions/vectors.py) so the
-    oracle matches bit-for-bit."""
-    from responsive_pub_spark.functions.vectors import cosine_sql
+    Default path is BANDED random-hyperplane blocking (the cosine analog of
+    MinHash banding): each vector gets ``RHP_BANDS`` band values of
+    ``RHP_BAND_BITS`` packed sign bits each; any shared band makes a
+    candidate pair, verified with the exact JVM-side cosine. One equi-join
+    shuffle on (band_pos, band_val) — never a cross join — with candidate
+    volume ~ bands * n^2 / 2^bits per skew-free bucket; raise the band
+    width for bigger corpora. Precision is exact (candidates are verified);
+    recall is approximate — a true pair is missed only if every band
+    differs (quantified by tests/test_embedding_recall.py).
 
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    ``exact=True`` is the all-pairs O(n^2) referee used by tests only —
+    NOT the product path (a cross join at 100 TB)."""
+    from responsive_pub_spark.functions.vectors import (
+        RHP_BANDS,
+        cosine_sql,
+        rhp_band_sql,
+    )
+
+    if exact:
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.withColumn("cosine", pround(F.expr(cosine_sql("va", "vb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_pos"),
+                        F.expr(rhp_band_sql("embedding", dim, "spark", k)).alias(
+                            "band_val"
+                        ),
+                    )
+                    for k in range(RHP_BANDS)
+                ]
+            )
+        ).alias("bp"),
+    ).select("vec_id", F.col("bp.band_pos").alias("band_pos"), F.col("bp.band_val").alias("band_val"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_pos", "band_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
-        pairs.withColumn("cosine", pround(F.expr(cosine_sql("va", "vb")), 6))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", pround(F.expr(cosine_sql("va", "vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
 
 
-def embedding_dup_pairs_oracle(threshold: float = EMBEDDING_COSINE_THRESHOLD) -> str:
-    from responsive_pub_spark.functions.vectors import cosine_duck
+def embedding_dup_pairs_oracle(
+    threshold: float = EMBEDDING_COSINE_THRESHOLD, dim: int = 64
+) -> str:
+    """DuckDB twin of the BANDED path (identical band arithmetic)."""
+    from responsive_pub_spark.functions.vectors import RHP_BANDS, cosine_duck, rhp_band_sql
 
-    cos = cosine_duck("a.embedding", "b.embedding")
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {k} AS band_pos, "
+        f"{rhp_band_sql('embedding', dim, 'duck', k)} AS band_val FROM embeddings"
+        for k in range(RHP_BANDS)
+    )
+    cos = cosine_duck("ea.embedding", "eb.embedding")
     return f"""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        WITH bands AS (
+            {band_rows}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_pos = b.band_pos AND a.band_val = b.band_val
+             AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
                (floor(({cos}) * 1000000 + 0.5) / 1000000) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
         WHERE (floor(({cos}) * 1000000 + 0.5) / 1000000) >= {threshold}
     """
