@@ -340,6 +340,16 @@ class KStream:
         self.df.write.format(fmt).mode(mode).options(**options).save(path)
         return None
 
+    def to_kafka(self, value_cols: Sequence[str], topic: str, **kwargs):
+        """.to(topic) with Produced serdes (STJoinExample.java:94-98): key =
+        the stream's key columns through the engine serde, value = JSON of
+        ``value_cols``. See sources/kafka.to_kafka for sink modes."""
+        from responsive_pub_spark.sources.kafka import to_kafka as _to_kafka
+
+        return _to_kafka(
+            self.df, self.key, value_cols, topic, ts_col=self.ts_col, **kwargs
+        )
+
 
 @dataclass
 class KGroupedStream:
