@@ -103,9 +103,14 @@ class Pipeline:
         self, source: "str | DataFrame", key: "str | Sequence[str]", fmt: str = "parquet"
     ) -> "GlobalKTable":
         """builder.globalTable analog — fully replicated via broadcast join
-        (GlobalStoreIntegrationTest.java:147-153)."""
-        df = source if isinstance(source, DataFrame) else self.spark.read.format(fmt).load(source)
-        return GlobalKTable(df, _as_list(key))
+        (GlobalStoreIntegrationTest.java:147-153). A path source makes the
+        table refreshable: the streaming per-batch join re-resolves the
+        snapshot every micro-batch, so mid-stream dim updates are visible
+        (GlobalOperations.java:49-85 runtime-update semantics)."""
+        if isinstance(source, DataFrame):
+            return GlobalKTable(source, _as_list(key))
+        loader = lambda: self.spark.read.format(fmt).load(source)  # noqa: E731
+        return GlobalKTable(loader(), _as_list(key), loader)
 
 
 @dataclass
@@ -544,7 +549,22 @@ class KGroupedTable:
 
 @dataclass
 class GlobalKTable:
-    """Fully replicated table — always broadcast on join."""
+    """Fully replicated table — always broadcast on join.
+
+    With a ``loader``, the table is REFRESHABLE: ``refresh()`` re-resolves
+    the snapshot from the source, and the per-batch streaming join
+    (streaming/global_refresh.py) calls it at every micro-batch boundary —
+    the analog of the reference's global stores consuming updates at
+    runtime (internal/stores/GlobalOperations.java:49-85,
+    integration/GlobalStoreIntegrationTest.java:147-153). A static-only
+    GlobalKTable (no loader) is a pinned snapshot."""
 
     df: DataFrame
     key: list[str]
+    loader: "Callable[[], DataFrame] | None" = None
+
+    def refresh(self) -> "GlobalKTable":
+        """Fresh snapshot from the source (no-op without a loader)."""
+        if self.loader is None:
+            return self
+        return GlobalKTable(self.loader(), list(self.key), self.loader)
