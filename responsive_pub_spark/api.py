@@ -322,15 +322,20 @@ class KStream:
         fn,
         output_schema,
         max_workers: int = 16,
-        repartition_by_key: bool = False,
+        repartition_by_key: bool = True,
+        order_by: Sequence[str] = (),
     ) -> "KStream":
         """Async per-record stage with same-key ordering (SURVEY.md §2.8 —
-        AsyncProcessorSupplier analog; streaming/async_stage.py)."""
+        AsyncProcessorSupplier analog; streaming/async_stage.py). Key
+        co-location is ON by default (the global same-key order guarantee);
+        pass repartition_by_key=False only for already-key-partitioned
+        input."""
         from responsive_pub_spark.streaming.async_stage import async_map_ordered
 
         out = async_map_ordered(
             self.df, self.key, fn, output_schema,
             max_workers=max_workers, repartition_by_key=repartition_by_key,
+            order_by=order_by,
         )
         return KStream(out, list(self.key), self.ts_col)
 
