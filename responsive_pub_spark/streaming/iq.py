@@ -34,35 +34,100 @@ def read_state(spark: SparkSession, checkpoint: str, **options) -> DataFrame:
     return reader.load(checkpoint)
 
 
-def read_processor_state(
-    spark: SparkSession, checkpoint: str, key_cols: list[str], **options
+def query_processor_state(
+    spark: SparkSession,
+    checkpoint: str,
+    key_cols: list[str],
+    group_keys: "list | None" = None,
+    store_key: "object | None" = None,
+    store_key_from: "object | None" = None,
+    store_key_to: "object | None" = None,
+    store_key_prefix: "object | None" = None,
+    **options,
 ) -> DataFrame:
-    """Decode a ``process_streaming`` operator's stores: one row per
-    (group key, store key) — ``store.all()`` across all keys, as a
-    DataFrame (so range/prefix/point lookups are WHERE clauses)."""
+    """Keyed/range/prefix IQ over a ``process_streaming`` operator's stores
+    — the StoreQueryIntegrationTest.java:145 surface (KeyQuery / RangeQuery
+    against a live store), WITHOUT the scan-everything-then-filter client
+    path:
+
+    - ``group_keys``: prune to these processor keys BEFORE the Python
+      boundary — non-matching keys' blobs are never shipped to Python nor
+      unpickled (the expensive step; a point lookup unpickles ONE blob);
+    - ``store_key``: point ``get`` inside the store;
+    - ``store_key_from``/``to``: inclusive ordered ``range`` scan, served
+      by the store's sorted keyspace (KeyValueStore.range), not a full
+      iteration + filter;
+    - ``store_key_prefix``: ``prefix``/``prefix_tuple`` scan (str or tuple).
+
+    Returns one row per (group key, store key) with repr-encoded store
+    key/value (store contents are arbitrary pickled Python values —
+    SURVEY.md §1.1 opaque-bytes model)."""
+    from responsive_pub_spark.streaming.state import KeyValueStore
+
     raw = read_state(spark, checkpoint, **options)
     flat = raw.select(
-        *[raw["key"][k].alias(k) for k in key_cols], raw["value"]["groupState"]["blob"].alias("blob")
+        *[raw["key"][k].alias(k) for k in key_cols],
+        raw["value"]["groupState"]["blob"].alias("blob"),
     )
+    if group_keys is not None:
+        gks = [gk if isinstance(gk, tuple) else (gk,) for gk in group_keys]
+        from pyspark.sql import functions as F
+
+        cond = None
+        for gk in gks:
+            c = None
+            for col, v in zip(key_cols, gk):
+                cc = F.col(col) == F.lit(v)
+                c = cc if c is None else (c & cc)
+            cond = c if cond is None else (cond | c)
+        flat = flat.filter(cond)
 
     def decode(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
-            out = {k: [] for k in key_cols} | {"store_key": [], "store_value": [], "write_ts": []}
+            out = {k: [] for k in key_cols} | {
+                "store_key": [], "store_value": [], "write_ts": []
+            }
             for row in pdf.itertuples(index=False):
                 blob = row.blob
                 if blob is None:
                     continue
                 saved = pickle.loads(bytes(blob))
-                data, tsd = saved[0], saved[1]
-                for sk, sv in data.items():
+                store = KeyValueStore()
+                store._data, store._ts = saved[0], saved[1]
+                store.stream_time = saved[2]
+                store._sorted = sorted(store._data)
+                if store_key is not None:
+                    v = store.get(store_key)
+                    items = [] if v is None else [(store_key, v)]
+                elif store_key_from is not None or store_key_to is not None:
+                    lo = store_key_from if store_key_from is not None else store._sorted[0] if store._sorted else None
+                    hi = store_key_to if store_key_to is not None else store._sorted[-1] if store._sorted else None
+                    items = [] if lo is None else list(store.range(lo, hi))
+                elif store_key_prefix is not None:
+                    if isinstance(store_key_prefix, tuple):
+                        items = list(store.prefix_tuple(store_key_prefix))
+                    else:
+                        items = list(store.prefix(store_key_prefix))
+                else:
+                    items = list(store.all())
+                for sk, sv in items:
                     for k in key_cols:
                         out[k].append(getattr(row, k))
                     out["store_key"].append(repr(sk))
                     out["store_value"].append(repr(sv))
-                    out["write_ts"].append(float(tsd.get(sk, float("nan"))))
+                    out["write_ts"].append(float(store._ts.get(sk, float("nan"))))
             yield pd.DataFrame(out)
 
     key_schema = ", ".join(f"{k} LONG" for k in key_cols)
     return flat.mapInPandas(
         decode, f"{key_schema}, store_key STRING, store_value STRING, write_ts DOUBLE"
     )
+
+
+def read_processor_state(
+    spark: SparkSession, checkpoint: str, key_cols: list[str], **options
+) -> DataFrame:
+    """``store.all()`` across all processor keys (the full-scan IQ view);
+    use :func:`query_processor_state` for keyed/range/prefix lookups that
+    prune before unpickling."""
+    return query_processor_state(spark, checkpoint, key_cols, **options)
