@@ -122,7 +122,16 @@ def fk_join_changelog(
     emission still happens in exactly one salt partition, so the changelog
     is identical to the unsalted one (asserted in tests/test_fk_join.py).
     """
-    runner = state.process_streaming if streaming else state.process
+    if streaming:
+        # Spark rejects two chained applyInPandasWithState ops in one
+        # query; the streaming FK join runs as two queries with an
+        # intermediate subscription topic — the reference's own wiring.
+        raise ValueError(
+            "streaming FK join runs as two chained queries over a "
+            "subscription topic: use FkJoinStreaming (tests/"
+            "test_fk_join_streaming.py shows the harness)"
+        )
+    runner = state.process
     fk_col = F.col(fk) if isinstance(fk, str) else fk
     lrec = left.select(
         fk_col.cast("string").alias("join_key"),
@@ -130,49 +139,39 @@ def fk_join_changelog(
         left_payload.cast("string").alias("payload"),
         F.col(ts_col).cast("double").alias("ts"),
     )
-    if streaming:
-        subs = runner(
-            lrec,
-            key=["left_key"],
-            processor_factory=_FkTransitionProcessor,
-            output_schema=_STAGE1_SCHEMA,
-            ts_col="ts",
-            order_by=["join_key", "payload"],
-        )
-    else:
-        # Batch stage 0 stays declarative (JVM window function, no Python):
-        # the per-left-key FK state after each changelog row is simply
-        # NULL if that row is a tombstone else its FK, so the previous
-        # state is lag() of that expression — subscribe rows are all
-        # non-tombstones, unsubscribe rows fire when prev_state exists and
-        # differs (or on tombstone). Identical semantics to
-        # _FkTransitionProcessor, one hash shuffle, fully codegen'd.
-        from pyspark.sql import Window
+    # Batch stage 0 stays declarative (JVM window function, no Python):
+    # the per-left-key FK state after each changelog row is simply
+    # NULL if that row is a tombstone else its FK, so the previous
+    # state is lag() of that expression — subscribe rows are all
+    # non-tombstones, unsubscribe rows fire when prev_state exists and
+    # differs (or on tombstone). Identical semantics to
+    # _FkTransitionProcessor, one hash shuffle, fully codegen'd.
+    from pyspark.sql import Window
 
-        w = Window.partitionBy("left_key").orderBy("ts", "join_key", "payload")
-        eff = F.when(F.col("payload").isNull(), None).otherwise(F.col("join_key"))
-        lrec2 = lrec.withColumn("prev_state", F.lag(eff).over(w))
-        sub_rows = lrec2.filter(F.col("payload").isNotNull()).select(
-            F.lit("S").alias("kind"), "join_key", "left_key", "payload", "ts"
+    w = Window.partitionBy("left_key").orderBy("ts", "join_key", "payload")
+    eff = F.when(F.col("payload").isNull(), None).otherwise(F.col("join_key"))
+    lrec2 = lrec.withColumn("prev_state", F.lag(eff).over(w))
+    sub_rows = lrec2.filter(F.col("payload").isNotNull()).select(
+        F.lit("S").alias("kind"), "join_key", "left_key", "payload", "ts"
+    )
+    # null-safe FK compare: a live row whose FK becomes NULL must still
+    # unsubscribe from the old FK (prev != NULL is NULL under SQL
+    # three-valued logic and would silently drop the U row, leaving a
+    # stale subscription the streaming processor correctly removes)
+    unsub_rows = lrec2.filter(
+        F.col("prev_state").isNotNull()
+        & (
+            F.col("payload").isNull()
+            | ~F.col("prev_state").eqNullSafe(F.col("join_key"))
         )
-        # null-safe FK compare: a live row whose FK becomes NULL must still
-        # unsubscribe from the old FK (prev != NULL is NULL under SQL
-        # three-valued logic and would silently drop the U row, leaving a
-        # stale subscription the streaming processor correctly removes)
-        unsub_rows = lrec2.filter(
-            F.col("prev_state").isNotNull()
-            & (
-                F.col("payload").isNull()
-                | ~F.col("prev_state").eqNullSafe(F.col("join_key"))
-            )
-        ).select(
-            F.lit("U").alias("kind"),
-            F.col("prev_state").alias("join_key"),
-            "left_key",
-            F.lit(None).cast("string").alias("payload"),
-            "ts",
-        )
-        subs = sub_rows.unionByName(unsub_rows)
+    ).select(
+        F.lit("U").alias("kind"),
+        F.col("prev_state").alias("join_key"),
+        "left_key",
+        F.lit(None).cast("string").alias("payload"),
+        "ts",
+    )
+    subs = sub_rows.unionByName(unsub_rows)
     rrec = right.select(
         F.lit("R").alias("kind"),
         F.col(right_key).cast("string").alias("join_key"),
@@ -212,6 +211,112 @@ def fk_join_changelog(
         order_by=["kind", "left_key"],
     )
     return out
+
+
+class FkJoinStreaming:
+    """Streaming FK join as TWO chained checkpointed queries with an
+    intermediate SUBSCRIPTION topic — exactly the reference's wiring
+    (ResponsiveForeignKeyJoinIntegrationTest.java:251-256 observes the
+    internal SUBSCRIPTION/RESPONSE topics between the two stages; Spark
+    additionally forbids chaining two applyInPandasWithState ops in one
+    query, so the topic boundary is also the physical requirement):
+
+      query A: left changelog -> stage-0 FK-transition processor (state =
+               last FK per left key) -> subscription topic (parquet log);
+      query B: subscription topic UNION right changelog -> stage-1
+               subscription-store processor -> join-changelog sink.
+
+    Both stores checkpoint independently; ``advance()`` drains both
+    queries with availableNow (each call is a cold start from the
+    checkpoints — the restart path is exercised on every advance)."""
+
+    def __init__(
+        self,
+        spark,
+        workdir: str,
+        left_schema: str,
+        right_schema: str,
+        *,
+        left_key: str,
+        fk: str,
+        right_key: str,
+        left_payload: str,
+        right_payload: str,
+        ts_col: str = "ts",
+    ):
+        import os
+
+        self.spark = spark
+        self.left_dir = os.path.join(workdir, "left")
+        self.right_dir = os.path.join(workdir, "right")
+        self.sub_topic = os.path.join(workdir, "subscriptions")
+        self.out_dir = os.path.join(workdir, "changelog")
+        self.ck0 = os.path.join(workdir, "ck-stage0")
+        self.ck1 = os.path.join(workdir, "ck-stage1")
+        for d in (self.left_dir, self.right_dir, self.sub_topic, self.out_dir):
+            os.makedirs(d, exist_ok=True)
+        self.left_schema, self.right_schema = left_schema, right_schema
+        self.left_key, self.fk, self.right_key = left_key, fk, right_key
+        self.left_payload, self.right_payload = left_payload, right_payload
+        self.ts_col = ts_col
+
+    def _run(self, out_df, path, ckpt):
+        q = (
+            out_df.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def advance(self) -> None:
+        """Drain stage 0 (left -> subscriptions), then stage 1
+        (subscriptions + right -> changelog)."""
+        left = self.spark.readStream.schema(self.left_schema).parquet(self.left_dir)
+        lrec = left.select(
+            F.col(self.fk).cast("string").alias("join_key"),
+            F.col(self.left_key).cast("string").alias("left_key"),
+            F.expr(self.left_payload).cast("string").alias("payload"),
+            F.col(self.ts_col).cast("double").alias("ts"),
+        )
+        subs = state.process_streaming(
+            lrec,
+            key=["left_key"],
+            processor_factory=_FkTransitionProcessor,
+            output_schema=_STAGE1_SCHEMA,
+            ts_col="ts",
+            order_by=["join_key", "payload"],
+        )
+        self._run(subs, self.sub_topic, self.ck0)
+
+        sub_stream = self.spark.readStream.schema(_STAGE1_SCHEMA).parquet(
+            self.sub_topic
+        )
+        right = self.spark.readStream.schema(self.right_schema).parquet(
+            self.right_dir
+        )
+        rrec = right.select(
+            F.lit("R").alias("kind"),
+            F.col(self.right_key).cast("string").alias("join_key"),
+            F.lit(None).cast("string").alias("left_key"),
+            F.expr(self.right_payload).cast("string").alias("payload"),
+            F.col(self.ts_col).cast("double").alias("ts"),
+        )
+        merged = sub_stream.unionByName(rrec)
+        out = state.process_streaming(
+            merged,
+            key=["join_key"],
+            processor_factory=_FkJoinProcessor,
+            output_schema=_OUT_SCHEMA,
+            ts_col="ts",
+            order_by=["kind", "left_key"],
+        )
+        self._run(out, self.out_dir, self.ck1)
+
+    def changelog(self) -> DataFrame:
+        return self.spark.read.schema(_OUT_SCHEMA).parquet(self.out_dir)
 
 
 def fk_join_snapshot(changelog: DataFrame, inner: bool = True) -> DataFrame:
