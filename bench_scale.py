@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Scale-amplification bench: the "would this plan survive 10x?" check.
+
+No sf1 fixture is provided (TESTDATA.md tops out at sf0.1), so this script
+DERIVES one: the stream-shaped tables (events, orders, lineitem) are
+replicated AMPLIFY times with shifted primary keys (events also shift
+user_id — 10x keys at the same per-key volume, i.e. horizontal growth, the
+realistic shape), while dimension/doc/embedding tables keep their sf0.1
+size (their scale story is broadcast/replication, not volume). Output goes
+to .benchdata/ (gitignored); results are recorded in BASELINE.md.
+
+Usage: python bench_scale.py [--amplify 10]
+Prints one JSON line like bench.py, with "sf": "0.1x10".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+AMPLIFY = int(sys.argv[sys.argv.index("--amplify") + 1]) if "--amplify" in sys.argv else 10
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", f"sf0.1x{AMPLIFY}")
+
+AMPLIFIED = {
+    # table -> (pk columns to shift, key-widening columns to shift)
+    "events": (["event_id"], ["user_id"]),
+    "orders": (["o_orderkey"], []),
+    "lineitem": (["l_orderkey"], []),
+}
+PASSTHROUGH = ("region", "nation", "customer", "supplier", "part", "documents", "embeddings")
+
+
+def build_dataset(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(DST) and os.listdir(DST):
+        return
+    os.makedirs(DST, exist_ok=True)
+    from responsive_pub_spark.sources.readers import read_table
+
+    for name in PASSTHROUGH:
+        shutil.copytree(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(DST, f"{name}.parquet"),
+            dirs_exist_ok=True,
+        ) if os.path.isdir(os.path.join(SRC, f"{name}.parquet")) else shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(DST, f"{name}.parquet"),
+        )
+    for name, (pks, widen) in AMPLIFIED.items():
+        df = read_table(spark, SRC, name)
+        parts = []
+        for i in range(AMPLIFY):
+            p = df
+            for c in pks:
+                p = p.withColumn(c, F.col(c) + F.lit(i * 10**12))
+            for c in widen:
+                p = p.withColumn(c, F.col(c) + F.lit(i * 10**9))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(DST, f"{name}.parquet"))
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from responsive_pub_spark.session import build_spark
+    from responsive_pub_spark.registry import REGISTRY, bench_queries
+
+    spark = build_spark(
+        app_name="responsive-pub-spark-bench-scale",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_dataset(spark)
+
+    names = list(bench_queries()) + ["papi_running_count"]  # Python-lane probe
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        fn(spark, DST).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        fn(spark, DST).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": f"0.1x{AMPLIFY}",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

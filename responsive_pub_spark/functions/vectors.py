@@ -37,6 +37,26 @@ def dot_duck(a: str, b: str) -> str:
     )
 
 
+def dot_unrolled(a: str, b: str, dim: int, dialect: str) -> str:
+    """Unrolled dot product: ``a[0]*b[0] + a[1]*b[1] + ...`` — identical
+    left-associated addition in Spark SQL and DuckDB (bit-equal to the
+    fold forms, since 0.0 + x == x exactly), but UNLIKE the higher-order
+    ``aggregate``/``list_reduce`` forms it stays inside whole-stage codegen
+    in Spark: on candidate-verification joins scoring millions of pairs the
+    fold forms are ~20x slower (per-element interpreted lambda + boxing).
+    Use for hot pair-scoring loops; the fold forms remain for one-pass
+    per-row signatures where expression size matters more."""
+    terms = [
+        (
+            f"CAST({a}[{d}] AS DOUBLE) * CAST({b}[{d}] AS DOUBLE)"
+            if dialect == "spark"
+            else f"CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE)"
+        )
+        for d in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def norm_sql(a: str) -> str:
     return f"sqrt({dot_sql(a, a)})"
 
@@ -80,22 +100,37 @@ def _band_plane_weight(j: int, d: int) -> int:
     return (h % 7) - 3
 
 
+def rhp_plane_dot_sql(a: str, dim: int, dialect: str, j: int) -> str:
+    """Plane j's dot product under the banded schedule — one small
+    expression, so Spark codegen compiles it as its own method (one
+    monolithic all-bands expression blows the 64KB JVM method limit and
+    drops the whole stage to interpreted eval, measured 20x slower)."""
+    prods = []
+    for d in range(dim):
+        w = _band_plane_weight(j, d)
+        if w == 0:
+            continue
+        idx = f"{a}[{d}]" if dialect == "spark" else f"{a}[{d + 1}]"
+        prods.append(f"({w}) * CAST({idx} AS DOUBLE)")
+    return "(" + (" + ".join(prods) if prods else "0") + ")"
+
+
+def rhp_pack_sql(plane_cols: list, bits: int = RHP_BAND_BITS) -> str:
+    """Pack sign bits of precomputed plane-dot columns into a band value."""
+    terms = [
+        f"(CASE WHEN ({c}) > 0 THEN {1 << jj} ELSE 0 END)"
+        for jj, c in enumerate(plane_cols)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def rhp_band_sql(a: str, dim: int, dialect: str, band: int, bits: int = RHP_BAND_BITS) -> str:
     """Packed sign bits of planes [band*bits, (band+1)*bits) under the
-    banded schedule — one band's bucket value."""
-    terms = []
-    for jj in range(bits):
-        j = band * bits + jj
-        prods = []
-        for d in range(dim):
-            w = _band_plane_weight(j, d)
-            if w == 0:
-                continue
-            idx = f"{a}[{d}]" if dialect == "spark" else f"{a}[{d + 1}]"
-            prods.append(f"({w}) * CAST({idx} AS DOUBLE)")
-        dot = " + ".join(prods) if prods else "0"
-        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << jj} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+    banded schedule — one band's bucket value, as a single inline
+    expression (DuckDB oracle side; Spark uses the two-stage
+    plane-columns + rhp_pack_sql form for codegen)."""
+    planes = [rhp_plane_dot_sql(a, dim, dialect, band * bits + jj) for jj in range(bits)]
+    return rhp_pack_sql(planes, bits)
 
 
 def rhp_bucket_sql(a: str, dim: int, dialect: str, bits: int = RHP_BITS) -> str:

@@ -509,38 +509,73 @@ def embedding_dup_pairs(
     differs (quantified by tests/test_embedding_recall.py).
 
     ``exact=True`` is the all-pairs O(n^2) referee used by tests only —
-    NOT the product path (a cross join at 100 TB)."""
+    NOT the product path (a cross join at 100 TB).
+
+    Pair scoring uses the UNROLLED dot product with squared norms
+    precomputed once per vector (one fold per row, not three per pair):
+    the higher-order-function cosine is interpreted per element and made
+    the verification join ~20x slower at 1M+ candidates."""
     from responsive_pub_spark.functions.vectors import (
+        RHP_BAND_BITS,
         RHP_BANDS,
-        cosine_sql,
-        rhp_band_sql,
+        dot_sql,
+        dot_unrolled,
+        rhp_pack_sql,
+        rhp_plane_dot_sql,
     )
 
+    cos_expr = F.expr(
+        f"{dot_unrolled('va', 'vb', dim, 'spark')} / (sqrt(na2) * sqrt(nb2))"
+    )
     if exact:
-        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        a = emb.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            F.expr(dot_sql("embedding", "embedding")).alias("na2"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            F.expr(dot_sql("embedding", "embedding")).alias("nb2"),
+        )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
         return (
-            pairs.withColumn("cosine", pround(F.expr(cosine_sql("va", "vb")), 6))
+            pairs.withColumn("cosine", pround(cos_expr, 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
-    bands = emb.select(
+    # two-stage signature: 64 small per-plane dot columns (each its own
+    # codegen method), then 4-bit sign packs — one monolithic expression
+    # fails JVM codegen and drops to interpreted eval (20x slower)
+    n_planes = RHP_BANDS * RHP_BAND_BITS
+    planes = emb.select(
+        "vec_id",
+        *[
+            F.expr(rhp_plane_dot_sql("embedding", dim, "spark", j)).alias(f"p{j}")
+            for j in range(n_planes)
+        ],
+    )
+    bands = planes.select(
         "vec_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(k).alias("band_pos"),
-                        F.expr(rhp_band_sql("embedding", dim, "spark", k)).alias(
-                            "band_val"
-                        ),
+                        F.expr(
+                            rhp_pack_sql(
+                                [f"p{k * RHP_BAND_BITS + jj}" for jj in range(RHP_BAND_BITS)]
+                            )
+                        ).alias("band_val"),
                     )
                     for k in range(RHP_BANDS)
                 ]
             )
         ).alias("bp"),
     ).select("vec_id", F.col("bp.band_pos").alias("band_pos"), F.col("bp.band_val").alias("band_val"))
+    # persisted once: the self-join would otherwise recompute the whole
+    # signature pipeline on both sides (same pattern as minhash_pairs)
+    bands = bands.persist()
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_pos", "band_val"])
@@ -550,12 +585,20 @@ def embedding_dup_pairs(
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.expr(dot_sql("embedding", "embedding")).alias("na2"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.expr(dot_sql("embedding", "embedding")).alias("nb2"),
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cosine", pround(F.expr(cosine_sql("va", "vb")), 6))
+        .withColumn("cosine", pround(cos_expr, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -564,15 +607,25 @@ def embedding_dup_pairs(
 def embedding_dup_pairs_oracle(
     threshold: float = EMBEDDING_COSINE_THRESHOLD, dim: int = 64
 ) -> str:
-    """DuckDB twin of the BANDED path (identical band arithmetic)."""
-    from responsive_pub_spark.functions.vectors import RHP_BANDS, cosine_duck, rhp_band_sql
+    """DuckDB twin of the BANDED path (identical band arithmetic, identical
+    unrolled-dot + precomputed-norm pair scoring)."""
+    from responsive_pub_spark.functions.vectors import (
+        RHP_BANDS,
+        dot_duck,
+        dot_unrolled,
+        rhp_band_sql,
+    )
 
     band_rows = "\n            UNION ALL ".join(
         f"SELECT vec_id, {k} AS band_pos, "
         f"{rhp_band_sql('embedding', dim, 'duck', k)} AS band_val FROM embeddings"
         for k in range(RHP_BANDS)
     )
-    cos = cosine_duck("ea.embedding", "eb.embedding")
+    n2 = dot_duck("embedding", "embedding")
+    cos = (
+        f"({dot_unrolled('ea.embedding', 'eb.embedding', dim, 'duck')}"
+        f" / (sqrt(ea.n2) * sqrt(eb.n2)))"
+    )
     return f"""
         WITH bands AS (
             {band_rows}
@@ -581,11 +634,13 @@ def embedding_dup_pairs_oracle(
             FROM bands a JOIN bands b
               ON a.band_pos = b.band_pos AND a.band_val = b.band_val
              AND a.vec_id < b.vec_id
+        ), normed AS (
+            SELECT vec_id, embedding, {n2} AS n2 FROM embeddings
         )
         SELECT c.id_a, c.id_b,
                (floor(({cos}) * 1000000 + 0.5) / 1000000) AS cosine
         FROM cand c
-        JOIN embeddings ea ON ea.vec_id = c.id_a
-        JOIN embeddings eb ON eb.vec_id = c.id_b
+        JOIN normed ea ON ea.vec_id = c.id_a
+        JOIN normed eb ON eb.vec_id = c.id_b
         WHERE (floor(({cos}) * 1000000 + 0.5) / 1000000) >= {threshold}
     """

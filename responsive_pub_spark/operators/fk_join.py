@@ -74,9 +74,17 @@ class _FkJoinProcessor(state.Processor):
             else:
                 ctx.store.put(("r",), rec["payload"])
             rp = ctx.store.get(("r",))
-            for (_, lk), lp in ctx.store.prefix_tuple(("s",)):
-                ctx.forward(left_key=lk, left_payload=lp, right_payload=rp,
-                            ts_sec=int(ctx.timestamp))
+            subs = list(ctx.store.prefix_tuple(("s",)))
+            if subs:
+                # bulk fan-out: one column-extend instead of a per-
+                # subscriber Python forward() loop (the hot-key path)
+                n, ts = len(subs), int(ctx.timestamp)
+                ctx.forward_bulk(
+                    left_key=[sk[1] for sk, _ in subs],
+                    left_payload=[lp for _, lp in subs],
+                    right_payload=[rp] * n,
+                    ts_sec=[ts] * n,
+                )
         elif kind == "S":
             ctx.store.put(("s", rec["left_key"]), rec["payload"])
             ctx.forward(

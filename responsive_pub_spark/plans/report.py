@@ -81,9 +81,27 @@ SCALE_NOTES = {
         "emission-identical changelog — tests/test_fk_join.py."
     ),
     "papi_running_count": (
-        "per-record Python path (the deliberate slow lane). Parallelism "
-        "pinned by explicit repartition(n, key): AQE's byte-based coalescing "
-        "would serialize a CPU-bound stage through one worker."
+        "per-record Python path (the deliberate slow lane; PAPI overhead "
+        "probe, not a bench headline). Parallelism pinned by explicit "
+        "repartition(n, key): AQE's byte-based coalescing would serialize "
+        "a CPU-bound stage through one worker."
+    ),
+    "dedup_ngram_jaccard": (
+        "k=8 permuted min-hash bands (posexplode -> equi-join on (perm, "
+        "min_h) -> distinct pairs -> verify with exact Jaccard over the "
+        "persisted shingle sets). Missed-pair probability at the J=0.6 "
+        "threshold is (1-J)^8 <= 0.07% (referee: tests/test_ngram_recall)."
+        " At 100 TB the shingle-set verify join is the payload cost — "
+        "candidates carry only (doc_id, perm, min_h) until verification."
+    ),
+    "dedup_embedding": (
+        "banded RHP blocking (16 bands x 4 sign bits, per-plane dot "
+        "columns so every expression stays inside codegen), candidates "
+        "verified with the unrolled dot + precomputed squared norms — one "
+        "fold per ROW, 64 codegen mul-adds per PAIR, no cross join. "
+        "Correctness-only in the bench sense: the fixture's wide 0.4 "
+        "threshold makes ~64% of all pairs true candidates; at production "
+        "near-dup thresholds (>=0.85) the same plan is selective."
     ),
     "multimodal_decode_features": (
         "payload pruned to (doc_id, payload) BEFORE the Arrow boundary; batch "

@@ -294,6 +294,17 @@ class ProcessorContext:
         for i, c in enumerate(self._out_cols):
             self._out_data[i].append(row.get(c))
 
+    def forward_bulk(self, **cols) -> None:
+        """Emit many rows at once (column lists, all equal length) — the
+        vectorized fan-out path: a right-side update fanning out to 100k
+        subscribers extends the output columns once instead of looping
+        100k per-row forward() calls (the FK-join hot path at scale)."""
+        if self._out_cols is None:
+            self._out_cols = list(cols)
+            self._out_data = [[] for _ in self._out_cols]
+        for i, c in enumerate(self._out_cols):
+            self._out_data[i].extend(cols[c])
+
     def emitted(self) -> list[dict]:
         """Emitted rows as dicts (test/debug view)."""
         if self._out_cols is None:
