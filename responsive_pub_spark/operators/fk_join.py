@@ -23,9 +23,13 @@ topics):
       an equi-join cannot express incrementally); subscribe emits one row.
 
 The emitted stream is the join changelog; ``fk_join_snapshot`` compacts it
-to the joined table (latest per left key). The same processors run in batch
-(deterministic replay; oracled against a plain SQL FK join of the final
-versions) and in streaming (subscription store checkpointed per key).
+to the joined table (latest per left key). In STREAMING the two stages run
+as stateful processors (subscription store checkpointed per key). In BATCH
+both stages are fully declarative JVM plans (stage 0: lag() window; stage
+1: forward-fill window + interval equi-join — ``_stage1_declarative``),
+with the processors retained as the batch referee
+(``engine="processor"``); emission-identity between the two engines is
+asserted in tests/test_fk_join.py.
 
 Scale: two shuffles total, payload-pruned before each. A hot right key (FK
 skew) concentrates its subscribers on one partition — mitigate by salting
@@ -103,6 +107,78 @@ _STAGE1_SCHEMA = "kind STRING, join_key STRING, left_key STRING, payload STRING,
 _OUT_SCHEMA = "left_key STRING, left_payload STRING, right_payload STRING, ts_sec BIGINT"
 
 
+def _stage1_declarative(merged: DataFrame) -> DataFrame:
+    """Batch stage 1 WITHOUT the Python processor: the subscription-store
+    semantics are expressible as windows + one interval join, so the whole
+    FK changelog stays in JVM codegen (this was the engine's Python
+    throughput ceiling — VERDICT r1 flagged stage 1 as the 5-10x lever).
+
+    Derivation from _FkJoinProcessor's per-record behavior over the group's
+    (ts, kind, left_key, payload) order:
+
+    - an S emission's right payload is the payload of the LAST R row at or
+      before it (R-delete -> NULL; no R yet -> NULL): a forward-fill window
+      (``last(struct, ignorenulls)`` — the struct wrapper distinguishes an
+      R-delete, which SETS the state to NULL, from "no R row", which also
+      reads NULL — both read NULL, so one fill suffices);
+    - a U emission is always a tombstone;
+    - an R row's fan-out payload is its OWN payload (put-then-get ==
+      delete-then-get == the row's payload), fanned to every LIVE
+      subscription: S starts an interval at its position, ended by the
+      next S/U of the same (join_key, left_key) — an equi-join on
+      join_key with an interval filter, never a cartesian.
+
+    Emission-identity with the processor is asserted by
+    tests/test_fk_join.py (processor referee) and the salted-equivalence
+    test (declarative n_salts=1 vs processor n_salts=4).
+    """
+    from pyspark.sql import Window
+
+    ordw = Window.partitionBy("join_key").orderBy("ts", "kind", "left_key", "payload")
+    rec = merged.withColumn("pos", F.row_number().over(ordw)).withColumn(
+        "r_state",
+        F.last(
+            F.when(F.col("kind") == "R", F.struct(F.col("payload").alias("p"))),
+            ignorenulls=True,
+        ).over(ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    rec = rec.persist()  # shared by the S/U pass and both interval-join sides
+    su = rec.filter(F.col("kind") != "R").select(
+        "left_key",
+        F.when(F.col("kind") == "S", F.col("payload")).alias("left_payload"),
+        F.when(F.col("kind") == "S", F.col("r_state.p")).alias("right_payload"),
+        F.col("ts").cast("bigint").alias("ts_sec"),
+    )
+    ivw = Window.partitionBy("join_key", "left_key").orderBy("pos")
+    iv = (
+        rec.filter(F.col("kind") != "R")
+        .withColumn("end_pos", F.lead("pos").over(ivw))
+        .filter(F.col("kind") == "S")
+        .select(
+            "join_key",
+            "left_key",
+            F.col("payload").alias("left_payload"),
+            F.col("pos").alias("start_pos"),
+            "end_pos",
+        )
+    )
+    r = rec.filter(F.col("kind") == "R").select(
+        "join_key",
+        F.col("payload").alias("right_payload"),
+        F.col("pos").alias("rpos"),
+        F.col("ts").cast("bigint").alias("ts_sec"),
+    )
+    fan = (
+        r.join(iv, "join_key")
+        .filter(
+            (F.col("rpos") > F.col("start_pos"))
+            & (F.col("end_pos").isNull() | (F.col("rpos") < F.col("end_pos")))
+        )
+        .select("left_key", "left_payload", "right_payload", "ts_sec")
+    )
+    return su.unionByName(fan)
+
+
 def fk_join_changelog(
     left: DataFrame,
     right: DataFrame,
@@ -114,6 +190,7 @@ def fk_join_changelog(
     ts_col: str = "ts",
     streaming: bool = False,
     n_salts: int = 1,
+    engine: str = "declarative",
 ) -> DataFrame:
     """Join changelog: one row per emission including right-side fan-outs.
 
@@ -121,6 +198,11 @@ def fk_join_changelog(
     ordered by ``ts_col``; equal-ts versions of one key tie-break on the
     payload string); payload Columns are the user serde (opaque to the
     engine, SURVEY.md §1.1). A null payload row is a tombstone.
+
+    Batch default is ``engine="declarative"`` — stage 1 as windows + one
+    interval equi-join, fully JVM (see ``_stage1_declarative``);
+    ``engine="processor"`` runs the stateful processor (the streaming
+    engine) as the batch referee.
 
     ``n_salts > 1`` splits each FK's subscription list across salt
     sub-partitions (the hot-right-key mitigation): subscriptions salt
@@ -192,6 +274,11 @@ def fk_join_changelog(
     # per-topic; we pin a deterministic merge order instead)
     if n_salts <= 1:
         merged = subs.unionByName(rrec)
+        if engine == "declarative":
+            # default batch path: all-JVM stage 1 (windows + interval
+            # join); the stateful processor remains the streaming engine
+            # and the batch referee (engine="processor")
+            return _stage1_declarative(merged)
         return runner(
             merged,
             key=["join_key"],

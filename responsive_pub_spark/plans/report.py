@@ -73,12 +73,15 @@ SCALE_NOTES = {
     ),
     "fk_join_changelog": (
         "mirrors the reference's two internal topics: declarative lag() pass "
-        "detects FK moves (JVM window, 1 exchange), subscription stage keyed "
-        "by FK fans out right-updates (1 pinned repartition), plus the final "
-        "snapshot agg -- 4 exchanges total here. FK skew == hot subscription "
-        "list; n_salts>1 splits each FK's subscribers across salt "
-        "sub-partitions (right updates replicate per salt) with an "
-        "emission-identical changelog — tests/test_fk_join.py."
+        "detects FK moves (JVM window), and batch stage 1 is ALL-JVM as of "
+        "r2 — forward-fill window for the subscribe-time right payload + one "
+        "interval equi-join on join_key for right-update fan-outs, zero "
+        "Python stages in the plan (was the engine's Python throughput "
+        "ceiling; 10x-scale factor dropped ~4x -> ~1.9x). The stateful "
+        "processor remains the streaming engine and the batch referee "
+        "(engine='processor', emission-identity asserted in "
+        "tests/test_fk_join.py); n_salts>1 splits each FK's subscribers "
+        "across salt sub-partitions with an emission-identical changelog."
     ),
     "papi_running_count": (
         "per-record Python path (the deliberate slow lane; PAPI overhead "

@@ -181,3 +181,36 @@ def test_fk_to_null_on_live_row_unsubscribes(spark):
     snap = {r.left_key: (r.left_payload, r.right_payload)
             for r in fk_join.fk_join_snapshot(chg, inner=False).collect()}
     assert snap == {"u1": ("alice2", None)}
+
+
+def test_declarative_stage1_equals_processor_on_events(spark, sf_dir):
+    """Referee: the all-JVM batch stage 1 must emit EXACTLY the processor's
+    changelog (same multiset of emissions) on the real events fixture —
+    FK moves, tombstones, and fan-outs included."""
+    from responsive_pub_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_type", "event_id", "ts")
+    right = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("ts", F.lit(0.0))
+    )
+
+    def run(engine):
+        rows = fk_join.fk_join_changelog(
+            left, right, left_key="user_id", fk="event_type",
+            right_key="event_type",
+            left_payload=F.concat_ws("#", "event_type", "event_id"),
+            right_payload=F.col("n").cast("string"),
+            ts_col="ts", engine=engine,
+        ).collect()
+        emissions = [
+            (r.left_key, r.left_payload, r.right_payload, r.ts_sec)
+            for r in rows
+        ]
+        return sorted(
+            emissions, key=lambda t: tuple("" if x is None else str(x) for x in t)
+        )
+
+    assert run("declarative") == run("processor")
