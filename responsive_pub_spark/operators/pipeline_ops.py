@@ -1,0 +1,378 @@
+"""Training-data pipeline operators beyond dedup/ANN: benchmark
+decontamination, repetition (Gopher-style) quality stats, PII redaction,
+and stratified sampling — LLM-pipeline extensions over ``documents``.
+
+Scale design (100 TB posture):
+- decontamination: shingle hashes are per-row JVM expressions; the overlap
+  join is corpus-shingles vs a BROADCAST eval-shingle set (benchmarks are
+  tiny relative to the corpus) — one scan, no corpus self-shuffle;
+- repetition stats: explode + two-level keyed agg (map-side partials),
+  never per-row O(n^2) higher-order loops — survives million-token docs;
+- PII redaction: pure regexp codegen, zero shuffles;
+- stratified sampling: deterministic hash Bernoulli (retry-safe: no
+  rand(), same rule as operators/skew.py) with inverse-probability
+  weights — one filter, zero shuffles.
+
+Every operator has a DuckDB oracle twin built from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.functions import text as T
+from responsive_pub_spark.functions.hashing import P
+from responsive_pub_spark.functions.portable import pround
+
+# -- decontamination --------------------------------------------------------
+# Eval-set membership is deterministic (doc_id % EVAL_MOD == 0): a stand-in
+# benchmark split so the operator is exercised end-to-end on the fixture.
+EVAL_MOD = 20
+
+# -- repetition thresholds (Gopher-rule shape; tuned to the fixture's
+# word-soup vocabulary so both flag values occur) --------------------------
+REP_DUP_TOKEN_FRAC = 0.80
+REP_TOP_TOKEN_FRAC = 0.10
+REP_MAX_RUN = 3
+
+# -- PII patterns (portable Java-regex / RE2 subset) ------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+# -- stratified sampling (rates in basis points per language stratum) ------
+SAMPLE_RATES_BP = {"en": 5000, "de": 2500, "es": 2500, "fr": 2500, "zh": 1000}
+SAMPLE_DEFAULT_BP = 500
+SAMPLE_HASH_A = 2654435761
+SAMPLE_HASH_B = 104729
+
+
+def decontaminate(docs: DataFrame, eval_mod: int = EVAL_MOD) -> DataFrame:
+    """Train/test contamination check: corpus docs sharing any word-shingle
+    with the eval split, with the shared-shingle fraction per corpus doc.
+
+    The canonical pretraining decontamination pass (n-gram overlap against
+    held-out benchmarks). Candidates via equi-join on the shingle hash;
+    the eval side is broadcast (benchmarks are orders of magnitude smaller
+    than the corpus), so the corpus is ONE scan with no self-shuffle —
+    only the per-doc aggregation exchanges, keyed by doc_id."""
+    hs = F.expr(T.shingle_hashes_sql("text"))
+    sh = docs.select("doc_id", hs.alias("hs"))
+    corpus = sh.filter(F.col("doc_id") % eval_mod != 0).select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_shingles"),
+        F.explode("hs").alias("h"),
+    )
+    evals = sh.filter(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("eval_id"), F.explode("hs").alias("h")
+    )
+    return (
+        corpus.join(F.broadcast(evals), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.countDistinct("h").cast("bigint").alias("n_shared"),
+            F.countDistinct("eval_id").cast("bigint").alias("n_eval_docs"),
+        )
+        .withColumn(
+            "contam_frac", pround(F.col("n_shared") / F.col("n_shingles"), 6)
+        )
+        .select("doc_id", "n_shingles", "n_shared", "n_eval_docs", "contam_frac")
+    )
+
+
+def decontaminate_oracle(eval_mod: int = EVAL_MOD) -> str:
+    hs = T.shingle_hashes_duck("text")
+    return f"""
+        WITH sh AS (SELECT doc_id, {hs} AS hs FROM documents),
+        corpus AS (
+            SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+                   unnest(hs) AS h
+            FROM sh WHERE doc_id % {eval_mod} <> 0
+        ),
+        ev AS (
+            SELECT doc_id AS eval_id, unnest(hs) AS h
+            FROM sh WHERE doc_id % {eval_mod} = 0
+        )
+        SELECT c.doc_id,
+               max(c.n_shingles) AS n_shingles,
+               CAST(count(DISTINCT c.h) AS BIGINT) AS n_shared,
+               CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs,
+               floor(count(DISTINCT c.h) * 1.0 / max(c.n_shingles)
+                     * 1000000 + 0.5) / 1000000 AS contam_frac
+        FROM corpus c JOIN ev USING (h)
+        GROUP BY c.doc_id
+    """
+
+
+def _bigrams_sql(toks: str, dialect: str) -> str:
+    """Word-bigram array from a token array (empty when < 2 tokens —
+    guarded because Spark's sequence(0, -1) would DESCEND, not empty)."""
+    if dialect == "spark":
+        return (
+            f"CASE WHEN size({toks}) < 2 THEN array() "
+            f"ELSE transform(sequence(0, size({toks}) - 2), "
+            f"i -> concat({toks}[i], ' ', {toks}[i + 1])) END"
+        )
+    return (
+        f"CASE WHEN len({toks}) < 2 THEN [] "
+        f"ELSE list_transform(range(0, len({toks}) - 1), "
+        f"i -> {toks}[i + 1] || ' ' || {toks}[i + 2]) END"
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate-token
+    fraction, most-frequent-token fraction, most-frequent-bigram fraction,
+    longest same-token run, and the composite repetition flag.
+
+    All counting goes explode -> keyed agg (map-side partials absorb the
+    fan-out) rather than per-row O(n^2) higher-order lambdas — the former
+    survives million-token documents, the latter does not. The run length
+    is the classic gaps-and-islands window (pos - per-token rank is
+    constant within a run)."""
+    toks = docs.select(
+        "doc_id",
+        F.expr(T.tokens_sql("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("bigint").alias("n_distinct"),
+        "toks",
+    )
+    pos = toks.select(
+        "doc_id", "n_tokens", "n_distinct", F.posexplode("toks").alias("pos", "tok")
+    )
+    from pyspark.sql import Window
+
+    runw = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    runs = (
+        pos.withColumn("grp", F.col("pos") - F.row_number().over(runw))
+        .groupBy("doc_id", "tok", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").cast("bigint").alias("max_run"))
+    )
+    top_tok = (
+        pos.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"), F.max("n_tokens").alias("n_tokens"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_token_cnt"),
+            F.max("n_tokens").alias("n_tokens2"),
+        )
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(_bigrams_sql(T.tokens_sql("text"), "spark"))
+        ).alias("bg"),
+    )
+    top_big = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("top_bigram_cnt"))
+    )
+    out = (
+        toks.select("doc_id", "n_tokens", "n_distinct")
+        .join(top_tok.select("doc_id", "top_token_cnt"), "doc_id")
+        .join(top_big, "doc_id")
+        .join(runs, "doc_id")
+        .withColumn(
+            "dup_token_frac",
+            pround(F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6),
+        )
+        .withColumn(
+            "top_token_frac", pround(F.col("top_token_cnt") / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "top_bigram_frac",
+            pround(F.col("top_bigram_cnt") / (F.col("n_tokens") - 1), 6),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_token_frac",
+        "top_bigram_frac",
+        "max_run",
+        (
+            (F.col("dup_token_frac") > REP_DUP_TOKEN_FRAC)
+            | (F.col("top_token_frac") > REP_TOP_TOKEN_FRAC)
+            | (F.col("max_run") > REP_MAX_RUN)
+        ).alias("flagged"),
+    )
+
+
+def repetition_stats_oracle() -> str:
+    toks = T.tokens_duck("text")
+    bigrams = _bigrams_sql("toks", "duck")
+    return f"""
+        WITH tokd AS (
+            SELECT doc_id, {toks} AS toks FROM documents
+        ),
+        base AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                   toks
+            FROM tokd
+        ),
+        pos AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(0, len(toks))) AS pos
+            FROM base
+        ),
+        runs AS (
+            SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run FROM (
+                SELECT doc_id, tok, grp, count(*) AS run_len FROM (
+                    SELECT doc_id, tok, pos,
+                           pos - row_number() OVER (
+                               PARTITION BY doc_id, tok ORDER BY pos) AS grp
+                    FROM pos
+                ) GROUP BY doc_id, tok, grp
+            ) GROUP BY doc_id
+        ),
+        top_tok AS (
+            SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token_cnt FROM (
+                SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY doc_id, tok
+            ) GROUP BY doc_id
+        ),
+        big AS (
+            SELECT doc_id, unnest({bigrams}) AS bg FROM base
+        ),
+        top_big AS (
+            SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt FROM (
+                SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+            ) GROUP BY doc_id
+        ),
+        m AS (
+            SELECT b.doc_id, b.n_tokens,
+                   floor((1.0 - b.n_distinct * 1.0 / b.n_tokens)
+                         * 1000000 + 0.5) / 1000000 AS dup_token_frac,
+                   floor(t.top_token_cnt * 1.0 / b.n_tokens
+                         * 1000000 + 0.5) / 1000000 AS top_token_frac,
+                   floor(g.top_bigram_cnt * 1.0 / (b.n_tokens - 1)
+                         * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+                   r.max_run
+            FROM base b
+            JOIN top_tok t USING (doc_id)
+            JOIN top_big g USING (doc_id)
+            JOIN runs r USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, dup_token_frac, top_token_frac,
+               top_bigram_frac, max_run,
+               (dup_token_frac > {REP_DUP_TOKEN_FRAC}
+                OR top_token_frac > {REP_TOP_TOKEN_FRAC}
+                OR max_run > {REP_MAX_RUN}) AS flagged
+        FROM m
+    """
+
+
+def _pii_synth_sql(dialect: str) -> str:
+    """Deterministic PII injection — the fixture corpus has no emails/IPs/
+    phones, so the redaction op synthesizes them from doc_id (identically
+    in both engines) to exercise the patterns end-to-end."""
+    if dialect == "spark":
+        return (
+            "concat(text, ' contact user', cast(doc_id as string), "
+            "'@example.com from 10.', cast(doc_id % 256 as string), "
+            "'.0.1 call 555-', lpad(cast(doc_id % 10000 as string), 4, '0'))"
+        )
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.0.1 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII scrub for training corpora: count + redact emails, IPv4s, and
+    phone-shaped numbers. Pure regexp codegen, zero shuffles; patterns are
+    the portable Java-regex/RE2 subset so the DuckDB twin is bit-identical.
+    Redaction applies email -> ip -> phone sequentially on the running
+    string in both engines (order pinned so overlaps resolve the same)."""
+    synth = _pii_synth_sql("spark")
+    em, ip, ph = (T.spark_re(p) for p in (PII_EMAIL, PII_IPV4, PII_PHONE))
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace({synth}, "
+        f"'{em}', '<EMAIL>'), '{ip}', '<IP>'), '{ph}', '<PHONE>')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all({synth}, '{em}', 0))")
+        .cast("bigint")
+        .alias("n_emails"),
+        F.expr(f"size(regexp_extract_all({synth}, '{ip}', 0))")
+        .cast("bigint")
+        .alias("n_ips"),
+        F.expr(f"size(regexp_extract_all({synth}, '{ph}', 0))")
+        .cast("bigint")
+        .alias("n_phones"),
+        F.expr(red).alias("redacted"),
+    )
+
+
+def pii_redact_oracle() -> str:
+    synth = _pii_synth_sql("duck")
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace({synth}, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_IPV4}', '<IP>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g')"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({synth}, '{PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all({synth}, '{PII_IPV4}')) AS BIGINT)
+                   AS n_ips,
+               CAST(len(regexp_extract_all({synth}, '{PII_PHONE}')) AS BIGINT)
+                   AS n_phones,
+               {red} AS redacted
+        FROM documents
+    """
+
+
+def _sample_rate_bp_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in SAMPLE_RATES_BP.items()
+    )
+    return f"(CASE lang {cases} ELSE {SAMPLE_DEFAULT_BP} END)"
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic stratified Bernoulli sample by language with
+    inverse-probability weights (the corpus-mixing primitive: up-/down-
+    sample strata to a target distribution, weights preserved so
+    token-count accounting stays unbiased).
+
+    Hash-based keep decision (never rand(): task retries must re-decide
+    identically or exactly-once breaks — same rule as operators/skew.py);
+    the hash is plain integer arithmetic mod the shared prime so the
+    DuckDB twin is bit-identical. Zero shuffles: one codegen'd filter."""
+    rate = _sample_rate_bp_sql()
+    u = f"((doc_id * {SAMPLE_HASH_A} + {SAMPLE_HASH_B}) % {P}) % 10000"
+    return (
+        docs.withColumn("rate_bp", F.expr(rate))
+        .filter(F.expr(u) < F.col("rate_bp"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("rate_bp").cast("bigint").alias("rate_bp"),
+            pround(F.lit(10000.0) / F.col("rate_bp"), 6).alias("weight"),
+        )
+    )
+
+
+def stratified_sample_oracle() -> str:
+    rate = _sample_rate_bp_sql()
+    u = f"((doc_id * {SAMPLE_HASH_A} + {SAMPLE_HASH_B}) % {P}) % 10000"
+    return f"""
+        SELECT doc_id, lang,
+               CAST({rate} AS BIGINT) AS rate_bp,
+               floor(10000.0 / {rate} * 1000000 + 0.5) / 1000000 AS weight
+        FROM documents
+        WHERE {u} < {rate}
+    """

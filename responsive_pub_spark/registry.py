@@ -25,7 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.api import KStream, KTable, Pipeline
-from responsive_pub_spark.operators import asof, curation, dedup, fk_join, similarity, textops, timeseries
+from responsive_pub_spark.operators import (
+    asof,
+    curation,
+    dedup,
+    fk_join,
+    pipeline_ops,
+    similarity,
+    textops,
+    timeseries,
+)
 from responsive_pub_spark.operators.ttl import ttl_filter
 from responsive_pub_spark.sources.readers import read_table
 from responsive_pub_spark.streaming import async_stage, multimodal, state
@@ -751,6 +760,29 @@ def q_curate_corpus(spark, sf_dir):
     return curation.curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing word-shingles with
+    the (deterministic doc_id%20) eval split — broadcast overlap join."""
+    return pipeline_ops.decontaminate(_t(spark, sf_dir, "documents"))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition metrics + composite flag per document."""
+    return pipeline_ops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII count + redaction (emails/IPv4/phones) over deterministic
+    injected PII — pure regexp codegen."""
+    return pipeline_ops.pii_redact(_t(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-Bernoulli stratified sample by language with
+    inverse-probability weights."""
+    return pipeline_ops.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_timeseries_rollup(spark, sf_dir):
     return timeseries.rollup_gapfill(_t(spark, sf_dir, "events"))
 
@@ -1243,6 +1275,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(q_text_fingerprint, textops.fingerprints_oracle()),
     "text_clean": QuerySpec(q_text_clean, textops.text_clean_oracle()),
     "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
+    "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
+    "repetition_gopher": QuerySpec(q_repetition_stats, pipeline_ops.repetition_stats_oracle()),
+    "pii_redact": QuerySpec(q_pii_redact, pipeline_ops.pii_redact_oracle()),
+    "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "sim_search_ivf_trained": QuerySpec(
