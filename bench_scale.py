@@ -2,15 +2,22 @@
 """Scale-amplification bench: the "would this plan survive 10x?" check.
 
 No sf1 fixture is provided (TESTDATA.md tops out at sf0.1), so this script
-DERIVES one: the stream-shaped tables (events, orders, lineitem) are
-replicated AMPLIFY times with shifted primary keys (events also shift
-user_id — 10x keys at the same per-key volume, i.e. horizontal growth, the
-realistic shape), while dimension/doc/embedding tables keep their sf0.1
-size (their scale story is broadcast/replication, not volume). Output goes
-to .benchdata/ (gitignored); results are recorded in BASELINE.md.
+DERIVES one. Two amplification shapes, both writing to .benchdata/
+(gitignored); results recorded in BASELINE.md:
 
-Usage: python bench_scale.py [--amplify 10]
-Prints one JSON line like bench.py, with "sf": "0.1x10".
+- stream mode (default): events/orders/lineitem replicated AMPLIFY times
+  with shifted primary keys (events also shift user_id — 10x keys at the
+  same per-key volume, i.e. horizontal growth, the realistic shape);
+  dims/docs/embeddings pass through. Runs the full bench set.
+- docs mode (--docs): documents/embeddings replicated AMPLIFY times with
+  shifted doc_id/vec_id and UNCHANGED text/vectors — a dup-heavy corpus
+  (every doc has AMPLIFY exact copies), the adversarial shape for the
+  dedup/ANN family: every replica group shares every band/bucket, so
+  candidate generation fans out quadratically within groups. Runs the
+  doc/embedding headliners only.
+
+Usage: python bench_scale.py [--amplify 10] [--docs]
+Prints one JSON line like bench.py, with "sf": "0.1x10" / "0.1xd10".
 """
 
 from __future__ import annotations
@@ -22,16 +29,43 @@ import sys
 import time
 
 AMPLIFY = int(sys.argv[sys.argv.index("--amplify") + 1]) if "--amplify" in sys.argv else 10
+DOCS_MODE = "--docs" in sys.argv
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", f"sf0.1x{AMPLIFY}")
+_TAG = f"sf0.1x{'d' if DOCS_MODE else ''}{AMPLIFY}"
+DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", _TAG)
 
-AMPLIFIED = {
-    # table -> (pk columns to shift, key-widening columns to shift)
-    "events": (["event_id"], ["user_id"]),
-    "orders": (["o_orderkey"], []),
-    "lineitem": (["l_orderkey"], []),
-}
-PASSTHROUGH = ("region", "nation", "customer", "supplier", "part", "documents", "embeddings")
+if DOCS_MODE:
+    AMPLIFIED = {
+        # table -> (pk columns to shift, key-widening columns to shift)
+        "documents": (["doc_id"], []),
+        "embeddings": (["vec_id"], []),
+    }
+    PASSTHROUGH = (
+        "region", "nation", "customer", "supplier", "part",
+        "events", "orders", "lineitem",
+    )
+    QUERIES = [
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_embedding",
+        "sim_search_bruteforce",
+        "sim_search_ivf",
+        "curate_corpus",
+        "text_quality",
+        "decontam_overlap",
+    ]
+else:
+    AMPLIFIED = {
+        "events": (["event_id"], ["user_id"]),
+        "orders": (["o_orderkey"], []),
+        "lineitem": (["l_orderkey"], []),
+    }
+    PASSTHROUGH = (
+        "region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings",
+    )
+    QUERIES = None  # bench set + Python-lane probe
 
 
 def build_dataset(spark) -> None:
@@ -80,7 +114,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_dataset(spark)
 
-    names = list(bench_queries()) + ["papi_running_count"]  # Python-lane probe
+    names = QUERIES if QUERIES else list(bench_queries()) + ["papi_running_count"]
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -97,7 +131,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": f"0.1x{AMPLIFY}",
+                "sf": _TAG.replace("sf", ""),
             }
         )
     )

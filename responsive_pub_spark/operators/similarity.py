@@ -379,3 +379,222 @@ def lsh_topk_oracle(
         )
         SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the 100 TB index shape)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (PQ_M * PQ_SUBDIM == EMBED_DIM)
+PQ_SUBDIM = 8
+PQ_K = 16         # codes per subspace codebook
+PQ_RERANK = 10    # ADC shortlist size fed to exact re-rank
+PQ_TOPK = 3
+PQ_QUERY_VECS = 10
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = PQ_TOPK,
+    n_queries: int = PQ_QUERY_VECS,
+    rerank: int = PQ_RERANK,
+    m_sub: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance + exact re-rank.
+
+    The scale story (why PQ is THE 100 TB vector-index shape): the corpus
+    is encoded ONCE into per-subspace codes — ``m_sub`` bytes per vector
+    instead of ``4 * dim`` (32x smaller here) — so the scan side of every
+    query touches only the code table; raw vectors are fetched just for
+    the top-``rerank`` shortlist. Scoring is codes JOIN broadcast
+    lookup-table (query x code dot products), never a full-vector scan.
+
+    Deterministic/portable math throughout: codebooks are PINNED (the
+    subvectors of the first ``n_codes`` corpus vectors — same convention
+    as ivf_topk's pinned centroids; swap in trained codebooks without
+    changing the plan); encode argmin and ADC sums are pround'd, and the
+    over-subspace sum is an m-ordered left fold (array_sort + aggregate),
+    never float sum() — the DuckDB twin is bit-identical.
+
+    Stages: codebook (broadcast) -> encode (one corpus scan, argmin L2
+    per subspace) -> LUT (query x codebook dots, broadcast) -> ADC score
+    (codes x LUT equi-join on (m, code), fold over m) -> shortlist ->
+    exact cosine re-rank of the shortlist only.
+    """
+    from responsive_pub_spark.functions.vectors import dot_sql, dot_unrolled
+
+    def subs(df, idc, vc, out_id, out_v):
+        """(id, m, subvector) rows + the full-vector squared norm."""
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.expr(dot_sql(vc, vc)).alias(f"{out_id}_n2"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.expr(f"slice({vc}, {m * subdim + 1}, {subdim})").alias(out_v),
+                        )
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("s"),
+        ).select(out_id, f"{out_id}_n2", F.col("s.m").alias("m"), F.col(f"s.{out_v}"))
+
+    cb = subs(
+        emb.filter(F.col("vec_id") < n_codes), "vec_id", "embedding", "j", "cbv"
+    ).select("j", "m", "cbv")
+    corpus = subs(emb, "vec_id", "embedding", "vid", "sv")
+    # encode: argmin ||sv - cbv||^2 per (vector, subspace); ties -> low j.
+    # L2 via unrolled dots (codegen; fold forms are ~20x slower on joins).
+    d2 = (
+        f"({dot_unrolled('sv', 'sv', subdim, 'spark')}) "
+        f"- 2 * ({dot_unrolled('sv', 'cbv', subdim, 'spark')}) "
+        f"+ ({dot_unrolled('cbv', 'cbv', subdim, 'spark')})"
+    )
+    codes = (
+        corpus.join(F.broadcast(cb), "m")
+        .withColumn("d2", pround(F.expr(d2), 6))
+        .groupBy("vid", "vid_n2", "m")
+        .agg(F.min_by(F.col("j"), F.struct(F.col("d2"), F.col("j"))).alias("code"))
+    )
+    # LUT: query-subvector x codebook dot products (tiny: nq * m * K rows)
+    qsub = subs(emb.filter(F.col("vec_id") < n_queries), "vec_id", "embedding", "qid", "qsv")
+    lut = (
+        qsub.join(F.broadcast(cb), "m")
+        .withColumn(
+            "val", pround(F.expr(dot_unrolled("qsv", "cbv", subdim, "spark")), 6)
+        )
+        .select(F.col("qid").alias("query_id"), "qid_n2", "m", F.col("j").alias("code"), "val")
+    )
+    # ADC: approx cosine = (m-ordered fold of LUT vals) / (|q| * |x|)
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "qid_n2", F.col("vid").alias("neighbor_id"), "vid_n2")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("val")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["val"],
+            ).alias("adc_dot")
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_cos",
+            pround(F.col("adc_dot") / F.sqrt(F.col("qid_n2") * F.col("vid_n2")), 6),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+    short = (
+        adc.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "neighbor_id", "adc_cos")
+    )
+    # exact re-rank of the shortlist only (raw vectors touched just here)
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", pround(F.expr(cosine_sql("qv", "nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine", "adc_cos")
+    )
+
+
+def pq_topk_oracle(
+    k: int = PQ_TOPK,
+    n_queries: int = PQ_QUERY_VECS,
+    rerank: int = PQ_RERANK,
+    m_sub: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+) -> str:
+    from responsive_pub_spark.functions.vectors import dot_duck, dot_unrolled
+
+    sub = f"list_slice(embedding, m * {subdim} + 1, m * {subdim} + {subdim})"
+    d2 = (
+        f"({dot_unrolled('c.sv', 'c.sv', subdim, 'duck')}) "
+        f"- 2 * ({dot_unrolled('c.sv', 'b.cbv', subdim, 'duck')}) "
+        f"+ ({dot_unrolled('b.cbv', 'b.cbv', subdim, 'duck')})"
+    )
+    lut_dot = dot_unrolled("q.qsv", "b.cbv", subdim, "duck")
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY m)), "
+        "(acc, v) -> acc + v)"
+    )
+    cos = cosine_duck("qv.embedding", "nv.embedding")
+    return f"""
+        WITH ms AS (SELECT unnest(range(0, {m_sub})) AS m),
+        cb AS (
+            SELECT vec_id AS j, m, {sub} AS cbv
+            FROM embeddings, ms WHERE vec_id < {n_codes}
+        ),
+        corpus AS (
+            SELECT vec_id AS vid, {dot_duck('embedding', 'embedding')} AS vid_n2,
+                   m, {sub} AS sv
+            FROM embeddings, ms
+        ),
+        enc AS (
+            SELECT c.vid, c.vid_n2, c.m, b.j,
+                   (floor(({d2}) * 1000000 + 0.5) / 1000000) AS d2
+            FROM corpus c JOIN cb b USING (m)
+        ),
+        codes AS (
+            SELECT vid, vid_n2, m, j AS code FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vid, m ORDER BY d2 ASC, j ASC) AS rn
+                FROM enc
+            ) WHERE rn = 1
+        ),
+        qsub AS (
+            SELECT vec_id AS qid, {dot_duck('embedding', 'embedding')} AS qid_n2,
+                   m, {sub} AS qsv
+            FROM embeddings, ms WHERE vec_id < {n_queries}
+        ),
+        lut AS (
+            SELECT q.qid AS query_id, q.qid_n2, q.m, b.j AS code,
+                   (floor(({lut_dot}) * 1000000 + 0.5) / 1000000) AS val
+            FROM qsub q JOIN cb b USING (m)
+        ),
+        adc AS (
+            SELECT query_id, qid_n2, vid AS neighbor_id, vid_n2, {fold} AS adc_dot
+            FROM codes JOIN lut USING (m, code)
+            GROUP BY query_id, qid_n2, vid, vid_n2
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   floor(adc_dot / sqrt(qid_n2 * vid_n2) * 1000000 + 0.5)
+                       / 1000000 AS adc_cos
+            FROM adc WHERE query_id <> neighbor_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id, adc_cos FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_cos DESC, neighbor_id ASC) AS arank
+                FROM scored
+            ) WHERE arank <= {rerank}
+        ),
+        rer AS (
+            SELECT s.query_id, s.neighbor_id, s.adc_cos,
+                   (floor(({cos}) * 1000000 + 0.5) / 1000000) AS cosine
+            FROM short s
+            JOIN embeddings qv ON qv.vec_id = s.query_id
+            JOIN embeddings nv ON nv.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine, adc_cos FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+                AS BIGINT) AS rank
+            FROM rer
+        ) WHERE rank <= {k}
+    """

@@ -978,6 +978,11 @@ def q_sim_ivf(spark, sf_dir):
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_sim_pq(spark, sf_dir):
+    """Product-quantized ANN: codes + broadcast LUT + exact re-rank."""
+    return similarity.pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_bootstrap_compact(spark, sf_dir):
     """Changelog-migration analog (bootstrap/ChangelogMigrationTool.java:
     41-96): compact a changelog with tombstones into the store image —
@@ -1266,6 +1271,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_search_bruteforce": QuerySpec(q_sim_bruteforce, similarity.brute_force_topk_oracle(), bench=True),
     "sim_search_lsh": QuerySpec(q_sim_lsh, similarity.lsh_topk_oracle()),
     "sim_search_ivf": QuerySpec(q_sim_ivf, similarity.ivf_topk_oracle(), bench=True),
+    "sim_search_pq": QuerySpec(q_sim_pq, similarity.pq_topk_oracle()),
     "bootstrap_compact": QuerySpec(q_bootstrap_compact, ORACLE_BOOTSTRAP_COMPACT),
     "skew_salted_agg": QuerySpec(q_skew_salted_agg, ORACLE_SKEW_SALTED_AGG),
     "serde_roundtrip": QuerySpec(q_serde_roundtrip, ORACLE_SERDE_ROUNDTRIP),
