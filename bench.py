@@ -48,6 +48,8 @@ def main() -> None:
         df2.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # drop per-query persisted signature tables between queries
+        spark.catalog.clearCache()
 
     out = {
         "metric": "bench_total_wall_clock",

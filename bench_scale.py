@@ -48,9 +48,22 @@ if DOCS_MODE:
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash",
-        "dedup_embedding",
+        # dedup_embedding runs at threshold 0.9 with 4x16 banding here, NOT
+        # the registry's fixture-tuned 0.4 / 16x4: at 0.4 ~64% of ALL pairs
+        # qualify (the fixture has no high-cosine structure), so the true
+        # answer at 10x is ~0.6 * (50k)^2 pairs — output-bound by
+        # definition, measuring nothing about the plan. At 0.9 the true
+        # pairs are exactly the replica groups (45 per original doc):
+        # bounded output, and 4x16 banding is the selective geometry for
+        # that threshold (recall 1.0 on exact replicas).
+        "dedup_embedding@0.9",
+        # the scale-correct output shape for dup-heavy corpora: pair
+        # materialization (simhash above) is quadratic in dup-group size
+        # BY DEFINITION; connected components keep output linear
+        "dedup_clusters",
         "sim_search_bruteforce",
         "sim_search_ivf",
+        "sim_search_pq",
         "curate_corpus",
         "text_quality",
         "decontam_overlap",
@@ -114,15 +127,33 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_dataset(spark)
 
+    def _embedding_09(spark, sf_dir):
+        from responsive_pub_spark.operators import dedup
+        from responsive_pub_spark.sources.readers import read_table
+
+        # banding geometry follows the threshold (see embedding_dup_pairs):
+        # 4 bands x 16 bits is the selective regime for near-dup thresholds
+        return dedup.embedding_dup_pairs(
+            read_table(spark, sf_dir, "embeddings"),
+            threshold=0.9,
+            bands=4,
+            bits=16,
+        )
+
+    extra = {"dedup_embedding@0.9": _embedding_09}
     names = QUERIES if QUERIES else list(bench_queries()) + ["papi_running_count"]
     timings: dict[str, float] = {}
     for name in names:
-        fn = REGISTRY[name].fn
+        fn = extra[name] if name in extra else REGISTRY[name].fn
+        print(f"# warming {name}", file=sys.stderr)
         fn(spark, DST).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
         fn(spark, DST).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # each run re-persists its own signature tables; drop them so cache
+        # memory doesn't accumulate across queries at amplified scale
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

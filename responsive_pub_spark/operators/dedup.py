@@ -495,18 +495,28 @@ def embedding_dup_pairs(
     threshold: float = EMBEDDING_COSINE_THRESHOLD,
     exact: bool = False,
     dim: int = 64,
+    bands: "int | None" = None,
+    bits: "int | None" = None,
 ) -> DataFrame:
     """Embedding near-dups: cosine >= threshold over array<float> columns.
 
     Default path is BANDED random-hyperplane blocking (the cosine analog of
-    MinHash banding): each vector gets ``RHP_BANDS`` band values of
-    ``RHP_BAND_BITS`` packed sign bits each; any shared band makes a
-    candidate pair, verified with the exact JVM-side cosine. One equi-join
-    shuffle on (band_pos, band_val) — never a cross join — with candidate
-    volume ~ bands * n^2 / 2^bits per skew-free bucket; raise the band
-    width for bigger corpora. Precision is exact (candidates are verified);
-    recall is approximate — a true pair is missed only if every band
-    differs (quantified by tests/test_embedding_recall.py).
+    MinHash banding): each vector gets ``bands`` band values of ``bits``
+    packed sign bits each; any shared band makes a candidate pair, verified
+    with the exact JVM-side cosine. One equi-join shuffle on
+    (band_pos, band_val) — never a cross join. Precision is exact
+    (candidates are verified); recall is approximate — a true pair is
+    missed only if every band differs (tests/test_embedding_recall.py).
+
+    BANDING GEOMETRY FOLLOWS THE THRESHOLD: a sign-plane agrees on a pair
+    with p = 1 - angle/pi, so a b-bit band matches with p^b and the false-
+    candidate rate for near-orthogonal pairs is ~bands * 0.5^bits. The
+    default (16 bands x 4 bits, from functions.vectors) maximizes recall
+    for the fixture's adversarially-wide 0.4 threshold but admits ~64% of
+    ALL pairs as candidates; at production near-dup thresholds pass fewer,
+    wider bands — e.g. ``bands=4, bits=16`` keeps exact-dup recall 1.0
+    (identical vectors share every band) with a ~6e-5 orthogonal-pair
+    collision rate. ``bands * bits`` must be <= the 64-plane schedule.
 
     ``exact=True`` is the all-pairs O(n^2) referee used by tests only —
     NOT the product path (a cross join at 100 TB).
@@ -523,6 +533,9 @@ def embedding_dup_pairs(
         rhp_pack_sql,
         rhp_plane_dot_sql,
     )
+
+    n_bands = RHP_BANDS if bands is None else bands
+    n_bits = RHP_BAND_BITS if bits is None else bits
 
     cos_expr = F.expr(
         f"{dot_unrolled('va', 'vb', dim, 'spark')} / (sqrt(na2) * sqrt(nb2))"
@@ -545,9 +558,9 @@ def embedding_dup_pairs(
             .select("id_a", "id_b", "cosine")
         )
     # two-stage signature: 64 small per-plane dot columns (each its own
-    # codegen method), then 4-bit sign packs — one monolithic expression
+    # codegen method), then sign packs — one monolithic expression
     # fails JVM codegen and drops to interpreted eval (20x slower)
-    n_planes = RHP_BANDS * RHP_BAND_BITS
+    n_planes = n_bands * n_bits
     planes = emb.select(
         "vec_id",
         *[
@@ -555,7 +568,7 @@ def embedding_dup_pairs(
             for j in range(n_planes)
         ],
     )
-    bands = planes.select(
+    bandsdf = planes.select(
         "vec_id",
         F.explode(
             F.array(
@@ -564,21 +577,21 @@ def embedding_dup_pairs(
                         F.lit(k).alias("band_pos"),
                         F.expr(
                             rhp_pack_sql(
-                                [f"p{k * RHP_BAND_BITS + jj}" for jj in range(RHP_BAND_BITS)]
+                                [f"p{k * n_bits + jj}" for jj in range(n_bits)]
                             )
                         ).alias("band_val"),
                     )
-                    for k in range(RHP_BANDS)
+                    for k in range(n_bands)
                 ]
             )
         ).alias("bp"),
     ).select("vec_id", F.col("bp.band_pos").alias("band_pos"), F.col("bp.band_val").alias("band_val"))
     # persisted once: the self-join would otherwise recompute the whole
     # signature pipeline on both sides (same pattern as minhash_pairs)
-    bands = bands.persist()
+    bandsdf = bandsdf.persist()
     cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_pos", "band_val"])
+        bandsdf.alias("a")
+        .join(bandsdf.alias("b"), ["band_pos", "band_val"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")

@@ -56,3 +56,48 @@ def test_asof_null_right_value_pair_consistent(spark):
     )
     assert r.asof_ts == e2_ts
     assert r.asof_value is None
+
+
+def test_select_key_rekeys_next_aggregation(spark):
+    """selectKey marks the stream for repartitioning: the NEXT keyed op
+    groups by the new key (STJoinExample.java:94 re-keys before join)."""
+    from responsive_pub_spark.api import KStream
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("b", "x", 2.0), ("c", "y", 3.0)],
+        "k STRING, cat STRING, ts DOUBLE",
+    )
+    s = KStream(df, ["k"], "ts").select_key("cat")
+    assert s.key == ["cat"]
+    counts = {
+        r.cat: r.n
+        for r in s.df.groupBy(*s.key).agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"x": 2, "y": 1}
+
+
+def test_peek_observes_without_mutating(spark):
+    from responsive_pub_spark.api import KStream
+
+    df = spark.createDataFrame([("a", 1.0)], "k STRING, ts DOUBLE")
+    seen = []
+    s = KStream(df, ["k"], "ts")
+    out = s.peek(lambda d: seen.append(d.count()))
+    assert seen == [1]
+    assert out is s  # pass-through, stream unchanged
+
+
+def test_repartition_inserts_single_key_exchange(spark):
+    """.repartition(Repartitioned) analog: the plan carries exactly one
+    explicit hash exchange on the key, and a following groupBy reuses that
+    partitioning instead of adding a second exchange."""
+    from responsive_pub_spark.api import KStream
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)], "k STRING, ts DOUBLE"
+    )
+    s = KStream(df, ["k"], "ts").repartition(8)
+    agg = s.df.groupBy("k").agg(F.count("*").alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert {(r.k, r.n) for r in agg.collect()} == {("a", 2), ("b", 1)}

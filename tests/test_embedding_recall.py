@@ -36,3 +36,27 @@ def test_embedding_dedup_no_cartesian(spark, sf_dir):
     p = audit.executed_plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_threshold_matched_banding_finds_all_exact_replicas(spark, sf_dir):
+    """Banding geometry follows the threshold: at near-dup thresholds the
+    selective 4x16 geometry must still find EVERY exact-duplicate pair
+    (identical vectors share every band — recall 1.0 by construction),
+    while candidate volume for unrelated pairs drops ~4 * 0.5^16."""
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # derive a corpus where every vector has exactly one exact duplicate
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    both = emb.unionByName(dup)
+    pairs = dedup.embedding_dup_pairs(
+        both, threshold=0.999999, bands=4, bits=16
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(i, i + 10_000_000) for (i,) in emb.select("vec_id").collect()}
+    # every replica pair found (cosine 1.0 >= threshold), nothing else is
+    # that similar in the fixture
+    assert expected <= found
+    assert all(r.cosine >= 0.999999 for r in pairs)
+    assert n > 0
