@@ -376,3 +376,71 @@ def stratified_sample_oracle() -> str:
         FROM documents
         WHERE {u} < {rate}
     """
+
+
+# -- hashed-feature linear quality classifier -------------------------------
+# fasttext-shaped inference: score = w . bag-of-hashed-features / scale.
+# Weights are a deterministic pseudo-random projection of the feature hash
+# (a stand-in for trained weights — swapping in a real table of
+# (hash, weight) rows changes nothing about the plan). INTEGER weights make
+# the per-doc sum order-free (exact associative arithmetic), so no float
+# fold pinning is needed anywhere.
+CLF_WA = 48271
+CLF_WB = 12820163
+CLF_BIAS = 37  # integer bias, same milli-scale as the weights
+
+
+def _clf_weight(h: str) -> str:
+    """Integer weight in [-1000, 1000] from a feature hash (both dialects:
+    pure bigint arithmetic, identical results)."""
+    return f"((({h}) * {CLF_WA} + {CLF_WB}) % {P}) % 2001 - 1000"
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Linear quality classifier over hashed token + 3-gram features.
+
+    The inference shape of a fasttext-style corpus-quality model: per-row
+    feature hashing -> weight lookup -> sum -> threshold. Pure per-row JVM
+    expressions, zero shuffles, linear scan at 100 TB. The score is
+    (sum of integer milli-weights + bias) / (1000 * n_features) — two
+    exact integer aggregates and ONE final float division, so Spark and
+    DuckDB agree bit-for-bit with no ordered-fold machinery."""
+    th = T.token_hashes_sql("text")
+    sh = T.shingle_hashes_sql("text")
+    w = _clf_weight("h")
+    raw = (
+        f"aggregate(transform({th}, h -> {w}), 0L, (acc, x) -> acc + x)"
+        f" + aggregate(transform({sh}, h -> {w}), 0L, (acc, x) -> acc + x)"
+        f" + {CLF_BIAS}"
+    )
+    nf = f"size({th}) + size({sh})"
+    return docs.select(
+        "doc_id",
+        F.expr(nf).cast("bigint").alias("n_features"),
+        F.expr(raw).cast("bigint").alias("raw_milli"),
+        pround(F.expr(raw) / (F.lit(1000.0) * F.expr(nf)), 6).alias("score"),
+        (F.expr(raw) > 0).alias("keep"),
+    )
+
+
+def quality_classifier_oracle() -> str:
+    th = T.token_hashes_duck("text")
+    sh = T.shingle_hashes_duck("text")
+    w = _clf_weight("h")
+    raw = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({th}, h -> CAST({w} AS BIGINT))), (acc, x) -> acc + x)"
+        f" + list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({sh}, h -> CAST({w} AS BIGINT))), (acc, x) -> acc + x)"
+        f" + {CLF_BIAS}"
+    )
+    nf = f"len({th}) + len({sh})"
+    return f"""
+        SELECT doc_id,
+               CAST({nf} AS BIGINT) AS n_features,
+               CAST({raw} AS BIGINT) AS raw_milli,
+               floor(({raw}) / (1000.0 * ({nf})) * 1000000 + 0.5) / 1000000
+                   AS score,
+               (({raw}) > 0) AS keep
+        FROM documents
+    """

@@ -783,6 +783,12 @@ def q_stratified_sample(spark, sf_dir):
     return pipeline_ops.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fasttext-shaped linear quality model over hashed token+3-gram
+    features; integer milli-weights make the sum order-free."""
+    return pipeline_ops.quality_classifier(_t(spark, sf_dir, "documents"))
+
+
 def q_timeseries_rollup(spark, sf_dir):
     return timeseries.rollup_gapfill(_t(spark, sf_dir, "events"))
 
@@ -1285,6 +1291,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "repetition_gopher": QuerySpec(q_repetition_stats, pipeline_ops.repetition_stats_oracle()),
     "pii_redact": QuerySpec(q_pii_redact, pipeline_ops.pii_redact_oracle()),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
+    "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "sim_search_ivf_trained": QuerySpec(

@@ -83,3 +83,65 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+
+
+#: Explicit JSONL document schema — corpus interchange format. Schema is
+#: PINNED, never inferred: at 100 TB an inference pass is a full extra
+#: scan, and drifting inferred types (int vs bigint, string vs timestamp)
+#: silently fork pipelines. Unknown keys are dropped by the reader;
+#: corrupt lines land in _corrupt_record instead of failing the job.
+JSONL_DOC_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+    "n_chars BIGINT, _corrupt_record STRING"
+)
+
+
+def read_jsonl_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read a JSONL document corpus (one JSON object per line — the
+    standard LLM training-data interchange shape) into the engine's
+    ``documents`` schema.
+
+    PERMISSIVE mode + explicit ``_corrupt_record``: malformed lines are
+    quarantined as rows (filter ``_corrupt_record IS NOT NULL`` into a
+    dead-letter sink), never job failures — at 100 TB a one-in-a-billion
+    bad line must not kill a 6-hour run. Valid rows project the corrupt
+    column away."""
+    df = (
+        spark.read.schema(JSONL_DOC_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return df
+
+
+def split_corrupt(df: DataFrame):
+    """(valid_rows, dead_letter_rows) from a PERMISSIVE jsonl read.
+
+    Dead-letter rows keep ALL columns (raw line in ``_corrupt_record``,
+    parsed fields null). Spark refuses to answer queries over a raw JSON
+    scan whose referenced columns reduce to only the internal corrupt
+    column (column pruning makes even ``dead.count()`` such a query), and
+    its documented contract is to cache the parsed result first — so the
+    split caches ``df``: one parse feeds both branches, which is also the
+    right plan (valid + dead are one scan, not two)."""
+    df = df.cache()
+    valid = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    dead = df.filter(F.col("_corrupt_record").isNotNull())
+    return valid, dead
+
+
+def read_stream_jsonl_docs(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming JSONL corpus source: new files == new documents (the
+    file-based analog of a document-ingest topic), pinned schema, same
+    dead-letter contract as the batch reader."""
+    r = (
+        spark.readStream.schema(JSONL_DOC_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.json(path)
