@@ -542,3 +542,101 @@ def process_streaming(
     return sdf.groupBy(*keys).applyInPandasWithState(
         run, output_schema, _STATE_SCHEMA, output_mode, GroupStateTimeout.NoTimeout
     )
+
+
+def process_streaming_tws(
+    sdf: DataFrame,
+    key: Sequence[str],
+    processor_factory: Callable[[], Processor],
+    output_schema: "StructType | str",
+    ts_col: str = "ts",
+    order_by: Sequence[str] = (),
+    ttl_seconds: float | None = None,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming PAPI on Spark 4's ``transformWithStateInPandas`` (state
+    v2) — the same user ``Processor`` code as :func:`process_streaming`,
+    run through the newer engine lane.
+
+    Why both lanes exist: ``applyInPandasWithState`` is the proven Spark
+    3.x shape; ``transformWithState`` is where Spark's stateful streaming
+    is headed (typed state variables, native state TTL, event/processing
+    timers, chainable stateful operators) and REQUIRES the RocksDB state
+    store provider — callers must set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` before starting the query (the
+    HDFS-backed default refuses transformWithState), and PySpark's TWS
+    state protocol needs the ``protobuf`` package (its driver worker
+    imports ``google.protobuf`` — absent in minimal environments, in
+    which case this lane raises at query start and
+    :func:`process_streaming` is the lane to use). Equivalence between
+    the two lanes and batch replay is asserted in tests/test_tws_lane.py
+    (skipped with reason where protobuf is unavailable).
+
+    The store snapshot lives in ONE ValueState blob per key, mirroring
+    process_streaming's GroupState layout — the per-key state shape is
+    identical across lanes, only the engine underneath changes."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    keys = list(key)
+    factory = processor_factory
+    ttl = ttl_seconds
+
+    class _Tws(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._blob = handle.getValueState("store", _STATE_SCHEMA)
+
+        def handleInputRows(self, key_vals, rows, timer_values):
+            store = KeyValueStore(ttl)
+            proc = factory()
+            ctx = ProcessorContext(tuple(key_vals), store)
+            proc.init(ctx)
+            existing = self._blob.get()
+            if existing is not None and existing[0]:
+                saved = pickle.loads(existing[0])
+                data, tsd, st_time, sttl, fires = saved[:5]
+                store._data, store._ts = data, tsd
+                store.stream_time, store.ttl_seconds = st_time, sttl
+                store._sorted = sorted(data)
+                for t, nf in zip(ctx._timers, fires):
+                    t.next_fire = nf
+                if len(saved) > 5:
+                    for t, nf in zip(ctx._wc_timers, saved[5]):
+                        t.next_fire = nf
+            for pdf in rows:
+                _replay(proc, ctx, pdf, ts_col, order_by)
+            import time as _time
+
+            ctx._fire_wall_clock(_time.time())
+            proc.close(ctx)
+            payload = pickle.dumps(
+                (
+                    store._data,
+                    store._ts,
+                    store.stream_time,
+                    store.ttl_seconds,
+                    [t.next_fire for t in ctx._timers],
+                    [t.next_fire for t in ctx._wc_timers],
+                ),
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+            self._blob.update((payload,))
+            out = ctx._to_pdf()
+            if out.empty:
+                out = pd.DataFrame(
+                    {
+                        n: pd.Series(dtype="object")
+                        for n in _schema_field_names(output_schema)
+                    }
+                )
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return sdf.groupBy(*keys).transformWithStateInPandas(
+        statefulProcessor=_Tws(),
+        outputStructType=output_schema,
+        outputMode=output_mode,
+        timeMode="None",
+    )
