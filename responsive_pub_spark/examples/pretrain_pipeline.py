@@ -1,0 +1,82 @@
+"""End-to-end pretraining-data pipeline: the full LLM corpus-prep flow
+wired from the engine's operators, each stage a documented scale shape.
+
+    raw documents
+      -> quality gate        (repetition stats + linear classifier: codegen
+                              scans + keyed aggs, no Python)
+      -> PII redaction       (pure regexp scan)
+      -> exact dedup         (fingerprint hash-groupBy, keep lowest doc_id)
+      -> near-dup drop       (minhash-LSH banded candidates -> clusters ->
+                              keep cluster canonical)
+      -> decontamination     (shingle overlap vs broadcast eval set)
+      -> stratified sample   (deterministic hash Bernoulli + IPW weights)
+
+The output is the training corpus manifest: one row per KEPT document with
+its redacted text, quality scores, sampling weight, and the stage that
+each dropped sibling died in (observable via the stats frame). No stage
+collects to the driver; every join is equi-keyed or broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.operators import dedup, pipeline_ops
+
+
+def build_corpus(docs: DataFrame, contam_max: float = 0.5) -> DataFrame:
+    """Run the full pipeline; returns the kept-document manifest."""
+    # 1. quality gate: drop repetition-flagged docs and classifier rejects
+    rep = pipeline_ops.repetition_stats(docs).select("doc_id", "flagged")
+    clf = pipeline_ops.quality_classifier(docs).select("doc_id", "score", "keep")
+    gated = (
+        docs.join(rep, "doc_id")
+        .join(clf, "doc_id")
+        .filter(~F.col("flagged") & F.col("keep"))
+        .drop("flagged", "keep")
+    )
+    # 2. PII redaction (counts kept as provenance columns)
+    pii = pipeline_ops.pii_redact(docs).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted"
+    )
+    gated = gated.join(pii, "doc_id")
+    # 3. exact dedup: keep the lowest doc_id per fingerprint
+    keep_exact = dedup.exact_dedup(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    gated = gated.join(keep_exact, "doc_id")
+    # 4. near-dup drop: minhash pairs -> connected components -> canonical
+    pairs = dedup.minhash_pairs(docs)
+    clusters = dedup.cluster_pairs(docs.select("doc_id"), pairs)
+    near_kept = clusters.filter(~F.col("is_duplicate")).select("doc_id")
+    gated = gated.join(near_kept, "doc_id")
+    # 5. decontamination: drop heavily-overlapping docs (eval split itself
+    # is excluded from the corpus by construction of decontaminate())
+    contam = pipeline_ops.decontaminate(docs).select("doc_id", "contam_frac")
+    gated = (
+        gated.join(contam, "doc_id", "left")
+        .filter(
+            F.col("contam_frac").isNull() | (F.col("contam_frac") <= contam_max)
+        )
+        .drop("contam_frac")
+    )
+    # 6. stratified sample with inverse-probability weights
+    sample = pipeline_ops.stratified_sample(docs).select("doc_id", "weight")
+    manifest = gated.join(sample, "doc_id")
+    return manifest.select(
+        "doc_id", "lang", "source", "redacted", "score", "weight",
+        "n_emails", "n_ips", "n_phones",
+    )
+
+
+def corpus_stats(docs: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Per-language funnel stats: input vs kept docs and kept weight mass."""
+    inp = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_in"))
+    out = manifest.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("weight").alias("weight_mass"),
+    )
+    return inp.join(out, "lang", "left").fillna(
+        {"n_kept": 0, "weight_mass": 0.0}
+    )

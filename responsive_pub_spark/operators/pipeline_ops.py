@@ -156,12 +156,9 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
     top_tok = (
         pos.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"), F.max("n_tokens").alias("n_tokens"))
+        .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(
-            F.max("c").cast("bigint").alias("top_token_cnt"),
-            F.max("n_tokens").alias("n_tokens2"),
-        )
+        .agg(F.max("c").cast("bigint").alias("top_token_cnt"))
     )
     big = docs.select(
         "doc_id",
@@ -177,7 +174,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
     out = (
         toks.select("doc_id", "n_tokens", "n_distinct")
-        .join(top_tok.select("doc_id", "top_token_cnt"), "doc_id")
+        .join(top_tok, "doc_id")
         .join(top_big, "doc_id")
         .join(runs, "doc_id")
         .withColumn(

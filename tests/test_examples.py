@@ -41,3 +41,50 @@ def test_stjoin_example_runs(spark, sf_dir):
     assert rows and {"c_mktsegment", "window_start", "window_end", "cnt", "revenue"} <= set(
         out.columns
     )
+
+
+def test_pretrain_pipeline_manifest_contracts(spark, sf_dir):
+    """The end-to-end corpus-prep example: every kept doc must satisfy ALL
+    stage contracts simultaneously — no repetition flag, classifier keep,
+    exact+near-dup canonical, contamination bound, sampled stratum."""
+    from pyspark.sql import functions as F
+
+    from responsive_pub_spark.examples import pretrain_pipeline
+    from responsive_pub_spark.operators import dedup, pipeline_ops
+    from responsive_pub_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    manifest = pretrain_pipeline.build_corpus(docs)
+    rows = manifest.collect()
+    assert rows, "pipeline dropped everything — stage thresholds are broken"
+    kept = {r.doc_id for r in rows}
+
+    # stage contracts, re-derived independently
+    flagged = {
+        r.doc_id
+        for r in pipeline_ops.repetition_stats(docs).filter("flagged").collect()
+    }
+    rejected = {
+        r.doc_id
+        for r in pipeline_ops.quality_classifier(docs).filter("NOT keep").collect()
+    }
+    dups = {
+        r.doc_id
+        for r in dedup.cluster_pairs(
+            docs.select("doc_id"), dedup.minhash_pairs(docs)
+        ).filter("is_duplicate").collect()
+    }
+    sampled = {
+        r.doc_id for r in pipeline_ops.stratified_sample(docs).collect()
+    }
+    assert not kept & flagged
+    assert not kept & rejected
+    assert not kept & dups
+    assert kept <= sampled
+    # provenance columns present and sane
+    assert all(r.weight >= 1.0 for r in rows)
+    assert all(r.n_emails >= 1 for r in rows)  # injected PII was counted
+
+    stats = pretrain_pipeline.corpus_stats(docs, manifest).collect()
+    assert sum(r.n_kept for r in stats) == len(rows)
+    assert all(r.n_kept <= r.n_in for r in stats)
