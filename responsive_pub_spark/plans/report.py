@@ -22,10 +22,13 @@ SCALE_NOTES = {
         "four chained stages sharing one documents scan: quality gate is "
         "per-row codegen; exact dedup shuffles only (fingerprint, doc_id); "
         "near-dup drop reuses the persisted minhash signature table (band "
-        "equi-join, never a cross join); survivors broadcast back against "
-        "the corpus for the final per-lang rollup. At 100 TB the signature "
-        "table is checkpointed once and every curation config re-filters it; "
-        "the kept-id sets stay small enough to broadcast (anti-join sides)."
+        "equi-join, never a cross join); survivors join back against the "
+        "corpus for the final per-lang rollup. At 100 TB the signature "
+        "table is checkpointed once and every curation config re-filters "
+        "it. Kept-id join strategy is deliberately NOT pinned: AQE "
+        "broadcasts the id sets while they measure small and flips to "
+        "shuffled joins when they are billions of rows — no code change "
+        "at any scale (r1 scale-watch resolved by construction)."
     ),
     "flagship_stjoin_window": (
         "customer dim broadcasts (no shuffle of the fact side for the join); "
