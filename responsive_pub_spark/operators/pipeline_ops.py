@@ -172,21 +172,44 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").cast("bigint").alias("top_bigram_cnt"))
     )
+    # LEFT joins keep degenerate docs (empty text -> no exploded rows at
+    # all; single-token text -> no bigrams) in the output with zeroed
+    # metrics instead of silently dropping them — same totality contract
+    # as the oracle
     out = (
         toks.select("doc_id", "n_tokens", "n_distinct")
-        .join(top_tok, "doc_id")
-        .join(top_big, "doc_id")
-        .join(runs, "doc_id")
+        .join(top_tok, "doc_id", "left")
+        .join(top_big, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .withColumn("top_token_cnt", F.coalesce("top_token_cnt", F.lit(0)))
+        .withColumn("top_bigram_cnt", F.coalesce("top_bigram_cnt", F.lit(0)))
+        .withColumn("max_run", F.coalesce("max_run", F.lit(0)))
         .withColumn(
             "dup_token_frac",
-            pround(F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6),
+            pround(
+                F.when(F.col("n_tokens") > 0,
+                       F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
         )
         .withColumn(
-            "top_token_frac", pround(F.col("top_token_cnt") / F.col("n_tokens"), 6)
+            "top_token_frac",
+            pround(
+                F.when(F.col("n_tokens") > 0,
+                       F.col("top_token_cnt") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
         )
         .withColumn(
             "top_bigram_frac",
-            pround(F.col("top_bigram_cnt") / (F.col("n_tokens") - 1), 6),
+            pround(
+                F.when(F.col("n_tokens") > 1,
+                       F.col("top_bigram_cnt") / (F.col("n_tokens") - 1))
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
         )
     )
     return out.select(
@@ -247,17 +270,24 @@ def repetition_stats_oracle() -> str:
         ),
         m AS (
             SELECT b.doc_id, b.n_tokens,
-                   floor((1.0 - b.n_distinct * 1.0 / b.n_tokens)
+                   floor((CASE WHEN b.n_tokens > 0
+                          THEN 1.0 - b.n_distinct * 1.0 / b.n_tokens
+                          ELSE 0.0 END)
                          * 1000000 + 0.5) / 1000000 AS dup_token_frac,
-                   floor(t.top_token_cnt * 1.0 / b.n_tokens
+                   floor((CASE WHEN b.n_tokens > 0
+                          THEN coalesce(t.top_token_cnt, 0) * 1.0 / b.n_tokens
+                          ELSE 0.0 END)
                          * 1000000 + 0.5) / 1000000 AS top_token_frac,
-                   floor(g.top_bigram_cnt * 1.0 / (b.n_tokens - 1)
+                   floor((CASE WHEN b.n_tokens > 1
+                          THEN coalesce(g.top_bigram_cnt, 0) * 1.0
+                               / (b.n_tokens - 1)
+                          ELSE 0.0 END)
                          * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
-                   r.max_run
+                   coalesce(r.max_run, 0) AS max_run
             FROM base b
-            JOIN top_tok t USING (doc_id)
-            JOIN top_big g USING (doc_id)
-            JOIN runs r USING (doc_id)
+            LEFT JOIN top_tok t USING (doc_id)
+            LEFT JOIN top_big g USING (doc_id)
+            LEFT JOIN runs r USING (doc_id)
         )
         SELECT doc_id, n_tokens, dup_token_frac, top_token_frac,
                top_bigram_frac, max_run,

@@ -101,3 +101,42 @@ def test_repartition_inserts_single_key_exchange(spark):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert {(r.k, r.n) for r in agg.collect()} == {("a", 2), ("b", 1)}
+
+
+def test_repetition_stats_total_over_degenerate_docs(spark):
+    """Docs with empty text or a single token must appear in the output
+    with zeroed metrics (not silently vanish through inner joins), and the
+    Spark path must still hash-match the DuckDB oracle on such inputs."""
+    import duckdb
+    import pandas as pd
+
+    from responsive_pub_spark.operators import pipeline_ops
+    from oracle_util import compare
+
+    rows = [
+        (1, "", "en", "s", 0),                     # empty text
+        (2, "word", "en", "s", 4),                 # single token: no bigrams
+        (3, "a a a b", "en", "s", 7),              # runs + dups
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    out = {r.doc_id: r for r in pipeline_ops.repetition_stats(docs).collect()}
+    assert set(out) == {1, 2, 3}  # total: nobody dropped
+    assert out[1].n_tokens == 0 and out[1].max_run == 0
+    assert out[2].top_bigram_frac == 0.0
+    assert out[3].max_run == 3  # "a a a"
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+    )
+    ok, msg = compare(
+        pipeline_ops.repetition_stats(docs),
+        con,
+        pipeline_ops.repetition_stats_oracle(),
+    )
+    assert ok, msg
