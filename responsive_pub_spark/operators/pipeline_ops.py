@@ -378,9 +378,13 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
     Hash-based keep decision (never rand(): task retries must re-decide
     identically or exactly-once breaks — same rule as operators/skew.py);
     the hash is plain integer arithmetic mod the shared prime so the
-    DuckDB twin is bit-identical. Zero shuffles: one codegen'd filter."""
+    DuckDB twin is bit-identical. doc_id is reduced mod P BEFORE the
+    multiply: (P-1) * SAMPLE_HASH_A ~ 2.7e18 stays inside bigint, whereas
+    multiplying a large raw id first overflows — a crash under Spark's
+    ANSI mode and DuckDB alike, i.e. exactly at the 100 TB id ranges this
+    op exists for. Zero shuffles: one codegen'd filter."""
     rate = _sample_rate_bp_sql()
-    u = f"((doc_id * {SAMPLE_HASH_A} + {SAMPLE_HASH_B}) % {P}) % 10000"
+    u = f"(((doc_id % {P}) * {SAMPLE_HASH_A} + {SAMPLE_HASH_B}) % {P}) % 10000"
     return (
         docs.withColumn("rate_bp", F.expr(rate))
         .filter(F.expr(u) < F.col("rate_bp"))
@@ -395,7 +399,7 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
 
 def stratified_sample_oracle() -> str:
     rate = _sample_rate_bp_sql()
-    u = f"((doc_id * {SAMPLE_HASH_A} + {SAMPLE_HASH_B}) % {P}) % 10000"
+    u = f"(((doc_id % {P}) * {SAMPLE_HASH_A} + {SAMPLE_HASH_B}) % {P}) % 10000"
     return f"""
         SELECT doc_id, lang,
                CAST({rate} AS BIGINT) AS rate_bp,
