@@ -789,6 +789,49 @@ def q_quality_classifier(spark, sf_dir):
     return pipeline_ops.quality_classifier(_t(spark, sf_dir, "documents"))
 
 
+def q_window_topk(spark, sf_dir):
+    """Windowed heavy hitters: top-3 users per (event_type, day window) by
+    event count. Two exchanges by construction: the per-(type, user,
+    window) count shuffles on the fine key with map-side partials, then
+    the rank re-shuffles the ALREADY-AGGREGATED rows on the coarser
+    (type, window) key — the second exchange moves one row per (user,
+    window), not raw events, so it stays tiny at any scale.
+    Deterministic ranking: (cnt DESC, user_id ASC)."""
+    from pyspark.sql import Window as W
+
+    s = KStream(_t(spark, sf_dir, "events"), key=["event_type", "user_id"])
+    per_user = (
+        s.group_by_key()
+        .windowed_by(TimeWindows.of_size_with_no_grace(DAY))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("event_type", "window_start").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "window_start", "rank", "user_id", "cnt")
+    )
+
+
+ORACLE_WINDOW_TOPK = f"""
+    WITH {_EV},
+    per_user AS (
+        SELECT event_type, user_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // {DAY}) * {DAY} AS window_start,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY 1, 2, 3
+    )
+    SELECT event_type, window_start, rank, user_id, cnt FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY event_type, window_start
+            ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rank
+        FROM per_user
+    ) WHERE rank <= 3
+"""
+
+
 def q_timeseries_rollup(spark, sf_dir):
     return timeseries.rollup_gapfill(_t(spark, sf_dir, "events"))
 
@@ -1292,6 +1335,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pii_redact": QuerySpec(q_pii_redact, pipeline_ops.pii_redact_oracle()),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
+    "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "sim_search_ivf_trained": QuerySpec(
