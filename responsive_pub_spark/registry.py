@@ -815,6 +815,94 @@ def q_window_topk(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Sequential funnel per user: view -> click -> purchase in event-time
+    order (each stage strictly at-or-after the previous stage's FIRST
+    occurrence) — the ordered-sequence analytics PAPI users hand-roll with
+    per-key state, expressed as three chained conditional aggregations.
+    All three aggs and both joins key on user_id, so the plan is one
+    partitioning reused: shuffles move one row per user after the first
+    agg. Output: furthest stage + per-stage first timestamps."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("tsec"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("tsec"))).alias("t_view")
+    )
+    tb = (
+        ev.join(users, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("tsec") >= F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t_click"))
+    )
+    step2 = users.join(tb, "user_id", "left")
+    tc = (
+        ev.join(step2.select("user_id", "t_click"), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("tsec") >= F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t_purchase"))
+    )
+    return (
+        step2.join(tc, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.when(F.col("t_view").isNull(), 0)
+                .when(F.col("t_click").isNull(), 1)
+                .when(F.col("t_purchase").isNull(), 2)
+                .otherwise(3)
+            )
+            .cast("bigint")
+            .alias("stage"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+        )
+    )
+
+
+ORACLE_FUNNEL = f"""
+    WITH {_EV},
+    e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        FROM ev
+    ),
+    users AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN tsec END) AS t_view
+        FROM e GROUP BY 1
+    ),
+    tb AS (
+        SELECT e.user_id, min(e.tsec) AS t_click
+        FROM e JOIN users USING (user_id)
+        WHERE e.event_type = 'click' AND e.tsec >= users.t_view
+        GROUP BY 1
+    ),
+    step2 AS (
+        SELECT users.user_id, users.t_view, tb.t_click
+        FROM users LEFT JOIN tb USING (user_id)
+    ),
+    tc AS (
+        SELECT e.user_id, min(e.tsec) AS t_purchase
+        FROM e JOIN step2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.tsec >= step2.t_click
+        GROUP BY 1
+    )
+    SELECT s.user_id,
+           CAST(CASE WHEN s.t_view IS NULL THEN 0
+                     WHEN s.t_click IS NULL THEN 1
+                     WHEN tc.t_purchase IS NULL THEN 2
+                     ELSE 3 END AS BIGINT) AS stage,
+           s.t_view, s.t_click, tc.t_purchase
+    FROM step2 s LEFT JOIN tc USING (user_id)
+"""
+
+
 ORACLE_WINDOW_TOPK = f"""
     WITH {_EV},
     per_user AS (
@@ -1336,6 +1424,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
+    "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "sim_search_ivf_trained": QuerySpec(
