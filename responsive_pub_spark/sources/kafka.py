@@ -131,3 +131,20 @@ def read_kafka_log(spark: SparkSession, path: str) -> DataFrame:
     ``spark.read.format("kafka")`` batch read yields (key, value, topic,
     timestamp)."""
     return spark.read.parquet(path)
+
+
+def read_kafka_log_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """STREAMING consumer over the file-broker log: delivers exactly the
+    record model a ``spark.readStream.format("kafka")`` source yields
+    (key BINARY, value BINARY, topic, timestamp — SURVEY.md §1.1), so a
+    topology built against the real connector runs unchanged against the
+    offline broker. This is the source-side half of the wire contract:
+    tests/test_kafka_sink.py round-trips typed -> to_kafka -> THIS source
+    -> serde.from_kafka_records -> typed across incremental drains."""
+    wire = read_kafka_log(spark, path)
+    r = spark.readStream.schema(wire.schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
