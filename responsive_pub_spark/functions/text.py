@@ -196,3 +196,31 @@ def token_count(text_expr: str) -> Column:
     """Whitespace+symbol (BPE-ish) token count as a Spark Column."""
     arr = F.expr(f"regexp_extract_all({text_expr}, '{spark_re(BPE_TOKEN_REGEX)}', 0)")
     return F.size(arr)
+
+
+def chunk_hashes_sql(text_expr: str, size: int) -> str:
+    """Spark SQL: polynomial hash per NON-OVERLAPPING ``size``-token chunk
+    (shingle_hashes with stride == n: the span-dedup unit). Same
+    let-binding shape as shingle_hashes_sql so tokenization runs once; the
+    empty-token guard matters because Spark's sequence(0, -1) DESCENDS."""
+    th = token_hashes_sql(text_expr)
+    inner = (
+        f"CASE WHEN size(th) = 0 THEN array() "
+        f"ELSE transform(sequence(0, cast(ceil(size(th) / {size}.0) as int) - 1), "
+        f"i -> aggregate(slice(th, i * {size} + 1, {size}), 0L, "
+        f"(acc, h) -> (acc * 31 + h) % {P})) END"
+    )
+    return f"element_at(transform(array({th}), th -> {inner}), 1)"
+
+
+def chunk_hashes_duck(text_expr: str, size: int) -> str:
+    """DuckDB SQL: identical chunk hashes."""
+    th = token_hashes_duck(text_expr)
+    inner = (
+        f"CASE WHEN len(th) = 0 THEN [] "
+        f"ELSE list_transform(range(0, CAST(ceil(len(th) / {size}.0) AS INT)), "
+        f"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_slice(th, i * {size} + 1, i * {size} + {size})), "
+        f"(acc, h) -> (acc * 31 + h) % {P})) END"
+    )
+    return f"list_transform([{th}], th -> {inner})[1]"

@@ -475,3 +475,116 @@ def quality_classifier_oracle() -> str:
                (({raw}) > 0) AS keep
         FROM documents
     """
+
+
+# -- span-level (chunk) dedup ----------------------------------------------
+CHUNK_TOKENS = 20
+
+# -- sequence packing ------------------------------------------------------
+PACK_BUDGET_TOKENS = 2048
+
+
+def chunk_dedup(docs: DataFrame, size: int = CHUNK_TOKENS) -> DataFrame:
+    """Span-level exact dedup: every non-overlapping ``size``-token chunk
+    is hashed, and chunks whose content repeats anywhere in the corpus are
+    marked, keeping the first occurrence (by doc_id, then position).
+
+    The scalable shape of paragraph/boilerplate dedup (the within-doc and
+    cross-doc repeated-span removal pass of pretraining pipelines): chunk
+    hashing is a per-row codegen'd expression, and the duplicate decision
+    is ONE shuffle — a window over chunk_hash (occurrence count + rank),
+    no join-back. Output: one row per (doc, chunk) with its hash, corpus
+    occurrence count, and the keep verdict."""
+    from pyspark.sql import Window
+
+    ch = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(T.chunk_hashes_sql("text", size))
+        ).alias("chunk_idx", "chunk_hash"),
+    )
+    w = Window.partitionBy("chunk_hash")
+    wo = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_hash",
+        F.count("*").over(w).cast("bigint").alias("n_occurrences"),
+        (F.row_number().over(wo) == 1).alias("keep"),
+    )
+
+
+def chunk_dedup_oracle(size: int = CHUNK_TOKENS) -> str:
+    hs = T.chunk_hashes_duck("text", size)
+    return f"""
+        WITH ch AS (
+            SELECT doc_id,
+                   unnest(range(0, len({hs}))) AS chunk_idx,
+                   unnest({hs}) AS chunk_hash
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               chunk_hash,
+               CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT)
+                   AS n_occurrences,
+               (row_number() OVER (
+                   PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) = 1)
+                   AS keep
+        FROM ch
+    """
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET_TOKENS) -> DataFrame:
+    """Sequence packing for training-batch assembly: documents are
+    concatenated in deterministic (lang, doc_id) order and cut into
+    fixed-``budget``-token sequences — each doc learns which packed
+    sequence it starts in and at which token offset (the concat-then-
+    split packing used to build pretraining batches without padding
+    waste).
+
+    One window shuffle per language partition (running token sum in
+    integer arithmetic, fully deterministic); at 100 TB packing runs
+    per (lang, shard) with the same plan. Docs longer than the budget
+    simply span sequences — offset/seq arithmetic stays exact."""
+    from pyspark.sql import Window
+
+    bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.expr(bpe).cast("bigint").alias("n_tokens")
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (start / budget).cast("bigint").alias("seq_id"),
+        (start % budget).cast("bigint").alias("seq_offset"),
+    )
+
+
+def pack_sequences_oracle(budget: int = PACK_BUDGET_TOKENS) -> str:
+    bpe = f"len(regexp_extract_all(text, '{T.BPE_TOKEN_REGEX}'))"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, CAST({bpe} AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST((cum_tokens - n_tokens) // {budget} AS BIGINT) AS seq_id,
+               CAST((cum_tokens - n_tokens) % {budget} AS BIGINT) AS seq_offset
+        FROM cum
+    """

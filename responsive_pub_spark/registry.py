@@ -1425,6 +1425,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
+    "chunk_dedup": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.chunk_dedup(_t(spark, sf_dir, "documents")),
+        pipeline_ops.chunk_dedup_oracle(),
+    ),
+    "pack_sequences": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
+        pipeline_ops.pack_sequences_oracle(),
+    ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "sim_search_ivf_trained": QuerySpec(
