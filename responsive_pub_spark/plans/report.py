@@ -117,6 +117,64 @@ SCALE_NOTES = {
 }
 
 
+#: non-bench operators worth a standing plan audit (LLM-pipeline +
+#: analytics additions); same columns as the bench table
+EXTENDED_NOTES = {
+    "sim_search_pq": (
+        "PQ: corpus encoded once to M=8 codes/vector (argmin-L2 vs "
+        "broadcast codebooks), ADC scoring = code table x broadcast LUT "
+        "equi-join with an m-ordered fold, exact re-rank fetches raw "
+        "vectors only for the top-R shortlist. Scan side is M bytes/vector "
+        "— 32x smaller than raw; the 100 TB vector-index shape."
+    ),
+    "decontam_overlap": (
+        "corpus shingles stream past a BROADCAST eval-shingle set (bench "
+        "benchmarks are tiny vs the corpus): one corpus scan, no "
+        "self-shuffle; only the per-doc agg exchanges on doc_id."
+    ),
+    "chunk_dedup": (
+        "non-overlapping 20-token chunk hashes are per-row codegen; the "
+        "duplicate verdict is ONE shuffle (window over chunk_hash: count + "
+        "first-occurrence rank), no join-back. Span/boilerplate dedup at "
+        "corpus scale."
+    ),
+    "pack_sequences": (
+        "concat-then-split packing: running integer token sum per (lang) "
+        "partition — one window shuffle, deterministic; at 100 TB pack per "
+        "(lang, shard) with the identical plan."
+    ),
+    "funnel_sequence": (
+        "three chained conditional aggs all keyed on user_id (partitioning "
+        "reused); post-agg joins move one row per user, not raw events."
+    ),
+    "window_topk": (
+        "fine-key windowed count with map-side partials, then rank over "
+        "ALREADY-AGGREGATED rows on the coarser (type, window) key — the "
+        "second exchange is one row per (user, window)."
+    ),
+    "quality_classifier": (
+        "hashed-feature linear inference: pure per-row codegen scan, zero "
+        "shuffles; integer milli-weights make sums order-free exact."
+    ),
+    "repetition_gopher": (
+        "explode -> two-level keyed agg with map-side partials (never "
+        "per-row O(n^2) lambdas) + gaps-and-islands run window; total over "
+        "degenerate docs via left joins."
+    ),
+    "sample_stratified": (
+        "deterministic hash Bernoulli (doc_id reduced mod P before the "
+        "multiply — no int64 overflow at 100 TB id ranges), zero shuffles."
+    ),
+    "pii_redact": ("pure regexp codegen scan, zero shuffles."),
+    "dedup_clusters": (
+        "distributed min-label propagation over minhash candidate edges: "
+        "one shuffle per round, rounds = cluster diameter; output LINEAR "
+        "in docs — the shape to ship for dup-heavy corpora (pair "
+        "materialization is quadratic in dup-group size by contract)."
+    ),
+}
+
+
 def main() -> None:
     import io
     import os
@@ -147,6 +205,19 @@ def main() -> None:
         a = audit.audit(df)
         pushed = "; ".join(a["pushed_filters"][:3]) or "—"
         note = SCALE_NOTES.get(name, "")
+        out.write(
+            f"| {name} | {a['exchanges']} | {a['broadcast_joins']} | "
+            f"{a['sortmerge_joins']} | {pushed} | {note} |\n"
+        )
+    out.write(
+        "\n## Extended operators (non-bench)\n\n"
+        "| query | shuffles | bcast | smj | pushed filters | scale note |\n"
+        "|---|---|---|---|---|---|\n"
+    )
+    for name, note in EXTENDED_NOTES.items():
+        df = registry.REGISTRY[name].fn(spark, sf_dir)
+        a = audit.audit(df)
+        pushed = "; ".join(a["pushed_filters"][:3]) or "—"
         out.write(
             f"| {name} | {a['exchanges']} | {a['broadcast_joins']} | "
             f"{a['sortmerge_joins']} | {pushed} | {note} |\n"
