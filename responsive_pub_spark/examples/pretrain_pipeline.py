@@ -51,8 +51,12 @@ def build_corpus(docs: DataFrame, contam_max: float = 0.5) -> DataFrame:
     clusters = dedup.cluster_pairs(docs.select("doc_id"), pairs)
     near_kept = clusters.filter(~F.col("is_duplicate")).select("doc_id")
     gated = gated.join(near_kept, "doc_id")
-    # 5. decontamination: drop heavily-overlapping docs (eval split itself
-    # is excluded from the corpus by construction of decontaminate())
+    # 5. decontamination: the eval split (doc_id % EVAL_MOD == 0) must be
+    # removed from the corpus OUTRIGHT — decontaminate() only scores the
+    # non-eval docs' overlap, it does not subtract the eval docs themselves,
+    # so without this filter the benchmark docs would ship in the manifest
+    # with a NULL contam_frac.
+    gated = gated.filter(F.col("doc_id") % pipeline_ops.EVAL_MOD != 0)
     contam = pipeline_ops.decontaminate(docs).select("doc_id", "contam_frac")
     gated = (
         gated.join(contam, "doc_id", "left")

@@ -129,8 +129,8 @@ def _stage1_declarative(merged: DataFrame) -> DataFrame:
       join_key with an interval filter, never a cartesian.
 
     Emission-identity with the processor is asserted by
-    tests/test_fk_join.py (processor referee) and the salted-equivalence
-    test (declarative n_salts=1 vs processor n_salts=4).
+    tests/test_fk_join.py (processor referee; the salted-equivalence test
+    pins engine='processor' on both sides since salting is processor-only).
     """
     from pyspark.sql import Window
 
@@ -211,6 +211,8 @@ def fk_join_changelog(
     out from ``n_salts`` partitions in parallel instead of one. Each
     emission still happens in exactly one salt partition, so the changelog
     is identical to the unsalted one (asserted in tests/test_fk_join.py).
+    Salting requires ``engine="processor"`` — the declarative stage 1
+    leans on AQE skew-join instead, and the combination raises.
     """
     if streaming:
         # Spark rejects two chained applyInPandasWithState ops in one
@@ -220,6 +222,21 @@ def fk_join_changelog(
             "streaming FK join runs as two chained queries over a "
             "subscription topic: use FkJoinStreaming (tests/"
             "test_fk_join_streaming.py shows the harness)"
+        )
+    if engine not in ("declarative", "processor"):
+        raise ValueError(
+            f"engine must be 'declarative' or 'processor', got {engine!r}"
+        )
+    if engine == "declarative" and n_salts > 1:
+        # Salting splits a hot FK's subscription list across processor
+        # partitions — a PYTHON-lane mitigation. The declarative stage 1
+        # is windows + one equi-join, where AQE's skew-join handles hot
+        # keys natively; combining the two silently fell back to the
+        # processor before (ADVICE r2), hiding the throughput cliff.
+        raise ValueError(
+            "n_salts > 1 is a processor-lane skew mitigation; the "
+            "declarative engine relies on AQE skew-join instead. Pass "
+            "engine='processor' explicitly to use salting."
         )
     runner = state.process
     fk_col = F.col(fk) if isinstance(fk, str) else fk
@@ -285,7 +302,7 @@ def fk_join_changelog(
             processor_factory=_FkJoinProcessor,
             output_schema=_OUT_SCHEMA,
             ts_col="ts",
-            order_by=["kind", "left_key"],
+            order_by=["kind", "left_key", "payload"],
         )
     # salted: subscriptions partition by hash(left_key), right rows fan out
     # to every salt (xxhash64, not rand(): task retries must re-land rows
@@ -406,7 +423,7 @@ class FkJoinStreaming:
             processor_factory=_FkJoinProcessor,
             output_schema=_OUT_SCHEMA,
             ts_col="ts",
-            order_by=["kind", "left_key"],
+            order_by=["kind", "left_key", "payload"],
         )
         self._run(out, self.out_dir, self.ck1)
 

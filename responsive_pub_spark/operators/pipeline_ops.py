@@ -560,11 +560,14 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET_TOKENS) -> DataFra
     )
     cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     start = F.col("cum_tokens") - F.col("n_tokens")
+    # integer DIV, not float division: double round-trips lose exactness
+    # past 2^53 cumulative tokens (a real number at 100 TB) and truncation
+    # vs floor differs from the oracle's integer `//`
     return cum.select(
         "doc_id",
         "lang",
         "n_tokens",
-        (start / budget).cast("bigint").alias("seq_id"),
+        F.expr(f"(cum_tokens - n_tokens) DIV {int(budget)}").alias("seq_id"),
         (start % budget).cast("bigint").alias("seq_offset"),
     )
 

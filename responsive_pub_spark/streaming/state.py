@@ -299,9 +299,21 @@ class ProcessorContext:
         vectorized fan-out path: a right-side update fanning out to 100k
         subscribers extends the output columns once instead of looping
         100k per-row forward() calls (the FK-join hot path at scale)."""
+        lens = {c: len(v) for c, v in cols.items()}
+        if len(set(lens.values())) > 1:
+            raise ValueError(
+                f"forward_bulk column lists have ragged lengths: {lens} — "
+                "misaligned columns would silently row-shift the output"
+            )
         if self._out_cols is None:
             self._out_cols = list(cols)
             self._out_data = [[] for _ in self._out_cols]
+        elif set(cols) != set(self._out_cols):
+            raise ValueError(
+                f"forward_bulk columns {sorted(cols)} do not match the "
+                f"output schema established by a prior forward: "
+                f"{sorted(self._out_cols)}"
+            )
         for i, c in enumerate(self._out_cols):
             self._out_data[i].extend(cols[c])
 

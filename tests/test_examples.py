@@ -81,6 +81,17 @@ def test_pretrain_pipeline_manifest_contracts(spark, sf_dir):
     assert not kept & rejected
     assert not kept & dups
     assert kept <= sampled
+    # decontamination contract: the eval split itself must never ship in
+    # the training manifest (ADVICE r2: it previously leaked through the
+    # left join with contam_frac NULL)
+    eval_ids = {
+        r.doc_id
+        for r in docs.filter(
+            F.col("doc_id") % pipeline_ops.EVAL_MOD == 0
+        ).collect()
+    }
+    assert eval_ids, "fixture has no eval docs — contract untestable"
+    assert not kept & eval_ids
     # provenance columns present and sane
     assert all(r.weight >= 1.0 for r in rows)
     assert all(r.n_emails >= 1 for r in rows)  # injected PII was counted

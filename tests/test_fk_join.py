@@ -147,10 +147,12 @@ def test_salted_changelog_identical_to_unsalted(spark):
     right = spark.createDataFrame(right_rows, "team STRING, org STRING, ts DOUBLE")
 
     def run(n_salts):
+        # engine pinned to the processor: salting is a processor-lane
+        # mitigation and declarative+salts now raises (ADVICE r2)
         rows = fk_join.fk_join_changelog(
             left, right, left_key="user", fk="team", right_key="team",
             left_payload=F.col("name"), right_payload=F.col("org"),
-            ts_col="ts", n_salts=n_salts,
+            ts_col="ts", n_salts=n_salts, engine="processor",
         ).collect()
         emissions = [
             (r.left_key, r.left_payload, r.right_payload, r.ts_sec) for r in rows
@@ -266,3 +268,28 @@ def test_declarative_stage1_equals_processor_randomized(spark):
             )
 
         assert run("declarative") == run("processor"), f"seed {seed} diverged"
+
+
+def test_engine_and_salt_arg_validation(spark):
+    """ADVICE r2: engine='declarative' + n_salts>1 used to silently run the
+    processor (landing the caller back on the Python throughput ceiling);
+    unknown engine strings were accepted silently. Both now raise."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("u1", "blue", "alice", 1.0)],
+        "user STRING, team STRING, name STRING, ts DOUBLE",
+    )
+    right = spark.createDataFrame([("blue", "acme", 0.0)], "team STRING, org STRING, ts DOUBLE")
+    kw = dict(
+        left_key="user", fk="team", right_key="team",
+        left_payload=F.col("name"), right_payload=F.col("org"), ts_col="ts",
+    )
+    with pytest.raises(ValueError, match="processor"):
+        fk_join.fk_join_changelog(left, right, n_salts=4, **kw)
+    with pytest.raises(ValueError, match="engine"):
+        fk_join.fk_join_changelog(left, right, engine="magic", **kw)
+    # the sanctioned combination still works
+    assert fk_join.fk_join_changelog(
+        left, right, n_salts=2, engine="processor", **kw
+    ).count() == 1

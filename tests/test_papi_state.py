@@ -102,3 +102,21 @@ def test_punctuator_fires_before_advancing_record():
         ("punct", 30.0, 3),
         ("rec", 35.0, 4),
     ]
+
+
+def test_forward_bulk_validates_shape():
+    """ADVICE r2: ragged column lists row-shift the output silently; a
+    key-set mismatch with a prior forward() raised a bare KeyError."""
+    import pytest
+
+    from responsive_pub_spark.streaming.state import KeyValueStore, ProcessorContext
+
+    ctx = ProcessorContext(("k",), KeyValueStore())
+    with pytest.raises(ValueError, match="ragged"):
+        ctx.forward_bulk(a=[1, 2], b=[1])
+    ctx2 = ProcessorContext(("k",), KeyValueStore())
+    ctx2.forward(a=1, b=2)
+    with pytest.raises(ValueError, match="schema"):
+        ctx2.forward_bulk(a=[1], c=[2])
+    ctx2.forward_bulk(b=[3], a=[4])  # order-insensitive, same key set
+    assert ctx2.emitted() == [{"a": 1, "b": 2}, {"a": 4, "b": 3}]
