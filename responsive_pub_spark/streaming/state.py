@@ -499,49 +499,45 @@ def process_streaming(
 ) -> DataFrame:
     """Streaming PAPI: same processor, state checkpointed per key.
 
-    The store is pickled into GroupState (the changelog/remote-table analog:
-    restore-free recovery comes from Spark's checkpoint, SURVEY.md §3.2).
-    Within each micro-batch the key's records replay in event-time order;
-    across batches the store persists. Stream-time punctuators fire during
-    replay exactly as in batch mode.
+    The store lives in GroupState as a segmented delta-log blob
+    (:mod:`responsive_pub_spark.streaming.segstore` — the CommitBuffer.java
+    delta-flush analog): per micro-batch only the batch's writes are
+    pickled as a new delta segment and unchanged segment bytes pass
+    through, so a 1-row update to a huge store is O(delta), not O(store).
+    Recovery comes from Spark's checkpoint (SURVEY.md §3.2). Within each
+    micro-batch the key's records replay in event-time order; across
+    batches the store persists. Stream-time punctuators fire during replay
+    exactly as in batch mode.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from responsive_pub_spark.streaming.segstore import SegmentedKeyValueStore
 
     keys = list(key)
 
     def run(key_vals, pdf_iter: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
-        store = KeyValueStore(ttl_seconds)
+        if state.exists and state.get[0]:
+            store, fires, wc_fires = SegmentedKeyValueStore.from_blob(
+                state.get[0], ttl_seconds
+            )
+        else:
+            store, fires, wc_fires = SegmentedKeyValueStore(ttl_seconds), [], []
         proc = processor_factory()
         ctx = ProcessorContext(key_vals, store)
         proc.init(ctx)
-        if state.exists and state.get[0]:
-            # (data, ts, stream_time, ttl, timer_fires, wc_fires)
-            saved = pickle.loads(state.get[0])
-            data, tsd, st_time, ttl, fires = saved[:5]
-            store._data, store._ts = data, tsd
-            store.stream_time, store.ttl_seconds = st_time, ttl
-            store._sorted = sorted(data)
-            for t, nf in zip(ctx._timers, fires):
-                t.next_fire = nf
-            if len(saved) > 5:
-                for t, nf in zip(ctx._wc_timers, saved[5]):
-                    t.next_fire = nf
+        for t, nf in zip(ctx._timers, fires):
+            t.next_fire = nf
+        for t, nf in zip(ctx._wc_timers, wc_fires):
+            t.next_fire = nf
         for pdf in pdf_iter:
             _replay(proc, ctx, pdf, ts_col, order_by)
         import time as _time
 
         ctx._fire_wall_clock(_time.time())
         proc.close(ctx)
-        payload = pickle.dumps(
-            (
-                store._data,
-                store._ts,
-                store.stream_time,
-                store.ttl_seconds,
-                [t.next_fire for t in ctx._timers],
-                [t.next_fire for t in ctx._wc_timers],
-            ),
-            protocol=pickle.HIGHEST_PROTOCOL,
+        payload = store.to_blob(
+            [t.next_fire for t in ctx._timers],
+            [t.next_fire for t in ctx._wc_timers],
         )
         state.update((payload,))
         out = ctx._to_pdf()
@@ -599,38 +595,31 @@ def process_streaming_tws(
             self._blob = handle.getValueState("store", _STATE_SCHEMA)
 
         def handleInputRows(self, key_vals, rows, timer_values):
-            store = KeyValueStore(ttl)
+            from responsive_pub_spark.streaming.segstore import SegmentedKeyValueStore
+
+            existing = self._blob.get()
+            if existing is not None and existing[0]:
+                store, fires, wc_fires = SegmentedKeyValueStore.from_blob(
+                    existing[0], ttl
+                )
+            else:
+                store, fires, wc_fires = SegmentedKeyValueStore(ttl), [], []
             proc = factory()
             ctx = ProcessorContext(tuple(key_vals), store)
             proc.init(ctx)
-            existing = self._blob.get()
-            if existing is not None and existing[0]:
-                saved = pickle.loads(existing[0])
-                data, tsd, st_time, sttl, fires = saved[:5]
-                store._data, store._ts = data, tsd
-                store.stream_time, store.ttl_seconds = st_time, sttl
-                store._sorted = sorted(data)
-                for t, nf in zip(ctx._timers, fires):
-                    t.next_fire = nf
-                if len(saved) > 5:
-                    for t, nf in zip(ctx._wc_timers, saved[5]):
-                        t.next_fire = nf
+            for t, nf in zip(ctx._timers, fires):
+                t.next_fire = nf
+            for t, nf in zip(ctx._wc_timers, wc_fires):
+                t.next_fire = nf
             for pdf in rows:
                 _replay(proc, ctx, pdf, ts_col, order_by)
             import time as _time
 
             ctx._fire_wall_clock(_time.time())
             proc.close(ctx)
-            payload = pickle.dumps(
-                (
-                    store._data,
-                    store._ts,
-                    store.stream_time,
-                    store.ttl_seconds,
-                    [t.next_fire for t in ctx._timers],
-                    [t.next_fire for t in ctx._wc_timers],
-                ),
-                protocol=pickle.HIGHEST_PROTOCOL,
+            payload = store.to_blob(
+                [t.next_fire for t in ctx._timers],
+                [t.next_fire for t in ctx._wc_timers],
             )
             self._blob.update((payload,))
             out = ctx._to_pdf()
