@@ -34,6 +34,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from responsive_pub_spark.functions.portable import ts_to_double
 from responsive_pub_spark.windows import JoinWindows, SessionWindows, TimeWindows
 
 
@@ -263,8 +264,12 @@ class KStream:
         for lk, rk in zip(self.key, other.key):
             c = F.col(f"{left_alias}.{lk}") == F.col(f"{right_alias}.{rk}")
             cond = c if cond is None else (cond & c)
-        lts = F.col(f"{left_alias}.{self.ts_col}").cast("double")
-        rts = F.col(f"{right_alias}.{other.ts_col}").cast("double")
+        lts = ts_to_double(
+            self.df, self.ts_col, col=F.col(f"{left_alias}.{self.ts_col}")
+        )
+        rts = ts_to_double(
+            other.df, other.ts_col, col=F.col(f"{right_alias}.{other.ts_col}")
+        )
         cond = cond & (rts >= lts - windows.before_s) & (rts <= lts + windows.after_s)
         return left.join(right, cond, how)
 
@@ -414,9 +419,9 @@ class TimeWindowedKStream:
             return self.df
         if self.df.isStreaming:
             return self.df.withWatermark(self.ts_col, f"{int(g)} seconds")
-        wm = self.df.agg(F.max(F.col(self.ts_col).cast("double")).alias("m"))
+        wm = self.df.agg(F.max(ts_to_double(self.df, self.ts_col)).alias("m"))
         return self.df.join(F.broadcast(wm)).filter(
-            F.col(self.ts_col).cast("double") >= F.col("m") - F.lit(g)
+            ts_to_double(self.df, self.ts_col) >= F.col("m") - F.lit(g)
         ).drop("m")
 
     def agg(self, *aggs: Column) -> DataFrame:

@@ -28,3 +28,27 @@ def dround(expr: str, n: int) -> str:
     """Portable round as a SQL string (valid in Spark SQL and DuckDB)."""
     scale = 10 ** n
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def ts_to_double(df, ts_col: "Column | str", col: "Column | None" = None) -> Column:
+    """Event-time column as DOUBLE epoch seconds (micro precision).
+
+    Numeric columns cast directly. TIMESTAMP / TIMESTAMP_NTZ go through
+    ``unix_micros`` — ANSI mode rejects ``CAST(TIMESTAMP_NTZ AS DOUBLE)``
+    outright (and parquet TIMESTAMP(NANOS) scans surface as NTZ in Spark
+    4.1+, e.g. the events fixture), so operators taking a user ``ts_col``
+    must not assume it is numeric. NTZ is interpreted in the session
+    timezone; the conversion is monotonic either way, which is all
+    event-time ordering needs.
+
+    ``col`` overrides the column expression (e.g. an aliased reference like
+    ``l.ts`` in a self-join) while the dtype is still looked up as
+    ``ts_col`` in ``df``."""
+    name = ts_col if isinstance(ts_col, str) else None
+    if col is None:
+        col = F.col(name) if name is not None else ts_col
+    if name is not None:
+        dt = dict(df.dtypes).get(name)
+        if dt is not None and dt.startswith("timestamp"):
+            return F.unix_micros(col.cast("timestamp")) / F.lit(1000000.0)
+    return col.cast("double")

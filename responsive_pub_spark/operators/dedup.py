@@ -294,6 +294,86 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     )
 
 
+def simhash_clusters(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Clusters form of simhash near-dup detection — the shape to ship on
+    dup-heavy corpora (one output row per doc, not per pair).
+
+    ``simhash_pairs`` materializes O(g^2) rows for a dup group of size g:
+    measured 35x wall at 10x-replicated docs (BASELINE.md r2), inherent to
+    the pair contract. This operator collapses identical simhashes to ONE
+    representative (min doc_id) BEFORE the banded candidate join — valid
+    because hamming distance is a function of the two simhash VALUES alone,
+    so same-simhash docs have identical neighborhoods. Candidate generation
+    is then quadratic only in DISTINCT simhash values (dup-heavy corpora
+    collapse to near-nothing), components are found over representatives
+    (min-label propagation, :func:`cluster_pairs`), and labels broadcast
+    back to members through the simhash — output LINEAR in docs.
+
+    Same output contract as :func:`cluster_pairs`:
+    (doc_id, canonical_id, is_duplicate), canonical = min doc_id of the
+    hamming<=``max_hamming`` connected component.
+
+    Requires ``max_hamming < SIMHASH_BANDS`` so byte-band pigeonhole
+    blocking stays exact."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"byte-band blocking is exact only for max_hamming < "
+            f"{SIMHASH_BANDS} (pigeonhole); got {max_hamming}"
+        )
+    sh = docs.select(
+        F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash")
+    ).persist()
+    reps = sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id")).persist()
+    byte_arr = F.array(
+        *[F.expr(f"(simhash div {1 << (8 * b)}) % 256") for b in range(SIMHASH_BANDS)]
+    )
+    bands = reps.select(
+        "doc_id", "simhash", F.posexplode(byte_arr).alias("byte_pos", "byte_val")
+    )
+    rep_pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.byte_pos") == F.col("b.byte_pos"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .filter(
+            F.expr("bit_count(CAST(sh_a AS BIGINT) ^ CAST(sh_b AS BIGINT))")
+            <= max_hamming
+        )
+        .select("doc_a", "doc_b")
+    )
+    rep_labels = cluster_pairs(
+        reps.select("doc_id"), rep_pairs, max_iters=max_iters
+    )
+    return (
+        sh.join(
+            reps.select(F.col("doc_id").alias("rep_id"), "simhash"), "simhash"
+        )
+        .join(
+            rep_labels.select(F.col("doc_id").alias("rep_id"), "canonical_id"),
+            "rep_id",
+        )
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
 def simhash_pairs_oracle(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     sh = _simhash_sql("duck")
     band_rows = " UNION ALL ".join(

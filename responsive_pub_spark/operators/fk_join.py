@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from responsive_pub_spark.functions.portable import ts_to_double
 from responsive_pub_spark.streaming import state
 
 
@@ -244,7 +245,7 @@ def fk_join_changelog(
         fk_col.cast("string").alias("join_key"),
         F.col(left_key).cast("string").alias("left_key"),
         left_payload.cast("string").alias("payload"),
-        F.col(ts_col).cast("double").alias("ts"),
+        ts_to_double(left, ts_col).alias("ts"),
     )
     # Batch stage 0 stays declarative (JVM window function, no Python):
     # the per-left-key FK state after each changelog row is simply
@@ -284,7 +285,7 @@ def fk_join_changelog(
         F.col(right_key).cast("string").alias("join_key"),
         F.lit(None).cast("string").alias("left_key"),
         right_payload.cast("string").alias("payload"),
-        F.col(ts_col).cast("double").alias("ts"),
+        ts_to_double(right, ts_col).alias("ts"),
     )
     # ts tie-break: 'R' before 'S'/'U' so a right version at the same
     # instant is visible to same-instant subscriptions (KS offset order is
@@ -391,7 +392,7 @@ class FkJoinStreaming:
             F.col(self.fk).cast("string").alias("join_key"),
             F.col(self.left_key).cast("string").alias("left_key"),
             F.expr(self.left_payload).cast("string").alias("payload"),
-            F.col(self.ts_col).cast("double").alias("ts"),
+            ts_to_double(left, self.ts_col).alias("ts"),
         )
         subs = state.process_streaming(
             lrec,
@@ -414,7 +415,7 @@ class FkJoinStreaming:
             F.col(self.right_key).cast("string").alias("join_key"),
             F.lit(None).cast("string").alias("left_key"),
             F.expr(self.right_payload).cast("string").alias("payload"),
-            F.col(self.ts_col).cast("double").alias("ts"),
+            ts_to_double(right, self.ts_col).alias("ts"),
         )
         merged = sub_stream.unionByName(rrec)
         out = state.process_streaming(

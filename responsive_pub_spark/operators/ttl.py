@@ -19,10 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from responsive_pub_spark.functions.portable import ts_to_double
+
 
 def with_stream_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Attach the global stream-time (max event ts, epoch seconds double)."""
-    m = df.agg(F.max(F.col(ts_col).cast("double")).alias("__stream_time__"))
+    m = df.agg(F.max(ts_to_double(df, ts_col)).alias("__stream_time__"))
     return df.join(F.broadcast(m))
 
 
@@ -33,5 +35,5 @@ def ttl_filter(df: DataFrame, ttl_seconds: "float | Column", ts_col: str = "ts")
     ttl = F.lit(ttl_seconds) if not isinstance(ttl_seconds, Column) else ttl_seconds
     out = with_stream_time(df, ts_col)
     return out.filter(
-        F.col(ts_col).cast("double") >= F.col("__stream_time__") - ttl
+        ts_to_double(df, ts_col) >= F.col("__stream_time__") - ttl
     ).drop("__stream_time__")

@@ -16,7 +16,6 @@ payload; :func:`read_processor_state` decodes it back into one row per
 
 from __future__ import annotations
 
-import pickle
 from collections.abc import Iterable
 
 import pandas as pd
@@ -59,10 +58,15 @@ def query_processor_state(
       iteration + filter;
     - ``store_key_prefix``: ``prefix``/``prefix_tuple`` scan (str or tuple).
 
+    Blobs are the segmented delta-log layout
+    (:mod:`~responsive_pub_spark.streaming.segstore`, SEGv1) or the legacy
+    whole-store tuple — ``from_blob`` handles both. Segments load lazily,
+    so a point ``get`` unpickles only the segments whose key range covers
+    the probe, not the whole store.
+
     Returns one row per (group key, store key) with repr-encoded store
     key/value (store contents are arbitrary pickled Python values —
     SURVEY.md §1.1 opaque-bytes model)."""
-    from responsive_pub_spark.streaming.state import KeyValueStore
 
     raw = read_state(spark, checkpoint, **options)
     flat = raw.select(
@@ -83,6 +87,8 @@ def query_processor_state(
         flat = flat.filter(cond)
 
     def decode(batches: Iterable[pd.DataFrame]):
+        from responsive_pub_spark.streaming.segstore import SegmentedKeyValueStore
+
         for pdf in batches:
             out = {k: [] for k in key_cols} | {
                 "store_key": [], "store_value": [], "write_ts": []
@@ -91,18 +97,12 @@ def query_processor_state(
                 blob = row.blob
                 if blob is None:
                     continue
-                saved = pickle.loads(bytes(blob))
-                store = KeyValueStore()
-                store._data, store._ts = saved[0], saved[1]
-                store.stream_time = saved[2]
-                store._sorted = sorted(store._data)
+                store, _fires, _wc = SegmentedKeyValueStore.from_blob(bytes(blob))
                 if store_key is not None:
                     v = store.get(store_key)
                     items = [] if v is None else [(store_key, v)]
                 elif store_key_from is not None or store_key_to is not None:
-                    lo = store_key_from if store_key_from is not None else store._sorted[0] if store._sorted else None
-                    hi = store_key_to if store_key_to is not None else store._sorted[-1] if store._sorted else None
-                    items = [] if lo is None else list(store.range(lo, hi))
+                    items = list(store.scan(store_key_from, store_key_to))
                 elif store_key_prefix is not None:
                     if isinstance(store_key_prefix, tuple):
                         items = list(store.prefix_tuple(store_key_prefix))
@@ -115,7 +115,8 @@ def query_processor_state(
                         out[k].append(getattr(row, k))
                     out["store_key"].append(repr(sk))
                     out["store_value"].append(repr(sv))
-                    out["write_ts"].append(float(store._ts.get(sk, float("nan"))))
+                    ts = store.write_ts(sk)
+                    out["write_ts"].append(float("nan") if ts is None else float(ts))
             yield pd.DataFrame(out)
 
     key_schema = ", ".join(f"{k} LONG" for k in key_cols)

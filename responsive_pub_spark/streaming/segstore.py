@@ -220,6 +220,12 @@ class SegmentedKeyValueStore:
         """Inclusive [from, to] ordered scan (PartitionedOperations.range:393)."""
         yield from self._scan(key_from, key_to)
 
+    def scan(self, key_from=None, key_to=None) -> Iterator[tuple]:
+        """``range`` with optional open bounds — the IQ serving path
+        (iq.query_processor_state), where one bound may be absent and the
+        store must not load every segment just to learn its min/max key."""
+        yield from self._scan(key_from, key_to)
+
     def reverse_range(self, key_from, key_to) -> Iterator[tuple]:
         yield from reversed(list(self.range(key_from, key_to)))
 

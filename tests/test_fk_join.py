@@ -191,6 +191,8 @@ def test_declarative_stage1_equals_processor_on_events(spark, sf_dir):
     FK moves, tombstones, and fan-outs included."""
     from responsive_pub_spark.sources.readers import read_table
 
+    # ts stays a raw timestamp_ntz here on purpose: fk_join must convert
+    # timestamp-typed event time itself (portable.ts_to_double)
     ev = read_table(spark, sf_dir, "events")
     left = ev.select("user_id", "event_type", "event_id", "ts")
     right = (
