@@ -61,6 +61,10 @@ if DOCS_MODE:
         # materialization (simhash above) is quadratic in dup-group size
         # BY DEFINITION; connected components keep output linear
         "dedup_clusters",
+        # r3: simhash's own clusters form — identical simhashes collapse to
+        # one representative pre-join, so it must track dedup_clusters
+        # (~1x), not the 35x of the pair form above
+        "dedup_simhash_clusters",
         "sim_search_bruteforce",
         "sim_search_ivf",
         "sim_search_pq",

@@ -355,9 +355,14 @@ def simhash_clusters(
         )
         .select("doc_a", "doc_b")
     )
-    rep_labels = cluster_pairs(
-        reps.select("doc_id"), rep_pairs, max_iters=max_iters
-    )
+    # truncate lineage before the iterative propagation: each label round
+    # re-references its inputs, and re-analyzing the (large) generated
+    # simhash expression once per round blows Catalyst's plan tree — with
+    # checkpointed inputs the per-round plan stays O(1). On a cluster
+    # prefer df.checkpoint() to reliable storage for fault tolerance.
+    rep_pairs = rep_pairs.localCheckpoint(eager=True)
+    rep_ids = reps.select("doc_id").localCheckpoint(eager=True)
+    rep_labels = cluster_pairs(rep_ids, rep_pairs, max_iters=max_iters)
     return (
         sh.join(
             reps.select(F.col("doc_id").alias("rep_id"), "simhash"), "simhash"
@@ -698,21 +703,33 @@ def embedding_dup_pairs(
 
 
 def embedding_dup_pairs_oracle(
-    threshold: float = EMBEDDING_COSINE_THRESHOLD, dim: int = 64
+    threshold: float = EMBEDDING_COSINE_THRESHOLD,
+    dim: int = 64,
+    bands: "int | None" = None,
+    bits: "int | None" = None,
+    source: str = "embeddings",
+    prelude: str = "",
 ) -> str:
     """DuckDB twin of the BANDED path (identical band arithmetic, identical
-    unrolled-dot + precomputed-norm pair scoring)."""
+    unrolled-dot + precomputed-norm pair scoring). ``bands``/``bits``
+    mirror :func:`embedding_dup_pairs`'s geometry knobs; ``source`` names
+    the vector relation and ``prelude`` may prepend CTEs defining it (e.g.
+    a planted-near-dup union)."""
     from responsive_pub_spark.functions.vectors import (
+        RHP_BAND_BITS,
         RHP_BANDS,
         dot_duck,
         dot_unrolled,
         rhp_band_sql,
     )
 
+    n_bands = RHP_BANDS if bands is None else bands
+    n_bits = RHP_BAND_BITS if bits is None else bits
     band_rows = "\n            UNION ALL ".join(
         f"SELECT vec_id, {k} AS band_pos, "
-        f"{rhp_band_sql('embedding', dim, 'duck', k)} AS band_val FROM embeddings"
-        for k in range(RHP_BANDS)
+        f"{rhp_band_sql('embedding', dim, 'duck', k, n_bits)} AS band_val "
+        f"FROM {source}"
+        for k in range(n_bands)
     )
     n2 = dot_duck("embedding", "embedding")
     cos = (
@@ -720,7 +737,7 @@ def embedding_dup_pairs_oracle(
         f" / (sqrt(ea.n2) * sqrt(eb.n2)))"
     )
     return f"""
-        WITH bands AS (
+        WITH {prelude}bands AS (
             {band_rows}
         ), cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -728,7 +745,7 @@ def embedding_dup_pairs_oracle(
               ON a.band_pos = b.band_pos AND a.band_val = b.band_val
              AND a.vec_id < b.vec_id
         ), normed AS (
-            SELECT vec_id, embedding, {n2} AS n2 FROM embeddings
+            SELECT vec_id, embedding, {n2} AS n2 FROM {source}
         )
         SELECT c.id_a, c.id_b,
                (floor(({cos}) * 1000000 + 0.5) / 1000000) AS cosine

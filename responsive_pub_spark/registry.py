@@ -39,7 +39,7 @@ from responsive_pub_spark.operators.ttl import ttl_filter
 from responsive_pub_spark.sources.readers import read_table
 from responsive_pub_spark.streaming import async_stage, multimodal, state
 from responsive_pub_spark.windows import JoinWindows, SessionWindows, TimeWindows
-from responsive_pub_spark.functions.portable import pround
+from responsive_pub_spark.functions.portable import pround, ts_to_double
 
 DAY = 86400
 
@@ -1363,6 +1363,166 @@ def q_multimodal_audio(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_dedup_simhash_clusters(spark, sf_dir):
+    """Simhash near-dup CLUSTERS — the dup-heavy-safe form (r2 VERDICT
+    task 3): identical simhashes collapse to one representative BEFORE the
+    banded candidate join, so candidate volume is quadratic only in
+    DISTINCT simhash values and output is linear in docs (the pair form
+    measured 35x wall at 10x-replicated docs; see BASELINE.md)."""
+    return dedup.simhash_clusters(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_SIMHASH_CLUSTERS = dedup.cluster_pairs_oracle(
+    f"pairs AS ({dedup.simhash_pairs_oracle()})"
+)
+
+#: Planted near-dup twin ids live PLANT_OFFSET above their source vec_id.
+PLANT_OFFSET = 1_000_000
+
+
+def q_dedup_embedding_strict(spark, sf_dir):
+    """Embedding near-dup at a PRODUCTION threshold (0.85) with the
+    threshold-matched 4x16 band geometry (r2 VERDICT task 7). The fixture
+    has no naturally high-cosine pairs, so each vector gets a planted twin
+    (first component scaled by 0.75 -> cosine ~0.999 for typical vectors);
+    every planted pair above threshold must surface through banding
+    (recall referee: tests/test_embedding_recall.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    twin = emb.select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) * F.lit(0.75)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(twin)
+    return dedup.embedding_dup_pairs(both, threshold=0.85, bands=4, bits=16)
+
+
+_EMB2 = """emb2 AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_cat([CAST(embedding[1] * 0.75 AS FLOAT)], embedding[2:])
+            FROM embeddings
+        ), """
+
+ORACLE_DEDUP_EMBEDDING_STRICT = dedup.embedding_dup_pairs_oracle(
+    threshold=0.85, bands=4, bits=16, source="emb2", prelude=_EMB2
+)
+
+
+def q_kv_sink_roundtrip(spark, sf_dir):
+    """KV-table sink round trip (§2.1 sink surface, r2 VERDICT task 5):
+    the events changelog lands in a KeyValueTableSink across three commit
+    batches plus one REDELIVERED batch (must be a no-op — the committed-
+    offset guard, CommitBuffer.java:340-423), then compact() folds the
+    deltas and read() returns latest-per-key with tombstones dropped.
+    Payload is NULL (a tombstone) for value < 0.1 rows."""
+    import tempfile
+
+    from responsive_pub_spark.streaming.kv_sink import KeyValueTableSink
+
+    ev = _t(spark, sf_dir, "events")
+    chg = ev.select(
+        F.col("user_id"),
+        F.when(F.col("value") < 0.1, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(
+                "#",
+                "event_type",
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("string"),
+            )
+        )
+        .alias("payload"),
+        F.col("event_id"),
+        (F.col("event_id") % 3).alias("batch"),
+    )
+    path = tempfile.mkdtemp(prefix="kvsink_rt_")
+    sink = KeyValueTableSink(path, ["user_id"], ["payload"], ts_col="event_id")
+    for b in (0, 1, 2):
+        sink(chg.filter(F.col("batch") == b).drop("batch"), b)
+    # redelivered committed batch: the offset guard makes it a no-op
+    sink(chg.filter(F.col("batch") == 1).drop("batch"), 1)
+    sink.compact(spark)
+    return sink.read(spark)
+
+
+ORACLE_KV_SINK_ROUNDTRIP = f"""
+    WITH {_EV},
+    chg AS (
+        SELECT user_id, event_id, event_id % 3 AS batch,
+               CASE WHEN value < 0.1 THEN NULL
+                    ELSE event_type || '#' ||
+                         CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS VARCHAR)
+               END AS payload
+        FROM ev
+    ),
+    r AS (
+        SELECT user_id, payload, row_number() OVER (
+            PARTITION BY user_id ORDER BY batch DESC, event_id DESC) AS rn
+        FROM chg
+    )
+    SELECT user_id, payload FROM r WHERE rn = 1 AND payload IS NOT NULL
+"""
+
+
+class _IqCountProcessor(state.Processor):
+    """Running count per key at store key ('n',) — the store the IQ dump
+    reads back (StoreQueryIntegrationTest.java:145 KeyQuery surface)."""
+
+    def process(self, ctx, rec):
+        ctx.store.put(("n",), (ctx.store.get(("n",)) or 0) + 1)
+
+
+def q_iq_store_dump(spark, sf_dir):
+    """Interactive query over a LIVE checkpoint (§2.9, r2 VERDICT task 5):
+    a streaming running-count processor checkpoints per-key state; the IQ
+    reader then serves a point KeyQuery per group key straight from the
+    checkpoint's state store — no stream restart, no full-store client
+    scan (group keys prune before the blob ever reaches Python; inside the
+    blob only covering segments unpickle). Oracle = the same count in SQL."""
+    import tempfile
+
+    from responsive_pub_spark.streaming import iq
+
+    ev = _t(spark, sf_dir, "events")
+    sliced = ev.filter(F.col("user_id") < 30).select(
+        "user_id", "event_id", ts_to_double(ev, "ts").alias("ts")
+    )
+    indir = tempfile.mkdtemp(prefix="iq_in_")
+    sliced.write.mode("overwrite").parquet(indir)
+    sdf = spark.readStream.schema("user_id BIGINT, event_id BIGINT, ts DOUBLE").parquet(
+        indir
+    )
+    out = state.process_streaming(
+        sdf,
+        key=["user_id"],
+        processor_factory=_IqCountProcessor,
+        output_schema="user_id BIGINT",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+    ck = tempfile.mkdtemp(prefix="iq_ck_")
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dump = iq.query_processor_state(spark, ck, ["user_id"], store_key=("n",))
+    return dump.select("user_id", F.col("store_value").alias("running_cnt"))
+
+
+ORACLE_IQ_STORE_DUMP = f"""
+    WITH {_EV}
+    SELECT user_id, CAST(count(*) AS VARCHAR) AS running_cnt
+    FROM ev WHERE user_id < 30 GROUP BY user_id
+"""
+
+
 # NOTE on ordering: the driver's CORRECTNESS gate checks the FIRST 50 dict
 # entries only (observed r1/r2: row set == registry positions 1-50).  The
 # window below therefore front-loads (a) the flagship, (b) every query that
@@ -1449,6 +1609,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
+    # --- new in r3 (driver rows required): dup-heavy-safe simhash clusters,
+    # --- production-threshold embedding dedup, sink + IQ gate coverage
+    "dedup_simhash_clusters": QuerySpec(
+        q_dedup_simhash_clusters, ORACLE_DEDUP_SIMHASH_CLUSTERS
+    ),
+    "dedup_embedding_strict": QuerySpec(
+        q_dedup_embedding_strict, ORACLE_DEDUP_EMBEDDING_STRICT
+    ),
+    "kv_sink_roundtrip": QuerySpec(q_kv_sink_roundtrip, ORACLE_KV_SINK_ROUNDTRIP),
+    "iq_store_dump": QuerySpec(q_iq_store_dump, ORACLE_IQ_STORE_DUMP),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything below
     # was driver-green in r1/r2 and is trivia-stable; the full-registry

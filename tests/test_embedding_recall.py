@@ -28,6 +28,43 @@ def test_blocked_pairs_subset_and_recall(spark, sf_dir):
     assert recall >= 0.8, f"banded recall collapsed: {recall:.2f} ({len(blocked)}/{len(exact)})"
 
 
+def test_planted_twin_recall(spark, sf_dir):
+    """Recall referee for the production-threshold registry query
+    (`dedup_embedding_strict`, r2 VERDICT task 7): every vector gets a
+    planted high-cosine twin (first component x0.75, cosine ~0.999);
+    banding at 4x16 must surface >= 0.99 of the planted pairs whose exact
+    cosine clears the 0.85 threshold."""
+    from responsive_pub_spark import registry
+
+    found = {
+        (r.id_a, r.id_b)
+        for r in registry.q_dedup_embedding_strict(spark, sf_dir).collect()
+        if r.id_b == r.id_a + registry.PLANT_OFFSET
+    }
+    # exact qualifying planted pairs, via the all-pairs referee restricted
+    # to (i, i+OFFSET)
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    twin = emb.select(
+        (F.col("vec_id") + F.lit(registry.PLANT_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) * F.lit(0.75)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(twin)
+    qualifying = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs(both, threshold=0.85, exact=True)
+        .filter(F.col("id_b") == F.col("id_a") + registry.PLANT_OFFSET)
+        .collect()
+    }
+    assert qualifying, "no planted pair clears 0.85 — perturbation too big"
+    recall = len(found & qualifying) / len(qualifying)
+    assert recall >= 0.99, f"planted-pair recall {recall:.3f} ({len(found & qualifying)}/{len(qualifying)})"
+
+
 def test_embedding_dedup_no_cartesian(spark, sf_dir):
     from responsive_pub_spark import registry
     from responsive_pub_spark.plans import audit
