@@ -9,12 +9,18 @@ Prints ONE JSON line:
 Each query is timed end-to-end (plan build + execution) against the noop
 sink, so the driver-side collect cost is excluded and the measured number is
 the distributed compute path — the number that scales.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS timed repetitions (default 3) after
+one warm-up and reports the MEDIAN (r2 VERDICT task 9: single-run numbers
+showed +/-15% jitter masquerading as regressions); per-run samples are kept
+under "runs" for spread inspection.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +28,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     from responsive_pub_spark.session import build_spark
     from responsive_pub_spark.registry import bench_queries
@@ -40,22 +47,28 @@ def main() -> None:
         sf_val = sf
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name, fn in bench_queries().items():
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm: JIT + file listing
-        t0 = time.perf_counter()
-        df2 = fn(spark, sf_dir)
-        df2.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # drop per-query persisted signature tables between queries
-        spark.catalog.clearCache()
+        fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm: JIT + file listing
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+            # drop per-query persisted signature tables between runs
+            spark.catalog.clearCache()
+        samples[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+        print(f"# {name}: median {timings[name]:.3f}s of {runs}", file=sys.stderr)
 
     out = {
         "metric": "bench_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": samples,
         "sf": sf_val,
     }
     print(json.dumps(out))

@@ -47,7 +47,6 @@ if DOCS_MODE:
     QUERIES = [
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
-        "dedup_simhash",
         # dedup_embedding runs at threshold 0.9 with 4x16 banding here, NOT
         # the registry's fixture-tuned 0.4 / 16x4: at 0.4 ~64% of ALL pairs
         # qualify (the fixture has no high-cosine structure), so the true
@@ -71,6 +70,11 @@ if DOCS_MODE:
         "curate_corpus",
         "text_quality",
         "decontam_overlap",
+        # LAST: the pair form on a dup-heavy corpus is the known foot-gun
+        # (quadratic in dup-group size; 35x wall in r2, OOM on this heap in
+        # r3) — run it after everything else so its failure mode can't
+        # taint the rest of the run
+        "dedup_simhash",
     ]
 else:
     AMPLIFIED = {
@@ -146,15 +150,22 @@ def main() -> None:
 
     extra = {"dedup_embedding@0.9": _embedding_09}
     names = QUERIES if QUERIES else list(bench_queries()) + ["papi_running_count"]
-    timings: dict[str, float] = {}
+    timings: dict = {}
     for name in names:
         fn = extra[name] if name in extra else REGISTRY[name].fn
         print(f"# warming {name}", file=sys.stderr)
-        fn(spark, DST).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        fn(spark, DST).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # a query that dies at amplified scale (e.g. the simhash PAIR form
+        # OOMs materializing ~160M pairs on the dup-heavy corpus) is itself
+        # a result — record it and keep benching the rest
+        try:
+            fn(spark, DST).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, DST).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = f"FAILED: {type(e).__name__}"
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
         # each run re-persists its own signature tables; drop them so cache
         # memory doesn't accumulate across queries at amplified scale
         spark.catalog.clearCache()
@@ -163,7 +174,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "bench_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": round(
+                    sum(v for v in timings.values() if isinstance(v, float)), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": _TAG.replace("sf", ""),

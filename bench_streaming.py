@@ -13,6 +13,15 @@ Three topologies, one per engine lane:
 
 Each run is a cold start (fresh checkpoint), one availableNow drain of the
 whole fixture; throughput = rows_in / wall_seconds. Prints one JSON line.
+
+Soak mode (``--soak N``, r3 VERDICT task 6): amplifies the fixture N times
+(shifted event_id/user_id — N x the keys) into N separate files and drains
+them as N micro-batches (maxFilesPerTrigger=1), so state carries across
+batches like a long-running job. Per lane it records rec/s, final
+checkpoint size on disk, and the per-batch state-row/duration series from
+StreamingQuery progress — the numbers that would expose super-linear state
+growth or an O(state)-per-batch flush regression (streaming/segstore.py is
+specifically the fix for the latter).
 """
 
 from __future__ import annotations
@@ -26,11 +35,24 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SOAK = int(sys.argv[sys.argv.index("--soak") + 1]) if "--soak" in sys.argv else 0
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def main() -> None:
     from pyspark.sql import functions as F
 
+    from responsive_pub_spark.functions.portable import ts_to_double
     from responsive_pub_spark.session import build_spark
     from responsive_pub_spark.sources.readers import read_table
     from responsive_pub_spark.streaming import state
@@ -43,12 +65,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # stage the fixture as a file stream source (the topic analog) with a
-    # typed schema; events ts arrives as TIMESTAMP after read_table's
-    # nanos handling, so round-trip it through parquet once
+    # typed schema (events ts needs read_table's TIMESTAMP(NANOS) handling,
+    # so round-trip it through parquet once). Soak mode writes N shifted
+    # replicas as N files == N micro-batches.
     work = tempfile.mkdtemp(prefix="bench-streaming-")
     src = os.path.join(work, "events")
     ev = read_table(spark, SF_DIR, "events")
-    ev.write.mode("overwrite").parquet(src)
+    if SOAK:
+        # one file per replica, ~10 micro-batches total: enough batches to
+        # see per-batch state growth, big enough batches that Python-lane
+        # worker startup doesn't dominate
+        files_per_batch = max(1, SOAK // 10)
+        for i in range(SOAK):
+            (
+                ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10**12))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * 10**9))
+                .coalesce(1)
+                .write.mode("append" if i else "overwrite")
+                .parquet(src)
+            )
+    else:
+        ev.write.mode("overwrite").parquet(src)
     n_rows = spark.read.parquet(src).count()
     schema = spark.read.parquet(src).schema
 
@@ -60,7 +97,10 @@ def main() -> None:
     def run(name, build, output_mode="append"):
         ck = os.path.join(work, f"ck-{name}")
         out = os.path.join(work, f"out-{name}")
-        sdf = spark.readStream.schema(schema).parquet(src)
+        reader = spark.readStream.schema(schema)
+        if SOAK:
+            reader = reader.option("maxFilesPerTrigger", str(files_per_batch))
+        sdf = reader.parquet(src)
         t0 = time.perf_counter()
         q = (
             build(sdf)
@@ -73,11 +113,29 @@ def main() -> None:
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
-        return {
+        res = {
             "wall_sec": round(wall, 3),
             "rows_in": n_rows,
             "rec_per_sec": int(n_rows / wall),
         }
+        if SOAK:
+            batches = []
+            for p in q.recentProgress:
+                if not isinstance(p, dict):  # StreamingQueryProgress object
+                    p = json.loads(p.json)
+                ops = p.get("stateOperators") or []
+                batches.append(
+                    {
+                        "batch": p.get("batchId"),
+                        "rows": p.get("numInputRows"),
+                        "batch_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+                        "state_rows": ops[0].get("numRowsTotal") if ops else None,
+                        "state_bytes": ops[0].get("memoryUsedBytes") if ops else None,
+                    }
+                )
+            res["batches"] = batches
+            res["checkpoint_bytes"] = _dir_bytes(ck)
+        return res
 
     def jvm_window(sdf):
         return (
@@ -104,7 +162,9 @@ def main() -> None:
 
     def papi(sdf):
         return state.process_streaming(
-            sdf.select("user_id", F.col("ts").cast("double").alias("ts"), "event_id"),
+            sdf.select(
+                "user_id", ts_to_double(sdf, "ts").alias("ts"), "event_id"
+            ),
             key=["user_id"],
             processor_factory=RunningCount,
             output_schema="user_id LONG, n LONG",
@@ -124,6 +184,7 @@ def main() -> None:
                 "metric": "streaming_throughput",
                 "unit": "records_per_sec",
                 "rows_in": n_rows,
+                "soak": SOAK or None,
                 "lanes": results,
                 "sf": SF_DIR,
             }

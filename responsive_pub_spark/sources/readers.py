@@ -37,18 +37,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one fixture table. Column pruning + predicate pushdown into
     the parquet scan come free from using the DataFrame reader.
 
-    The ``events`` fixture stores TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; we read nanos as long (legacy conf) and truncate
-    to microsecond timestamps — the DuckDB oracles truncate identically
-    (``registry._EV``) so event-time arithmetic matches exactly.
+    The ``events`` fixture stores TIMESTAMP(NANOS). Depending on the Spark
+    build this surfaces either as a rejected read unless nanos-as-long is
+    enabled (older readers: we truncate the long to microsecond
+    timestamps) or natively as a micro-truncated TIMESTAMP_NTZ (4.1+).
+    Both paths normalize ``ts`` to a UTC TIMESTAMP (LTZ): watermarks
+    reject NTZ event time, and NTZ's session-timezone-dependent casts
+    would break oracle parity — the DuckDB oracles truncate to micros and
+    treat the values as UTC (``registry._EV``), so event-time arithmetic
+    matches exactly. The session timezone is pinned to UTC here because
+    the NTZ->LTZ cast reads it (build_spark already defaults to UTC; this
+    covers plain driver sessions).
     """
     path = table_path(sf_dir, name)
     if name != "events":
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

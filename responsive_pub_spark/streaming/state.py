@@ -349,7 +349,15 @@ class ProcessorContext:
         self._timers.append(_Timer(interval_s, float("nan"), callback, aligned))
 
     def _fire_wall_clock(self, now: float) -> None:
-        """Fire due wall-clock punctuators (streaming, at batch end)."""
+        """Fire due wall-clock punctuators (streaming, at batch end).
+
+        KS WALL_CLOCK_TIME contract (PunctuationType javadoc; the reference
+        schedules these in KeyBatchExample.java:137-141): a punctuator that
+        missed several intervals fires ONCE, not once per missed interval —
+        so here an interval smaller than the micro-batch period coalesces
+        to exactly one fire per batch, and an interval larger than the
+        batch period fires once at the first batch boundary past due.
+        Pinned by tests/test_streaming.py::test_wall_clock_punctuator_coalescing."""
         for t in self._wc_timers:
             if t.interval_s <= 0:
                 t.callback(self, now)
@@ -357,9 +365,9 @@ class ProcessorContext:
             if t.next_fire != t.next_fire:  # first batch arms the timer
                 t.next_fire = now + t.interval_s
                 continue
-            while now >= t.next_fire:
-                t.callback(self, t.next_fire)
-                t.next_fire += t.interval_s
+            if now >= t.next_fire:
+                t.callback(self, now)
+                t.next_fire = now + t.interval_s
 
     # -- engine internals ---------------------------------------------------
     def _advance(self, ts: float) -> None:

@@ -384,6 +384,53 @@ def test_wall_clock_punctuator_fires_at_batch_boundary(spark, workdir):
     drv.close()
 
 
+def test_wall_clock_punctuator_coalescing(spark, workdir):
+    """r2 VERDICT task 4 — pin the commit-aligned wall-clock contract:
+
+    (a) interval LARGER than the batch period: the timer arms on its first
+        batch and fires only once per boundary where it is due — a
+        never-due (huge-interval) timer fires zero times across the run;
+    (b) interval SMALLER than the batch period (1 ms here, thousands of
+        intervals elapse between advances): missed intervals COALESCE to
+        exactly ONE fire per batch — the KS WALL_CLOCK_TIME contract
+        (punctuate fires once even if several intervals passed), NOT
+        once-per-missed-interval catch-up."""
+
+    def make():
+        class Two(state.Processor):
+            def init(self, ctx):
+                ctx.schedule(0.001, self._fast, state.WALL_CLOCK)
+                ctx.schedule(1e9, self._never, state.WALL_CLOCK)
+
+            def _fast(self, ctx, now):
+                ctx.forward(k=str(ctx.key[0]), kind="fast")
+
+            def _never(self, ctx, now):
+                ctx.forward(k=str(ctx.key[0]), kind="never")
+
+            def process(self, ctx, rec):
+                pass
+
+        return Two
+
+    def build(sdf):
+        return state.process_streaming(
+            sdf, ["k"], make(), "k STRING, kind STRING", ts_col="ts"
+        )
+
+    drv = TopologyTestDriver(spark, "k STRING, ts DOUBLE", build, workdir)
+    drv.pipe([{"k": "a", "ts": 1.0}])
+    out1 = [r.kind for r in drv.advance()]
+    assert out1 == []  # first batch only ARMS both timers
+    for batch in (2, 3):
+        drv.pipe([{"k": "a", "ts": float(batch)}])
+        out = [r.kind for r in drv.advance()]
+        # 1 ms timer: thousands of intervals elapsed since the last batch,
+        # exactly one coalesced fire; 1e9 s timer: never due, never fires
+        assert out == ["fast"], out
+    drv.close()
+
+
 def test_stream_stream_join_duplicates_and_cross_batch(spark, workdir):
     """Streaming stream-stream windowed join (ResponsiveStores.streamStreamJoin):
     duplicate left events each match (STREAM-store retainDuplicates,
