@@ -18,7 +18,7 @@ Every operator has a DuckDB oracle twin built from the same constants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.functions import text as T
@@ -474,6 +474,97 @@ def quality_classifier_oracle() -> str:
                    AS score,
                (({raw}) > 0) AS keep
         FROM documents
+    """
+
+
+# -- per-source caps (domain balancing) -------------------------------------
+
+#: Max docs kept per source; priority = longest first (n_chars DESC,
+#: doc_id ASC tie-break — a total order, so the kept set is deterministic).
+SOURCE_CAP = 40
+
+
+def source_cap(docs: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
+    """Per-source document cap — the domain-balancing step of web-corpus
+    curation (C4/RefinedWeb keep at most N pages per domain so megasites
+    don't dominate the token mix; `source` is the domain analog in the
+    fixture).
+
+    One shuffle on source + a rank filter. The rank<=k filter compiles to
+    Spark's WindowGroupLimit: each map task pre-prunes to its local top-k
+    BEFORE the exchange, so a 100 TB scan ships at most k rows per
+    (source, input partition) — a hot domain with 10^9 pages does not
+    funnel 10^9 rows through one reducer. Skew beyond that is AQE's
+    skew-join/partition splitting."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("src_rank") <= cap)
+        .select("doc_id", "source", "n_chars", "src_rank")
+    )
+
+
+def source_cap_oracle(cap: int = SOURCE_CAP) -> str:
+    return f"""
+        WITH r AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS src_rank
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, src_rank FROM r WHERE src_rank <= {cap}
+    """
+
+
+# -- importance resampling by quality score ---------------------------------
+
+#: Acceptance-probability clamp in basis points: every doc keeps >= 5%
+#: probability (bounded IPW weights) and <= 100%.
+RESAMPLE_MIN_BP = 500.0
+
+
+def resample_by_score(docs: DataFrame) -> DataFrame:
+    """Quality-weighted importance resampling (the DSIR-shaped corpus
+    mixing primitive): each doc is kept with probability proportional to
+    its classifier score and carries the inverse-probability weight, so
+    downstream token accounting stays unbiased while the sample tilts
+    toward high-quality text.
+
+    Acceptance is the same deterministic doc_id hash as
+    :func:`stratified_sample` (never rand(): retries must re-decide
+    identically) compared against a per-row probability derived from the
+    hashed-feature classifier score: bp = clamp(5000 * (1 + score),
+    [{RESAMPLE_MIN_BP}, 10000]). All-double arithmetic with the identical
+    op sequence in both engines, so the keep decision is bit-identical.
+    Zero shuffles: classifier + hash + filter fuse into one codegen scan."""
+    scored = quality_classifier(docs)
+    u = f"(((doc_id % {P}) * {SAMPLE_HASH_A} + {SAMPLE_HASH_B}) % {P}) % 10000"
+    bp = f"greatest({RESAMPLE_MIN_BP}, least(10000.0, 5000.0 * (1.0 + score)))"
+    return (
+        scored.withColumn("accept_bp", F.expr(bp))
+        .filter(F.expr(u) < F.col("accept_bp"))
+        .select(
+            "doc_id",
+            pround(F.col("accept_bp"), 6).alias("accept_bp"),
+            pround(F.lit(10000.0) / F.col("accept_bp"), 6).alias("weight"),
+        )
+    )
+
+
+def resample_by_score_oracle() -> str:
+    inner = quality_classifier_oracle()
+    u = f"(((doc_id % {P}) * {SAMPLE_HASH_A} + {SAMPLE_HASH_B}) % {P}) % 10000"
+    bp = f"greatest({RESAMPLE_MIN_BP}, least(10000.0, 5000.0 * (1.0 + score)))"
+    return f"""
+        WITH scored AS ({inner})
+        SELECT doc_id,
+               floor(({bp}) * 1000000 + 0.5) / 1000000 AS accept_bp,
+               floor(10000.0 / ({bp}) * 1000000 + 0.5) / 1000000 AS weight
+        FROM scored
+        WHERE {u} < {bp}
     """
 
 

@@ -204,6 +204,18 @@ EXTENDED_NOTES = {
         "segments covering the probe (segstore lazy load). No stream "
         "restart, no full-store client scan."
     ),
+    "source_cap": (
+        "per-domain cap (C4/RefinedWeb balancing): rank<=k compiles to "
+        "WindowGroupLimit (Partial+Final) — each map task pre-prunes to "
+        "its LOCAL top-k before the exchange, so a 10^9-page domain ships "
+        "k rows per input partition, not 10^9 rows to one reducer."
+    ),
+    "resample_by_score": (
+        "DSIR-shaped importance resampling: classifier inference + "
+        "deterministic hash-acceptance + IPW weight fuse into ONE codegen "
+        "scan, zero shuffles; retry-safe (no rand()), weights bounded by "
+        "the 5% acceptance floor."
+    ),
 }
 
 

@@ -1607,10 +1607,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "pii_redact": QuerySpec(q_pii_redact, pipeline_ops.pii_redact_oracle()),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
-    "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
-    "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
     # --- new in r3 (driver rows required): dup-heavy-safe simhash clusters,
-    # --- production-threshold embedding dedup, sink + IQ gate coverage
+    # --- production-threshold embedding dedup, sink + IQ gate coverage,
+    # --- domain balancing + importance resampling
     "dedup_simhash_clusters": QuerySpec(
         q_dedup_simhash_clusters, ORACLE_DEDUP_SIMHASH_CLUSTERS
     ),
@@ -1619,6 +1618,22 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "kv_sink_roundtrip": QuerySpec(q_kv_sink_roundtrip, ORACLE_KV_SINK_ROUNDTRIP),
     "iq_store_dump": QuerySpec(q_iq_store_dump, ORACLE_IQ_STORE_DUMP),
+    "source_cap": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.source_cap(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.source_cap_oracle(),
+    ),
+    "resample_by_score": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.resample_by_score(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.resample_by_score_oracle(),
+    ),
+    # window_topk / funnel_sequence: r2 driver-green, rotated past 50 to
+    # make room for the six new rows; full pytest oracle still guards them
+    "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
+    "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything below
     # was driver-green in r1/r2 and is trivia-stable; the full-registry
