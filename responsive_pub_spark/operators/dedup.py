@@ -258,7 +258,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
 
     Blocking: split the 32-bit simhash into 4 bytes; pairs within hamming 3
     must agree on >= 1 byte (pigeonhole), so an equi-join on (byte_pos,
-    byte_value) is exact — no O(n^2) comparison at scale."""
+    byte_value) is exact — no O(n^2) comparison at scale.
+
+    SCALE WARNING — the PAIR contract itself is quadratic in dup-group
+    size: on a dup-heavy corpus the true answer has O(g^2) rows per
+    g-copy group (measured 112.6s / OOM-prone at 10x-replicated docs,
+    BASELINE.md). For keep/drop decisions use :func:`simhash_clusters`,
+    which collapses identical simhashes before the join and emits one row
+    per doc (flat at 10x)."""
     sh = docs.select(
         F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash")
     ).persist()
@@ -652,17 +659,33 @@ def embedding_dup_pairs(
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
-    # two-stage signature: 64 small per-plane dot columns (each its own
-    # codegen method), then sign packs — one monolithic expression
-    # fails JVM codegen and drops to interpreted eval (20x slower)
+    # Signature step: 64 per-plane dot columns, computed in CHUNKED layers
+    # with an eager localCheckpoint barrier between chunks. One flat
+    # 64-plane projection generates a ~20k-line class: janino hits the
+    # 64KB method limit (whole-stage falls back to interpreted eval, 20x
+    # slower) and on a 1g driver heap dies outright in compile
+    # (OutOfMemoryError inside UnitCompiler — observed on pyspark 4.1.2;
+    # DataFrame persist() of the same plan OOMs identically in the cache
+    # writer). Chunks of 16 keep every generated class small enough to
+    # COMPILE, so the hot path stays codegen'd JVM; the checkpoint also
+    # doubles as the signature-table materialization the band self-join
+    # reads twice (minhash_pairs' persist pattern). On a cluster, swap
+    # localCheckpoint for checkpoint() if executor loss must be
+    # survivable mid-query.
     n_planes = n_bands * n_bits
-    planes = emb.select(
-        "vec_id",
-        *[
-            F.expr(rhp_plane_dot_sql("embedding", dim, "spark", j)).alias(f"p{j}")
-            for j in range(n_planes)
-        ],
-    )
+    _CHUNK = 16
+    layered = emb.select("vec_id", "embedding")
+    for c0 in range(0, n_planes, _CHUNK):
+        layered = layered.select(
+            "*",
+            *[
+                F.expr(rhp_plane_dot_sql("embedding", dim, "spark", j)).alias(
+                    f"p{j}"
+                )
+                for j in range(c0, min(c0 + _CHUNK, n_planes))
+            ],
+        ).localCheckpoint(eager=True)
+    planes = layered.drop("embedding")
     bandsdf = planes.select(
         "vec_id",
         F.explode(
@@ -681,9 +704,8 @@ def embedding_dup_pairs(
             )
         ).alias("bp"),
     ).select("vec_id", F.col("bp.band_pos").alias("band_pos"), F.col("bp.band_val").alias("band_val"))
-    # persisted once: the self-join would otherwise recompute the whole
-    # signature pipeline on both sides (same pattern as minhash_pairs)
-    bandsdf = bandsdf.persist()
+    # bandsdf itself stays unpersisted: both join sides re-derive it from
+    # the cached plane table with a small pack+explode projection
     cand = (
         bandsdf.alias("a")
         .join(bandsdf.alias("b"), ["band_pos", "band_val"])
