@@ -8,7 +8,10 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from responsive_pub_spark.operators.windows_papi import SessionAggregateProcessor
+from responsive_pub_spark.streaming.segstore import SegmentedKeyValueStore
 from responsive_pub_spark.streaming.state import (
     KeyValueStore,
     ProcessorContext,
@@ -20,28 +23,41 @@ ops = st.lists(
         st.tuples(st.just("put"), keys, st.integers(0, 100)),
         st.tuples(st.just("delete"), keys, st.none()),
         st.tuples(st.just("put_if_absent"), keys, st.integers(0, 100)),
+        # segstore-only: a micro-batch boundary (flush + lazy restore)
+        st.tuples(st.just("flush"), keys, st.none()),
     ),
     max_size=60,
 )
 
 
+@pytest.mark.parametrize("store_cls", [KeyValueStore, SegmentedKeyValueStore])
 @settings(max_examples=200, deadline=None)
-@given(ops)
-def test_kv_store_matches_dict_model(op_seq):
-    store, model = KeyValueStore(), {}
+@given(op_seq=ops)
+def test_kv_store_matches_dict_model(store_cls, op_seq):
+    store, model = store_cls(), {}
     for op, k, v in op_seq:
         if op == "put":
             store.put(k, v)
             model[k] = v
         elif op == "delete":
             assert store.delete(k) == model.pop(k, None)
+        elif op == "flush":
+            if store_cls is SegmentedKeyValueStore:
+                store, _, _ = SegmentedKeyValueStore.from_blob(store.to_blob())
         else:
             prior = store.put_if_absent(k, v)
             assert prior == model.get(k)
             model.setdefault(k, v)
     assert dict(store.all()) == model
     assert [k for k, _ in store.all()] == sorted(model)
-    assert store.approximate_num_entries() == len(model)
+    if store_cls is KeyValueStore:
+        assert store.approximate_num_entries() == len(model)
+    else:
+        # approximate by contract: layered overwrites may overcount until
+        # compaction; never undercounts live entries
+        assert store.approximate_num_entries() >= len(model)
+        store.compact()
+        assert store.approximate_num_entries() == len(model)
     if model:
         lo, hi = min(model), max(model)
         assert dict(store.range(lo, hi)) == model
