@@ -33,6 +33,38 @@ def test_branch_no_predicates_returns_self(spark):
     assert len(out) == 1 and out[0].df.count() == 1
 
 
+def test_timestamp_typed_ts_col_through_api(spark, sf_dir):
+    """A user handing the API raw TIMESTAMP/TIMESTAMP_NTZ event time (what
+    parquet TIMESTAMP(NANOS) scans surface on Spark 4.1+) must not crash
+    on the internal double casts — grace filtering, windowed join, and
+    TTL all route through portable.ts_to_double."""
+    from responsive_pub_spark.operators.ttl import ttl_filter
+    from responsive_pub_spark.sources.readers import read_table
+    from responsive_pub_spark.windows import JoinWindows, TimeWindows
+
+    ev = read_table(spark, sf_dir, "events").limit(200)
+    assert dict(ev.dtypes)["ts"].startswith("timestamp")
+    s = KStream(ev, ["user_id"], "ts")
+
+    # grace filter (batch watermark analog) over raw timestamps
+    wagg = (
+        s.group_by_key()
+        .windowed_by(TimeWindows(3600, grace=86400))
+        .agg(F.count("*").alias("n"))
+    )
+    assert wagg.count() > 0
+
+    # stream-stream windowed join over raw timestamps on both sides
+    joined = s.join_windowed(
+        KStream(ev.limit(50), ["user_id"], "ts"), JoinWindows(60.0, 60.0)
+    )
+    assert joined.count() >= 50  # every row self-matches within the band
+
+    # ttl filter over raw timestamps
+    kept = ttl_filter(ev, ttl_seconds=86400.0 * 10000, ts_col="ts")
+    assert kept.count() == ev.count()
+
+
 def test_asof_null_right_value_pair_consistent(spark):
     """A right event with NULL value is still the as-of match: asof_ts must
     come from that row and asof_value must be its NULL — not a (newer ts,
