@@ -99,3 +99,33 @@ def test_pretrain_pipeline_manifest_contracts(spark, sf_dir):
     stats = pretrain_pipeline.corpus_stats(docs, manifest).collect()
     assert sum(r.n_kept for r in stats) == len(rows)
     assert all(r.n_kept <= r.n_in for r in stats)
+
+
+def test_vector_pipeline_dedup_and_serve(spark, sf_dir):
+    """examples/vector_pipeline.py: planted exact duplicates must collapse
+    to their canonical vector, and the PQ serve path over the deduped
+    index must agree with the brute-force referee on most hits."""
+    from pyspark.sql import functions as F
+
+    from responsive_pub_spark.examples import vector_pipeline
+    from responsive_pub_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    # plant one exact duplicate per vector (ids offset far above the corpus)
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(50_000_000))
+    both = emb.unionByName(dup)
+
+    index = vector_pipeline.dedup_vectors(both)
+    kept = {r.vec_id for r in index.select("vec_id").collect()}
+    # every planted duplicate collapsed onto its canonical original
+    assert len(kept) <= n
+    assert not any(v >= 50_000_000 for v in kept)
+
+    served = vector_pipeline.serve_topk(index, k=3, n_queries=10).collect()
+    exact = vector_pipeline.referee_topk(index, k=3, n_queries=10).collect()
+    got = {(r.query_id, r.neighbor_id) for r in served}
+    want = {(r.query_id, r.neighbor_id) for r in exact}
+    assert want, "referee produced nothing — vacuous"
+    overlap = len(got & want) / len(want)
+    assert overlap >= 0.6, f"ANN/exact overlap collapsed: {overlap:.2f}"
