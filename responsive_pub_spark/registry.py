@@ -557,6 +557,47 @@ def q_join_table_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.withColumn("gap_sec", F.col("click_ts") - F.col("view_ts"))
 
 
+def q_join_table_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER primary-key table-table join (the KS KTable.outerJoin
+    null-filling contract, SURVEY.md §2.4): users with only clicks or only
+    views still emit, the missing side NULL — restricted to purchase-rare
+    event types so both exclusive sides are non-empty in the fixture."""
+    ev = _t(spark, sf_dir, "events")
+    purch = KStream(
+        ev.filter(F.col("event_type") == "purchase"), key=["user_id"]
+    ).to_table(tiebreak=["event_id"])
+    signup = KStream(
+        ev.filter(F.col("event_type") == "signup"), key=["user_id"]
+    ).to_table(tiebreak=["event_id"])
+    purch = KTable(
+        purch.df.select("user_id", F.col("event_id").alias("purchase_event_id")),
+        ["user_id"],
+    )
+    signup = KTable(
+        signup.df.select("user_id", F.col("event_id").alias("signup_event_id")),
+        ["user_id"],
+    )
+    return purch.join(signup, how="outer").df
+
+
+ORACLE_JOIN_TABLE_OUTER = f"""
+    WITH {_EV}, p AS (
+        SELECT user_id, event_id AS purchase_event_id
+        FROM ev WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    ), s AS (
+        SELECT user_id, event_id AS signup_event_id
+        FROM ev WHERE event_type = 'signup'
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT COALESCE(p.user_id, s.user_id) AS user_id,
+           p.purchase_event_id, s.signup_event_id
+    FROM p FULL OUTER JOIN s ON p.user_id = s.user_id
+"""
+
+
 ORACLE_JOIN_TABLE_TABLE = f"""
     WITH {_EV}, clicks AS (
         SELECT user_id, event_id AS click_event_id,
@@ -1634,6 +1675,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # make room for the six new rows; full pytest oracle still guards them
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
+    "join_table_outer": QuerySpec(q_join_table_outer, ORACLE_JOIN_TABLE_OUTER),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything below
     # was driver-green in r1/r2 and is trivia-stable; the full-registry

@@ -84,6 +84,61 @@ def test_windowed_count_grace_drops_late(spark, workdir):
     drv.close()
 
 
+def test_suppress_until_window_closes_analog(spark, workdir, tmp_path):
+    """KS ``suppress(untilWindowCloses)`` maps to Spark's APPEND output
+    mode on a watermarked windowed agg: eager (UPDATE mode) re-emits a
+    window's running count every batch it changes; suppressed (APPEND)
+    emits EXACTLY ONE final row per window, after the watermark closes it.
+    Same topology, two output modes — the suppression point is the sink
+    contract, which is where KS puts it too."""
+
+    def build(sdf):
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+        return agg.select(
+            "user_id", F.unix_timestamp("window.start").alias("ws"), "cnt"
+        )
+
+    from datetime import datetime as dt
+
+    def t(x):
+        return dt.fromisoformat(x)
+
+    batches = [
+        [{"user_id": 1, "ts": t("2024-01-01 00:05:00")}],
+        [{"user_id": 1, "ts": t("2024-01-01 00:30:00")}],
+        # advances the watermark far past hour-0 -> closes it
+        [{"user_id": 1, "ts": t("2024-01-01 05:00:00")}],
+        [{"user_id": 1, "ts": t("2024-01-01 05:10:00")}],
+    ]
+    HOUR0 = 1704067200
+
+    def run(mode, wd):
+        drv = TopologyTestDriver(
+            spark, "user_id LONG, ts TIMESTAMP", build, wd, output_mode=mode
+        )
+        per_batch = []
+        for rows in batches:
+            drv.pipe(rows)
+            per_batch.append(
+                [(r.ws, r.cnt) for r in drv.advance() if r.ws == HOUR0]
+            )
+        drv.close()
+        return per_batch
+
+    eager = run("update", str(tmp_path / "eager"))
+    suppressed = run("append", str(tmp_path / "suppressed"))
+
+    # eager: hour-0 re-emitted with the running count each batch it changed
+    assert eager[0] == [(HOUR0, 1)] and eager[1] == [(HOUR0, 2)]
+    # suppressed: silent while open, exactly one FINAL row once closed
+    assert suppressed[0] == [] and suppressed[1] == []
+    assert [r for pb in suppressed for r in pb] == [(HOUR0, 2)]
+
+
 def _make_counter():
     """Processor class built inside a function: cloudpickle serializes it by
     VALUE, so executor workers don't need to import this test module."""
