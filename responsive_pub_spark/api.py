@@ -399,6 +399,45 @@ class KGroupedStream:
     def windowed_by(self, windows: "TimeWindows | SessionWindows") -> "TimeWindowedKStream":
         return TimeWindowedKStream(self.df, self.key, self.ts_col, windows)
 
+    def cogroup(self, *aggs: Column) -> "CogroupedKStream":
+        """KS ``CogroupedKStream`` entry point: start a cogroup with this
+        stream's aggregators; chain further streams with ``.cogroup(...)``
+        and finish with ``.aggregate()`` — one output row per key holding
+        every stream's aggregate (KafkaStreams cogroup contract: each
+        stream updates its own slice of the shared keyed state)."""
+        return CogroupedKStream([(self, list(aggs))])
+
+
+@dataclass
+class CogroupedKStream:
+    """Builder for multi-stream cogrouped aggregation (KS 2.5+ surface).
+
+    Spark-first mapping: each participating grouped stream aggregates
+    independently (shuffle on the shared key with map-side partials), and
+    the per-stream aggregates FULL-OUTER join on the key — identical final
+    state to KS's shared-store cogroup, since each KS aggregator only ever
+    reads/writes its own slice. Keys present in any stream emit; a stream
+    with no records for a key contributes NULL (KS: that slice simply was
+    never initialized). All joins reuse one hash partitioning on the key."""
+
+    groups: list
+
+    def cogroup(self, grouped: "KGroupedStream", *aggs: Column) -> "CogroupedKStream":
+        return CogroupedKStream([*self.groups, (grouped, list(aggs))])
+
+    def aggregate(self) -> "KTable":
+        first_key = list(self.groups[0][0].key)
+        out = None
+        for grouped, aggs in self.groups:
+            if list(grouped.key) != first_key:
+                raise ValueError(
+                    f"cogrouped streams must share the key: {grouped.key} "
+                    f"!= {first_key}"
+                )
+            part = grouped.df.groupBy(*grouped.key).agg(*aggs)
+            out = part if out is None else out.join(part, first_key, "full_outer")
+        return KTable(out, first_key)
+
 
 @dataclass
 class TimeWindowedKStream:

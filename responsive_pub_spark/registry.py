@@ -674,6 +674,72 @@ ORACLE_JOIN_STREAM_STREAM = f"""
 """
 
 
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS CogroupedKStream (KS 2.5+): three per-type streams cogrouped
+    into ONE keyed table — each stream's aggregators fill their own slice,
+    keys absent from a stream carry NULL there (the never-initialized
+    slice). Declaratively: per-stream keyed aggregates FULL-OUTER joined
+    on the shared key, one hash partitioning reused."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = KStream(ev.filter(F.col("event_type") == "click"), key=["user_id"]).group_by_key()
+    views = KStream(ev.filter(F.col("event_type") == "view"), key=["user_id"]).group_by_key()
+    purch = KStream(ev.filter(F.col("event_type") == "purchase"), key=["user_id"]).group_by_key()
+    table = (
+        clicks.cogroup(F.count("*").alias("n_clicks"))
+        .cogroup(views, F.count("*").alias("n_views"))
+        .cogroup(
+            purch,
+            F.count("*").alias("n_purchases"),
+            pround(F.sum("value"), 6).alias("purchase_value"),
+        )
+        .aggregate()
+    )
+    return table.df
+
+
+ORACLE_COGROUP = f"""
+    WITH {_EV},
+    c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+          FROM ev WHERE event_type = 'click' GROUP BY 1),
+    v AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_views
+          FROM ev WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                 floor(sum(value) * 1000000 + 0.5) / 1000000 AS purchase_value
+          FROM ev WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT user_id, n_clicks, n_views, n_purchases, purchase_value
+    FROM c FULL OUTER JOIN v USING (user_id) FULL OUTER JOIN p USING (user_id)
+"""
+
+
+def q_join_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT stream-stream windowed join (the KS windowed leftJoin
+    null-emission contract: a left record with NO in-window partner still
+    emits once with a NULL right side — in streaming the null row emits
+    after the join-window watermark expires; batch is the final answer)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = KStream(ev.filter(F.col("event_type") == "purchase"), key=["user_id"])
+    clicks = KStream(ev.filter(F.col("event_type") == "click"), key=["user_id"])
+    joined = purchases.join_windowed(
+        clicks, JoinWindows(before=60, after=0), how="left"
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_event_id"),
+        F.col("r.event_id").alias("click_event_id"),
+    )
+
+
+ORACLE_JOIN_STREAM_STREAM_LEFT = f"""
+    WITH {_EV}
+    SELECT p.user_id, p.event_id AS purchase_event_id, c.event_id AS click_event_id
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch(c.ts) >= epoch(p.ts) - 60
+     AND epoch(c.ts) <= epoch(p.ts)
+"""
+
+
 # ---------------------------------------------------------------------------
 # TTL (SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
@@ -1676,6 +1742,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
     "join_table_outer": QuerySpec(q_join_table_outer, ORACLE_JOIN_TABLE_OUTER),
+    "join_stream_stream_left": QuerySpec(
+        q_join_stream_stream_left, ORACLE_JOIN_STREAM_STREAM_LEFT
+    ),
+    "cogroup_per_type": QuerySpec(q_cogroup, ORACLE_COGROUP),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything below
     # was driver-green in r1/r2 and is trivia-stable; the full-registry
