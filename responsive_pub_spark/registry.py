@@ -674,6 +674,36 @@ ORACLE_JOIN_STREAM_STREAM = f"""
 """
 
 
+def q_join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream windowed join (KS windowed outerJoin:
+    unmatched records on EITHER side emit once with a NULL partner after
+    the window expires; batch is the final answer). Completes the KS join
+    matrix together with the inner and left variants."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = KStream(ev.filter(F.col("event_type") == "purchase"), key=["user_id"])
+    signups = KStream(ev.filter(F.col("event_type") == "signup"), key=["user_id"])
+    joined = purchases.join_windowed(
+        signups, JoinWindows(before=60, after=0), how="full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.col("l.event_id").alias("purchase_event_id"),
+        F.col("r.event_id").alias("signup_event_id"),
+    )
+
+
+ORACLE_JOIN_STREAM_STREAM_OUTER = f"""
+    WITH {_EV}
+    SELECT COALESCE(p.user_id, s.user_id) AS user_id,
+           p.event_id AS purchase_event_id, s.event_id AS signup_event_id
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    FULL OUTER JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND epoch(s.ts) >= epoch(p.ts) - 60
+     AND epoch(s.ts) <= epoch(p.ts)
+"""
+
+
 def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS CogroupedKStream (KS 2.5+): three per-type streams cogrouped
     into ONE keyed table — each stream's aggregators fill their own slice,
@@ -1746,6 +1776,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_join_stream_stream_left, ORACLE_JOIN_STREAM_STREAM_LEFT
     ),
     "cogroup_per_type": QuerySpec(q_cogroup, ORACLE_COGROUP),
+    "join_stream_stream_outer": QuerySpec(
+        q_join_stream_stream_outer, ORACLE_JOIN_STREAM_STREAM_OUTER
+    ),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything below
     # was driver-green in r1/r2 and is trivia-stable; the full-registry
