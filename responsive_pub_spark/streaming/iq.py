@@ -42,6 +42,7 @@ def query_processor_state(
     store_key_from: "object | None" = None,
     store_key_to: "object | None" = None,
     store_key_prefix: "object | None" = None,
+    store_name: str = "default",
     **options,
 ) -> DataFrame:
     """Keyed/range/prefix IQ over a ``process_streaming`` operator's stores
@@ -87,6 +88,8 @@ def query_processor_state(
         flat = flat.filter(cond)
 
     def decode(batches: Iterable[pd.DataFrame]):
+        import pickle
+
         from responsive_pub_spark.streaming.segstore import SegmentedKeyValueStore
 
         for pdf in batches:
@@ -97,7 +100,18 @@ def query_processor_state(
                 blob = row.blob
                 if blob is None:
                     continue
-                store, _fires, _wc = SegmentedKeyValueStore.from_blob(bytes(blob))
+                raw = bytes(blob)
+                if raw[:4] == b"MST1":  # multi-store wrapper
+                    primary, extras = pickle.loads(raw[4:])
+                    if store_name == "default":
+                        raw = primary
+                    elif store_name in extras:
+                        raw = extras[store_name]
+                    else:
+                        continue  # this key never touched that store
+                elif store_name != "default":
+                    continue
+                store, _fires, _wc = SegmentedKeyValueStore.from_blob(raw)
                 if store_key is not None:
                     v = store.get(store_key)
                     items = [] if v is None else [(store_key, v)]

@@ -286,6 +286,35 @@ class ProcessorContext:
         self._out_data: list[list] = []
         self._timers: list[_Timer] = []
         self._wc_timers: list[_Timer] = []
+        # named secondary stores (KS processors may attach several state
+        # stores — ProcessorContext.getStateStore(name)); created lazily,
+        # restored from checkpointed blobs by the streaming runner
+        self._extra_stores: dict = {}
+        self._extra_blobs: dict = {}
+
+    def get_store(self, name: str):
+        """Named state store (the ``context.getStateStore(name)`` surface,
+        PartitionedOperations per store). ``name='default'`` is the primary
+        ``ctx.store``; other names create (or restore, in streaming) an
+        independent store of the same class/TTL. Wrap in ``WindowStore`` /
+        ``SessionStore`` for the windowed layouts."""
+        if name == "default":
+            return self.store
+        if name not in self._extra_stores:
+            cls = type(self.store)
+            if name in self._extra_blobs:
+                st, _f, _w = cls.from_blob(
+                    self._extra_blobs.pop(name), self.store.ttl_seconds
+                )
+            else:
+                st = cls(self.store.ttl_seconds)
+            st.stream_time = max(st.stream_time, self.store.stream_time)
+            self._extra_stores[name] = st
+        return self._extra_stores[name]
+
+    def _all_stores(self):
+        yield self.store
+        yield from self._extra_stores.values()
 
     def forward(self, **row) -> None:
         if self._out_cols is None:
@@ -382,11 +411,13 @@ class ProcessorContext:
                     t.next_fire = ts + t.interval_s
                 continue
             while ts >= t.next_fire:
-                self.store.stream_time = max(self.store.stream_time, t.next_fire)
+                for st in self._all_stores():
+                    st.stream_time = max(st.stream_time, t.next_fire)
                 t.callback(self, t.next_fire)
                 t.next_fire += t.interval_s
         self.timestamp = ts
-        self.store.stream_time = max(self.store.stream_time, ts)
+        for st in self._all_stores():
+            st.stream_time = max(st.stream_time, ts)
 
 
 class Processor:
@@ -524,14 +555,22 @@ def process_streaming(
     keys = list(key)
 
     def run(key_vals, pdf_iter: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
-        if state.exists and state.get[0]:
+        raw = state.get[0] if (state.exists and state.get[0]) else None
+        extra_blobs: dict = {}
+        if raw is not None:
+            # multi-store wrapper (written only when a processor used
+            # get_store): b"MST1" + pickle((primary_blob, {name: blob}))
+            if raw[:4] == b"MST1":
+                raw, extra_blobs = pickle.loads(raw[4:])
+                extra_blobs = dict(extra_blobs)
             store, fires, wc_fires = SegmentedKeyValueStore.from_blob(
-                state.get[0], ttl_seconds
+                raw, ttl_seconds
             )
         else:
             store, fires, wc_fires = SegmentedKeyValueStore(ttl_seconds), [], []
         proc = processor_factory()
         ctx = ProcessorContext(key_vals, store)
+        ctx._extra_blobs = extra_blobs
         proc.init(ctx)
         for t, nf in zip(ctx._timers, fires):
             t.next_fire = nf
@@ -547,6 +586,16 @@ def process_streaming(
             [t.next_fire for t in ctx._timers],
             [t.next_fire for t in ctx._wc_timers],
         )
+        # named stores: untouched restored blobs pass through byte-for-byte
+        # (delta-flush across stores, not just within one)
+        if ctx._extra_stores or ctx._extra_blobs:
+            extras = dict(ctx._extra_blobs)
+            extras.update(
+                {n: st.to_blob() for n, st in ctx._extra_stores.items()}
+            )
+            payload = b"MST1" + pickle.dumps(
+                (payload, extras), protocol=pickle.HIGHEST_PROTOCOL
+            )
         state.update((payload,))
         out = ctx._to_pdf()
         if out.empty:
@@ -606,14 +655,18 @@ def process_streaming_tws(
             from responsive_pub_spark.streaming.segstore import SegmentedKeyValueStore
 
             existing = self._blob.get()
+            extra_blobs: dict = {}
             if existing is not None and existing[0]:
-                store, fires, wc_fires = SegmentedKeyValueStore.from_blob(
-                    existing[0], ttl
-                )
+                raw = existing[0]
+                if raw[:4] == b"MST1":
+                    raw, extra_blobs = pickle.loads(raw[4:])
+                    extra_blobs = dict(extra_blobs)
+                store, fires, wc_fires = SegmentedKeyValueStore.from_blob(raw, ttl)
             else:
                 store, fires, wc_fires = SegmentedKeyValueStore(ttl), [], []
             proc = factory()
             ctx = ProcessorContext(tuple(key_vals), store)
+            ctx._extra_blobs = extra_blobs
             proc.init(ctx)
             for t, nf in zip(ctx._timers, fires):
                 t.next_fire = nf
@@ -629,6 +682,14 @@ def process_streaming_tws(
                 [t.next_fire for t in ctx._timers],
                 [t.next_fire for t in ctx._wc_timers],
             )
+            if ctx._extra_stores or ctx._extra_blobs:
+                extras = dict(ctx._extra_blobs)
+                extras.update(
+                    {n: st.to_blob() for n, st in ctx._extra_stores.items()}
+                )
+                payload = b"MST1" + pickle.dumps(
+                    (payload, extras), protocol=pickle.HIGHEST_PROTOCOL
+                )
             self._blob.update((payload,))
             out = ctx._to_pdf()
             if out.empty:
