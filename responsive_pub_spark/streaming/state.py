@@ -272,6 +272,21 @@ class _Timer:
     aligned: bool
 
 
+class Cancellable:
+    """Handle returned by ``schedule`` — the KS ``Cancellable`` contract
+    (ProcessorContext.schedule returns one; punctuate callbacks commonly
+    self-cancel for one-shot timers). Cancellation is DURABLE in streaming:
+    it pins the timer's next fire to +inf, which round-trips through the
+    checkpointed fire list, so a cancelled punctuator stays cancelled
+    across micro-batch restarts unless re-scheduled logic re-arms it."""
+
+    def __init__(self, timer: _Timer):
+        self._timer = timer
+
+    def cancel(self) -> None:
+        self._timer.next_fire = float("inf")
+
+
 class ProcessorContext:
     """What a processor sees: its store, the record clock, ``forward`` to
     emit, and ``schedule`` for punctuators (KeyBatchExample.java:126-218)."""
@@ -363,8 +378,10 @@ class ProcessorContext:
         callback: Callable[["ProcessorContext", float], None],
         punctuation_type: str = STREAM_TIME,
         aligned: bool = True,
-    ) -> None:
-        """Register a stream-time punctuator. ``aligned=True`` fires at
+    ) -> "Cancellable":
+        """Register a stream-time punctuator; returns a :class:`Cancellable`
+        (KS contract — cancel() makes it permanent, including across
+        streaming restarts). ``aligned=True`` fires at
         multiples of the interval (deterministic + SQL-oracle-able);
         ``aligned=False`` fires at registration-time + k*interval, the
         reference's context.schedule semantics. WALL_CLOCK punctuators fire
@@ -372,10 +389,12 @@ class ProcessorContext:
         aligned approximation of KS wall-clock punctuation; interval <= 0
         means every batch); in a deterministic batch replay processing time
         does not exist, so they never fire there."""
+        t = _Timer(interval_s, float("nan"), callback, aligned)
         if punctuation_type == WALL_CLOCK:
-            self._wc_timers.append(_Timer(interval_s, float("nan"), callback, aligned))
-            return
-        self._timers.append(_Timer(interval_s, float("nan"), callback, aligned))
+            self._wc_timers.append(t)
+        else:
+            self._timers.append(t)
+        return Cancellable(t)
 
     def _fire_wall_clock(self, now: float) -> None:
         """Fire due wall-clock punctuators (streaming, at batch end).

@@ -134,3 +134,54 @@ def test_get_store_default_is_primary():
     # stream time propagates to named stores as records advance
     ctx._advance(42.0)
     assert s1.stream_time == 42.0
+
+
+def _make_one_shot():
+    class OneShot(state.Processor):
+        """KS Cancellable pattern: a punctuator that fires once then
+        cancels itself."""
+
+        def init(self, ctx):
+            self.handle = ctx.schedule(10.0, self._fire, state.STREAM_TIME)
+
+        def _fire(self, ctx, ts):
+            ctx.forward(user_id=int(ctx.key[0]), fired_at=float(ts))
+            self.handle.cancel()
+
+        def process(self, ctx, rec):
+            pass
+
+    return OneShot
+
+
+def test_cancellable_one_shot_punctuator_batch(spark):
+    df = spark.createDataFrame(
+        [(1, float(t)) for t in (1, 11, 25, 47)], "user_id LONG, ts DOUBLE"
+    )
+    out = state.process(
+        df, ["user_id"], _make_one_shot(), "user_id BIGINT, fired_at DOUBLE",
+        ts_col="ts",
+    ).collect()
+    # fires exactly once (at the first 10s boundary), then stays cancelled
+    assert [(r.user_id, r.fired_at) for r in out] == [(1, 10.0)]
+
+
+def test_cancellable_cancellation_survives_streaming_restarts(spark, tmp_path):
+    def build(sdf):
+        return state.process_streaming(
+            sdf, ["user_id"], _make_one_shot(),
+            "user_id BIGINT, fired_at DOUBLE", ts_col="ts",
+        )
+
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, ts DOUBLE", build, str(tmp_path / "t")
+    )
+    drv.pipe([{"user_id": 1, "ts": 1.0}, {"user_id": 1, "ts": 11.0}])
+    out1 = [(r.user_id, r.fired_at) for r in drv.advance()]
+    assert out1 == [(1, 10.0)]  # fired once in batch 0
+    # batches 1-2 are cold restarts crossing MANY more 10s boundaries: the
+    # cancellation must have persisted in the checkpointed fire list
+    for ts in (95.0, 250.0):
+        drv.pipe([{"user_id": 1, "ts": ts}])
+        assert drv.advance() == []
+    drv.close()
