@@ -7,8 +7,6 @@ start), per-store IQ, and the multi-store blob's delta-passthrough
 
 from __future__ import annotations
 
-import pandas as pd
-
 from responsive_pub_spark.streaming import iq, state
 from responsive_pub_spark.streaming.runtime import TopologyTestDriver
 
@@ -102,8 +100,6 @@ def test_untouched_named_store_blob_passes_through():
     """Multi-store delta property at the blob level: a batch that only
     touches the default store re-emits the named store's restored blob
     byte-for-byte (no unpickle/re-pickle of the untouched store)."""
-    import pickle
-
     from responsive_pub_spark.streaming.segstore import SegmentedKeyValueStore
 
     big = SegmentedKeyValueStore()
