@@ -216,6 +216,22 @@ EXTENDED_NOTES = {
         "scan, zero shuffles; retry-safe (no rand()), weights bounded by "
         "the 5% acceptance floor."
     ),
+    "cogroup_per_type": (
+        "CogroupedKStream: per-stream keyed aggregates (map-side partials) "
+        "FULL-OUTER joined on the shared key — every join reuses the one "
+        "hash partitioning; final state identical to KS's shared-store "
+        "cogroup since each aggregator owns its slice."
+    ),
+    "join_table_outer": (
+        "KTable outerJoin: full-outer equi-join of two latest-per-key "
+        "snapshots; key coalesced by the USING join."
+    ),
+    "join_stream_stream_outer": (
+        "KS windowed outerJoin: full-outer SMJ with the time-band "
+        "condition — unmatched records on either side emit once with a "
+        "NULL partner; streaming pays symmetric state + watermark like the "
+        "inner form."
+    ),
 }
 
 
