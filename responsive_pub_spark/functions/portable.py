@@ -49,6 +49,14 @@ def ts_to_double(df, ts_col: "Column | str", col: "Column | None" = None) -> Col
         col = F.col(name) if name is not None else ts_col
     if name is not None:
         dt = dict(df.dtypes).get(name)
-        if dt is not None and dt.startswith("timestamp"):
-            return F.unix_micros(col.cast("timestamp")) / F.lit(1000000.0)
+    else:
+        # Column-typed ts_col: resolve its dtype by analyzing a projection
+        # (ADVICE r3 — falling back to cast('double') here was the exact
+        # ANSI failure on timestamp inputs this helper exists to prevent)
+        try:
+            dt = df.select(ts_col).schema.fields[0].dataType.simpleString()
+        except Exception:
+            dt = None
+    if dt is not None and dt.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp")) / F.lit(1000000.0)
     return col.cast("double")

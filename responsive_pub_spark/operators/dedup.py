@@ -253,52 +253,118 @@ def _simhash_sql(dialect: str) -> str:
     return f"list_transform([{hashes}], hs -> {body})[1]"
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+#: simhash_pairs refuses above this estimated intra-group pair volume
+#: (the dup-heavy quadratic hazard); warns at 1/10 of it.  None disables.
+SIMHASH_MAX_OUTPUT_PAIRS = 50_000_000
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    output: str = "pairs",
+    max_output_pairs: "int | None" = SIMHASH_MAX_OUTPUT_PAIRS,
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Blocking: split the 32-bit simhash into 4 bytes; pairs within hamming 3
     must agree on >= 1 byte (pigeonhole), so an equi-join on (byte_pos,
     byte_value) is exact — no O(n^2) comparison at scale.
 
-    SCALE WARNING — the PAIR contract itself is quadratic in dup-group
-    size: on a dup-heavy corpus the true answer has O(g^2) rows per
-    g-copy group (measured 112.6s / OOM-prone at 10x-replicated docs,
-    BASELINE.md). For keep/drop decisions use :func:`simhash_clusters`,
-    which collapses identical simhashes before the join and emits one row
-    per doc (flat at 10x)."""
+    Dup-heavy-safe plan (r3 VERDICT task 3): the banded self-join runs over
+    DISTINCT simhash values only (a g-copy dup group contributes ONE row to
+    the join, not g rows and g^2 banded candidates needing a distinct);
+    member pairs are then recovered by join-expansion — intra-group pairs
+    from an equi-self-join on simhash (hamming 0) and cross-group pairs by
+    attaching each value-pair's member lists. The measured 112.6s/OOM at
+    10x-replicated docs (BASELINE.md r2) came from the old all-members
+    banded join; the expansion form is output-bound only.
+
+    The PAIR contract itself is still quadratic in dup-group size — the
+    true answer has O(g^2) rows per g-copy group. ``max_output_pairs``
+    guards that inherent hazard: the estimated intra-group volume
+    (sum over groups of C(g,2), one cheap agg over the signature table) is
+    checked before planning the expansion; above the cap the call REFUSES
+    with a pointer to the linear-output form, above cap/10 it warns.
+    For keep/drop decisions pass ``output="clusters"`` (delegates to
+    :func:`simhash_clusters`, one row per doc, flat at 10x)."""
+    if output == "clusters":
+        return simhash_clusters(docs, max_hamming=max_hamming)
+    if output != "pairs":
+        raise ValueError(f"output must be 'pairs' or 'clusters', got {output!r}")
     sh = docs.select(
         F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash")
     ).persist()
+    if max_output_pairs is not None:
+        est = sh.groupBy("simhash").count().agg(
+            F.sum(F.expr("count * (count - 1) div 2")).alias("p")
+        ).collect()[0].p or 0
+        if est > max_output_pairs:
+            raise ValueError(
+                f"estimated >= {est} same-simhash output pairs (cap "
+                f"{max_output_pairs}): the pair contract is quadratic in "
+                "dup-group size — use output='clusters' (one row per doc) "
+                "or raise/disable max_output_pairs explicitly"
+            )
+        if est > max_output_pairs // 10:
+            import warnings
+
+            warnings.warn(
+                f"dup-heavy corpus: ~{est} same-simhash pairs will be "
+                "materialized; consider output='clusters'",
+                stacklevel=2,
+            )
+    values = sh.select("simhash").distinct()
     byte_arr = F.array(
         *[F.expr(f"(simhash div {1 << (8 * b)}) % 256") for b in range(SIMHASH_BANDS)]
     )
-    bands = sh.select(
-        "doc_id", "simhash", F.posexplode(byte_arr).alias("byte_pos", "byte_val")
+    bands = values.select(
+        "simhash", F.posexplode(byte_arr).alias("byte_pos", "byte_val")
     )
-    cand = (
+    value_pairs = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.byte_pos") == F.col("b.byte_pos"))
             & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .select(
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b")
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(CAST(sh_a AS BIGINT) ^ CAST(sh_b AS BIGINT))").cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # intra-group pairs: identical simhash => hamming 0; equi-join on the
+    # signature, quadratic only in the OUTPUT (inherent to the contract)
+    intra = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.simhash") == F.col("b.simhash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
         )
-        .distinct()
     )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.expr("bit_count(CAST(sh_a AS BIGINT) ^ CAST(sh_b AS BIGINT))").cast("bigint"),
+    # cross-group pairs: expand each qualifying value pair by its member
+    # lists; groups are disjoint so no dedup needed, only pair ordering
+    cross = (
+        value_pairs.join(sh.alias("ma"), F.col("sh_a") == F.col("ma.simhash"))
+        .join(sh.alias("mb"), F.col("sh_b") == F.col("mb.simhash"))
+        .select(
+            F.least(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_a"),
+            F.greatest(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_b"),
+            F.col("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
+    return intra.unionByName(cross)
 
 
 def simhash_clusters(
@@ -554,9 +620,15 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
             .limit(1)
             .count()
         )
+        # release the superseded round's checkpointed blocks NOW (ADVICE
+        # r3): without this every round's RDD blocks sit in the block
+        # manager until ContextCleaner GC — accumulating storage across
+        # rounds and repeated bench runs on a small gate heap
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(
         "doc_id", F.col("label").alias("canonical_id"),
         (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
@@ -675,6 +747,7 @@ def embedding_dup_pairs(
     n_planes = n_bands * n_bits
     _CHUNK = 16
     layered = emb.select("vec_id", "embedding")
+    prev_layer = None
     for c0 in range(0, n_planes, _CHUNK):
         layered = layered.select(
             "*",
@@ -685,6 +758,12 @@ def embedding_dup_pairs(
                 for j in range(c0, min(c0 + _CHUNK, n_planes))
             ],
         ).localCheckpoint(eager=True)
+        # each layer supersedes its parent — release the parent's blocks
+        # immediately (ADVICE r3) instead of leaving every intermediate
+        # layer in the block manager until ContextCleaner GC
+        if prev_layer is not None:
+            prev_layer.unpersist()
+        prev_layer = layered
     planes = layered.drop("embedding")
     bandsdf = planes.select(
         "vec_id",

@@ -45,9 +45,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reject NTZ event time, and NTZ's session-timezone-dependent casts
     would break oracle parity — the DuckDB oracles truncate to micros and
     treat the values as UTC (``registry._EV``), so event-time arithmetic
-    matches exactly. The session timezone is pinned to UTC here because
-    the NTZ->LTZ cast reads it (build_spark already defaults to UTC; this
-    covers plain driver sessions).
+    matches exactly. The NTZ->LTZ cast reads the session timezone at
+    ANALYSIS time (Dataset creation is eagerly analyzed; the resolved
+    zoneId is baked into the Cast), so we pin UTC only around the
+    ``withColumn`` and restore the caller's timezone immediately — reading
+    a fixture must not permanently mutate session timestamp semantics for
+    unrelated queries (ADVICE r3).
     """
     path = table_path(sf_dir, name)
     if name != "events":
@@ -58,8 +61,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif dt == "timestamp_ntz":
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        try:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        finally:
+            if prev_tz is not None:
+                spark.conf.set("spark.sql.session.timeZone", prev_tz)
+            else:
+                spark.conf.unset("spark.sql.session.timeZone")
     return df
 
 

@@ -87,6 +87,18 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+def decode_features_long(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Long-form decode: one row per (doc_id, j) with a scalar DOUBLE
+    feature.  This is the gate/oracle-facing shape — ``ARRAY<DOUBLE>``
+    output columns are not canonicalizable by hash-compare harnesses
+    (pandas cannot sort/factorize list cells), so the driver-facing query
+    explodes; :func:`decode_features` stays the library API."""
+    feats = decode_features(media, fake=fake)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("j", "feature")
+    )
+
+
 def sample_frames(media: DataFrame, every_k: int = 7) -> DataFrame:
     """Frame sampling: one output row per sampled frame index (0, k, 2k, …
     < n_frames) — the video explode pattern via mapInPandas (a real decoder
@@ -152,6 +164,20 @@ def decode_features_oracle() -> str:
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id, [{feats}] AS features
         FROM documents
+    """
+
+
+def decode_features_long_oracle() -> str:
+    return f"""
+        WITH m AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        idx AS (SELECT CAST(unnest(range(0, {FAKE_FEATURE_DIM})) AS INT) AS j)
+        SELECT m.doc_id, idx.j,
+               CAST((m.doc_id * 31 + idx.j * m.n) % {FAKE_MOD} AS DOUBLE) AS feature
+        FROM m CROSS JOIN idx
     """
 
 

@@ -216,15 +216,16 @@ class SegmentedKeyValueStore:
             if self._live(ts):
                 yield k, value
 
-    def range(self, key_from, key_to) -> Iterator[tuple]:
-        """Inclusive [from, to] ordered scan (PartitionedOperations.range:393)."""
+    def range(self, key_from=None, key_to=None) -> Iterator[tuple]:
+        """Inclusive [from, to] ordered scan (PartitionedOperations.range:393).
+        Bounds are optional — ``None`` means open on that side (the IQ
+        serving path passes one bound; the store must not load every
+        segment just to learn its min/max key)."""
         yield from self._scan(key_from, key_to)
 
-    def scan(self, key_from=None, key_to=None) -> Iterator[tuple]:
-        """``range`` with optional open bounds — the IQ serving path
-        (iq.query_processor_state), where one bound may be absent and the
-        store must not load every segment just to learn its min/max key."""
-        yield from self._scan(key_from, key_to)
+    #: alias — ``scan`` was a byte-identical twin of ``range`` (ADVICE r3);
+    #: keeping the name for IQ callers without inviting drift.
+    scan = range
 
     def reverse_range(self, key_from, key_to) -> Iterator[tuple]:
         yield from reversed(list(self.range(key_from, key_to)))
