@@ -1359,6 +1359,132 @@ ORACLE_FK_JOIN_CHANGELOG = f"""
 """
 
 
+def q_fk_join_streaming(spark, sf_dir):
+    """The STREAMING FK-join lane at the gate (r3 VERDICT task 5): replay
+    the same events changelog as ``fk_join_changelog`` through the
+    two-stage checkpointed streaming topology (FkJoinStreaming — the
+    reference's SUBSCRIPTION/RESPONSE internal-topic wiring,
+    ResponsiveForeignKeyJoinIntegrationTest.java:251-256) in two temporal
+    micro-batches with a cold restart between them, then compact the
+    emitted changelog. The snapshot must equal the batch FK join — the
+    reference's A/B regression pattern (ResultsComparatorService.java)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    left_all = ev.select(
+        "user_id",
+        "event_type",
+        F.concat_ws("#", "event_type", "event_id").alias("payload"),
+        ts_to_double(ev, "ts").alias("ts"),
+    )
+    right = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("ts", F.lit(0.0))
+    )
+    # temporal split: per-key transitions must arrive in event-time order
+    # across micro-batches (arrival order rules within the changelog)
+    split = left_all.approxQuantile("ts", [0.5], 0.0)[0]
+    wd = tempfile.mkdtemp(prefix="fkstream_gate_")
+    js = fk_join.FkJoinStreaming(
+        spark,
+        wd,
+        "user_id BIGINT, event_type STRING, payload STRING, ts DOUBLE",
+        "event_type STRING, n BIGINT, ts DOUBLE",
+        left_key="user_id",
+        fk="event_type",
+        right_key="event_type",
+        left_payload="payload",
+        right_payload="CAST(n AS STRING)",
+        ts_col="ts",
+    )
+    right.coalesce(1).write.mode("append").parquet(js.right_dir)
+    left_all.filter(F.col("ts") <= split).coalesce(1).write.mode("append").parquet(
+        js.left_dir
+    )
+    js.advance()
+    left_all.filter(F.col("ts") > split).coalesce(1).write.mode("append").parquet(
+        js.left_dir
+    )
+    js.advance()  # cold start from checkpoints — restart path on the gate
+    return fk_join.fk_join_snapshot(js.changelog())
+
+
+def q_repartition_colocate(spark, sf_dir):
+    """``.repartition(Repartitioned)`` at the gate (api.py:188, §2.1): the
+    observable contract of an explicit keyed reshuffle is (a) every key's
+    rows land in exactly ONE physical partition and (b) partition ids stay
+    under the requested count. Capture spark_partition_id() immediately
+    after the reshuffle and aggregate per key — any co-location break or
+    partition-count overflow shows up as a value mismatch."""
+    n_parts = 7
+    ev = _t(spark, sf_dir, "events")
+    s = KStream(ev.select("user_id", "event_id"), key=["user_id"], ts_col=None)
+    rep = s.repartition(n_parts).df.withColumn("pid", F.spark_partition_id())
+    return rep.groupBy("user_id").agg(
+        F.count_distinct("pid").alias("n_parts_for_key"),
+        (F.max("pid") < n_parts).alias("within_bounds"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_REPARTITION_COLOCATE = f"""
+    WITH {_EV}
+    SELECT user_id,
+           CAST(1 AS BIGINT) AS n_parts_for_key,
+           TRUE AS within_bounds,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM ev GROUP BY user_id
+"""
+
+
+class _ApproxEntriesProcessor(state.Processor):
+    """approximateNumEntries through the PAPI surface
+    (PartitionedOperations:441): track distinct FK values in the KV store
+    (put(event_type, 1)) and report the store's cardinality estimate per
+    record. The in-memory KV store's estimate is EXACT (state.py:150-152),
+    so the oracle pins the true running-distinct count; the segmented
+    store's estimate may overcount pre-compaction (segstore.py:252,
+    documented delta, matching RocksDB's contract)."""
+
+    def process(self, ctx, rec):
+        ctx.store.put(str(rec["event_type"]), 1)
+        ctx.forward(
+            user_id=int(rec["user_id"]),
+            event_id=int(rec["event_id"]),
+            approx_entries=int(ctx.store.approximate_num_entries()),
+        )
+
+
+def q_approx_num_entries(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return state.process(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        key=["user_id"],
+        processor_factory=_ApproxEntriesProcessor,
+        output_schema="user_id BIGINT, event_id BIGINT, approx_entries BIGINT",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+
+
+ORACLE_APPROX_NUM_ENTRIES = f"""
+    WITH {_EV},
+    f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM ev
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS approx_entries
+    FROM f
+"""
+
+
 def q_papi_window_concat(spark, sf_dir):
     """Order-sensitive tumbling concat on the PAPI WindowStore processor
     (the KS aggregate(() -> \"\", (k,v,agg) -> agg+v) shape from
@@ -1776,13 +1902,21 @@ REGISTRY: dict[str, QuerySpec] = {
         ),
         pipeline_ops.resample_by_score_oracle(),
     ),
+    # --- new in r4 (driver rows required, r3 VERDICT tasks 5-6): the
+    # --- streaming FK-join lane, Repartitioned co-location, and
+    # --- approximateNumEntries — the last §2 rows with no driver evidence
+    "fk_join_streaming": QuerySpec(q_fk_join_streaming, ORACLE_FK_JOIN_CHANGELOG),
+    "repartition_colocate": QuerySpec(
+        q_repartition_colocate, ORACLE_REPARTITION_COLOCATE
+    ),
+    "approx_num_entries": QuerySpec(q_approx_num_entries, ORACLE_APPROX_NUM_ENTRIES),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything below
     # has at least one driver-green round and is trivia-stable; the
     # full-registry pytest oracle (test_registry_oracle.py) keeps the
     # identical check.  r4 rotations out: window_hopping/grace,
     # join_stream_table, dedup_exact/fact, sim_search_lsh,
-    # bootstrap_compact (all green r2+r3).
+    # bootstrap_compact (green r2+r3), window_topk, funnel_sequence (r2).
     # ------------------------------------------------------------------
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
