@@ -75,7 +75,56 @@ def main() -> None:
         "runs": samples,
         "sf": sf_val,
     }
+    out.update(_scale_blocks())
     print(json.dumps(out))
+
+
+#: committed scale artifacts embedded into the bench JSON so round-over-round
+#: scale regressions are machine-diffable (r3 VERDICT task 7). Regenerate:
+#:   python bench_scale.py --amplify 100   > SCALE100.json
+#:   python bench_scale.py --docs          > SCALE_DOCS10.json
+#:   python bench_streaming.py --soak 10   > SOAK.json
+#: (each script prints its JSON line last; keep only that line in the file)
+_SCALE_ARTIFACTS = {
+    "scale100": "SCALE100.json",
+    "scale_docs10": "SCALE_DOCS10.json",
+    "soak": "SOAK.json",
+}
+
+
+def _scale_blocks() -> dict:
+    """Attach the recorded amplify/soak runs, tagged with the commit they
+    were measured at — these are too slow to re-run inside every bench
+    invocation (the 100x dataset alone is ~60M lineitem rows), so they are
+    recorded explicitly per round and embedded for diffing."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    blocks: dict = {}
+    for key, fname in _SCALE_ARTIFACTS.items():
+        path = os.path.join(here, fname)
+        if not os.path.isfile(path):
+            continue
+        try:
+            with open(path) as fh:
+                lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+            rec = json.loads(lines[-1])
+        except (OSError, json.JSONDecodeError, IndexError):
+            continue
+        try:
+            rec["recorded_at_commit"] = (
+                subprocess.run(
+                    ["git", "-C", here, "log", "-1", "--format=%h", "--", fname],
+                    capture_output=True,
+                    text=True,
+                    timeout=10,
+                ).stdout.strip()
+                or None
+            )
+        except Exception:
+            rec["recorded_at_commit"] = None
+        blocks[key] = rec
+    return blocks
 
 
 if __name__ == "__main__":

@@ -30,6 +30,13 @@ def build_spark(
       (internal/async/AsyncThreadPool).
     - UTC session timezone: deterministic event-time semantics.
     """
+    # before the JVM launches: local-mode Python workers inherit the driver
+    # environment at JVM start, so the transformWithState lane's protobuf
+    # dependency must be resolved (possibly vendored) now, not at query time
+    from responsive_pub_spark.compat import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     builder = (
         SparkSession.builder.appName(app_name)
