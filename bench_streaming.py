@@ -172,11 +172,50 @@ def main() -> None:
             order_by=("event_id",),
         )
 
+    def papi_tws_map(sdf):
+        return state.process_streaming_tws_map(
+            sdf.select(
+                "user_id", ts_to_double(sdf, "ts").alias("ts"), "event_id"
+            ),
+            key=["user_id"],
+            processor_factory=RunningCount,
+            output_schema="user_id LONG, n LONG",
+            ts_col="ts",
+            order_by=("event_id",),
+        )
+
     results = {
         "jvm_window": run("jvm_window", jvm_window),
         "jvm_stjoin": run("jvm_stjoin", jvm_stjoin),
         "papi_python": run("papi_python", papi),
     }
+    # the r4 map-state lane (per-entry delta writes) needs the RocksDB
+    # provider and a protobuf runtime; record it when available, never
+    # fail the whole bench over it
+    try:
+        from responsive_pub_spark.compat import ensure_protobuf_runtime
+
+        if ensure_protobuf_runtime():
+            prev_provider = None
+            key = "spark.sql.streaming.stateStore.providerClass"
+            try:
+                prev_provider = spark.conf.get(key)
+            except Exception:
+                pass
+            spark.conf.set(
+                key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            try:
+                results["papi_tws_map"] = run("papi_tws_map", papi_tws_map)
+            finally:
+                if prev_provider is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev_provider)
+    except Exception as e:  # noqa: BLE001
+        results["papi_tws_map"] = {"error": f"{type(e).__name__}: {e}"}
     shutil.rmtree(work, ignore_errors=True)
     print(
         json.dumps(

@@ -77,3 +77,33 @@ def ensure_protobuf_runtime() -> bool:
         if _imports_cleanly():
             return True
     return False
+
+
+def apply_to_spark_context(sc) -> None:
+    """Propagate the vendored-runtime environment to Python workers of an
+    ALREADY-RUNNING SparkContext.
+
+    ``build_spark`` handles the clean path (env set before the JVM
+    launches), but a session built elsewhere — the correctness driver's
+    plain ``SparkSession.builder.getOrCreate()`` — captured its JVM env
+    before ``ensure_protobuf_runtime`` ran. Worker processes, however,
+    merge the per-function ``envVars`` dict (``sc.environment``,
+    ``core/rdd.py:_prepare_for_python_RDD``) into their environment at
+    spawn, so mutating it here reaches every worker created AFTER this
+    call — including the transformWithState driver worker. No-op unless
+    a vendored runtime is active."""
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if not pythonpath:
+        return
+    env = getattr(sc, "environment", None)
+    if env is None:
+        return
+    prev = env.get("PYTHONPATH", "")
+    parts = prev.split(os.pathsep) if prev else []
+    for root in reversed(pythonpath.split(os.pathsep)):
+        if root and root not in parts:
+            parts.insert(0, root)
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    flag = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+    if flag is not None:
+        env.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", flag)

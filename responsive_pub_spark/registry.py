@@ -1140,6 +1140,64 @@ ORACLE_PAPI_RUNNING_COUNT = f"""
 """
 
 
+def q_papi_tws_running_count(spark, sf_dir):
+    """The Spark-4 transformWithStateInPandas MAP-STATE lane at the gate
+    (unblocked in r4 via compat.ensure_protobuf_runtime): the same
+    _RunningCountProcessor drained through a checkpointed availableNow
+    query on state.process_streaming_tws_map — one RocksDB row per store
+    entry, per-entry delta writes (the CommitBuffer delta-flush analog,
+    CommitBuffer.java:340-395). Must equal the batch-replay oracle."""
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id", "event_id", ts_to_double(ev, "ts").alias("ts")
+    )
+    wd = tempfile.mkdtemp(prefix="tws_gate_")
+    indir = os.path.join(wd, "in")
+    outdir = os.path.join(wd, "out")
+    ck = os.path.join(wd, "ck")
+    src.write.mode("append").parquet(indir)
+    sdf = spark.readStream.schema(
+        "user_id BIGINT, event_id BIGINT, ts DOUBLE"
+    ).parquet(indir)
+    out_schema = "user_id BIGINT, event_id BIGINT, ts_sec BIGINT, running_cnt BIGINT"
+    out = state.process_streaming_tws_map(
+        sdf,
+        key=["user_id"],
+        processor_factory=_RunningCountProcessor,
+        output_schema=out_schema,
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .option("path", outdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return spark.read.schema(out_schema).parquet(outdir)
+
+
 class _DailyPunctuateProcessor(state.Processor):
     """Stream-time punctuator (context.schedule(interval, STREAM_TIME, ...),
     KeyBatchExample.java:137-141): counts events per key, emits the running
@@ -1850,7 +1908,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "agg_pricing_summary": QuerySpec(q_agg_pricing_summary, ORACLE_AGG_PRICING_SUMMARY, bench=True),
     "window_tumbling": QuerySpec(q_window_tumbling, ORACLE_WINDOW_TUMBLING, bench=True),
     "window_session": QuerySpec(q_window_session, ORACLE_WINDOW_SESSION, bench=True),
-    "join_fk": QuerySpec(q_join_fk, ORACLE_JOIN_FK),
     "join_table_table": QuerySpec(q_join_table_table, ORACLE_JOIN_TABLE_TABLE),
     "join_global": QuerySpec(q_join_global, ORACLE_JOIN_GLOBAL, bench=True),
     "join_stream_stream": QuerySpec(q_join_stream_stream, ORACLE_JOIN_STREAM_STREAM, bench=True),
@@ -1910,6 +1967,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_repartition_colocate, ORACLE_REPARTITION_COLOCATE
     ),
     "approx_num_entries": QuerySpec(q_approx_num_entries, ORACLE_APPROX_NUM_ENTRIES),
+    "papi_tws_running_count": QuerySpec(
+        q_papi_tws_running_count, ORACLE_PAPI_RUNNING_COUNT
+    ),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything below
     # has at least one driver-green round and is trivia-stable; the
@@ -1920,6 +1980,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
+    "join_fk": QuerySpec(q_join_fk, ORACLE_JOIN_FK),
     "window_hopping": QuerySpec(q_window_hopping, ORACLE_WINDOW_HOPPING),
     "window_grace": QuerySpec(q_window_grace, ORACLE_WINDOW_GRACE),
     "join_stream_table": QuerySpec(q_join_stream_table, ORACLE_JOIN_STREAM_TABLE),

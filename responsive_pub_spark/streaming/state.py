@@ -663,9 +663,13 @@ def process_streaming_tws(
     The store snapshot lives in ONE ValueState blob per key, mirroring
     process_streaming's GroupState layout — the per-key state shape is
     identical across lanes, only the engine underneath changes."""
-    from responsive_pub_spark.compat import ensure_protobuf_runtime
+    from responsive_pub_spark.compat import (
+        apply_to_spark_context,
+        ensure_protobuf_runtime,
+    )
 
     ensure_protobuf_runtime()
+    apply_to_spark_context(sdf.sparkSession.sparkContext)
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     keys = list(key)
@@ -798,10 +802,14 @@ class TwsMapStateStore:
 
     # -- read path ----------------------------------------------------------
     def get(self, key):
-        kb = (self._k(key),)
-        if not self._ms.containsKey(kb):
+        # getValue returns None for a missing key — ONE state-server round
+        # trip per get, not a containsKey+getValue pair (every round trip
+        # is a socket exchange with the JVM state server; the hot path is
+        # get/put per record)
+        entry = self._ms.getValue((self._k(key),))
+        if entry is None:
             return None
-        vb, ts = self._ms.getValue(kb)
+        vb, ts = entry
         if not self._live(ts):
             return None
         return pickle.loads(vb)
@@ -863,9 +871,13 @@ def process_streaming_tws_map(
     (``ctx.get_store``) are not supported on this lane: TWS state handles
     must be declared in ``init`` and our named stores are created
     dynamically — use the blob lanes for multi-store processors."""
-    from responsive_pub_spark.compat import ensure_protobuf_runtime
+    from responsive_pub_spark.compat import (
+        apply_to_spark_context,
+        ensure_protobuf_runtime,
+    )
 
     ensure_protobuf_runtime()
+    apply_to_spark_context(sdf.sparkSession.sparkContext)
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     keys = list(key)
