@@ -146,3 +146,91 @@ def read_processor_state(
     use :func:`query_processor_state` for keyed/range/prefix lookups that
     prune before unpickling."""
     return query_processor_state(spark, checkpoint, key_cols, **options)
+
+
+def query_tws_map_state(
+    spark: SparkSession,
+    checkpoint: str,
+    key_cols: list[str],
+    group_keys: "list | None" = None,
+    store_key: "object | None" = None,
+    store_key_from: "object | None" = None,
+    store_key_to: "object | None" = None,
+    store_key_prefix: "object | None" = None,
+    state_var: str = "kv",
+    **options,
+) -> DataFrame:
+    """IQ over a ``process_streaming_tws_map`` checkpoint — the map-state
+    lane's store is one checkpoint ROW PER STORE ENTRY, so interactive
+    queries get per-entry pruning the blob lanes can't offer:
+
+    - a point ``get`` pushes an EQUALITY FILTER on the canonical pickled
+      key bytes (``TwsMapStateStore._k``) — the lookup runs JVM-side
+      against the state files; Python unpickles only the matched entry's
+      value (store keys written by TwsMapStateStore pickle
+      deterministically, making the bytes comparable);
+    - ``group_keys`` prune processor keys before anything ships to Python;
+    - range/prefix decode only the (small) key bytes per row, unpickling
+      values for matches alone — pickled bytes are NOT order-comparable,
+      so ordering predicates evaluate on the decoded keys.
+
+    Same output contract as :func:`query_processor_state`:
+    (key_cols..., store_key STRING, store_value STRING, write_ts DOUBLE).
+    """
+    from pyspark.sql import functions as F
+
+    from responsive_pub_spark.streaming.state import TwsMapStateStore
+
+    raw = read_state(spark, checkpoint, stateVarName=state_var, **options)
+    flat = raw.select(
+        *[raw["key"][k].alias(k) for k in key_cols],
+        raw["user_map_key"]["k"].alias("kb"),
+        raw["user_map_value"]["v"].alias("vb"),
+        raw["user_map_value"]["ts"].alias("write_ts"),
+    )
+    if group_keys is not None:
+        gks = [gk if isinstance(gk, tuple) else (gk,) for gk in group_keys]
+        cond = None
+        for gk in gks:
+            c = None
+            for col, v in zip(key_cols, gk):
+                cc = F.col(col) == F.lit(v)
+                c = cc if c is None else (c & cc)
+            cond = c if cond is None else (cond | c)
+        flat = flat.filter(cond)
+    if store_key is not None:
+        flat = flat.filter(F.col("kb") == F.lit(TwsMapStateStore._k(store_key)))
+
+    def decode(batches: Iterable[pd.DataFrame]):
+        import pickle
+
+        for pdf in batches:
+            out = {k: [] for k in key_cols} | {
+                "store_key": [], "store_value": [], "write_ts": []
+            }
+            for row in pdf.itertuples(index=False):
+                sk = pickle.loads(bytes(row.kb))
+                if store_key is not None and sk != store_key:
+                    continue
+                if store_key_from is not None and sk < store_key_from:
+                    continue
+                if store_key_to is not None and sk > store_key_to:
+                    continue
+                if store_key_prefix is not None:
+                    if isinstance(store_key_prefix, tuple):
+                        n = len(store_key_prefix)
+                        if not (isinstance(sk, tuple) and sk[:n] == store_key_prefix):
+                            continue
+                    elif not str(sk).startswith(store_key_prefix):
+                        continue
+                for k in key_cols:
+                    out[k].append(getattr(row, k))
+                out["store_key"].append(repr(sk))
+                out["store_value"].append(repr(pickle.loads(bytes(row.vb))))
+                out["write_ts"].append(float(row.write_ts))
+            yield pd.DataFrame(out)
+
+    key_schema = ", ".join(f"{k} LONG" for k in key_cols)
+    return flat.mapInPandas(
+        decode, f"{key_schema}, store_key STRING, store_value STRING, write_ts DOUBLE"
+    )

@@ -103,3 +103,61 @@ def test_session_processor_matches_island_model(ts_list, gap):
         else:
             final[k] = r["agg"]
     assert final == expected
+
+
+class _FakeMapState:
+    """In-process stand-in for pyspark's TWS MapState handle (same method
+    surface the adapter uses): lets the TwsMapStateStore adapter run under
+    hypothesis without a streaming query."""
+
+    def __init__(self):
+        self._m: dict = {}
+
+    def updateValue(self, key, value):
+        self._m[key[0]] = tuple(value)
+
+    def getValue(self, key):
+        return self._m.get(key[0])
+
+    def containsKey(self, key):
+        return key[0] in self._m
+
+    def removeKey(self, key):
+        self._m.pop(key[0], None)
+
+    def iterator(self):
+        return (((k,), v) for k, v in self._m.items())
+
+    def keys(self):
+        return (((k,),) for k in self._m)
+
+
+@settings(max_examples=200, deadline=None)
+@given(op_seq=ops)
+def test_tws_map_store_matches_dict_model(op_seq):
+    from responsive_pub_spark.streaming.state import TwsMapStateStore
+
+    store, model = TwsMapStateStore(_FakeMapState()), {}
+    for op, k, v in op_seq:
+        if op == "put":
+            store.put(k, v)
+            model[k] = v
+        elif op == "delete":
+            assert store.delete(k) == model.pop(k, None)
+        elif op == "flush":
+            pass  # live-handle store: every op IS the flush
+        else:
+            prior = store.put_if_absent(k, v)
+            assert prior == model.get(k)
+            model.setdefault(k, v)
+    assert dict(store.all()) == model
+    assert [k for k, _ in store.all()] == sorted(model)
+    assert store.approximate_num_entries() == len(model)
+    if model:
+        lo, hi = min(model), max(model)
+        assert dict(store.range(lo, hi)) == model
+        assert list(store.reverse_all()) == list(reversed(list(store.all())))
+        some = sorted(model)[0]
+        assert dict(store.prefix(some)) == {
+            k: v for k, v in model.items() if k.startswith(some)
+        }

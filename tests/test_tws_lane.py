@@ -239,3 +239,65 @@ def test_tws_map_lane_writes_deltas_not_store(spark, tmp_path, rocksdb_state):
     # blob lane: 3 full-store rewrites (~N*80B each); map lane: 3 rows +
     # fixed rocksdb overhead. Generous factor to stay non-flaky.
     assert map_growth < blob_growth / 3, (map_growth, blob_growth)
+
+
+def test_iq_over_tws_map_checkpoint(spark, tmp_path, rocksdb_state):
+    """Interactive queries against the map lane's checkpoint: point get
+    (JVM-side bytes-equality pushdown), range, prefix, and full scan —
+    per-entry rows mean IQ never unpickles a whole store."""
+    from responsive_pub_spark.streaming import iq
+
+    class TwoSlots(state.Processor):
+        def process(self, ctx, rec):
+            ctx.store.put("n", (ctx.store.get("n") or 0) + 1)
+            ctx.store.put("total", (ctx.store.get("total") or 0) + rec["v"])
+
+    wd = str(tmp_path / "iqmap")
+
+    def build(sdf):
+        return state.process_streaming_tws_map(
+            sdf,
+            key=["user_id"],
+            processor_factory=TwoSlots,
+            output_schema=_OUT,
+            ts_col="ts",
+            order_by=("v",),
+        )
+
+    drv = TopologyTestDriver(spark, _SCHEMA, build, wd)
+    drv.pipe(
+        [
+            {"user_id": 1, "v": 10, "ts": 1.0},
+            {"user_id": 1, "v": 5, "ts": 2.0},
+            {"user_id": 2, "v": 7, "ts": 1.5},
+        ]
+    )
+    drv.advance()
+    ck = drv.checkpoint
+
+    # point get, pruned to one processor key
+    got = iq.query_tws_map_state(
+        spark, ck, ["user_id"], group_keys=[1], store_key="total"
+    ).collect()
+    assert [(r.user_id, r.store_key, r.store_value) for r in got] == [
+        (1, "'total'", "15")
+    ]
+    # full scan
+    allrows = iq.query_tws_map_state(spark, ck, ["user_id"]).collect()
+    assert {(r.user_id, r.store_key, r.store_value) for r in allrows} == {
+        (1, "'n'", "2"),
+        (1, "'total'", "15"),
+        (2, "'n'", "1"),
+        (2, "'total'", "7"),
+    }
+    # range over decoded keys ('n' <= k <= 'total' covers both slots)
+    rng = iq.query_tws_map_state(
+        spark, ck, ["user_id"], store_key_from="n", store_key_to="total"
+    ).collect()
+    assert len(rng) == 4
+    # prefix
+    pre = iq.query_tws_map_state(
+        spark, ck, ["user_id"], store_key_prefix="to"
+    ).collect()
+    assert {r.store_key for r in pre} == {"'total'"}
+    drv.close()
