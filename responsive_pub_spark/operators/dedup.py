@@ -865,3 +865,102 @@ def embedding_dup_pairs_oracle(
         JOIN normed eb ON eb.vec_id = c.id_b
         WHERE (floor(({cos}) * 1000000 + 0.5) / 1000000) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup): k clusters, prune within-cluster near-dups
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_CLUSTERS = 8
+SEMDEDUP_THRESHOLD = 0.85
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = SEMDEDUP_CLUSTERS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    centroids: "DataFrame | None" = None,
+) -> DataFrame:
+    """SemDeDup (the public method of Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then within each cluster mark a vector a
+    SEMANTIC DUPLICATE if any lower-vec_id cluster-mate sits at cosine >=
+    ``threshold`` — near-duplicates in meaning, not surface text, which
+    MinHash/SimHash cannot see.
+
+    The 100 TB shape is the paper's own: clustering makes the pairwise
+    stage tractable — centroids broadcast (one scan to assign), pairs are
+    confined WITHIN clusters (an equi-join on cid, never a corpus cross
+    join), so pair volume is sum of cluster sizes squared; pick
+    n_clusters ~ corpus/expected_cluster_size to bound it. Assignment
+    reuses the IVF machinery (similarity.py): pinned first-k centroids by
+    default, pass ``centroids=similarity.train_centroids(emb)`` for
+    k-means lists — recall changes, the plan does not.
+
+    Output: one row per vector — (vec_id, cid, is_duplicate)."""
+    from responsive_pub_spark.functions.vectors import cosine_sql
+
+    if centroids is None:
+        centroids = emb.filter(F.col("vec_id") < n_clusters).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
+        )
+    scored = emb.join(F.broadcast(centroids)).withColumn(
+        "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+    )
+    assign = scored.groupBy("vec_id", "embedding").agg(
+        F.max_by(F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))).alias("cid")
+    )
+    pairs = (
+        assign.alias("a")
+        .join(
+            assign.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos", pround(F.expr(cosine_sql("a.embedding", "b.embedding")), 6)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return assign.join(pairs, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cid"),
+        F.coalesce("dup", F.lit(False)).alias("is_duplicate"),
+    )
+
+
+def semantic_dedup_oracle(
+    n_clusters: int = SEMDEDUP_CLUSTERS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    from responsive_pub_spark.functions.vectors import cosine_duck
+
+    ccos = cosine_duck("e.embedding", "c.embedding")
+    pcos = cosine_duck("a.embedding", "b.embedding")
+    return f"""
+        WITH scored AS (
+            SELECT e.vec_id, e.embedding, c.vec_id AS cid,
+                   (floor(({ccos}) * 1000000 + 0.5) / 1000000) AS ccos
+            FROM embeddings e
+            JOIN embeddings c ON c.vec_id < {n_clusters}
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        dups AS (
+            SELECT DISTINCT a.vec_id
+            FROM assign a JOIN assign b
+              ON a.cid = b.cid AND a.vec_id > b.vec_id
+            WHERE (floor(({pcos}) * 1000000 + 0.5) / 1000000) >= {threshold}
+        )
+        SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cid,
+               (d.vec_id IS NOT NULL) AS is_duplicate
+        FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """

@@ -682,3 +682,147 @@ def pack_sequences_oracle(budget: int = PACK_BUDGET_TOKENS) -> str:
                CAST((cum_tokens - n_tokens) % {budget} AS BIGINT) AS seq_offset
         FROM cum
     """
+
+
+# -- sliding-window chunking -------------------------------------------------
+CHUNK_WINDOW_TOKENS = 64
+CHUNK_STRIDE_TOKENS = 48
+
+
+def chunk_text(
+    docs: DataFrame,
+    window: int = CHUNK_WINDOW_TOKENS,
+    stride: int = CHUNK_STRIDE_TOKENS,
+) -> DataFrame:
+    """Sliding-window chunker with overlap — the context-length prep step
+    of retrieval/training pipelines (chunk size ``window`` tokens, hop
+    ``stride``, so consecutive chunks overlap by ``window - stride``).
+
+    Zero-join, zero-Python: tokenize once per doc (codegen'd split),
+    generate chunk starts with ``sequence()`` + ``posexplode``, slice the
+    token array per chunk. One narrow explode — output rows ~
+    n_tokens/stride per doc, cost linear in OUTPUT, embarrassingly
+    parallel at 100 TB. Empty docs produce no chunks; the tail chunk may
+    be shorter than ``window``."""
+    toks = T.tokens_sql("text")
+    t = docs.select("doc_id", F.expr(toks).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    return (
+        t.select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.expr(f"sequence(0, size(toks) - 1, {int(stride)})")
+            ).alias("chunk_idx", "start_token"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("start_token").cast("bigint").alias("start_token"),
+            F.expr(f"slice(toks, start_token + 1, {int(window)})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_token",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_text_oracle(
+    window: int = CHUNK_WINDOW_TOKENS, stride: int = CHUNK_STRIDE_TOKENS
+) -> str:
+    toks = T.tokens_duck("text")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS toks FROM documents
+        ),
+        st AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {int(stride)})) AS start_token
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(start_token // {int(stride)} AS BIGINT) AS chunk_idx,
+               CAST(start_token AS BIGINT) AS start_token,
+               CAST(len(toks[start_token + 1 : start_token + {int(window)}])
+                    AS BIGINT) AS n_tokens,
+               array_to_string(
+                   toks[start_token + 1 : start_token + {int(window)}], ' ')
+                   AS chunk_text
+        FROM st
+    """
+
+
+# -- mixture reweighting ------------------------------------------------------
+#: target language mixture in basis points (sums to 10000) — the "train on
+#: this domain blend" spec of data-mixing recipes.
+MIXTURE_WEIGHTS_BP = {"en": 4000, "de": 2000, "fr": 2000, "es": 1000, "zh": 1000}
+MIX_HASH_A = 48_271
+MIX_HASH_B = 11_351
+
+
+def mixture_resample(
+    docs: DataFrame, weights_bp: "dict[str, int] | None" = None
+) -> DataFrame:
+    """Downsample-only resampling to a TARGET domain mixture (the
+    data-mixing step of pretraining recipes: given target weights w_d and
+    empirical counts n_d, keep each domain at rate r_d so the kept corpus
+    matches the target blend while the binding domain keeps ~everything).
+
+    K = min_d floor(n_d * 10000 / w_d) is the largest target-shaped corpus
+    the data supports; accept_bp_d = floor(K * w_d / n_d / 10000 * 10000)
+    — ALL integer arithmetic (DIV), so Spark and DuckDB agree bit-for-bit.
+    Acceptance is a deterministic doc_id hash (retry-safe, no RNG state).
+
+    Plan: one tiny groupBy(lang) count -> global min over 5 rows ->
+    broadcast join of the 5-row rate table back onto the corpus — the
+    corpus itself is never shuffled. Domains absent from the weight
+    spec are dropped (rate 0)."""
+    wbp = weights_bp or MIXTURE_WEIGHTS_BP
+    w_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {int(bp)}" for d, bp in wbp.items()
+    ) + " ELSE 0 END"
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_d"))
+    counts = counts.withColumn("w_bp", F.expr(w_case)).filter(F.col("w_bp") > 0)
+    k = counts.select(
+        F.min(F.expr("n_d * 10000 DIV w_bp")).alias("k_sup")
+    )
+    rates = counts.crossJoin(F.broadcast(k)).select(
+        "lang",
+        F.expr("(k_sup * w_bp * 10000) DIV (n_d * 10000)").alias("accept_bp"),
+    )
+    u = f"(((doc_id % {P}) * {MIX_HASH_A} + {MIX_HASH_B}) % {P}) % 10000"
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(F.expr(u) < F.col("accept_bp"))
+        .select(
+            "doc_id", "lang", F.col("accept_bp").cast("bigint").alias("accept_bp")
+        )
+    )
+
+
+def mixture_resample_oracle(weights_bp: "dict[str, int] | None" = None) -> str:
+    wbp = weights_bp or MIXTURE_WEIGHTS_BP
+    w_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {int(bp)}" for d, bp in wbp.items()
+    ) + " ELSE 0 END"
+    u = f"(((doc_id % {P}) * {MIX_HASH_A} + {MIX_HASH_B}) % {P}) % 10000"
+    return f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_d, {w_case} AS w_bp
+            FROM documents GROUP BY lang
+        ),
+        live AS (SELECT * FROM counts WHERE w_bp > 0),
+        k AS (SELECT min(n_d * 10000 // w_bp) AS k_sup FROM live),
+        rates AS (
+            SELECT lang, (k_sup * w_bp * 10000) // (n_d * 10000) AS accept_bp
+            FROM live CROSS JOIN k
+        )
+        SELECT d.doc_id, d.lang, CAST(r.accept_bp AS BIGINT) AS accept_bp
+        FROM documents d JOIN rates r USING (lang)
+        WHERE {u} < r.accept_bp
+    """

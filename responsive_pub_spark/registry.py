@@ -1908,7 +1908,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "agg_pricing_summary": QuerySpec(q_agg_pricing_summary, ORACLE_AGG_PRICING_SUMMARY, bench=True),
     "window_tumbling": QuerySpec(q_window_tumbling, ORACLE_WINDOW_TUMBLING, bench=True),
     "window_session": QuerySpec(q_window_session, ORACLE_WINDOW_SESSION, bench=True),
-    "join_table_table": QuerySpec(q_join_table_table, ORACLE_JOIN_TABLE_TABLE),
     "join_global": QuerySpec(q_join_global, ORACLE_JOIN_GLOBAL, bench=True),
     "join_stream_stream": QuerySpec(q_join_stream_stream, ORACLE_JOIN_STREAM_STREAM, bench=True),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, dedup.minhash_pairs_oracle(), bench=True),
@@ -1922,7 +1921,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # stage dominates by construction; at production near-dup thresholds
     # (>=0.85) the same banded plan is selective. Plan shape (equi-join,
     # no cartesian) is what's asserted.
-    "dedup_embedding": QuerySpec(q_dedup_embedding, dedup.embedding_dup_pairs_oracle()),
     "dedup_clusters": QuerySpec(
         q_dedup_clusters,
         dedup.cluster_pairs_oracle(f"pairs AS ({dedup.minhash_pairs_oracle()})"),
@@ -1933,7 +1931,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
     "repetition_gopher": QuerySpec(q_repetition_stats, pipeline_ops.repetition_stats_oracle()),
-    "pii_redact": QuerySpec(q_pii_redact, pipeline_ops.pii_redact_oracle()),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
     # --- new in r3 (driver rows required): dup-heavy-safe simhash clusters,
@@ -1970,6 +1967,27 @@ REGISTRY: dict[str, QuerySpec] = {
     "papi_tws_running_count": QuerySpec(
         q_papi_tws_running_count, ORACLE_PAPI_RUNNING_COUNT
     ),
+    # --- new in r4: sliding-window chunking, target-mixture resampling,
+    # --- SemDeDup semantic dedup (join_table_table, dedup_embedding,
+    # --- pii_redact — all multi-round green — park past 50)
+    "chunk_text_sliding": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.chunk_text(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.chunk_text_oracle(),
+    ),
+    "mixture_resample": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.mixture_resample(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.mixture_resample_oracle(),
+    ),
+    "dedup_semantic": QuerySpec(
+        lambda spark, sf_dir: dedup.semantic_dedup(
+            _t(spark, sf_dir, "embeddings")
+        ),
+        dedup.semantic_dedup_oracle(),
+    ),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything below
     # has at least one driver-green round and is trivia-stable; the
@@ -1981,6 +1999,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
     "join_fk": QuerySpec(q_join_fk, ORACLE_JOIN_FK),
+    "join_table_table": QuerySpec(q_join_table_table, ORACLE_JOIN_TABLE_TABLE),
+    "dedup_embedding": QuerySpec(q_dedup_embedding, dedup.embedding_dup_pairs_oracle()),
+    "pii_redact": QuerySpec(q_pii_redact, pipeline_ops.pii_redact_oracle()),
     "window_hopping": QuerySpec(q_window_hopping, ORACLE_WINDOW_HOPPING),
     "window_grace": QuerySpec(q_window_grace, ORACLE_WINDOW_GRACE),
     "join_stream_table": QuerySpec(q_join_stream_table, ORACLE_JOIN_STREAM_TABLE),
