@@ -439,6 +439,24 @@ class CogroupedKStream:
         return KTable(out, first_key)
 
 
+#: DataFrames produced by a suppressed windowed aggregation — consult via
+#: :func:`output_mode_for` when starting the sink. Weak references: entries
+#: vanish with the DataFrame, no lifecycle management needed.
+import weakref
+
+_EMIT_FINAL: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def output_mode_for(df: DataFrame, default: str = "update") -> str:
+    """The writeStream output mode a windowed aggregate asked for:
+    ``append`` if it was built through ``suppress_until_window_closes()``
+    (emit-final — one row per window once the watermark closes it),
+    else ``default``. Spark's suppression point is the SINK's output mode,
+    not an operator in the plan — this carries the KS-style declaration
+    from the builder to the sink."""
+    return "append" if df in _EMIT_FINAL else default
+
+
 @dataclass
 class TimeWindowedKStream:
     """Windowed aggregation builder (tumbling / hopping / session)."""
@@ -447,6 +465,27 @@ class TimeWindowedKStream:
     key: list[str]
     ts_col: str
     windows: "TimeWindows | SessionWindows"
+    suppressed: bool = False
+
+    def suppress_until_window_closes(self) -> "TimeWindowedKStream":
+        """``suppress(untilWindowCloses(unbounded()))`` analog: emit ONE
+        final row per window, only after the watermark passes the window
+        end. In Spark that IS the APPEND output mode of a watermarked
+        windowed aggregation (the suppression buffer is the streaming
+        state store itself — no extra operator; equivalence pinned by
+        tests/test_streaming.py::test_suppress_until_window_closes_analog).
+        Requires a grace period: the watermark is what closes windows.
+        The produced DataFrame is tagged so sinks can pick the mode via
+        :func:`output_mode_for`."""
+        if self.windows.grace_s is None:
+            raise ValueError(
+                "suppress(untilWindowCloses) needs a grace period: the "
+                "watermark (stream time - grace) is what closes a window — "
+                "use TimeWindows.of_size_and_grace(...)"
+            )
+        return TimeWindowedKStream(
+            self.df, list(self.key), self.ts_col, self.windows, suppressed=True
+        )
 
     def _grace_filtered(self) -> DataFrame:
         """Apply grace: drop records older than (max event time - grace) —
@@ -475,12 +514,15 @@ class TimeWindowedKStream:
         else:
             win = F.window(F.col(self.ts_col), w.size_str)
         out = df.groupBy(win.alias("w"), *[F.col(k) for k in self.key]).agg(*aggs)
-        return out.select(
+        res = out.select(
             *[F.col(k) for k in self.key],
             _epoch(F.col("w.start")).alias("window_start"),
             _epoch(F.col("w.end")).alias("window_end"),
             *[F.col(a) for a in out.columns if a != "w" and a not in self.key],
         )
+        if self.suppressed:
+            _EMIT_FINAL.add(res)
+        return res
 
     def count(self, alias: str = "cnt") -> DataFrame:
         return self.agg(F.count("*").alias(alias))

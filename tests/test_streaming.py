@@ -546,3 +546,57 @@ def test_stream_stream_join_duplicates_and_cross_batch(spark, workdir):
     drv.pipe([{"k": 1, "kind": "b", "ts": t("00:30"), "v": 30}])
     assert drv.advance() == []
     drv.close()
+
+
+def test_suppress_api_surface(spark, tmp_path):
+    """The first-class suppress(untilWindowCloses) API (r4): the windowed
+    builder tags its output, output_mode_for() resolves the sink mode, and
+    the emission behavior is final-only — one row per window after the
+    watermark closes it."""
+    from datetime import datetime as dt
+
+    from responsive_pub_spark.api import KStream, output_mode_for
+    from responsive_pub_spark.windows import TimeWindows
+
+    def t(x):
+        return dt.fromisoformat(x)
+
+    def build(sdf):
+        s = KStream(sdf, key=["user_id"], ts_col="ts")
+        win = (
+            s.group_by_key()
+            .windowed_by(TimeWindows.of_size_and_grace("1 hour", "10 minutes"))
+            .suppress_until_window_closes()
+        )
+        out = win.count()
+        assert output_mode_for(out) == "append"
+        return out.select(
+            "user_id", F.col("window_start").alias("ws"), F.col("cnt")
+        )
+
+    # no grace -> suppression must refuse (nothing would ever close)
+    import pytest as _pytest
+
+    dummy = spark.createDataFrame([], "user_id LONG, ts TIMESTAMP")
+    with _pytest.raises(ValueError, match="grace"):
+        KStream(dummy, key=["user_id"], ts_col="ts").group_by_key().windowed_by(
+            TimeWindows.of_size_with_no_grace("1 hour")
+        ).suppress_until_window_closes()
+
+    HOUR0 = 1704067200
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, ts TIMESTAMP", build, str(tmp_path / "supapi"),
+        output_mode="append",
+    )
+    per_batch = []
+    for rows in [
+        [{"user_id": 1, "ts": t("2024-01-01 00:05:00")}],
+        [{"user_id": 1, "ts": t("2024-01-01 00:30:00")}],
+        [{"user_id": 1, "ts": t("2024-01-01 05:00:00")}],
+        [{"user_id": 1, "ts": t("2024-01-01 05:10:00")}],
+    ]:
+        drv.pipe(rows)
+        per_batch.append([(r.ws, r.cnt) for r in drv.advance() if r.ws == HOUR0])
+    drv.close()
+    assert per_batch[0] == [] and per_batch[1] == []
+    assert [r for pb in per_batch for r in pb] == [(HOUR0, 2)]
