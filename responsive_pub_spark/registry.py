@@ -1251,6 +1251,80 @@ ORACLE_PAPI_PUNCTUATE_DAILY = f"""
 """
 
 
+class _PartitionDailyPunctuate(state.Processor):
+    """The KS TASK model exercised end-to-end: one processor per
+    PARTITION, its store shared by every key routed there. Counts all
+    partition records under ("n",) and registers each distinct user under
+    ("u", user_id); the stream-time punctuator (per-PARTITION clock —
+    PartitionedOperations.java:333-346) emits the partition's running
+    totals at every aligned day boundary, with the distinct-user count
+    served by a cross-key prefix scan over the SHARED store — the two
+    things the per-key lanes cannot express."""
+
+    def init(self, ctx):
+        ctx.schedule(DAY, self._fire, state.STREAM_TIME, aligned=True)
+
+    def _fire(self, ctx, fire_ts):
+        ctx.forward(
+            part_id=int(ctx.key[0]),
+            fire_ts=int(fire_ts),
+            n_events=int(ctx.store.get(("n",)) or 0),
+            n_users=sum(1 for _ in ctx.store.prefix_tuple(("u",))),
+        )
+
+    def process(self, ctx, rec):
+        ctx.store.put(("n",), (ctx.store.get(("n",)) or 0) + 1)
+        ctx.store.put(("u", int(rec["user_id"])), 1)
+
+
+PARTITION_TASKS = 4
+
+
+def q_papi_partition_stream_time(spark, sf_dir):
+    """Per-partition stream time + shared task store at the gate (closes
+    the SURVEY §2.5 documented delta for batch replay). The partitioner is
+    an explicit ``user_id % N`` so the DuckDB oracle reproduces the
+    assignment (the default is pmod(hash(key), N), KS-default-partitioner
+    shaped)."""
+    ev = _t(spark, sf_dir, "events")
+    return state.process_partitioned(
+        ev.select("user_id", "event_id", "ts"),
+        key=["user_id"],
+        num_partitions=PARTITION_TASKS,
+        processor_factory=_PartitionDailyPunctuate,
+        output_schema="part_id INT, fire_ts BIGINT, n_events BIGINT, n_users BIGINT",
+        ts_col="ts",
+        order_by=("event_id",),
+        partitioner=F.expr(f"user_id % {PARTITION_TASKS}"),
+    )
+
+
+ORACLE_PAPI_PARTITION_STREAM_TIME = f"""
+    WITH {_EV},
+    p AS (
+        SELECT CAST(user_id % {PARTITION_TASKS} AS INT) AS part_id,
+               user_id, event_id, epoch(ts) AS e
+        FROM ev
+    ),
+    span AS (
+        SELECT part_id, min(e) AS mn, max(e) AS mx FROM p GROUP BY 1
+    ),
+    fires AS (
+        SELECT part_id,
+               CAST(unnest(generate_series(
+                   CAST((floor(mn / {DAY}) + 1) * {DAY} AS BIGINT),
+                   CAST(floor(mx / {DAY}) * {DAY} AS BIGINT),
+                   {DAY})) AS BIGINT) AS fire_ts
+        FROM span
+    )
+    SELECT f.part_id, f.fire_ts,
+           CAST(count(p.event_id) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM fires f JOIN p ON p.part_id = f.part_id AND p.e < f.fire_ts
+    GROUP BY 1, 2
+"""
+
+
 def q_serde_roundtrip(spark, sf_dir):
     """Byte-record model round trip (SURVEY.md §1.1): typed events -> the
     Kafka wire shape (key BINARY, value BINARY, timestamp) -> typed rows.
@@ -1930,7 +2004,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_search_pq": QuerySpec(q_sim_pq, similarity.pq_topk_oracle()),
     "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
-    "repetition_gopher": QuerySpec(q_repetition_stats, pipeline_ops.repetition_stats_oracle()),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
     # --- new in r3 (driver rows required): dup-heavy-safe simhash clusters,
@@ -1988,6 +2061,9 @@ REGISTRY: dict[str, QuerySpec] = {
         ),
         dedup.semantic_dedup_oracle(),
     ),
+    "papi_partition_stream_time": QuerySpec(
+        q_papi_partition_stream_time, ORACLE_PAPI_PARTITION_STREAM_TIME
+    ),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything below
     # has at least one driver-green round and is trivia-stable; the
@@ -1999,6 +2075,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
     "join_fk": QuerySpec(q_join_fk, ORACLE_JOIN_FK),
+    "repetition_gopher": QuerySpec(q_repetition_stats, pipeline_ops.repetition_stats_oracle()),
     "join_table_table": QuerySpec(q_join_table_table, ORACLE_JOIN_TABLE_TABLE),
     "dedup_embedding": QuerySpec(q_dedup_embedding, dedup.embedding_dup_pairs_oracle()),
     "pii_redact": QuerySpec(q_pii_redact, pipeline_ops.pii_redact_oracle()),

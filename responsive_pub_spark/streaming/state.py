@@ -30,11 +30,13 @@ Arrow moves the batches (vectorized Python boundary); per-record Python work
 happens only inside this deliberately-imperative layer — everything
 declarative stays in Catalyst (SURVEY.md §4).
 
-Semantic delta vs the reference (documented, SURVEY.md §2.5): the reference
-tracks stream-time per Kafka partition; here batch mode tracks it per KEY
-(each applyInPandas group replays independently). Reference integration
-tests pin 1-2 partitions for exactness; our oracle queries are per-key, where
-the two definitions coincide.
+Stream-time scoping: the reference tracks stream time per Kafka PARTITION.
+The per-key lanes here (``process``/``process_streaming*``) track it per
+KEY — a documented delta where oracle queries are per-key and the two
+definitions coincide. ``process_partitioned`` (r4) reproduces the task
+model exactly in batch: one processor per partition, the store shared
+across every key in the partition (cross-key range/all scans work), and
+stream time advancing per partition.
 """
 
 from __future__ import annotations
@@ -520,6 +522,59 @@ def process(
         return ctx._to_pdf()
 
     return df.groupBy(*keys).applyInPandas(run, output_schema)
+
+
+def process_partitioned(
+    df: DataFrame,
+    key: Sequence[str],
+    num_partitions: int,
+    processor_factory: Callable[[], Processor],
+    output_schema: "StructType | str",
+    ts_col: str = "ts",
+    order_by: Sequence[str] = (),
+    ttl_seconds: float | None = None,
+    partitioner=None,
+    arrival_col: str | None = None,
+) -> DataFrame:
+    """The reference's TASK model for batch replay: ONE processor instance
+    per PARTITION — the store is SHARED across every key routed to the
+    partition and stream time advances per partition, exactly the
+    per-Kafka-partition semantics of PartitionedOperations.java:333-346.
+    This closes the two documented deltas of the per-key model
+    (SURVEY.md §2.5): per-partition stream time, and cross-key store
+    scans within a task (a KS store holds ALL keys of its task, so
+    range()/all() see the whole partition — per-key GroupState cannot).
+
+    ``ctx.key`` is ``(partition_id,)``; records keep their own key columns
+    in ``rec``. ``partitioner`` is the partition-id Column — default
+    ``pmod(hash(key), N)`` (Spark's hash, the murmur analog of KS's
+    default partitioner); pass an explicit expression (e.g. ``key % N``)
+    when an external oracle must reproduce the assignment.
+
+    Scale note: parallelism is capped at ``num_partitions`` tasks by
+    construction (the KS model's own property — partition count IS the
+    parallelism); keep N >= the cluster's core count for batch replays."""
+    from pyspark.sql import functions as F  # local: keep module import-light
+
+    keys = list(key)
+    if partitioner is None:
+        partitioner = F.pmod(
+            F.hash(*[F.col(k) for k in keys]), F.lit(int(num_partitions))
+        )
+    df2 = df.withColumn("__part__", partitioner.cast("int"))
+    df2 = df2.repartition(int(num_partitions), F.col("__part__"))
+
+    def run(key_vals: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        proc = processor_factory()
+        store = KeyValueStore(ttl_seconds)
+        ctx = ProcessorContext((int(key_vals[0]),), store)
+        proc.init(ctx)
+        pdf = pdf.drop(columns=["__part__"])
+        _replay(proc, ctx, pdf, ts_col, order_by, arrival_col)
+        proc.close(ctx)
+        return ctx._to_pdf()
+
+    return df2.groupBy("__part__").applyInPandas(run, output_schema)
 
 
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])

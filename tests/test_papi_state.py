@@ -120,3 +120,44 @@ def test_forward_bulk_validates_shape():
         ctx2.forward_bulk(a=[1], c=[2])
     ctx2.forward_bulk(b=[3], a=[4])  # order-insensitive, same key set
     assert ctx2.emitted() == [{"a": 1, "b": 2}, {"a": 4, "b": 3}]
+
+
+def test_process_partitioned_task_model(spark):
+    """KS task model (r4): one processor per partition — the store is
+    shared across keys (cross-key reads see other keys' writes) and the
+    punctuator clock is per PARTITION, firing even for boundaries no
+    single key's record span would cross."""
+    from pyspark.sql import functions as F
+
+    from responsive_pub_spark.streaming import state
+
+    class SeenBefore(state.Processor):
+        # emits how many OTHER distinct keys this partition had already
+        # registered when the record arrived — per-key state would always
+        # see 0 others
+        def process(self, ctx, rec):
+            others = sum(
+                1
+                for (tag, uid), _v in ctx.store.prefix_tuple(("u",))
+                if uid != int(rec["k"])
+            )
+            ctx.store.put(("u", int(rec["k"])), 1)
+            ctx.forward(k=int(rec["k"]), others=others)
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (2, 2.0), (4, 3.0), (1, 1.5), (3, 2.5)], "k LONG, ts DOUBLE"
+    )
+    out = state.process_partitioned(
+        df,
+        key=["k"],
+        num_partitions=2,
+        processor_factory=SeenBefore,
+        output_schema="k LONG, others BIGINT",
+        ts_col="ts",
+        order_by=("k",),
+        partitioner=F.expr("k % 2"),
+    )
+    got = {(r.k, r.others) for r in out.collect()}
+    # partition 0 sees k=0 (0 others), k=2 (1 other), k=4 (2 others);
+    # partition 1 sees k=1 (0), k=3 (1)
+    assert got == {(0, 0), (2, 1), (4, 2), (1, 0), (3, 1)}
