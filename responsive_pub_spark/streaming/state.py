@@ -33,8 +33,9 @@ declarative stays in Catalyst (SURVEY.md §4).
 Stream-time scoping: the reference tracks stream time per Kafka PARTITION.
 The per-key lanes here (``process``/``process_streaming*``) track it per
 KEY — a documented delta where oracle queries are per-key and the two
-definitions coincide. ``process_partitioned`` (r4) reproduces the task
-model exactly in batch: one processor per partition, the store shared
+definitions coincide. ``process_partitioned`` (batch) and
+``process_streaming_partitioned`` (checkpointed streaming) reproduce the
+task model exactly (r4): one processor per partition, the store shared
 across every key in the partition (cross-key range/all scans work), and
 stream time advancing per partition.
 """
@@ -1005,4 +1006,47 @@ def process_streaming_tws_map(
         outputStructType=output_schema,
         outputMode=output_mode,
         timeMode="None",
+    )
+
+
+def process_streaming_partitioned(
+    sdf: DataFrame,
+    key: Sequence[str],
+    num_partitions: int,
+    processor_factory: Callable[[], Processor],
+    output_schema: "StructType | str",
+    ts_col: str = "ts",
+    order_by: Sequence[str] = (),
+    ttl_seconds: float | None = None,
+    output_mode: str = "append",
+    partitioner=None,
+) -> DataFrame:
+    """Streaming twin of :func:`process_partitioned` — the KS task model
+    on the checkpointed lane: GroupState is keyed by PARTITION id, so one
+    segmented delta-log store serves every key routed to the partition
+    (cross-key scans work, stream time is per partition, and the
+    punctuator clock survives restarts with the rest of the blob).
+
+    The partition's whole store lives in one GroupState entry — the
+    segstore layout keeps per-batch flush O(batch writes), but restore
+    still reads the partition's segments; size partitions accordingly
+    (this is exactly the reference's per-partition state shape). ctx.key
+    is ``(partition_id,)``; records carry their own key columns."""
+    from pyspark.sql import functions as F  # local: keep module import-light
+
+    keys = list(key)
+    if partitioner is None:
+        partitioner = F.pmod(
+            F.hash(*[F.col(k) for k in keys]), F.lit(int(num_partitions))
+        )
+    tagged = sdf.withColumn("__part__", partitioner.cast("int"))
+    return process_streaming(
+        tagged,
+        key=["__part__"],
+        processor_factory=processor_factory,
+        output_schema=output_schema,
+        ts_col=ts_col,
+        order_by=order_by,
+        ttl_seconds=ttl_seconds,
+        output_mode=output_mode,
     )

@@ -600,3 +600,59 @@ def test_suppress_api_surface(spark, tmp_path):
     drv.close()
     assert per_batch[0] == [] and per_batch[1] == []
     assert [r for pb in per_batch for r in pb] == [(HOUR0, 2)]
+
+
+def test_process_streaming_partitioned_task_model(spark, tmp_path):
+    """Streaming task model: the partition-shared store persists across
+    micro-batch restarts — a key arriving in batch 2 sees keys registered
+    by OTHER keys in batch 1 (per-key state cannot), and the result equals
+    the batch replay through process_partitioned."""
+    from responsive_pub_spark.streaming import state
+    from responsive_pub_spark.streaming.runtime import TopologyTestDriver
+
+    class SeenBefore(state.Processor):
+        def process(self, ctx, rec):
+            others = sum(
+                1
+                for (_tag, uid), _v in ctx.store.prefix_tuple(("u",))
+                if uid != int(rec["k"])
+            )
+            ctx.store.put(("u", int(rec["k"])), 1)
+            ctx.forward(k=int(rec["k"]), others=others)
+
+    def build(sdf):
+        return state.process_streaming_partitioned(
+            sdf,
+            key=["k"],
+            num_partitions=2,
+            processor_factory=SeenBefore,
+            output_schema="k LONG, others BIGINT",
+            ts_col="ts",
+            order_by=("k",),
+            partitioner=F.expr("k % 2"),
+        )
+
+    drv = TopologyTestDriver(
+        spark, "k LONG, ts DOUBLE", build, str(tmp_path / "taskstream")
+    )
+    drv.pipe([{"k": 0, "ts": 1.0}, {"k": 1, "ts": 1.5}])
+    out = [tuple(r) for r in drv.advance()]
+    drv.pipe([{"k": 2, "ts": 2.0}, {"k": 3, "ts": 2.5}, {"k": 4, "ts": 3.0}])
+    out += [tuple(r) for r in drv.advance()]
+    drv.close()
+    assert set(out) == {(0, 0), (1, 0), (2, 1), (3, 1), (4, 2)}
+
+    batch = state.process_partitioned(
+        spark.createDataFrame(
+            [(0, 1.0), (1, 1.5), (2, 2.0), (3, 2.5), (4, 3.0)],
+            "k LONG, ts DOUBLE",
+        ),
+        key=["k"],
+        num_partitions=2,
+        processor_factory=SeenBefore,
+        output_schema="k LONG, others BIGINT",
+        ts_col="ts",
+        order_by=("k",),
+        partitioner=F.expr("k % 2"),
+    )
+    assert set(out) == {tuple(r) for r in batch.collect()}
