@@ -84,3 +84,47 @@ def corpus_stats(docs: DataFrame, manifest: DataFrame) -> DataFrame:
     return inp.join(out, "lang", "left").fillna(
         {"n_kept": 0, "weight_mass": 0.0}
     )
+
+
+def build_training_batches(
+    docs: DataFrame, manifest: DataFrame
+) -> DataFrame:
+    """r4 extension of the flow: manifest -> target-mixture resampling ->
+    overlapping context-window chunks -> packed sequences — the step from
+    "kept documents" to "what the trainer actually reads".
+
+        manifest (kept docs)
+          -> mixture_resample   (downsample-only to the target language
+                                 blend; corpus never shuffled — the 5-row
+                                 rate table broadcasts)
+          -> chunk_text         (overlapping token windows, zero shuffles)
+          -> pack_sequences     (chunks concatenated into fixed-budget
+                                 sequences, one window shuffle per lang)
+
+    Returns one row per chunk with its packed (seq_id, seq_offset)
+    position. Chunks inherit the doc's sampling weight so loss weighting
+    survives packing."""
+    kept = docs.join(manifest.select("doc_id", "weight"), "doc_id")
+    mixed = pipeline_ops.mixture_resample(kept).select("doc_id", "accept_bp")
+    mixed_docs = kept.join(mixed, "doc_id")
+    chunks = pipeline_ops.chunk_text(mixed_docs).withColumnRenamed(
+        "chunk_text", "text"
+    )
+    # pack at chunk granularity: chunks become the packing unit, keyed as
+    # synthetic docs ordered (doc_id, chunk_idx); lang rides along
+    chunk_docs = chunks.join(
+        mixed_docs.select("doc_id", "lang", "weight"), "doc_id"
+    ).select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("doc_id").alias("src_doc_id"),
+        "chunk_idx", "lang", "weight", "text",
+    )
+    packed = pipeline_ops.pack_sequences(chunk_docs)
+    return (
+        chunk_docs.select("doc_id", "src_doc_id", "chunk_idx", "weight")
+        .join(packed, "doc_id")
+        .select(
+            "src_doc_id", "chunk_idx", "lang", "n_tokens",
+            "seq_id", "seq_offset", "weight",
+        )
+    )

@@ -129,3 +129,35 @@ def test_vector_pipeline_dedup_and_serve(spark, sf_dir):
     assert want, "referee produced nothing — vacuous"
     overlap = len(got & want) / len(want)
     assert overlap >= 0.6, f"ANN/exact overlap collapsed: {overlap:.2f}"
+
+
+def test_pretrain_training_batches(spark, sf_dir):
+    """r4 tail of the corpus flow: mixture resample -> chunk -> pack.
+    Contracts: every chunk's source doc survived the manifest AND the
+    mixture gate; packed offsets are consistent (0 <= seq_offset < budget);
+    within a (lang, seq_id) the offsets are unique; weights ride along."""
+    from responsive_pub_spark.examples import pretrain_pipeline
+    from responsive_pub_spark.operators import pipeline_ops
+    from responsive_pub_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    manifest = pretrain_pipeline.build_corpus(docs)
+    batches = pretrain_pipeline.build_training_batches(docs, manifest)
+    rows = batches.collect()
+    assert rows, "pipeline produced no chunks"
+    kept_ids = {r.doc_id for r in manifest.select("doc_id").collect()}
+    mixed_ids = {
+        r.doc_id
+        for r in pipeline_ops.mixture_resample(
+            docs.join(manifest.select("doc_id"), "doc_id")
+        ).collect()
+    }
+    budget = pipeline_ops.PACK_BUDGET_TOKENS
+    seen = set()
+    for r in rows:
+        assert r.src_doc_id in kept_ids and r.src_doc_id in mixed_ids
+        assert 0 <= r.seq_offset < budget
+        assert r.n_tokens > 0 and r.weight is not None
+        key = (r.lang, r.seq_id, r.seq_offset)
+        assert key not in seen, f"offset collision {key}"
+        seen.add(key)
