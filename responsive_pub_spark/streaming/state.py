@@ -320,6 +320,12 @@ class ProcessorContext:
             return self.store
         if name not in self._extra_stores:
             cls = type(self.store)
+            if not getattr(cls, "SUPPORTS_DYNAMIC_SIBLINGS", True):
+                raise NotImplementedError(
+                    f"store {name!r} was not declared: this lane creates "
+                    "state handles in init — declare it via store_names="
+                    "[...] (the KS addStateStore shape) or use a blob lane"
+                )
             if name in self._extra_blobs:
                 st, _f, _w = cls.from_blob(
                     self._extra_blobs.pop(name), self.store.ttl_seconds
@@ -819,6 +825,10 @@ class TwsMapStateStore:
       same as the blob lanes — just encoded per row instead of per store).
     """
 
+    #: TWS handles exist only if declared in init — ctx.get_store must not
+    #: fabricate siblings of this class (see ProcessorContext.get_store)
+    SUPPORTS_DYNAMIC_SIBLINGS = False
+
     def __init__(self, map_state, ttl_seconds: float | None = None):
         self._ms = map_state
         self.ttl_seconds = ttl_seconds
@@ -916,6 +926,7 @@ def process_streaming_tws_map(
     order_by: Sequence[str] = (),
     ttl_seconds: float | None = None,
     output_mode: str = "append",
+    store_names: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming PAPI over TWS **map state**: per-ENTRY delta writes
     (see :class:`TwsMapStateStore`) instead of the one-blob-per-key layout
@@ -924,9 +935,12 @@ def process_streaming_tws_map(
     Same user ``Processor`` code; stream time and punctuator fire times
     persist in a small per-key ``meta`` ValueState (written once per key
     per batch — O(1), not O(store)). Named extra stores
-    (``ctx.get_store``) are not supported on this lane: TWS state handles
-    must be declared in ``init`` and our named stores are created
-    dynamically — use the blob lanes for multi-store processors."""
+    (``ctx.get_store``) must be DECLARED UP FRONT via ``store_names`` —
+    TWS state handles are created in ``init`` only, which is also the
+    faithful KS shape (stores are registered with addStateStore when the
+    topology is built, never mid-stream); each named store gets its own
+    MapState with the same per-entry delta-write property. A processor
+    touching an undeclared store name raises."""
     from responsive_pub_spark.compat import (
         apply_to_spark_context,
         ensure_protobuf_runtime,
@@ -940,10 +954,16 @@ def process_streaming_tws_map(
     factory = processor_factory
     ttl = ttl_seconds
 
+    extra_names = [n for n in store_names if n != "default"]
+
     class _TwsMap(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._map = handle.getMapState("kv", "k BINARY", "v BINARY, ts DOUBLE")
             self._meta = handle.getValueState("meta", _STATE_SCHEMA)
+            self._extra = {
+                n: handle.getMapState(f"kv_{n}", "k BINARY", "v BINARY, ts DOUBLE")
+                for n in extra_names
+            }
 
         def handleInputRows(self, key_vals, rows, timer_values):
             store = TwsMapStateStore(self._map, ttl)
@@ -954,12 +974,21 @@ def process_streaming_tws_map(
                 store.stream_time, fires, wc_fires = pickle.loads(meta[0])
             proc = factory()
             ctx = ProcessorContext(tuple(key_vals), store)
+            # pre-register the declared named stores as live map adapters:
+            # ctx.get_store(name) returns these instead of creating a
+            # dynamic blob store; every write is a per-entry delta
+            for n, ms in self._extra.items():
+                st = TwsMapStateStore(ms, ttl)
+                st.stream_time = store.stream_time
+                ctx._extra_stores[n] = st
             proc.init(ctx)
-            if ctx._extra_stores:
+            undeclared = set(ctx._extra_stores) - set(extra_names)
+            if undeclared:
                 raise NotImplementedError(
-                    "named extra stores are not supported on the map-state "
-                    "lane (TWS handles are declared in init); use "
-                    "process_streaming / process_streaming_tws"
+                    f"store(s) {sorted(undeclared)} not declared: the "
+                    "map-state lane creates TWS handles in init — pass "
+                    "store_names=[...] (the KS addStateStore shape) or use "
+                    "the blob lanes"
                 )
             for t, nf in zip(ctx._timers, fires):
                 t.next_fire = nf
@@ -971,10 +1000,11 @@ def process_streaming_tws_map(
 
             ctx._fire_wall_clock(_time.time())
             proc.close(ctx)
-            if ctx._extra_stores:
+            undeclared = set(ctx._extra_stores) - set(extra_names)
+            if undeclared:
                 raise NotImplementedError(
-                    "named extra stores are not supported on the map-state "
-                    "lane; use process_streaming / process_streaming_tws"
+                    f"store(s) {sorted(undeclared)} not declared: pass "
+                    "store_names=[...] or use the blob lanes"
                 )
             self._meta.update(
                 (

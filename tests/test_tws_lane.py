@@ -301,3 +301,69 @@ def test_iq_over_tws_map_checkpoint(spark, tmp_path, rocksdb_state):
     ).collect()
     assert {r.store_key for r in pre} == {"'total'"}
     drv.close()
+
+
+def test_tws_map_lane_named_stores(spark, tmp_path, rocksdb_state):
+    """Static named stores on the map lane (KS addStateStore shape): each
+    declared name gets its own MapState with per-entry deltas; state in
+    both stores survives the cross-batch restart; an UNDECLARED name
+    raises with a pointer to store_names."""
+
+    class TwoStores(state.Processor):
+        def process(self, ctx, rec):
+            a = ctx.get_store("sums")
+            b = ctx.get_store("counts")
+            a.put("s", (a.get("s") or 0) + rec["v"])
+            b.put("c", (b.get("c") or 0) + 1)
+            ctx.forward(
+                user_id=rec["user_id"],
+                n=b.get("c"),
+                total=a.get("s"),
+                ts=ctx.timestamp,
+            )
+
+    def build(sdf):
+        return state.process_streaming_tws_map(
+            sdf,
+            key=["user_id"],
+            processor_factory=TwoStores,
+            output_schema=_OUT,
+            ts_col="ts",
+            order_by=("v",),
+            store_names=["sums", "counts"],
+        )
+
+    drv = TopologyTestDriver(spark, _SCHEMA, build, str(tmp_path / "named"))
+    drv.pipe([{"user_id": 1, "v": 10, "ts": 1.0}, {"user_id": 1, "v": 5, "ts": 2.0}])
+    out = [tuple(r) for r in drv.advance()]
+    drv.pipe([{"user_id": 1, "v": 1, "ts": 3.0}])
+    out += [tuple(r) for r in drv.advance()]
+    drv.close()
+    assert sorted(out) == [
+        (1, 1, 10, 1.0),
+        (1, 2, 15, 2.0),
+        (1, 3, 16, 3.0),
+    ]
+
+    # undeclared name -> loud failure, not a broken sibling store
+    class Undeclared(state.Processor):
+        def process(self, ctx, rec):
+            ctx.get_store("nope").put("x", 1)
+
+    def build_bad(sdf):
+        return state.process_streaming_tws_map(
+            sdf,
+            key=["user_id"],
+            processor_factory=Undeclared,
+            output_schema=_OUT,
+            ts_col="ts",
+            order_by=("v",),
+        )
+
+    drv2 = TopologyTestDriver(spark, _SCHEMA, build_bad, str(tmp_path / "bad"))
+    drv2.pipe([{"user_id": 1, "v": 1, "ts": 1.0}])
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="store_names|not declared|STREAM_FAILED"):
+        drv2.advance()
+    drv2.close()
