@@ -176,6 +176,8 @@ def query_tws_map_state(
 
     Same output contract as :func:`query_processor_state`:
     (key_cols..., store_key STRING, store_value STRING, write_ts DOUBLE).
+    Named stores declared via ``store_names`` on the lane live under
+    ``state_var="kv_<name>"``.
     """
     from pyspark.sql import functions as F
 

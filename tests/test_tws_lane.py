@@ -367,3 +367,51 @@ def test_tws_map_lane_named_stores(spark, tmp_path, rocksdb_state):
     with pytest.raises(Exception, match="store_names|not declared|STREAM_FAILED"):
         drv2.advance()
     drv2.close()
+
+
+def test_window_store_composes_over_map_lane(spark, tmp_path, rocksdb_state):
+    """WindowStore is a pure view over the KV op surface, so it composes
+    over the map-lane adapter unchanged: windowed puts become per-entry
+    RocksDB rows, fetch_range serves from the shared keyspace, and window
+    state survives the cross-batch restart."""
+
+    class WindowedConcat(state.Processor):
+        SIZE = 2.0
+
+        def process(self, ctx, rec):
+            ws = state.WindowStore(ctx.store)
+            start = (ctx.timestamp // self.SIZE) * self.SIZE
+            ws.put(int(rec["user_id"]), start, (ws.fetch(int(rec["user_id"]), start) or 0) + rec["v"])
+            total_windows = sum(
+                1 for _ in ws.fetch_range(int(rec["user_id"]), 0.0, 1e12)
+            )
+            ctx.forward(
+                user_id=rec["user_id"],
+                n=total_windows,
+                total=ws.fetch(int(rec["user_id"]), start),
+                ts=ctx.timestamp,
+            )
+
+    def build(sdf):
+        return state.process_streaming_tws_map(
+            sdf,
+            key=["user_id"],
+            processor_factory=WindowedConcat,
+            output_schema=_OUT,
+            ts_col="ts",
+            order_by=("v",),
+        )
+
+    drv = TopologyTestDriver(spark, _SCHEMA, build, str(tmp_path / "winmap"))
+    drv.pipe([{"user_id": 1, "v": 10, "ts": 1.0}, {"user_id": 1, "v": 5, "ts": 1.5}])
+    out = [tuple(r) for r in drv.advance()]
+    # second batch: same window continues (ts 1.9) AND a new window opens
+    drv.pipe([{"user_id": 1, "v": 2, "ts": 1.9}, {"user_id": 1, "v": 7, "ts": 2.5}])
+    out += [tuple(r) for r in drv.advance()]
+    drv.close()
+    assert sorted(out) == [
+        (1, 1, 10, 1.0),   # window [0,2): 10
+        (1, 1, 15, 1.5),   # window [0,2): 15
+        (1, 1, 17, 1.9),   # restart: window [0,2) restored -> 17
+        (1, 2, 7, 2.5),    # new window [2,4): 7; two windows live
+    ]
