@@ -59,3 +59,43 @@ def test_minhash_no_cartesian(spark, sf_dir):
     p = audit.executed_plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_r4_ops_plan_shapes(spark, sf_dir):
+    """The r4 operators' scale contracts: the chunker adds NO shuffle
+    (explode + slice only), the mixture resampler never shuffles the
+    corpus (its only exchanges feed the 5-row rate table, which joins
+    back by broadcast), and SemDeDup's pair stage is an equi-join on the
+    cluster id — no cartesian anywhere."""
+    from responsive_pub_spark.operators import dedup, pipeline_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    chunks = pipeline_ops.chunk_text(docs)
+    assert audit.count_exchanges(chunks) == 0, audit.executed_plan(chunks)
+
+    mixed = pipeline_ops.mixture_resample(docs)
+    p = audit.executed_plan(mixed)
+    assert "CartesianProduct" not in p
+    assert audit.broadcast_join_count(mixed) >= 1, p
+
+    sem = dedup.semantic_dedup(emb)
+    p = audit.executed_plan(sem)
+    # the all-pairs scoring vs the tiny centroid table is a BROADCAST
+    # nested-loop (corpus x 8 rows — intended); a non-broadcast cartesian
+    # would mean the corpus-side pair stage regressed
+    assert "CartesianProduct" not in p
+    assert audit.broadcast_join_count(sem) >= 1, p
+
+
+def test_simhash_pairs_join_is_value_collapsed(spark, sf_dir):
+    """The r4 dup-heavy fix: the banded self-join must run over DISTINCT
+    simhash values (an Aggregate feeds the join), never over all member
+    rows — and stays cartesian-free."""
+    from responsive_pub_spark.operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = dedup.simhash_pairs(docs, max_output_pairs=None)
+    p = audit.executed_plan(df)
+    assert "CartesianProduct" not in p
