@@ -165,14 +165,18 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD)
         .distinct()
     )
     sets = sig.select("doc_id", "hs")
+    # |A∪B| = |A|+|B|-|A∩B| (hs is array_distinct'd at build): one
+    # array_intersect per pair instead of intersect + a materialized
+    # union array — identical integer inputs to the same pround division
     verified = (
         cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             pround(
-                F.size(F.array_intersect("hs_a", "hs_b"))
-                / F.size(F.array_union("hs_a", "hs_b")),
+                F.col("inter")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
                 6,
             ),
         )
@@ -517,14 +521,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_THRESH
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # |A∪B| = |A|+|B|-|A∩B| (hs is distinct): skip the union-array build
     verified = (
         cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
         .join(d.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             pround(
-                F.size(F.array_intersect("hs_a", "hs_b"))
-                / F.size(F.array_union("hs_a", "hs_b")),
+                F.col("inter")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
                 6,
             ),
         )
