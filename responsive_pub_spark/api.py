@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.functions.portable import ts_to_double
@@ -343,6 +343,44 @@ class KStream:
             order_by=order_by,
         )
         return KStream(out, list(self.key), self.ts_col)
+
+    def deduplicate(
+        self,
+        id_cols: "Sequence[str] | None" = None,
+        within: "str | None" = None,
+        order_by: Sequence[str] = (),
+    ) -> "KStream":
+        """Exact-dedup as a stream operator — the FACT-store use case
+        (ResponsiveStores.java:79-96 names dedup as what the write-once
+        store exists for) surfaced on the DSL.
+
+        ``id_cols`` identify a duplicate (default: the stream key).
+        Streaming: maps to ``dropDuplicatesWithinWatermark`` when
+        ``within`` (a duration string, e.g. "10 minutes") is given — state
+        for an id is evictable once the watermark passes, the bounded-state
+        shape for infinite streams — else exact ``dropDuplicates`` with
+        unbounded state. Batch twin: FIRST occurrence per id by
+        (event time, ``order_by``) — putIfAbsent replay order
+        (ChangelogMigrationTool.java:74-78), deterministic given a total
+        order."""
+        ids = list(id_cols) if id_cols else list(self.key)
+        if self.df.isStreaming:
+            if within is not None:
+                out = self.df.withWatermark(
+                    self.ts_col, within
+                ).dropDuplicatesWithinWatermark(ids)
+            else:
+                out = self.df.dropDuplicates(ids)
+            return self._with(out)
+        w = Window.partitionBy(*ids).orderBy(
+            ts_to_double(self.df, self.ts_col),
+            *[F.col(c) for c in order_by],
+        )
+        return self._with(
+            self.df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
 
     # -- sink ---------------------------------------------------------------
     def to(self, path: str, fmt: str = "parquet", mode: str = "append", **options):

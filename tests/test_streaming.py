@@ -656,3 +656,54 @@ def test_process_streaming_partitioned_task_model(spark, tmp_path):
         partitioner=F.expr("k % 2"),
     )
     assert set(out) == {tuple(r) for r in batch.collect()}
+
+
+def test_kstream_deduplicate(spark, tmp_path):
+    """KStream.deduplicate: streaming keeps the FIRST arrival per id with
+    bounded state (dropDuplicatesWithinWatermark) — a duplicate arriving
+    in a later batch inside the watermark window is suppressed; the batch
+    twin keeps the first occurrence by event time."""
+    from responsive_pub_spark.api import KStream
+    from responsive_pub_spark.streaming.runtime import TopologyTestDriver
+    from datetime import datetime as dt
+
+    def t(x):
+        return dt.fromisoformat(x)
+
+    def build(sdf):
+        s = KStream(sdf, key=["k"], ts_col="ts")
+        return s.deduplicate(id_cols=["k", "txn"], within="30 minutes").df
+
+    drv = TopologyTestDriver(
+        spark, "k LONG, txn LONG, ts TIMESTAMP", build, str(tmp_path / "dedup")
+    )
+    drv.pipe([
+        {"k": 1, "txn": 100, "ts": t("2024-01-01 00:01:00")},
+        {"k": 1, "txn": 100, "ts": t("2024-01-01 00:02:00")},  # same-batch dup
+        {"k": 1, "txn": 101, "ts": t("2024-01-01 00:03:00")},
+    ])
+    out = [(r.k, r.txn) for r in drv.advance()]
+    drv.pipe([
+        {"k": 1, "txn": 100, "ts": t("2024-01-01 00:10:00")},  # cross-batch dup
+        {"k": 2, "txn": 100, "ts": t("2024-01-01 00:11:00")},  # new id
+    ])
+    out += [(r.k, r.txn) for r in drv.advance()]
+    drv.close()
+    assert sorted(out) == [(1, 100), (1, 101), (2, 100)]
+
+    # batch twin: first occurrence by ts wins
+    bdf = spark.createDataFrame(
+        [
+            (1, 100, 2.0, "late"),
+            (1, 100, 1.0, "first"),
+            (1, 101, 3.0, "only"),
+        ],
+        "k LONG, txn LONG, ts DOUBLE, tag STRING",
+    )
+    got = {
+        (r.k, r.txn, r.tag)
+        for r in KStream(bdf, key=["k"], ts_col="ts")
+        .deduplicate(id_cols=["k", "txn"])
+        .df.collect()
+    }
+    assert got == {(1, 100, "first"), (1, 101, "only")}
