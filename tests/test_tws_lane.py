@@ -415,3 +415,36 @@ def test_window_store_composes_over_map_lane(spark, tmp_path, rocksdb_state):
         (1, 1, 17, 1.9),   # restart: window [0,2) restored -> 17
         (1, 2, 7, 2.5),    # new window [2,4): 7; two windows live
     ]
+
+
+def test_iq_over_named_map_store(spark, tmp_path, rocksdb_state):
+    """IQ reaches named map-lane stores at state_var='kv_<name>'."""
+    from responsive_pub_spark.streaming import iq
+
+    class TwoStores(state.Processor):
+        def process(self, ctx, rec):
+            ctx.get_store("sums").put("s", (ctx.get_store("sums").get("s") or 0) + rec["v"])
+
+    def build(sdf):
+        return state.process_streaming_tws_map(
+            sdf,
+            key=["user_id"],
+            processor_factory=TwoStores,
+            output_schema=_OUT,
+            ts_col="ts",
+            order_by=("v",),
+            store_names=["sums"],
+        )
+
+    wd = str(tmp_path / "iqnamed")
+    drv = TopologyTestDriver(spark, _SCHEMA, build, wd)
+    drv.pipe([{"user_id": 1, "v": 10, "ts": 1.0}, {"user_id": 2, "v": 7, "ts": 1.5}])
+    drv.advance()
+    got = iq.query_tws_map_state(
+        spark, drv.checkpoint, ["user_id"], state_var="kv_sums"
+    ).collect()
+    assert {(r.user_id, r.store_key, r.store_value) for r in got} == {
+        (1, "'s'", "10"),
+        (2, "'s'", "7"),
+    }
+    drv.close()
