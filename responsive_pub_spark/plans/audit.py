@@ -42,11 +42,22 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count: every Exchange hashpartitioning/rangepartitioning is a
-    full network reshuffle of that subtree's output (BroadcastExchange is a
-    different node and not counted)."""
+    """Shuffle count: every DISTINCT Exchange hashpartitioning/
+    rangepartitioning is a full network reshuffle of that subtree's output
+    (BroadcastExchange is a different node and not counted).
+
+    Distinct by plan_id: Spark's ReuseExchange prints a shared exchange
+    subtree once per consumer, so counting textual occurrences overstates
+    the work — the fk_join_changelog plan prints 11 exchange lines but
+    executes 5 (each reused subtree shuffles once). Plans without plan_id
+    markers fall back to the textual count."""
     p = plan_str(df, "simple")
-    return len(re.findall(r"\bExchange (hash|range)partitioning", p))
+    with_ids = re.findall(
+        r"\bExchange (?:hash|range)partitioning\([^\n]*?\[plan_id=(\d+)\]", p
+    )
+    if with_ids:
+        return len(set(with_ids))
+    return len(re.findall(r"\bExchange (?:hash|range)partitioning", p))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
