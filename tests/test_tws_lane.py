@@ -362,8 +362,6 @@ def test_tws_map_lane_named_stores(spark, tmp_path, rocksdb_state):
 
     drv2 = TopologyTestDriver(spark, _SCHEMA, build_bad, str(tmp_path / "bad"))
     drv2.pipe([{"user_id": 1, "v": 1, "ts": 1.0}])
-    import pyspark.errors
-
     with pytest.raises(Exception, match="store_names|not declared|STREAM_FAILED"):
         drv2.advance()
     drv2.close()
