@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.functions import text as T
+from responsive_pub_spark.functions.portable import pround
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -116,4 +117,164 @@ def text_clean_oracle() -> str:
                CAST(length(text) AS BIGINT) AS n_chars_in,
                CAST(length({cleaned}) AS BIGINT) AS n_chars_clean
         FROM documents
+    """
+
+
+LEN_BUCKET_CHARS = 128
+
+
+def corpus_stats(docs: DataFrame, bucket_chars: int = LEN_BUCKET_CHARS) -> DataFrame:
+    """Corpus composition report: per (lang, source, length-bucket) doc
+    count, token total, and char total — the dataset card / mixture-audit
+    table every pretraining pipeline publishes before training.
+
+    One shuffle (keyed agg with map-side partials over a few hundred
+    groups); token counting is the same codegen split as token_counts, so
+    a 100 TB corpus is one pruned scan + a tiny exchange. All-integer
+    outputs — bit-stable across engines."""
+    ws = "size(filter(split(text, '\\\\s+'), x -> x != ''))"
+    b = int(bucket_chars)
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.expr(f"CAST(length(text) AS BIGINT) DIV {b}").alias("len_bucket"),
+            F.expr(ws).cast("bigint").alias("n_toks"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def corpus_stats_oracle(bucket_chars: int = LEN_BUCKET_CHARS) -> str:
+    ws = "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    b = int(bucket_chars)
+    return f"""
+        SELECT lang, source,
+               CAST(length(text) AS BIGINT) // {b} AS len_bucket,
+               count(*) AS n_docs,
+               CAST(sum({ws}) AS BIGINT) AS total_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2, 3
+    """
+
+
+VOCAB_SIZE = 200
+
+
+def vocab_top(docs: DataFrame, size: int = VOCAB_SIZE) -> DataFrame:
+    """Corpus vocabulary induction: the ``size`` most frequent whitespace
+    tokens (ties broken lexicographically — a total order, so the cut is
+    deterministic). The "BPE step 0" / tokenizer-fitting pass of a corpus
+    pipeline. Plan: explode -> keyed count (map-side partials) -> global
+    top-k; the top-k runs over #distinct-tokens rows, not corpus rows."""
+    toks = docs.select(
+        F.explode(F.expr("filter(split(text, '\\\\s+'), x -> x != '')")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(int(size))
+
+
+def oov_rate(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-document out-of-vocabulary token fraction against an induced
+    vocab — the coverage check run before committing to a tokenizer.
+    The vocab (tiny) is BROADCAST onto the exploded corpus; one shuffle
+    re-keys by doc_id for the ratio. Docs with zero tokens produce no
+    row (explode/unnest drop them identically in both engines)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, '\\\\s+'), x -> x != '')")).alias("token"),
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("in_vocab"))),
+        "token",
+        "left",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+    ).withColumn(
+        "oov_rate",
+        pround(F.col("n_oov") / F.col("n_tokens"), 6),
+    )
+
+
+def oov_rate_oracle(size: int = VOCAB_SIZE) -> str:
+    ws = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({ws}) AS token FROM documents
+        ), vocab AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS n FROM toks GROUP BY token
+            ) ORDER BY n DESC, token ASC LIMIT {int(size)}
+        ), flagged AS (
+            SELECT t.doc_id, t.token, v.token IS NOT NULL AS in_vocab
+            FROM toks t LEFT JOIN vocab v USING (token)
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+               (floor((sum(CASE WHEN in_vocab THEN 0 ELSE 1 END)
+                       / count(*)) * 1000000 + 0.5) / 1000000) AS oov_rate
+        FROM flagged GROUP BY doc_id
+    """
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Character-unigram Shannon entropy per document (nats) — a
+    model-free perplexity proxy: machine-generated or repetitive text
+    scores low, natural prose sits in a stable band. Used as a quality
+    gate next to the length/stopword ratios.
+
+    Determinism: per-doc char counts are collected into a SORTED array and
+    folded left-to-right (identical IEEE op order in Spark and DuckDB) —
+    never a shuffled float SUM."""
+    counted = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    folded = counted.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.array_sort(F.collect_list(F.struct("ch", "cnt"))).alias("dist"),
+    )
+    h = (
+        "aggregate(dist, CAST(0 AS DOUBLE), (acc, s) -> acc - "
+        "(CAST(s.cnt AS DOUBLE) / CAST(n_chars AS DOUBLE)) * "
+        "ln(CAST(s.cnt AS DOUBLE) / CAST(n_chars AS DOUBLE)))"
+    )
+    return folded.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        pround(F.expr(h), 6).alias("entropy"),
+    )
+
+
+def char_entropy_oracle() -> str:
+    return """
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        ), counted AS (
+            SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch
+        ), folded AS (
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_chars,
+                   list_sort(list(struct_pack(ch := ch, cnt := cnt))) AS dist
+            FROM counted GROUP BY doc_id
+        )
+        SELECT doc_id, n_chars,
+               (floor((list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(dist, s ->
+                           -(CAST(s.cnt AS DOUBLE) / CAST(n_chars AS DOUBLE)) *
+                           ln(CAST(s.cnt AS DOUBLE) / CAST(n_chars AS DOUBLE)))),
+                   (acc, v) -> acc + v)) * 1000000 + 0.5) / 1000000) AS entropy
+        FROM folded
     """

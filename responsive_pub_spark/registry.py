@@ -31,6 +31,8 @@ from responsive_pub_spark.operators import (
     dedup,
     fk_join,
     pipeline_ops,
+    quantize,
+    range_join,
     similarity,
     textops,
     timeseries,
@@ -1978,12 +1980,45 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_stream_stream_outer": QuerySpec(
         q_join_stream_stream_outer, ORACLE_JOIN_STREAM_STREAM_OUTER
     ),
-    # --- r2-green substantial operators (continued) ---
-    "agg_pricing_summary": QuerySpec(q_agg_pricing_summary, ORACLE_AGG_PRICING_SUMMARY, bench=True),
-    "window_tumbling": QuerySpec(q_window_tumbling, ORACLE_WINDOW_TUMBLING, bench=True),
-    "window_session": QuerySpec(q_window_session, ORACLE_WINDOW_SESSION, bench=True),
-    "join_global": QuerySpec(q_join_global, ORACLE_JOIN_GLOBAL, bench=True),
-    "join_stream_stream": QuerySpec(q_join_stream_stream, ORACLE_JOIN_STREAM_STREAM, bench=True),
+    # --- new in r5: interval/range join, SQ8 quantization, corpus stats
+    # --- (agg_pricing_summary, window_tumbling, join_global — all green
+    # --- r1+r2+r3 — rotate past 50; bench membership is unaffected)
+    "join_range": QuerySpec(
+        lambda spark, sf_dir: range_join.error_attribution(
+            _t(spark, sf_dir, "events")
+        ),
+        range_join.error_attribution_oracle(),
+        doc="keyed interval join: clicks within 1h after each error event",
+    ),
+    "embed_sq8": QuerySpec(
+        lambda spark, sf_dir: quantize.sq8_table(
+            _t(spark, sf_dir, "embeddings"), max_dim=quantize.SQ8_REGISTRY_DIMS
+        ),
+        quantize.sq8_oracle(),
+        doc="SQ8 scalar quantization codes + per-element reconstruction error",
+    ),
+    "corpus_stats": QuerySpec(
+        lambda spark, sf_dir: textops.corpus_stats(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.corpus_stats_oracle(),
+        doc="per (lang, source, length-bucket) corpus composition report",
+    ),
+    "text_oov_rate": QuerySpec(
+        lambda spark, sf_dir: textops.oov_rate(
+            _t(spark, sf_dir, "documents"),
+            textops.vocab_top(_t(spark, sf_dir, "documents")),
+        ),
+        textops.oov_rate_oracle(),
+        doc="induced top-200 vocab + per-doc OOV fraction (tokenizer coverage)",
+    ),
+    "text_entropy": QuerySpec(
+        lambda spark, sf_dir: textops.char_entropy(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.char_entropy_oracle(),
+        doc="char-unigram Shannon entropy per doc (sorted-fold, bit-stable)",
+    ),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, dedup.minhash_pairs_oracle(), bench=True),
     "dedup_simhash": QuerySpec(q_dedup_simhash, dedup.simhash_pairs_oracle()),
     "dedup_ngram_jaccard": QuerySpec(
@@ -2071,7 +2106,14 @@ REGISTRY: dict[str, QuerySpec] = {
     # identical check.  r4 rotations out: window_hopping/grace,
     # join_stream_table, dedup_exact/fact, sim_search_lsh,
     # bootstrap_compact (green r2+r3), window_topk, funnel_sequence (r2).
+    # r5 rotations out: agg_pricing_summary, window_tumbling, join_global,
+    # window_session, join_stream_stream (all green r1+r2+r3).
     # ------------------------------------------------------------------
+    "agg_pricing_summary": QuerySpec(q_agg_pricing_summary, ORACLE_AGG_PRICING_SUMMARY, bench=True),
+    "window_tumbling": QuerySpec(q_window_tumbling, ORACLE_WINDOW_TUMBLING, bench=True),
+    "join_global": QuerySpec(q_join_global, ORACLE_JOIN_GLOBAL, bench=True),
+    "window_session": QuerySpec(q_window_session, ORACLE_WINDOW_SESSION, bench=True),
+    "join_stream_stream": QuerySpec(q_join_stream_stream, ORACLE_JOIN_STREAM_STREAM, bench=True),
     "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK),
     "funnel_sequence": QuerySpec(q_funnel, ORACLE_FUNNEL),
     "join_fk": QuerySpec(q_join_fk, ORACLE_JOIN_FK),
