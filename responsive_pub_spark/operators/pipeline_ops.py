@@ -826,3 +826,125 @@ def mixture_resample_oracle(weights_bp: "dict[str, int] | None" = None) -> str:
         FROM documents d JOIN rates r USING (lang)
         WHERE {u} < r.accept_bp
     """
+
+
+# -- fuzzy decontamination ----------------------------------------------------
+FUZZY_DECONTAM_THRESHOLD = 0.8
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_mod: int = EVAL_MOD,
+    threshold: float = FUZZY_DECONTAM_THRESHOLD,
+) -> DataFrame:
+    """Near-duplicate contamination against the eval split: corpus docs
+    whose shingle-set Jaccard vs ANY eval doc clears ``threshold`` — the
+    fuzzy complement of ``decontaminate`` (exact shingle overlap), catching
+    benchmark paraphrases/reformattings that exact n-gram overlap
+    underweights.
+
+    Scale shape: the corpus side NEVER self-joins. Both sides get minhash
+    band signatures (the dedup machinery, one scan each); candidates come
+    from an equi-join on (band_id, band_hash) with the eval side BROADCAST
+    (benchmarks are tiny vs the corpus); verify is exact Jaccard on the
+    candidate pairs only. Candidate recall is the LSH banding's, identical
+    on the oracle side (the oracle replicates the bands, not brute force).
+    """
+    from responsive_pub_spark.operators.dedup import _sig_df
+    from responsive_pub_spark.functions.hashing import (
+        LSH_BANDS,
+        LSH_ROWS,
+        band_hash_sql,
+    )
+
+    sig = _sig_df(docs).persist()
+    band_arr = F.array(
+        *[
+            F.expr(band_hash_sql([f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    allbands = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id", "band_hash")
+    )
+    corpus_bands = allbands.filter(F.col("doc_id") % eval_mod != 0)
+    eval_bands = allbands.filter(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("eval_id"), "band_id", "band_hash"
+    )
+    cand = (
+        corpus_bands.join(F.broadcast(eval_bands), ["band_id", "band_hash"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sets = sig.select("doc_id", "hs")
+    verified = (
+        cand.join(sets, "doc_id")
+        .join(
+            sets.select(
+                F.col("doc_id").alias("eval_id"), F.col("hs").alias("hs_e")
+            ),
+            "eval_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("hs", "hs_e")))
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("inter") / (F.size("hs") + F.size("hs_e") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_id", "jaccard")
+    )
+    return verified
+
+
+def decontaminate_fuzzy_oracle(
+    eval_mod: int = EVAL_MOD, threshold: float = FUZZY_DECONTAM_THRESHOLD
+) -> str:
+    from responsive_pub_spark.functions.hashing import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_A,
+        MINHASH_B,
+        NUM_HASHES,
+        band_hash_sql,
+    )
+
+    hs = T.shingle_hashes_duck("text")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P})) AS mh{j}"
+        for j in range(NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"{band_hash_sql([f'mh{b * LSH_ROWS + r}' for r in range(LSH_ROWS)])} AS band_hash "
+        f"FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH hsets AS (
+            SELECT doc_id, {hs} AS hs FROM documents
+        ), sig AS (
+            SELECT doc_id, hs, {sig_items} FROM hsets
+        ), bands AS (
+            {band_rows}
+        ), cand AS (
+            SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+            FROM bands c JOIN bands e
+              ON c.band_id = e.band_id AND c.band_hash = e.band_hash
+            WHERE c.doc_id % {eval_mod} <> 0 AND e.doc_id % {eval_mod} = 0
+        )
+        SELECT cand.doc_id, cand.eval_id,
+               (floor((CAST(len(list_intersect(hc.hs, he.hs)) AS DOUBLE)
+                     / (len(hc.hs) + len(he.hs)
+                        - len(list_intersect(hc.hs, he.hs))))
+                    * 1000000 + 0.5) / 1000000) AS jaccard
+        FROM cand
+        JOIN hsets hc ON hc.doc_id = cand.doc_id
+        JOIN hsets he ON he.doc_id = cand.eval_id
+        WHERE (floor((CAST(len(list_intersect(hc.hs, he.hs)) AS DOUBLE)
+                    / (len(hc.hs) + len(he.hs)
+                       - len(list_intersect(hc.hs, he.hs))))
+                   * 1000000 + 0.5) / 1000000) >= {threshold}
+    """

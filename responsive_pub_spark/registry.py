@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from responsive_pub_spark.api import KStream, KTable, Pipeline
 from responsive_pub_spark.operators import (
     asof,
+    bpe,
     curation,
     dedup,
     fk_join,
@@ -2019,7 +2020,12 @@ REGISTRY: dict[str, QuerySpec] = {
         textops.char_entropy_oracle(),
         doc="char-unigram Shannon entropy per doc (sorted-fold, bit-stable)",
     ),
-    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, dedup.minhash_pairs_oracle(), bench=True),
+    "bpe_merges": QuerySpec(
+        lambda spark, sf_dir: bpe.bpe_merges(_t(spark, sf_dir, "documents")),
+        bpe.bpe_merges_oracle(),
+        doc="distributed BPE tokenizer induction: 4 merge steps over the "
+        "unique-word table, oracled by unrolled-merge SQL",
+    ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, dedup.simhash_pairs_oracle()),
     "dedup_ngram_jaccard": QuerySpec(
         q_dedup_ngram, dedup.ngram_jaccard_pairs_oracle(), bench=True
@@ -2034,11 +2040,18 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dedup_clusters,
         dedup.cluster_pairs_oracle(f"pairs AS ({dedup.minhash_pairs_oracle()})"),
     ),
-    "sim_search_bruteforce": QuerySpec(q_sim_bruteforce, similarity.brute_force_topk_oracle(), bench=True),
     "sim_search_ivf": QuerySpec(q_sim_ivf, similarity.ivf_topk_oracle(), bench=True),
     "sim_search_pq": QuerySpec(q_sim_pq, similarity.pq_topk_oracle()),
     "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
+    "decontam_fuzzy": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.decontaminate_fuzzy(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.decontaminate_fuzzy_oracle(),
+        doc="minhash-banded near-dup contamination vs the eval split "
+        "(eval bands broadcast; corpus never self-joins)",
+    ),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
     # --- new in r3 (driver rows required): dup-heavy-safe simhash clusters,
@@ -2107,8 +2120,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # join_stream_table, dedup_exact/fact, sim_search_lsh,
     # bootstrap_compact (green r2+r3), window_topk, funnel_sequence (r2).
     # r5 rotations out: agg_pricing_summary, window_tumbling, join_global,
-    # window_session, join_stream_stream (all green r1+r2+r3).
+    # window_session, join_stream_stream, dedup_minhash_lsh,
+    # sim_search_bruteforce (all green r1+r2+r3).
     # ------------------------------------------------------------------
+    "sim_search_bruteforce": QuerySpec(q_sim_bruteforce, similarity.brute_force_topk_oracle(), bench=True),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, dedup.minhash_pairs_oracle(), bench=True),
     "agg_pricing_summary": QuerySpec(q_agg_pricing_summary, ORACLE_AGG_PRICING_SUMMARY, bench=True),
     "window_tumbling": QuerySpec(q_window_tumbling, ORACLE_WINDOW_TUMBLING, bench=True),
     "join_global": QuerySpec(q_join_global, ORACLE_JOIN_GLOBAL, bench=True),

@@ -146,3 +146,33 @@ def test_char_entropy_bounds(spark, sf_dir):
     )
     row = df.agg(F.min("entropy"), F.max("entropy")).first()
     assert row[0] >= 0.0 and row[1] <= math.log(n_alpha) + 1e-6
+
+
+def test_bpe_merges_are_real_pairs(spark, sf_dir):
+    """Each merge's pair must exist in the pre-merge vocab, and counts are
+    non-increasing (a merged pair can never beat an earlier winner)."""
+    from responsive_pub_spark.operators import bpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = bpe.bpe_merges(docs, k=3).orderBy("step").collect()
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["left"]) >= 1 and len(r["right"]) >= 1 for r in rows)
+
+
+def test_decontam_fuzzy_broadcasts_eval_side(spark, sf_dir):
+    """The corpus must never self-join: candidates come from a broadcast
+    equi-join against the (tiny) eval band table."""
+    from responsive_pub_spark.operators import pipeline_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = pipeline_ops.decontaminate_fuzzy(docs)
+    p = audit.executed_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert audit.broadcast_join_count(df) >= 1, p
+    # contamination is directional: corpus doc vs eval doc, never eval-eval
+    bad = df.filter(
+        (F.col("doc_id") % 20 == 0) | (F.col("eval_id") % 20 != 0)
+    ).count()
+    assert bad == 0
