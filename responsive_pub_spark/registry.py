@@ -35,6 +35,7 @@ from responsive_pub_spark.operators import (
     quantize,
     range_join,
     similarity,
+    sketches,
     textops,
     timeseries,
 )
@@ -2040,9 +2041,19 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dedup_clusters,
         dedup.cluster_pairs_oracle(f"pairs AS ({dedup.minhash_pairs_oracle()})"),
     ),
-    "sim_search_ivf": QuerySpec(q_sim_ivf, similarity.ivf_topk_oracle(), bench=True),
     "sim_search_pq": QuerySpec(q_sim_pq, similarity.pq_topk_oracle()),
-    "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
+    "sketch_cms": QuerySpec(
+        lambda spark, sf_dir: sketches.cms_frequencies(
+            _t(spark, sf_dir, "events")
+        ),
+        sketches.cms_frequencies_oracle(),
+        doc="Count-Min frequency sketch: est >= exact in the hashed contract",
+    ),
+    "sketch_lc_distinct": QuerySpec(
+        lambda spark, sf_dir: sketches.lc_distinct(_t(spark, sf_dir, "events")),
+        sketches.lc_distinct_oracle(),
+        doc="linear-probabilistic distinct count per group vs exact",
+    ),
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
     "decontam_fuzzy": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.decontaminate_fuzzy(
@@ -2121,9 +2132,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # bootstrap_compact (green r2+r3), window_topk, funnel_sequence (r2).
     # r5 rotations out: agg_pricing_summary, window_tumbling, join_global,
     # window_session, join_stream_stream, dedup_minhash_lsh,
-    # sim_search_bruteforce (all green r1+r2+r3).
+    # sim_search_bruteforce, sim_search_ivf, curate_corpus (all green
+    # r1+r2+r3).
     # ------------------------------------------------------------------
     "sim_search_bruteforce": QuerySpec(q_sim_bruteforce, similarity.brute_force_topk_oracle(), bench=True),
+    "sim_search_ivf": QuerySpec(q_sim_ivf, similarity.ivf_topk_oracle(), bench=True),
+    "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, dedup.minhash_pairs_oracle(), bench=True),
     "agg_pricing_summary": QuerySpec(q_agg_pricing_summary, ORACLE_AGG_PRICING_SUMMARY, bench=True),
     "window_tumbling": QuerySpec(q_window_tumbling, ORACLE_WINDOW_TUMBLING, bench=True),

@@ -176,3 +176,25 @@ def test_decontam_fuzzy_broadcasts_eval_side(spark, sf_dir):
         (F.col("doc_id") % 20 == 0) | (F.col("eval_id") % 20 != 0)
     ).count()
     assert bad == 0
+
+
+def test_cms_overestimates_only(spark, sf_dir):
+    """Count-Min error is one-sided: est >= exact for every item."""
+    from responsive_pub_spark.operators import sketches
+
+    ev = read_table(spark, sf_dir, "events")
+    df = sketches.cms_frequencies(ev)
+    assert df.filter(F.col("cms_est") < F.col("exact_count")).count() == 0
+    assert df.count() > 0
+
+
+def test_lc_distinct_estimate_close(spark, sf_dir):
+    """Linear counting at n << M: estimate within 25% of exact."""
+    from responsive_pub_spark.operators import sketches
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = sketches.lc_distinct(ev).collect()
+    assert rows
+    for r in rows:
+        assert r["lc_est"] >= r["buckets_hit"]
+        assert abs(r["lc_est"] - r["exact_distinct"]) <= 0.25 * r["exact_distinct"]
