@@ -232,6 +232,58 @@ EXTENDED_NOTES = {
         "NULL partner; streaming pays symmetric state + watermark like the "
         "inner form."
     ),
+    "join_range": (
+        "keyed interval join: equi-join on the key with the range as a "
+        "join predicate (AQE picks broadcast vs SMJ); the keyless path "
+        "bucketizes time so every (point, interval) pair meets in exactly "
+        "ONE bucket — an equi-join on bucket id, never a "
+        "BroadcastNestedLoop/cartesian, no dedup pass."
+    ),
+    "embed_sq8": (
+        "SQ8: per-dim min/max stats collapse map-side to 64 rows per "
+        "partition before one tiny exchange; the codebook is BROADCAST "
+        "back onto the corpus and quantization is pure codegen arithmetic "
+        "— the corpus itself is never shuffled. Compressed scan side is "
+        "1 byte/dim: the ANN pre-filter shape at 100 TB."
+    ),
+    "corpus_stats": (
+        "one pruned scan -> keyed agg with map-side partials over a few "
+        "hundred (lang, source, bucket) groups; all-integer outputs."
+    ),
+    "text_oov_rate": (
+        "vocab induction tops-k the token-count table (vocab-sized, not "
+        "corpus-sized); the vocab is BROADCAST onto the exploded corpus "
+        "and only the per-doc ratio agg exchanges on doc_id."
+    ),
+    "text_entropy": (
+        "two keyed aggs on doc_id (char counts, then a SORTED-array fold "
+        "for the entropy sum — float addition order pinned, never a "
+        "shuffled double SUM); zero joins."
+    ),
+    "bpe_merges": (
+        "corpus scanned ONCE for word frequencies; every merge iteration "
+        "runs on the unique-word table (vocab-sized at any corpus scale): "
+        "pair explode + small keyed agg, 1-row broadcast arg-max, fixpoint "
+        "spaced-replace rewrite, localCheckpoint per step keeps the "
+        "Catalyst plan O(1) and releases superseded blocks."
+    ),
+    "decontam_fuzzy": (
+        "minhash bands on both splits from ONE signature materialization; "
+        "candidates = corpus bands equi-joined against BROADCAST eval "
+        "bands (the corpus never self-joins); exact-Jaccard verify touches "
+        "candidate pairs only."
+    ),
+    "sketch_cms": (
+        "the sketch IS the aggregation: D x W counter table built with "
+        "map-side partials (corpus collapses to <= 256 rows per "
+        "partition pre-shuffle); probes equi-join the broadcast sketch. "
+        "est >= exact is asserted in the hashed contract."
+    ),
+    "sketch_lc_distinct": (
+        "per-group M-bucket bitmap via countDistinct on the hashed "
+        "bucket — partial aggregation bounds per-group state at M rows "
+        "regardless of input size; estimate is pure arithmetic."
+    ),
 }
 
 
