@@ -17,7 +17,7 @@ table is KBs regardless of input size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from responsive_pub_spark.functions.hashing import P, poly_hash_duck, poly_hash_sql
 from responsive_pub_spark.functions.portable import pround
@@ -155,4 +155,127 @@ def lc_distinct_oracle(
                       / CAST({LC_M} AS DOUBLE))) * 10000 + 0.5) / 10000)
                    AS lc_est
         FROM b GROUP BY {group_col}
+    """
+
+
+#: histogram-quantile geometry: fixed-width buckets over a known value range
+HIST_BUCKETS = 128
+HIST_LO = 0.0
+HIST_HI = 500_000.0
+
+
+def hist_quantiles(
+    orders: DataFrame,
+    group_col: str = "o_orderpriority",
+    val_col: str = "o_totalprice",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Histogram quantile sketch: per group, estimate p50/p90/p99 from a
+    fixed-width bucket histogram by linear interpolation inside the
+    quantile's bucket. The mergeable-quantile technique for streaming /
+    distributed settings where exact sorts are too expensive — per-group
+    state is ``buckets`` counters regardless of input size, built with
+    map-side partials (two tiny keyed aggs, no sort of the raw data).
+
+    Estimates carry the histogram's resolution error, which the
+    deterministic contract embraces: both engines compute the identical
+    interpolation, so the gate hashes it exactly. rank = ceil(q * n) (the
+    lower-bound inverse-CDF convention) on cumulative bucket counts."""
+    b = int(buckets)
+    width = (float(hi) - float(lo)) / b
+    bucket = (
+        f"least({b - 1}, greatest(0, CAST(floor(({val_col} - {float(lo)!r}) "
+        f"/ {width!r}) AS BIGINT)))"
+    )
+    hist = (
+        orders.select(group_col, F.expr(bucket).alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(group_col)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    n = cum.groupBy(group_col).agg(F.max("cum").alias("n"))
+    est_cols = []
+    for q_bp, name in ((5000, "p50"), (9000, "p90"), (9900, "p99")):
+        # rank = ceil(q*n) via integer arithmetic: (n*q_bp + 9999) DIV 10000
+        rank = f"(n * {q_bp} + 9999) DIV 10000"
+        # clamp the fraction to [0, 1]: buckets ABOVE the target would get a
+        # negative fraction and could undercut the target's estimate in the
+        # min() below; clamped, est is monotone in bucket so min() = the
+        # first bucket whose cum >= rank
+        frac = (
+            f"greatest(CAST(0 AS DOUBLE), least(CAST(1 AS DOUBLE), "
+            f"CAST({rank} - below AS DOUBLE) / CAST(cnt AS DOUBLE)))"
+        )
+        est = (
+            f"{float(lo)!r} + (CAST(bucket AS DOUBLE) + {frac}) * {width!r}"
+        )
+        est_cols.append((name, rank, est))
+    joined = cum.withColumn("below", F.col("cum") - F.col("cnt")).join(n, group_col)
+    out = joined.groupBy(group_col, "n")
+    aggs = []
+    for name, rank, est in est_cols:
+        # the quantile's bucket: first bucket whose cum >= rank
+        aggs.append(
+            pround(
+                F.min(
+                    F.when(F.col("cum") >= F.expr(rank), F.expr(est))
+                ),
+                4,
+            ).alias(f"{name}_est")
+        )
+    return out.agg(*aggs).select(
+        group_col, F.col("n").cast("bigint").alias("n"), *[f"{nm}_est" for nm, _, _ in est_cols]
+    )
+
+
+def hist_quantiles_oracle(
+    group_col: str = "o_orderpriority",
+    val_col: str = "o_totalprice",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    buckets: int = HIST_BUCKETS,
+) -> str:
+    b = int(buckets)
+    width = (float(hi) - float(lo)) / b
+    bucket = (
+        f"least({b - 1}, greatest(0, CAST(floor(({val_col} - {float(lo)!r}) "
+        f"/ {width!r}) AS BIGINT)))"
+    )
+    q_exprs = []
+    for q_bp, name in ((5000, "p50"), (9000, "p90"), (9900, "p99")):
+        rank = f"(n * {q_bp} + 9999) // 10000"
+        frac = (
+            f"greatest(CAST(0 AS DOUBLE), least(CAST(1 AS DOUBLE), "
+            f"CAST({rank} - below AS DOUBLE) / CAST(cnt AS DOUBLE)))"
+        )
+        est = f"{float(lo)!r} + (CAST(bucket AS DOUBLE) + {frac}) * {width!r}"
+        q_exprs.append(
+            f"(floor((min(CASE WHEN cum >= {rank} THEN {est} END)) * 10000 + 0.5) / 10000) AS {name}_est"
+        )
+    return f"""
+        WITH hist AS (
+            SELECT {group_col}, {bucket} AS bucket, count(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        ), cum AS (
+            SELECT {group_col}, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist
+        ), tot AS (
+            SELECT {group_col}, max(cum) AS n FROM cum GROUP BY 1
+        )
+        SELECT c.{group_col}, CAST(t.n AS BIGINT) AS n,
+               {", ".join(q_exprs)}
+        FROM (SELECT *, cum - cnt AS below FROM cum) c
+        JOIN tot t USING ({group_col})
+        GROUP BY c.{group_col}, t.n
     """

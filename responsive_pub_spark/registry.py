@@ -2037,11 +2037,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # stage dominates by construction; at production near-dup thresholds
     # (>=0.85) the same banded plan is selective. Plan shape (equi-join,
     # no cartesian) is what's asserted.
-    "dedup_clusters": QuerySpec(
-        q_dedup_clusters,
-        dedup.cluster_pairs_oracle(f"pairs AS ({dedup.minhash_pairs_oracle()})"),
-    ),
     "sim_search_pq": QuerySpec(q_sim_pq, similarity.pq_topk_oracle()),
+    "sketch_quantile_hist": QuerySpec(
+        lambda spark, sf_dir: sketches.hist_quantiles(
+            _t(spark, sf_dir, "orders")
+        ),
+        sketches.hist_quantiles_oracle(),
+        doc="histogram quantile sketch: p50/p90/p99 per group by in-bucket "
+        "interpolation; fixed-size mergeable state",
+    ),
     "sketch_cms": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies(
             _t(spark, sf_dir, "events")
@@ -2132,9 +2136,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # bootstrap_compact (green r2+r3), window_topk, funnel_sequence (r2).
     # r5 rotations out: agg_pricing_summary, window_tumbling, join_global,
     # window_session, join_stream_stream, dedup_minhash_lsh,
-    # sim_search_bruteforce, sim_search_ivf, curate_corpus (all green
-    # r1+r2+r3).
+    # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters
+    # (all green r1+r2+r3).
     # ------------------------------------------------------------------
+    "dedup_clusters": QuerySpec(
+        q_dedup_clusters,
+        dedup.cluster_pairs_oracle(f"pairs AS ({dedup.minhash_pairs_oracle()})"),
+    ),
     "sim_search_bruteforce": QuerySpec(q_sim_bruteforce, similarity.brute_force_topk_oracle(), bench=True),
     "sim_search_ivf": QuerySpec(q_sim_ivf, similarity.ivf_topk_oracle(), bench=True),
     "curate_corpus": QuerySpec(q_curate_corpus, curation.curate_corpus_oracle(), bench=True),

@@ -198,3 +198,31 @@ def test_lc_distinct_estimate_close(spark, sf_dir):
     for r in rows:
         assert r["lc_est"] >= r["buckets_hit"]
         assert abs(r["lc_est"] - r["exact_distinct"]) <= 0.25 * r["exact_distinct"]
+
+
+def test_hist_quantiles_close_to_exact(spark, sf_dir, duck):
+    """Histogram estimates within one bucket width of true quantiles, and
+    monotone p50 <= p90 <= p99."""
+    from responsive_pub_spark.operators import sketches
+
+    o = read_table(spark, sf_dir, "orders")
+    rows = {r["o_orderpriority"]: r for r in sketches.hist_quantiles(o).collect()}
+    width = (sketches.HIST_HI - sketches.HIST_LO) / sketches.HIST_BUCKETS
+    truth = dict(
+        (r[0], (r[1], r[2], r[3]))
+        for r in duck.execute(
+            "SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5), "
+            "quantile_cont(o_totalprice, 0.9), quantile_cont(o_totalprice, 0.99) "
+            "FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert rows
+    for k, r in rows.items():
+        assert r["p50_est"] <= r["p90_est"] <= r["p99_est"]
+        t50, t90, t99 = truth[k]
+        assert abs(r["p50_est"] - t50) <= width
+        assert abs(r["p90_est"] - t90) <= width
+        # p99 at the tiny fixture sits in a sparse tail bucket AND our
+        # ceil-rank convention differs from quantile_cont's fractional
+        # interpolation — allow two bucket widths there
+        assert abs(r["p99_est"] - t99) <= 2 * width
