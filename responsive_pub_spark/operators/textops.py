@@ -233,26 +233,27 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     scores low, natural prose sits in a stable band. Used as a quality
     gate next to the length/stopword ratios.
 
-    Determinism: per-doc char counts are collected into a SORTED array and
-    folded left-to-right (identical IEEE op order in Spark and DuckDB) —
-    never a shuffled float SUM."""
-    counted = (
-        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
-        .groupBy("doc_id", "ch")
-        .agg(F.count("*").alias("cnt"))
-    )
-    folded = counted.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_chars"),
-        F.array_sort(F.collect_list(F.struct("ch", "cnt"))).alias("dist"),
-    )
+    Scale shape: ZERO shuffles — the whole computation is one per-row
+    codegen expression (alphabet fold over the sorted distinct chars, each
+    char's count via a filter over the char array: O(alphabet x len) per
+    row with a ~30-char alphabet). The naive explode-chars + groupBy form
+    multiplies the row count by text length — exactly the plan you cannot
+    afford on a 100 TB corpus.
+
+    Determinism: the entropy fold runs over SORTED distinct chars —
+    identical IEEE addition order in Spark and DuckDB (the oracle folds a
+    sorted (char, count) list the same way) — never a shuffled float SUM."""
     h = (
-        "aggregate(dist, CAST(0 AS DOUBLE), (acc, s) -> acc - "
-        "(CAST(s.cnt AS DOUBLE) / CAST(n_chars AS DOUBLE)) * "
-        "ln(CAST(s.cnt AS DOUBLE) / CAST(n_chars AS DOUBLE)))"
+        "aggregate(array_sort(array_distinct(split(text, ''))), "
+        "CAST(0 AS DOUBLE), (acc, ch) -> acc - "
+        "(CAST(size(filter(split(text, ''), c -> c = ch)) AS DOUBLE) "
+        "/ CAST(length(text) AS DOUBLE)) * "
+        "ln(CAST(size(filter(split(text, ''), c -> c = ch)) AS DOUBLE) "
+        "/ CAST(length(text) AS DOUBLE)))"
     )
-    return folded.select(
+    return docs.select(
         "doc_id",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.length("text").cast("bigint").alias("n_chars"),
         pround(F.expr(h), 6).alias("entropy"),
     )
 

@@ -256,9 +256,11 @@ EXTENDED_NOTES = {
         "and only the per-doc ratio agg exchanges on doc_id."
     ),
     "text_entropy": (
-        "two keyed aggs on doc_id (char counts, then a SORTED-array fold "
-        "for the entropy sum — float addition order pinned, never a "
-        "shuffled double SUM); zero joins."
+        "ZERO shuffles: one per-row codegen expression (alphabet fold over "
+        "sorted distinct chars, counts via array filter — O(alphabet x "
+        "len) per row). Float addition order pinned by the sorted fold; "
+        "the exploded-chars + groupBy alternative would multiply rows by "
+        "text length."
     ),
     "bpe_merges": (
         "corpus scanned ONCE for word frequencies; every merge iteration "
