@@ -161,3 +161,25 @@ def test_pretrain_training_batches(spark, sf_dir):
         key = (r.lang, r.seq_id, r.seq_offset)
         assert key not in seen, f"offset collision {key}"
         seen.add(key)
+
+
+def test_dataset_card_report_sections(spark, sf_dir):
+    """examples/dataset_card.py: every section materializes; composition
+    accounts for every doc; coverage fractions are sane; contamination
+    rows are directional (corpus -> eval)."""
+    from responsive_pub_spark.examples import dataset_card
+    from responsive_pub_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = dataset_card.build_report(docs)
+    comp_docs = rep["composition"].agg(F.sum("n_docs")).first()[0]
+    assert comp_docs == docs.count()
+    cov = rep["coverage"].first()
+    assert 0.0 <= cov["oov_frac"] <= 1.0
+    assert rep["vocab"].count() > 0
+    assert rep["bpe_merges"].count() == 4
+    bands = rep["entropy_band"].collect()
+    assert bands and all(r["h_min"] <= r["h_max"] for r in bands)
+    for key in ("contamination_exact", "contamination_fuzzy"):
+        assert rep[key].count() >= 0  # materializes without error
