@@ -707,3 +707,42 @@ def test_kstream_deduplicate(spark, tmp_path):
         .df.collect()
     }
     assert got == {(1, 100, "first"), (1, 101, "only")}
+
+
+def test_cms_sketch_streaming_equals_batch(spark, workdir):
+    """Sketches are plain keyed aggregations, so they run incrementally
+    under Structured Streaming with NO operator changes: the (d, bucket)
+    counter table after N micro-batches equals the batch sketch over the
+    union of the batches — the mergeability property that makes a sketch a
+    sketch."""
+    from responsive_pub_spark.functions.hashing import poly_hash_sql
+    from responsive_pub_spark.operators.sketches import _cms_buckets
+
+    def build(sdf):
+        return (
+            sdf.select(
+                F.posexplode(
+                    F.expr(_cms_buckets(poly_hash_sql("event_type"), "spark"))
+                ).alias("d", "bucket")
+            )
+            .groupBy("d", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    drv = TopologyTestDriver(
+        spark, "event_type STRING", build, workdir, output_mode="complete"
+    )
+    batch1 = [{"event_type": t} for t in ("click", "view", "click")]
+    batch2 = [{"event_type": t} for t in ("error", "click", "view")]
+    drv.pipe(batch1)
+    drv.advance()
+    drv.pipe(batch2)
+    streamed = {(r.d, r.bucket): r.cnt for r in drv.advance()}
+    drv.close()
+
+    both = spark.createDataFrame(batch1 + batch2, "event_type STRING")
+    batch = {
+        (r.d, r.bucket): r.cnt
+        for r in build(both).collect()
+    }
+    assert streamed == batch and len(batch) > 0
