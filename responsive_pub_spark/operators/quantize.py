@@ -31,11 +31,17 @@ from responsive_pub_spark.functions.portable import pround
 SQ8_REGISTRY_DIMS = 8
 
 
-def sq8_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Per-dimension corpus (dim, mn, mx) — the quantizer's codebook."""
+def sq8_stats(
+    emb: DataFrame, vec_col: str = "embedding", max_dim: "int | None" = None
+) -> DataFrame:
+    """Per-dimension corpus (dim, mn, mx) — the quantizer's codebook.
+    ``max_dim`` prunes the explode BEFORE the aggregation (don't pay 64
+    dims of explode for an 8-dim codebook)."""
     exploded = emb.select(
         F.posexplode(vec_col).alias("dim", "x")
     ).select("dim", F.col("x").cast("double").alias("x"))
+    if max_dim is not None:
+        exploded = exploded.filter(F.col("dim") < int(max_dim))
     return exploded.groupBy("dim").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
     )
@@ -62,9 +68,7 @@ def sq8_table(
     ).select(id_col, "dim", F.col("xf").cast("double").alias("x"))
     if max_dim is not None:
         exploded = exploded.filter(F.col("dim") < int(max_dim))
-    stats = sq8_stats(emb, vec_col)
-    if max_dim is not None:
-        stats = stats.filter(F.col("dim") < int(max_dim))
+    stats = sq8_stats(emb, vec_col, max_dim=max_dim)
     q = exploded.join(F.broadcast(stats), "dim").withColumn("code", _code_expr())
     recon = F.col("mn") + (
         ((F.col("code") + F.lit(0.5)) * (F.col("mx") - F.col("mn"))) / F.lit(255.0)
