@@ -29,7 +29,9 @@ CMS_A = [6 * d * d + 5 * d + 131 for d in range(CMS_DEPTH)]
 CMS_B = [3 * d * d + 13 * d + 29 for d in range(CMS_DEPTH)]
 
 #: Linear counting bitmap size (distinct estimates good for n << M ln M).
-LC_M = 1024
+#: A SATURATED bitmap (every bucket hit) has no estimate — ln(0) — so the
+#: operator guards it to NULL; size M for the cardinalities you expect.
+LC_M = 8192
 LC_A = 48611
 LC_B = 3571
 
@@ -127,13 +129,16 @@ def lc_distinct(
         )
         .withColumn(
             "lc_est",
-            pround(
-                -F.lit(float(LC_M))
-                * F.log(
-                    F.lit(1.0)
-                    - F.col("buckets_hit").cast("double") / F.lit(float(LC_M))
-                ),
-                4,
+            F.when(F.col("buckets_hit") >= F.lit(LC_M), F.lit(None)).otherwise(
+                pround(
+                    -F.lit(float(LC_M))
+                    * F.log(
+                        F.lit(1.0)
+                        - F.col("buckets_hit").cast("double")
+                        / F.lit(float(LC_M))
+                    ),
+                    4,
+                )
             ),
         )
     )
@@ -150,10 +155,11 @@ def lc_distinct_oracle(
         SELECT {group_col},
                CAST(count(DISTINCT {id_col}) AS BIGINT) AS exact_distinct,
                CAST(count(DISTINCT bucket) AS BIGINT) AS buckets_hit,
-               (floor((-CAST({LC_M} AS DOUBLE) *
-                   ln(1.0 - CAST(count(DISTINCT bucket) AS DOUBLE)
-                      / CAST({LC_M} AS DOUBLE))) * 10000 + 0.5) / 10000)
-                   AS lc_est
+               CASE WHEN count(DISTINCT bucket) >= {LC_M} THEN NULL
+                    ELSE (floor((-CAST({LC_M} AS DOUBLE) *
+                        ln(1.0 - CAST(count(DISTINCT bucket) AS DOUBLE)
+                           / CAST({LC_M} AS DOUBLE))) * 10000 + 0.5) / 10000)
+               END AS lc_est
         FROM b GROUP BY {group_col}
     """
 
