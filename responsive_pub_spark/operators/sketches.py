@@ -22,9 +22,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 from responsive_pub_spark.functions.hashing import P, poly_hash_duck, poly_hash_sql
 from responsive_pub_spark.functions.portable import pround
 
-#: Count-Min geometry: D independent rows of W counters.
+#: Count-Min geometry: D independent rows of W counters. W is sized so the
+#: fixture's (user, event_type) item space OVERFLOWS it — collisions (and
+#: the one-sided overestimate they cause) are the behavior under test.
 CMS_DEPTH = 4
-CMS_WIDTH = 64
+CMS_WIDTH = 256
 CMS_A = [6 * d * d + 5 * d + 131 for d in range(CMS_DEPTH)]
 CMS_B = [3 * d * d + 13 * d + 29 for d in range(CMS_DEPTH)]
 
@@ -46,7 +48,7 @@ def _cms_buckets(h_expr: str, dialect: str) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-def cms_frequencies(events: DataFrame, item_col: str = "event_type") -> DataFrame:
+def cms_frequencies(events: DataFrame, item_col: str = "item") -> DataFrame:
     """Count-Min estimate vs exact count for every distinct item.
 
     Build: each record increments one counter per depth row — explode D
@@ -81,7 +83,7 @@ def cms_frequencies(events: DataFrame, item_col: str = "event_type") -> DataFram
     )
 
 
-def cms_frequencies_oracle(item_col: str = "event_type") -> str:
+def cms_frequencies_oracle(item_col: str = "item") -> str:
     h = poly_hash_duck(item_col)
     buckets = _cms_buckets(h, "duck")
     return f"""

@@ -1925,6 +1925,30 @@ ORACLE_IQ_STORE_DUMP = f"""
 """
 
 
+def q_sketch_cms(spark, sf_dir):
+    """Count-Min over (user, event_type) items: ~750+ distinct items vs
+    4x256 counters, so hash collisions occur and some estimates exceed the
+    exact count — the sketch's one-sided error, part of the hashed
+    contract (sketches.cms_frequencies)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("item")
+    )
+    return sketches.cms_frequencies(ev, item_col="item")
+
+
+#: same sketch SQL, with the composite item CTE spliced in front
+ORACLE_SKETCH_CMS = (
+    sketches.cms_frequencies_oracle(item_col="item")
+    .replace("FROM events", "FROM ev2")
+    .replace(
+        "WITH sketch AS",
+        "WITH ev2 AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type "
+        "AS item FROM events), sketch AS",
+        1,
+    )
+)
+
+
 # NOTE on ordering: the driver's CORRECTNESS gate checks the FIRST 50 dict
 # entries only (observed r1/r2: row set == registry positions 1-50).  The
 # window below therefore front-loads (a) the flagship, (b) every query that
@@ -2047,11 +2071,11 @@ REGISTRY: dict[str, QuerySpec] = {
         "interpolation; fixed-size mergeable state",
     ),
     "sketch_cms": QuerySpec(
-        lambda spark, sf_dir: sketches.cms_frequencies(
-            _t(spark, sf_dir, "events")
-        ),
-        sketches.cms_frequencies_oracle(),
-        doc="Count-Min frequency sketch: est >= exact in the hashed contract",
+        q_sketch_cms,
+        ORACLE_SKETCH_CMS,
+        doc="Count-Min sketch over (user, event_type) items — the item "
+        "space overflows the 4x256 counters, so collisions and the "
+        "one-sided overestimate are part of the hashed contract",
     ),
     "sketch_lc_distinct": QuerySpec(
         lambda spark, sf_dir: sketches.lc_distinct(_t(spark, sf_dir, "events")),

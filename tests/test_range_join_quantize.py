@@ -179,13 +179,21 @@ def test_decontam_fuzzy_broadcasts_eval_side(spark, sf_dir):
 
 
 def test_cms_overestimates_only(spark, sf_dir):
-    """Count-Min error is one-sided: est >= exact for every item."""
+    """Count-Min error is one-sided: est >= exact for every item — and with
+    the item space overflowing the counters, collisions must actually
+    OCCUR (some est > exact), or the sketch demo is vacuous."""
     from responsive_pub_spark.operators import sketches
 
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table(spark, sf_dir, "events").select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("item")
+    )
     df = sketches.cms_frequencies(ev)
+    n_items = df.count()
+    assert n_items > 0
     assert df.filter(F.col("cms_est") < F.col("exact_count")).count() == 0
-    assert df.count() > 0
+    if n_items > sketches.CMS_WIDTH:
+        # item space overflows one counter row: collisions must occur
+        assert df.filter(F.col("cms_est") > F.col("exact_count")).count() > 0
 
 
 def test_lc_distinct_estimate_close(spark, sf_dir):
