@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from responsive_pub_spark.api import KStream, KTable, Pipeline
 from responsive_pub_spark.operators import (
     asof,
+    bloom,
     bpe,
     curation,
     dedup,
@@ -1971,8 +1972,15 @@ REGISTRY: dict[str, QuerySpec] = {
         lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
         pipeline_ops.pack_sequences_oracle(),
     ),
-    "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
+    "bloom_semi_join": QuerySpec(
+        lambda spark, sf_dir: bloom.bloom_semi_report(
+            _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+        ),
+        bloom.bloom_semi_report_oracle(),
+        doc="Bloom semi-join reduction: fact rows passing the broadcast "
+        "dim filter vs true matches — FP overhead is visible, hashed data",
+    ),
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
     "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
     # papi_running_count stays a CORRECTNESS query but not a bench headline:
@@ -2160,9 +2168,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # bootstrap_compact (green r2+r3), window_topk, funnel_sequence (r2).
     # r5 rotations out: agg_pricing_summary, window_tumbling, join_global,
     # window_session, join_stream_stream, dedup_minhash_lsh,
-    # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters
-    # (all green r1+r2+r3).
+    # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters,
+    # timeseries_rollup_gapfill (all green r1+r2+r3).
     # ------------------------------------------------------------------
+    "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "dedup_clusters": QuerySpec(
         q_dedup_clusters,
         dedup.cluster_pairs_oracle(f"pairs AS ({dedup.minhash_pairs_oracle()})"),

@@ -234,3 +234,29 @@ def test_hist_quantiles_close_to_exact(spark, sf_dir, duck):
         # ceil-rank convention differs from quantile_cont's fractional
         # interpolation — allow two bucket widths there
         assert abs(r["p99_est"] - t99) <= 2 * width
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Every true semi-join row must pass the Bloom prefilter, and the
+    filter must actually prune (pass count << fact count)."""
+    from responsive_pub_spark.operators import bloom
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    passed = bloom.bloom_prefilter(orders, dim, "o_custkey")
+    true_semi = orders.join(dim.distinct(), "o_custkey", "left_semi")
+    missed = true_semi.join(
+        passed.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count()
+    assert missed == 0
+    n_pass, n_fact = passed.count(), orders.count()
+    assert n_pass < n_fact  # the filter prunes
+    p = audit.executed_plan(passed)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert audit.broadcast_join_count(passed) >= 1, p
