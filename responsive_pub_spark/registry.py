@@ -29,6 +29,7 @@ from responsive_pub_spark.operators import (
     asof,
     bloom,
     bpe,
+    layout,
     curation,
     dedup,
     fk_join,
@@ -1972,7 +1973,12 @@ REGISTRY: dict[str, QuerySpec] = {
         lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
         pipeline_ops.pack_sequences_oracle(),
     ),
-    "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
+    "zorder_layout": QuerySpec(
+        lambda spark, sf_dir: layout.zorder_orders(_t(spark, sf_dir, "orders")),
+        layout.zorder_orders_oracle(),
+        doc="Morton/Z-order layout key over (customer, order-day): the "
+        "multi-column locality sort key; pure per-row arithmetic",
+    ),
     "bloom_semi_join": QuerySpec(
         lambda spark, sf_dir: bloom.bloom_semi_report(
             _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
@@ -2169,9 +2175,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # r5 rotations out: agg_pricing_summary, window_tumbling, join_global,
     # window_session, join_stream_stream, dedup_minhash_lsh,
     # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters,
-    # timeseries_rollup_gapfill (all green r1+r2+r3).
+    # timeseries_rollup_gapfill, join_asof (all green r1+r2+r3).
     # ------------------------------------------------------------------
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
+    "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "dedup_clusters": QuerySpec(
         q_dedup_clusters,
         dedup.cluster_pairs_oracle(f"pairs AS ({dedup.minhash_pairs_oracle()})"),

@@ -260,3 +260,27 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     p = audit.executed_plan(passed)
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
     assert audit.broadcast_join_count(passed) >= 1, p
+
+
+def test_zorder_locality_beats_single_column_sort(spark, sf_dir):
+    """Z-ordered file tiles must bound BOTH dimensions' spans: the
+    customer span per tile stays a fraction of the domain, where a
+    day-sorted layout leaves it at ~the full domain."""
+    from responsive_pub_spark.operators import layout
+
+    keyed = layout.zorder_orders(read_table(spark, sf_dir, "orders"))
+    rep = layout.locality_report(keyed, files=16)
+    dom = keyed.agg(
+        F.max("cust_bits").alias("cd"), F.max("day_bits").alias("dd")
+    ).first()
+    avg = rep.agg(
+        F.avg("cust_span").alias("cs"), F.avg("day_span").alias("ds")
+    ).first()
+    assert avg["cs"] < 0.7 * dom["cd"]
+    assert avg["ds"] < 0.7 * dom["dd"]
+    # baseline: tiles of a day-sorted table do NOT bound the customer dim
+    by_day = keyed.withColumn("zkey", F.col("day_bits"))
+    base = layout.locality_report(by_day, files=16).agg(
+        F.avg("cust_span")
+    ).first()[0]
+    assert avg["cs"] < 0.8 * base
