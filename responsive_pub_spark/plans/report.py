@@ -286,6 +286,24 @@ EXTENDED_NOTES = {
         "bucket — partial aggregation bounds per-group state at M rows "
         "regardless of input size; estimate is pure arithmetic."
     ),
+    "sketch_quantile_hist": (
+        "fixed-width bucket histogram per group (map-side partials; "
+        "per-group state = bucket count at ANY input size), cumulative "
+        "window over <= buckets rows, in-bucket interpolation — no sort "
+        "of the raw data, mergeable across shards."
+    ),
+    "bloom_semi_join": (
+        "semi-join reduction: K-hash position set of the FILTERED dim "
+        "(<= M rows) BROADCAST onto the fact side; membership = all K "
+        "probes present — the fact table is pruned before any shuffle. "
+        "No false negatives; FP overhead is reported as data."
+    ),
+    "zorder_layout": (
+        "per-row codegen arithmetic after a 1-row min/max stats "
+        "broadcast (bit-width equalization): the Morton key that lets "
+        "file min/max stats prune range predicates on BOTH columns. "
+        "Write side = repartitionByRange(zkey) + sortWithinPartitions."
+    ),
 }
 
 
