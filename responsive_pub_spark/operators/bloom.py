@@ -60,22 +60,27 @@ def bloom_build(dim: DataFrame, key_col: str) -> DataFrame:
 
 def bloom_prefilter(fact: DataFrame, dim: DataFrame, key_col: str) -> DataFrame:
     """Rows of ``fact`` whose key passes the Bloom filter of ``dim``'s
-    keys — a superset of the true semi-join (no false negatives)."""
-    positions = bloom_build(dim, key_col)
-    probes = fact.withColumn(
-        "__pos", F.explode(F.expr(_positions(key_col, "spark")))
-    )
-    hits = (
-        probes.join(
-            F.broadcast(positions), probes["__pos"] == positions["pos"]
+    keys — a superset of the true semi-join (no false negatives).
+
+    Membership = K chained BROADCAST LEFT-SEMI joins (one per hash
+    function) against the occupied-position set: the fact side is never
+    shuffled or exploded — each semi join is a map-side hash probe, so
+    the prefilter costs one pruned pass over the fact scan. (An
+    explode-K-probes + groupBy formulation would shuffle Kx the fact
+    table and defeat the operator's entire purpose.)"""
+    positions = bloom_build(dim, key_col).persist()
+    out = fact
+    for k in range(BLOOM_K):
+        pos_k = (
+            f"((({key_col} % {P}) * {BLOOM_A[k]} + {BLOOM_B[k]}) % {P})"
+            f" % {BLOOM_M}"
         )
-        .drop("pos")
-        .groupBy(*fact.columns)
-        .agg(F.count("*").alias("__k_hit"))
-        .filter(F.col("__k_hit") == BLOOM_K)
-        .drop("__k_hit")
-    )
-    return hits
+        out = out.join(
+            F.broadcast(positions),
+            F.expr(pos_k) == positions["pos"],
+            "left_semi",
+        )
+    return out
 
 
 def bloom_semi_report(
