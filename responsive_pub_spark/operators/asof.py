@@ -89,3 +89,55 @@ def asof_join_events_oracle(
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
     """
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_cols=("user_id",),
+    val_col: str = "value",
+    ts_col: str = "ts_sec",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a changelog: each
+    update becomes a versioned row with a [valid_from, valid_to) interval
+    (NULL valid_to = current). The KTable-with-history surface the KS DSL
+    lacks (Flink calls it a temporal table; the reference keeps only
+    latest-per-key — bootstrap/ChangelogMigrationTool.java compacts away
+    history): with it, `interval_join`/`asof_join` answer "what was the
+    value WHEN the event happened" exactly.
+
+    One shuffle (window over key ordered by time); ties at one timestamp
+    are totally ordered by the version column so the history is
+    deterministic."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col, val_col)
+    return (
+        changelog.select(*keys, ts_col, val_col)
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn(
+            "version", F.row_number().over(w).cast("bigint")
+        )
+        .select(*keys, "version", val_col, "valid_from", "valid_to")
+    )
+
+
+def scd2_history_events_oracle() -> str:
+    """Oracle for scd2_history over the events fixture's purchase stream
+    (per-user price history)."""
+    return """
+        WITH ev AS (
+            SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+        ), cl AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                   (floor(value * 100 + 0.5) / 100) AS value
+            FROM ev WHERE event_type = 'purchase'
+        )
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               value,
+               ts_sec AS valid_from,
+               lead(ts_sec) OVER w AS valid_to
+        FROM cl
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, value)
+    """

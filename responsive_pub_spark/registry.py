@@ -1927,6 +1927,20 @@ ORACLE_IQ_STORE_DUMP = f"""
 """
 
 
+def q_scd2_history(spark, sf_dir):
+    """Per-user purchase-price SCD2 history (operators/asof.scd2_history):
+    every update becomes a [valid_from, valid_to) versioned row — the
+    KTable-with-history surface; pairs with join_asof/join_range for
+    value-as-of-event lookups."""
+    ev = _t(spark, sf_dir, "events")
+    cl = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+        pround(F.col("value"), 2).alias("value"),
+    )
+    return asof.scd2_history(cl)
+
+
 def q_sketch_cms(spark, sf_dir):
     """Count-Min over (user, event_type) items: ~750+ distinct items vs
     4x256 counters, so hash collisions occur and some estimates exceed the
@@ -1987,7 +2001,11 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="Bloom semi-join reduction: fact rows passing the broadcast "
         "dim filter vs true matches — FP overhead is visible, hashed data",
     ),
-    "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
+    "table_history_scd2": QuerySpec(
+        q_scd2_history,
+        asof.scd2_history_events_oracle(),
+        doc="SCD2 changelog history: versioned [valid_from, valid_to) rows",
+    ),
     "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
     # papi_running_count stays a CORRECTNESS query but not a bench headline:
     # it deliberately exercises the per-record Python slow lane (PAPI
@@ -2175,8 +2193,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # r5 rotations out: agg_pricing_summary, window_tumbling, join_global,
     # window_session, join_stream_stream, dedup_minhash_lsh,
     # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters,
-    # timeseries_rollup_gapfill, join_asof (all green r1+r2+r3).
+    # timeseries_rollup_gapfill, join_asof (all green r1+r2+r3);
+    # multimodal_bytes (green r1+r3).
     # ------------------------------------------------------------------
+    "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "dedup_clusters": QuerySpec(

@@ -284,3 +284,34 @@ def test_zorder_locality_beats_single_column_sort(spark, sf_dir):
         F.avg("cust_span")
     ).first()[0]
     assert avg["cs"] < 0.8 * base
+
+
+def test_scd2_history_contracts(spark, sf_dir):
+    """Intervals per key are contiguous and non-overlapping; exactly one
+    current (NULL valid_to) row per key; versions dense from 1."""
+    from responsive_pub_spark.operators import asof
+    from responsive_pub_spark.functions.portable import pround
+
+    ev = read_table(spark, sf_dir, "events")
+    cl = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+        pround(F.col("value"), 2).alias("value"),
+    )
+    h = asof.scd2_history(cl)
+    n_keys = cl.select("user_id").distinct().count()
+    assert h.filter(F.col("valid_to").isNull()).count() == n_keys
+    # contiguity: next version's valid_from == this version's valid_to
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("version")
+    gaps = (
+        h.withColumn("next_from", F.lead("valid_from").over(w))
+        .filter(
+            F.col("valid_to").isNotNull()
+            & (F.col("valid_to") != F.col("next_from"))
+        )
+        .count()
+    )
+    assert gaps == 0
+    assert h.filter(F.col("version") == 1).count() == n_keys
