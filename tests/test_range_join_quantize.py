@@ -315,3 +315,36 @@ def test_scd2_history_contracts(spark, sf_dir):
     )
     assert gaps == 0
     assert h.filter(F.col("version") == 1).count() == n_keys
+
+
+def test_interval_join_bucket_size_property(spark):
+    """The bucketized keyless path must produce the identical pair set
+    for ANY bucket width — bucket size is a performance knob, never a
+    correctness knob. Randomized intervals incl. empty/degenerate."""
+    import random
+
+    rng = random.Random(20260814)
+    pts_rows = [(i, rng.randint(0, 2000)) for i in range(400)]
+    iv_rows = []
+    for i in range(60):
+        lo = rng.randint(0, 2000)
+        iv_rows.append((i, lo, lo + rng.choice([0, 1, 7, 130, 900])))
+    pts = spark.createDataFrame(pts_rows, "pid LONG, ts LONG")
+    iv = spark.createDataFrame(iv_rows, "iid LONG, lo LONG, hi LONG")
+    want = None
+    for bucket in (1, 13, 128, 5000):
+        got = frozenset(
+            map(
+                tuple,
+                range_join.interval_join(
+                    pts, iv, "ts", "lo", "hi", bucket=bucket
+                )
+                .select("pid", "iid")
+                .collect(),
+            )
+        )
+        if want is None:
+            want = got
+            assert len(want) > 0
+        else:
+            assert got == want, f"bucket={bucket} changed the result"
