@@ -948,3 +948,72 @@ def decontaminate_fuzzy_oracle(
                        - len(list_intersect(hc.hs, he.hs))))
                    * 1000000 + 0.5) / 1000000) >= {threshold}
     """
+
+
+# -- weighted sampling WITHOUT replacement (A-ES exponential keys) -----------
+WSAMPLE_K = 20
+WSAMPLE_HASH_A = 1566083941
+WSAMPLE_HASH_B = 60493
+
+
+def weighted_sample_topk(
+    docs: DataFrame, k: int = WSAMPLE_K, weight_expr: str = "length(text)"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per language stratum —
+    the Efraimidis–Spirakis A-ES scheme: each row draws u ~ U(0,1)
+    (hash-deterministic, retry-safe) and ranks by key = ln(u)/w; the
+    top-k keys per stratum are a weighted sample without replacement.
+    The quality-weighted "pick k exemplar docs per domain" primitive.
+
+    Determinism: u is integer hash arithmetic mod the shared prime
+    mapped into (0,1); ln and the divide are the same IEEE ops in both
+    engines; ties are impossible up to hash collisions and broken by
+    doc_id anyway (total order). One shuffle (rank window per stratum);
+    at scale the window is WindowGroupLimit-prunable: rank <= k compiles
+    to per-partition top-k pre-pruning, so a billion-doc stratum ships k
+    rows per partition, not the stratum."""
+    u = (
+        f"(CAST((((doc_id % {P}) * {WSAMPLE_HASH_A} + {WSAMPLE_HASH_B}) % {P}) + 1 "
+        f"AS DOUBLE) / {P + 1})"
+    )
+    key = f"(ln({u}) / CAST({weight_expr} AS DOUBLE))"
+    ranked = (
+        docs.withColumn("es_key", F.expr(key))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.desc("es_key"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= int(k))
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.col("rk").cast("bigint").alias("rk"),
+        pround(F.col("es_key"), 6).alias("es_key"),
+    )
+
+
+def weighted_sample_topk_oracle(
+    k: int = WSAMPLE_K, weight_expr: str = "length(text)"
+) -> str:
+    u = (
+        f"(CAST((((doc_id % {P}) * {WSAMPLE_HASH_A} + {WSAMPLE_HASH_B}) % {P}) + 1 "
+        f"AS DOUBLE) / {P + 1})"
+    )
+    key = f"(ln({u}) / CAST({weight_expr} AS DOUBLE))"
+    return f"""
+        WITH ranked AS (
+            SELECT doc_id, lang, {key} AS es_key,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY {key} DESC, doc_id ASC
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk,
+               (floor(es_key * 1000000 + 0.5) / 1000000) AS es_key
+        FROM ranked WHERE rk <= {int(k)}
+    """

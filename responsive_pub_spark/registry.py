@@ -2013,7 +2013,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # showcases scale-shaped plans (VERDICT r1 #10).
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT),
     "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
-    "papi_window_concat": QuerySpec(q_papi_window_concat, ORACLE_PAPI_WINDOW_CONCAT),
     "papi_session_concat": QuerySpec(q_papi_session_concat, ORACLE_PAPI_SESSION_CONCAT),
     "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),
     "multimodal_decode_features": QuerySpec(
@@ -2124,6 +2123,14 @@ REGISTRY: dict[str, QuerySpec] = {
         "(eval bands broadcast; corpus never self-joins)",
     ),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
+    "sample_weighted_topk": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.weighted_sample_topk(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.weighted_sample_topk_oracle(),
+        doc="Efraimidis-Spirakis weighted sampling WITHOUT replacement, "
+        "k per stratum; WindowGroupLimit-prunable rank",
+    ),
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
     # --- new in r3 (driver rows required): dup-heavy-safe simhash clusters,
     # --- production-threshold embedding dedup, sink + IQ gate coverage,
@@ -2194,8 +2201,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # window_session, join_stream_stream, dedup_minhash_lsh,
     # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters,
     # timeseries_rollup_gapfill, join_asof (all green r1+r2+r3);
-    # multimodal_bytes (green r1+r3).
+    # multimodal_bytes, papi_window_concat (green r1+r3).
     # ------------------------------------------------------------------
+    "papi_window_concat": QuerySpec(q_papi_window_concat, ORACLE_PAPI_WINDOW_CONCAT),
+
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),

@@ -348,3 +348,22 @@ def test_interval_join_bucket_size_property(spark):
             assert len(want) > 0
         else:
             assert got == want, f"bucket={bucket} changed the result"
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """A-ES with w = doc length must overselect long docs vs a uniform
+    draw: the mean length of selected docs exceeds the stratum mean."""
+    from responsive_pub_spark.operators import pipeline_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    picked = pipeline_ops.weighted_sample_topk(docs, k=20)
+    mean_sel = (
+        picked.join(docs.select("doc_id", F.length("text").alias("L")), "doc_id")
+        .agg(F.avg("L"))
+        .first()[0]
+    )
+    mean_all = docs.agg(F.avg(F.length("text"))).first()[0]
+    assert mean_sel > mean_all
+    # exactly k rows per stratum with dense ranks
+    per = picked.groupBy("lang").agg(F.count("*").alias("n"), F.max("rk").alias("m"))
+    assert all(r["n"] == r["m"] for r in per.collect())
