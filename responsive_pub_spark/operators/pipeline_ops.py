@@ -1017,3 +1017,65 @@ def weighted_sample_topk_oracle(
                (floor(es_key * 1000000 + 0.5) / 1000000) AS es_key
         FROM ranked WHERE rk <= {int(k)}
     """
+
+
+# -- snapshot diff (incremental-pipeline delta detection) --------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    fp_expr: str = None,
+) -> DataFrame:
+    """Delta between two corpus snapshots: per key, ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` by content fingerprint —
+    the detection step that lets an incremental pipeline reprocess only
+    the delta instead of re-running 100 TB (the batch analog of the
+    reference's changelog consumption: bootstrap/ChangelogMigrationTool
+    replays deltas, never snapshots).
+
+    One full-outer shuffle on the key; fingerprints are per-row codegen
+    (the poly hash), so the diff costs one co-partitioned join at any
+    scale — and both sides arrive pre-bucketed if written with
+    sources/bucketed.py, dropping even that exchange."""
+    from responsive_pub_spark.functions.hashing import poly_hash_sql
+
+    fp = fp_expr or poly_hash_sql("text")
+    o = old.select(F.col(key_col).alias("k"), F.expr(fp).alias("fp_old"))
+    n = new.select(F.col(key_col).alias("k"), F.expr(fp).alias("fp_new"))
+    joined = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.col("k").alias(key_col), status.alias("status")
+    )
+
+
+def snapshot_diff_docs_oracle() -> str:
+    """Oracle for the registry demo: old = docs without the %10==3 slice,
+    new = docs without the %10==7 slice and with text rewritten for
+    %13==0 (a simulated edit)."""
+    from responsive_pub_spark.functions.hashing import poly_hash_duck
+
+    fp_old = poly_hash_duck("text")
+    fp_new = poly_hash_duck("CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END")
+    return f"""
+        WITH o AS (
+            SELECT doc_id AS k, {fp_old} AS fp_old FROM documents
+            WHERE doc_id % 10 <> 3
+        ), n AS (
+            SELECT doc_id AS k, {fp_new} AS fp_new FROM documents
+            WHERE doc_id % 10 <> 7
+        )
+        SELECT COALESCE(o.k, n.k) AS doc_id,
+               CASE WHEN o.k IS NULL THEN 'added'
+                    WHEN n.k IS NULL THEN 'removed'
+                    WHEN fp_old <> fp_new THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.k = n.k
+    """

@@ -1941,6 +1941,21 @@ def q_scd2_history(spark, sf_dir):
     return asof.scd2_history(cl)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot delta (pipeline_ops.snapshot_diff): old drops the
+    %10==3 slice, new drops %10==7 and rewrites text for %13==0 — the
+    diff must label every key added/removed/changed/unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    new = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    return pipeline_ops.snapshot_diff(old, new)
+
+
 def q_sketch_cms(spark, sf_dir):
     """Count-Min over (user, event_type) items: ~750+ distinct items vs
     4x256 counters, so hash collisions occur and some estimates exceed the
@@ -2012,7 +2027,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # conformance), which is not a plan we'd defend at 100x — the bench set
     # showcases scale-shaped plans (VERDICT r1 #10).
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT),
-    "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
     "papi_session_concat": QuerySpec(q_papi_session_concat, ORACLE_PAPI_SESSION_CONCAT),
     "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),
     "multimodal_decode_features": QuerySpec(
@@ -2114,6 +2128,12 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="linear-probabilistic distinct count per group vs exact",
     ),
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
+    "snapshot_diff": QuerySpec(
+        q_snapshot_diff,
+        pipeline_ops.snapshot_diff_docs_oracle(),
+        doc="incremental-pipeline delta: added/removed/changed/unchanged "
+        "per key via one full-outer fingerprint join",
+    ),
     "decontam_fuzzy": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.decontaminate_fuzzy(
             _t(spark, sf_dir, "documents")
@@ -2201,8 +2221,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # window_session, join_stream_stream, dedup_minhash_lsh,
     # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters,
     # timeseries_rollup_gapfill, join_asof (all green r1+r2+r3);
-    # multimodal_bytes, papi_window_concat (green r1+r3).
+    # multimodal_bytes, papi_window_concat, papi_punctuate_daily (green
+    # r1+r3).
     # ------------------------------------------------------------------
+    "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
     "papi_window_concat": QuerySpec(q_papi_window_concat, ORACLE_PAPI_WINDOW_CONCAT),
 
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),

@@ -367,3 +367,24 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     # exactly k rows per stratum with dense ranks
     per = picked.groupBy("lang").agg(F.count("*").alias("n"), F.max("rk").alias("m"))
     assert all(r["n"] == r["m"] for r in per.collect())
+
+
+def test_snapshot_diff_statuses_partition_keyspace(spark, sf_dir):
+    """Every key appears exactly once; all four statuses occur; identical
+    snapshots diff to all-unchanged."""
+    from responsive_pub_spark.operators import pipeline_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    new = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    d = pipeline_ops.snapshot_diff(old, new)
+    assert d.count() == d.select("doc_id").distinct().count()
+    statuses = {r["status"] for r in d.select("status").distinct().collect()}
+    assert statuses == {"added", "removed", "changed", "unchanged"}
+    same = pipeline_ops.snapshot_diff(docs, docs)
+    assert same.filter(F.col("status") != "unchanged").count() == 0
