@@ -173,3 +173,57 @@ def bpe_merges_oracle(k: int = BPE_MERGES) -> str:
             f"SELECT {step} AS step, l AS left, r AS right, pair_count FROM top{step}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_vocab(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
+    """The learned segmentation APPLIED: after ``k`` merges, the corpus
+    symbol inventory (symbol, total_count) weighted by word frequency —
+    what the tokenizer's vocab table looks like against this corpus.
+    Same vocab-sized iteration cost as ``bpe_merges``; the final explode
+    runs over unique words, never the corpus."""
+    words = word_freqs(docs).select(
+        F.expr(_spaced("word")).alias("s"), "freq"
+    )
+    prev_ckpt = None
+    for _step in range(1, int(k) + 1):
+        pairs = words.select(
+            "freq", F.explode(F.expr(_pairs_expr("s"))).alias("p")
+        ).groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+            F.sum("freq").alias("pair_count")
+        )
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("l"), F.asc("r")
+        ).limit(1)
+        words = words.crossJoin(F.broadcast(top.select("l", "r"))).select(
+            F.expr(_merge_expr("s")).alias("s"), "freq"
+        )
+        words = words.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            try:
+                prev_ckpt.unpersist()
+            except Exception:
+                pass
+        prev_ckpt = words
+    return (
+        words.select(
+            "freq", F.explode(F.expr("split(trim(s), ' ')")).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("bigint").alias("total_count"))
+    )
+
+
+def bpe_vocab_oracle(k: int = BPE_MERGES) -> str:
+    """Extends the unrolled-merge chain with the symbol-inventory select."""
+    base = bpe_merges_oracle(k)
+    ctes = base.split("\nSELECT 1 AS step")[0]
+    # base = "WITH <ctes>\nSELECT 1 AS step ... UNION ALL ..." — keep the
+    # CTE chain, swap the final select for the inventory over spaced{k}
+    return f"""{ctes}
+        SELECT symbol, CAST(sum(freq) AS BIGINT) AS total_count
+        FROM (
+            SELECT freq, unnest(string_split(trim(s), ' ')) AS symbol
+            FROM spaced{int(k)}
+        )
+        GROUP BY symbol
+    """

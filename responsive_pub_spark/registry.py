@@ -2228,6 +2228,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "papi_window_concat": QuerySpec(q_papi_window_concat, ORACLE_PAPI_WINDOW_CONCAT),
 
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
+    "bpe_vocab": QuerySpec(
+        lambda spark, sf_dir: bpe.bpe_vocab(_t(spark, sf_dir, "documents")),
+        bpe.bpe_vocab_oracle(),
+        doc="learned BPE segmentation applied: corpus symbol inventory "
+        "(pytest-oracle guarded; bpe_merges gates the mechanism in-window)",
+    ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "dedup_clusters": QuerySpec(

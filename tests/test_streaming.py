@@ -746,3 +746,34 @@ def test_cms_sketch_streaming_equals_batch(spark, workdir):
         for r in build(both).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_hist_quantile_sketch_streaming_equals_batch(spark, workdir):
+    """The histogram quantile sketch's state (per-group bucket counts) is
+    a plain keyed count, so it accumulates incrementally under Structured
+    Streaming and merges associatively — counters after N micro-batches
+    equal the batch histogram over the union."""
+
+    def build(sdf):
+        bucket = "least(127, greatest(0, CAST(floor(v / 10.0) AS BIGINT)))"
+        return (
+            sdf.selectExpr("g", f"{bucket} AS bucket")
+            .groupBy("g", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    drv = TopologyTestDriver(
+        spark, "g STRING, v DOUBLE", build, workdir, output_mode="complete"
+    )
+    b1 = [{"g": "a", "v": float(x)} for x in (5, 15, 15, 900, 42)]
+    b2 = [{"g": "a", "v": float(x)} for x in (7, 1300, 15)] + [
+        {"g": "b", "v": 3.0}
+    ]
+    drv.pipe(b1)
+    drv.advance()
+    drv.pipe(b2)
+    streamed = {(r.g, r.bucket): r.cnt for r in drv.advance()}
+    drv.close()
+    both = spark.createDataFrame(b1 + b2, "g STRING, v DOUBLE")
+    batch = {(r.g, r.bucket): r.cnt for r in build(both).collect()}
+    assert streamed == batch and len(batch) > 0
