@@ -8,7 +8,7 @@ constants (functions/text.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.functions import text as T
@@ -278,4 +278,78 @@ def char_entropy_oracle() -> str:
                            ln(CAST(s.cnt AS DOUBLE) / CAST(n_chars AS DOUBLE)))),
                    (acc, v) -> acc + v)) * 1000000 + 0.5) / 1000000) AS entropy
         FROM folded
+    """
+
+
+TFIDF_TOP_TERMS = 3
+
+
+def tfidf_top_terms(docs: DataFrame, top: int = TFIDF_TOP_TERMS) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the classic keyword-extraction
+    / relevance-weighting pass. tf = term count in doc; idf = ln(N/df)
+    over the corpus.
+
+    Plan: one explode + (doc, token) count [shuffle 1], document
+    frequencies as a token-keyed agg over the distinct (doc, token) pairs
+    [reuses the same exchange], idf joined BROADCAST (vocab-sized), and
+    the per-doc top-k rank compiles to WindowGroupLimit [shuffle 2].
+    Determinism: idf and the product are the same IEEE ops both engines;
+    rank ties break (score DESC, token ASC) — a total order."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, '\\\\s+'), x -> x != '')")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = df_.select(
+        "token",
+        F.log(F.lit(float(n_docs)) / F.col("df").cast("double")).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "token").withColumn(
+        "score", F.col("tf").cast("double") * F.col("idf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(top))
+        .select(
+            "doc_id",
+            F.col("rk").cast("bigint").alias("rk"),
+            "token",
+            pround(F.col("score"), 6).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_top_terms_oracle(top: int = TFIDF_TOP_TERMS) -> str:
+    ws = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({ws}) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM toks
+            GROUP BY doc_id, token
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        idf AS (
+            SELECT token,
+                   ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS idf
+            FROM tf GROUP BY token
+        ), scored AS (
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf.tf AS DOUBLE) * idf.idf AS score
+            FROM tf JOIN idf USING (token)
+        ), ranked AS (
+            SELECT doc_id, token, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, token ASC
+                   ) AS rk
+            FROM scored
+        )
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, token,
+               (floor(score * 1000000 + 0.5) / 1000000) AS tfidf
+        FROM ranked WHERE rk <= {int(top)}
     """

@@ -2127,7 +2127,14 @@ REGISTRY: dict[str, QuerySpec] = {
         sketches.lc_distinct_oracle(),
         doc="linear-probabilistic distinct count per group vs exact",
     ),
-    "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
+    "text_tfidf_top": QuerySpec(
+        lambda spark, sf_dir: textops.tfidf_top_terms(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.tfidf_top_terms_oracle(),
+        doc="per-doc top-3 terms by tf-idf: broadcast idf join, "
+        "WindowGroupLimit rank",
+    ),
     "snapshot_diff": QuerySpec(
         q_snapshot_diff,
         pipeline_ops.snapshot_diff_docs_oracle(),
@@ -2222,8 +2229,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters,
     # timeseries_rollup_gapfill, join_asof (all green r1+r2+r3);
     # multimodal_bytes, papi_window_concat, papi_punctuate_daily (green
-    # r1+r3).
+    # r1+r3); decontam_overlap (green r2+r3 — decontam_fuzzy keeps the
+    # family in-window).
     # ------------------------------------------------------------------
+    "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
     "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
     "papi_window_concat": QuerySpec(q_papi_window_concat, ORACLE_PAPI_WINDOW_CONCAT),
 
