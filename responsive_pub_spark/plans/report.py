@@ -304,6 +304,27 @@ EXTENDED_NOTES = {
         "file min/max stats prune range predicates on BOTH columns. "
         "Write side = repartitionByRange(zkey) + sortWithinPartitions."
     ),
+    "table_history_scd2": (
+        "one window shuffle on the key (lead + row_number share the "
+        "frame); ties totally ordered. History output is linear in "
+        "updates; pairs with join_asof/join_range for as-of lookups."
+    ),
+    "snapshot_diff": (
+        "one full-outer join on the key with per-row codegen "
+        "fingerprints; pre-bucketed snapshots (sources/bucketed.py) drop "
+        "the exchange entirely — the incremental-reprocess primitive."
+    ),
+    "sample_weighted_topk": (
+        "hash-deterministic exponential keys per row (codegen), rank<=k "
+        "per stratum compiles to WindowGroupLimit: each partition ships "
+        "k candidates, not the stratum. Retry-safe (no rand())."
+    ),
+    "text_tfidf_top": (
+        "explode + (doc, token) count is shuffle 1; document frequencies "
+        "aggregate the SAME exchange's output; idf is a BROADCAST "
+        "vocab-sized join; per-doc rank<=k is WindowGroupLimit "
+        "(shuffle 2 moves scored pairs once)."
+    ),
 }
 
 
