@@ -353,3 +353,79 @@ def tfidf_top_terms_oracle(top: int = TFIDF_TOP_TERMS) -> str:
                (floor(score * 1000000 + 0.5) / 1000000) AS tfidf
         FROM ranked WHERE rk <= {int(top)}
     """
+
+
+def unigram_logppl(docs: DataFrame) -> DataFrame:
+    """Model-based quality score: average negative log-probability per
+    token under a unigram LM fitted on the corpus itself — the cheap
+    perplexity filter (docs of improbable tokens score high = unusual;
+    boilerplate scores low). Companion to the model-free char entropy.
+
+    Plan: unigram counts = one vocab-sized keyed agg; log-probs joined
+    BROADCAST onto the exploded corpus; per-doc sum folds a
+    position-SORTED array (collect_list is shuffle-order-nondeterministic
+    — folding it raw would break bit-parity; sorting by position first
+    pins the IEEE addition order identically in both engines)."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).alias("pos", "token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.log(F.col("cnt").cast("double") / F.col("tot").cast("double")).alias(
+            "logp"
+        ),
+    )
+    folded = (
+        toks.join(F.broadcast(logp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("pos", "logp"))).alias("seq"),
+        )
+    )
+    s = (
+        "aggregate(seq, CAST(0 AS DOUBLE), (acc, x) -> acc - x.logp)"
+    )
+    return folded.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        pround(F.expr(s) / F.col("n_tokens"), 6).alias("avg_neg_logp"),
+    )
+
+
+def unigram_logppl_oracle() -> str:
+    ws = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   generate_subscripts({ws}, 1) - 1 AS pos,
+                   unnest({ws}) AS token
+            FROM documents
+        ), counts AS (
+            SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ), tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM counts),
+        logp AS (
+            SELECT token,
+                   ln(CAST(cnt AS DOUBLE) / (SELECT tot FROM tot)) AS logp
+            FROM counts
+        ), folded AS (
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   list_sort(list(struct_pack(pos := t.pos, logp := l.logp)))
+                       AS seq
+            FROM toks t JOIN logp l USING (token)
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               (floor((list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(seq, x -> -x.logp)),
+                   (acc, v) -> acc + v) / n_tokens) * 1000000 + 0.5)
+                   / 1000000) AS avg_neg_logp
+        FROM folded
+    """

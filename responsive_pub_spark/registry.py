@@ -2149,7 +2149,14 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="minhash-banded near-dup contamination vs the eval split "
         "(eval bands broadcast; corpus never self-joins)",
     ),
-    "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
+    "text_unigram_ppl": QuerySpec(
+        lambda spark, sf_dir: textops.unigram_logppl(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.unigram_logppl_oracle(),
+        doc="unigram-LM perplexity quality score: broadcast log-probs, "
+        "position-sorted fold for bit-stable float sums",
+    ),
     "sample_weighted_topk": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.weighted_sample_topk(
             _t(spark, sf_dir, "documents")
@@ -2229,9 +2236,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters,
     # timeseries_rollup_gapfill, join_asof (all green r1+r2+r3);
     # multimodal_bytes, papi_window_concat, papi_punctuate_daily (green
-    # r1+r3); decontam_overlap (green r2+r3 — decontam_fuzzy keeps the
-    # family in-window).
+    # r1+r3); decontam_overlap, sample_stratified (green r2+r3 — the
+    # fuzzy/weighted siblings keep both families in-window).
     # ------------------------------------------------------------------
+    "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
     "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
     "papi_window_concat": QuerySpec(q_papi_window_concat, ORACLE_PAPI_WINDOW_CONCAT),

@@ -388,3 +388,28 @@ def test_snapshot_diff_statuses_partition_keyspace(spark, sf_dir):
     assert statuses == {"added", "removed", "changed", "unchanged"}
     same = pipeline_ops.snapshot_diff(docs, docs)
     assert same.filter(F.col("status") != "unchanged").count() == 0
+
+
+def test_unigram_ppl_flags_rare_token_docs(spark, sf_dir):
+    """A doc full of corpus-rare tokens must score higher avg -log p than
+    one of corpus-frequent tokens."""
+    from responsive_pub_spark.operators import textops
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = textops.vocab_top(docs, 10000).collect()
+    common = vocab[0]["token"]
+    rare = vocab[-1]["token"]
+    extra = spark.createDataFrame(
+        [
+            (900001, (common + " ") * 20, "en", "synthetic", 0),
+            (900002, (rare + " ") * 20, "en", "synthetic", 0),
+        ],
+        docs.schema.simpleString().replace("struct<", "").rstrip(">"),
+    )
+    scored = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in textops.unigram_logppl(docs.unionByName(extra))
+        .filter(F.col("doc_id").isin(900001, 900002))
+        .collect()
+    }
+    assert scored[900002] > scored[900001]
