@@ -1,0 +1,132 @@
+"""Distributed graph algorithms over relational edge tables.
+
+PageRank is the representative ITERATIVE dataflow — the shape a training
+corpus needs for link-graph quality weighting (the original web-quality
+signal) and that streaming engines can't express declaratively. Here each
+iteration is one join + one keyed aggregation, unrolled a fixed K times, so
+Catalyst sees the whole dataflow and AQE plans every round.
+
+Determinism: ranks are FIXED-POINT BIGINTs (micro-rank units, SCALE = 1e9)
+and every per-iteration operation is integer arithmetic (DIV) — float sums
+over a shuffle are order-dependent between engines, integer sums are not,
+which is what gives the operator an exact DuckDB oracle (same trick as
+mixture_resample / pack_sequences).
+
+Scale shape: the edge table is the big input; it is shuffled ONCE onto src
+and cached, and every iteration reuses that partitioning (rank tables are
+node-sized, orders of magnitude smaller than edges). Overflow headroom:
+85 * total_mass must stay < 2^63 — with SCALE=1e9 that allows ~10^11 nodes.
+
+Reference parity: the reference has no graph surface; this is part of the
+LLM-pipeline extension set (quality weighting over a doc-link graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: fixed-point rank scale: 1 rank unit = 1e-9 of a node's initial mass
+PR_SCALE = 1_000_000_000
+#: damping factor as an integer percentage (0.85)
+PR_DAMP_PCT = 85
+#: unrolled iteration count (fixed K so the oracle can unroll the same K)
+PR_ITERS = 3
+
+
+def _bipartite_edges(lineitem: DataFrame) -> DataFrame:
+    """Symmetric part<->supplier edge list from lineitem co-occurrence.
+
+    Node encoding: part p -> 2p, supplier s -> 2s+1 (disjoint BIGINT
+    namespaces, no string keys in the shuffle)."""
+    pairs = lineitem.select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    fwd = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    rev = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(lineitem: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """K-iteration PageRank over the part<->supplier bipartite graph.
+
+    rank0 = SCALE per node; each round
+        rank' = (15 * SCALE) DIV 100  +  (85 * sum_in(rank DIV outdeg)) DIV 100
+    (all-integer; the symmetric graph has no dangling nodes, so no
+    redistribution term). Returns one row per node with the decoded node
+    type/key, the final fixed-point rank, and the out-degree."""
+    edges = _bipartite_edges(lineitem).repartition("src").persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_SCALE).cast("bigint").alias("rank"),
+    )
+    base = (15 * PR_SCALE) // 100
+    for _ in range(int(iters)):
+        contrib = ranks.join(deg, ranks.node == deg.src).select(
+            F.col("node").alias("cnode"),
+            F.expr("rank DIV outdeg").alias("contrib"),
+        )
+        ranks = (
+            edges.join(contrib, edges.src == F.col("cnode"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr(f"{PR_DAMP_PCT} * sum(contrib) DIV 100")
+                )
+                .cast("bigint")
+                .alias("rank")
+            )
+        )
+    return ranks.join(deg, ranks.node == deg.src).select(
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("node_key"),
+        F.col("rank").alias("rank_fp"),
+        F.col("outdeg").cast("bigint").alias("outdeg"),
+    )
+
+
+def pagerank_oracle(iters: int = PR_ITERS) -> str:
+    base = (15 * PR_SCALE) // 100
+    prev = "r0"
+    rounds = []
+    for i in range(int(iters)):
+        cur = f"r{i + 1}"
+        rounds.append(
+            f"""{cur} AS (
+            SELECT e.dst AS node,
+                   CAST({base} + {PR_DAMP_PCT} * sum(r.rank // d.outdeg) // 100
+                        AS BIGINT) AS rank
+            FROM {prev} r
+            JOIN deg d ON d.src = r.node
+            JOIN edges e ON e.src = r.node
+            GROUP BY e.dst
+        )"""
+        )
+        prev = cur
+    rounds_sql = ",\n        ".join(rounds)
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+            FROM lineitem
+        ),
+        edges AS (
+            SELECT p AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, p AS dst FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (
+            SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg
+        ),
+        {rounds_sql}
+        SELECT CASE WHEN r.node % 2 = 0 THEN 'part' ELSE 'supplier' END
+                   AS node_type,
+               r.node // 2 AS node_key,
+               r.rank AS rank_fp,
+               CAST(d.outdeg AS BIGINT) AS outdeg
+        FROM {prev} r JOIN deg d ON d.src = r.node
+    """

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from responsive_pub_spark.functions.hashing import P, poly_hash_duck, poly_hash_sql
-from responsive_pub_spark.functions.portable import pround
+from responsive_pub_spark.functions.portable import dround, pround
 
 #: Count-Min geometry: D independent rows of W counters. W is sized so the
 #: fixture's (user, event_type) item space OVERFLOWS it — collisions (and
@@ -286,4 +286,138 @@ def hist_quantiles_oracle(
         FROM (SELECT *, cum - cnt AS below FROM cum) c
         JOIN tot t USING ({group_col})
         GROUP BY c.{group_col}, t.n
+    """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch
+# ---------------------------------------------------------------------------
+
+#: HLL geometry: m = 2^p registers. 256 registers = ~6.5% standard error and
+#: 256 bytes of state per group — THE cardinality-sketch shape for unbounded
+#: key spaces (linear counting's bitmap saturates; HLL never does).
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: affine hash coefficients (a family distinct from LC_A/LC_B so the two
+#: sketch gate rows don't share bucket structure)
+HLL_A = 94261
+HLL_B = 57787
+#: the quotient h // m carries floor(log2(P / m)) = 22 significant bits;
+#: a zero quotient gets the max rank (all 22 bits "zero") + 1
+HLL_RHO_MAX = 23
+#: bias-correction constant for m = 256 (Flajolet et al. 2007, alpha_m)
+HLL_ALPHA = f"(0.7213 / (1.0 + 1.079 / {float(HLL_M)!r}))"
+
+
+def _hll_reg_rho(item_hash: str, dialect: str) -> tuple[str, str]:
+    """(register, rho) SQL for one item hash.
+
+    rho is the trailing-zero rank of the quotient bits: P(rho >= j) = 2^-j,
+    the same geometric tail HLL's leading-zero rank has (this is the
+    Flajolet–Martin / PCSA bit statistic — estimator-compatible, and exactly
+    expressible in BOTH engines via `w & -w` + log2 of a power of two, where
+    a leading-zero count would need a CASE ladder)."""
+    h = f"((({item_hash}) * {HLL_A} + {HLL_B}) % {P})"
+    reg = f"({h} % {HLL_M})"
+    div = "DIV" if dialect == "spark" else "//"
+    w = f"({h} {div} {HLL_M})"
+    rho = (
+        f"(CASE WHEN {w} = 0 THEN {HLL_RHO_MAX} "
+        f"ELSE CAST(log2(CAST(({w} & -{w}) AS DOUBLE)) AS BIGINT) + 1 END)"
+    )
+    return reg, rho
+
+
+def _hll_est(sum_col: str, regs_col: str, zeros: str) -> str:
+    """Estimator SQL (engine-portable): raw HLL with the standard
+    small-range linear-counting correction. All the float inputs are exact
+    dyadic rationals (sums of 2^-rho with rho <= 23) except the ln() in the
+    small-range branch, so pround(4) makes the hash engine-stable."""
+    m = float(HLL_M)
+    raw = f"({HLL_ALPHA} * {m!r} * {m!r} / ({sum_col} + ({HLL_M} - {regs_col})))"
+    lc = f"({m!r} * ln({m!r} / CAST({zeros} AS DOUBLE)))"
+    return (
+        f"(CASE WHEN {raw} <= {2.5 * m!r} AND {zeros} > 0 "
+        f"THEN {lc} ELSE {raw} END)"
+    )
+
+
+def hll_distinct(
+    events: DataFrame,
+    group_col: str = "event_type",
+    item_expr: str = "CAST(user_id AS STRING) || '|' || props",
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group vs the exact count.
+
+    The item is the (user, props) composite so the per-group cardinality
+    (~thousands at sf0.01) sits in HLL's raw-estimator regime rather than
+    degenerating to the linear-counting branch; the cross-scale sweep
+    exercises both branches.
+
+    Scale shape: the corpus collapses to <= m rows per group BEFORE the
+    shuffle (partial max per register is the map-side combine); the
+    register table is m * groups rows total regardless of input size, and
+    register tables merge by pairwise max — the property that makes HLL
+    the right 100 TB cardinality sketch. est and exact are both part of
+    the hashed contract (HLL has no one-sided bound; the gate pins the
+    exact estimator arithmetic instead).
+
+    Reference parity: approximateNumEntries is the reference's one
+    approximate surface (ResponsiveKeyValueStore — SURVEY §2.6); this is
+    the unbounded-key-space generalization."""
+    h = poly_hash_sql(f"({item_expr})")
+    reg, rho = _hll_reg_rho(h, "spark")
+    per_reg = (
+        events.select(
+            group_col,
+            F.expr(item_expr).alias("_item"),
+            F.expr(reg).alias("reg"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy(group_col, "reg")
+        .agg(
+            F.max("rho").alias("m_j"),
+            F.countDistinct("_item").alias("reg_distinct"),
+        )
+    )
+    return (
+        per_reg.groupBy(group_col)
+        .agg(
+            F.sum("reg_distinct").cast("bigint").alias("exact_distinct"),
+            F.count("*").cast("bigint").alias("regs_hit"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("_s"),
+        )
+        .select(
+            group_col,
+            "exact_distinct",
+            "regs_hit",
+            pround(
+                F.expr(_hll_est("_s", "regs_hit", f"({HLL_M} - regs_hit)")), 4
+            ).alias("hll_est"),
+        )
+    )
+
+
+def hll_distinct_oracle(
+    group_col: str = "event_type",
+    item_expr: str = "CAST(user_id AS VARCHAR) || '|' || props",
+) -> str:
+    h = poly_hash_duck(f"({item_expr})")
+    reg, rho = _hll_reg_rho(h, "duck")
+    est = _hll_est("s", "regs_hit", f"({HLL_M} - regs_hit)")
+    return f"""
+        WITH per_reg AS (
+            SELECT {group_col}, {reg} AS reg, max({rho}) AS m_j,
+                   count(DISTINCT {item_expr}) AS reg_distinct
+            FROM events GROUP BY 1, 2
+        ), per_grp AS (
+            SELECT {group_col},
+                   CAST(sum(reg_distinct) AS BIGINT) AS exact_distinct,
+                   CAST(count(*) AS BIGINT) AS regs_hit,
+                   sum(pow(2.0, -m_j)) AS s
+            FROM per_reg GROUP BY 1
+        )
+        SELECT {group_col}, exact_distinct, regs_hit,
+               {dround(est, 4)} AS hll_est
+        FROM per_grp
     """

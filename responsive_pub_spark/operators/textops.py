@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.functions import text as T
-from responsive_pub_spark.functions.portable import pround
+from responsive_pub_spark.functions.hashing import poly_hash_duck, poly_hash_sql
+from responsive_pub_spark.functions.portable import dround, pround
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -428,4 +429,197 @@ def unigram_logppl_oracle() -> str:
                    (acc, v) -> acc + v) / n_tokens) * 1000000 + 0.5)
                    / 1000000) AS avg_neg_logp
         FROM folded
+    """
+
+
+# ---------------------------------------------------------------------------
+# collocation extraction (PMI)
+# ---------------------------------------------------------------------------
+
+#: collocation contract knobs: minimum bigram support and global top-k
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+#: fixed-point scale for the integer PMI ratio (see score_fp below)
+PMI_SCALE = 1_000_000
+
+
+def collocations_pmi(
+    docs: DataFrame, min_count: int = PMI_MIN_COUNT, top: int = PMI_TOP
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information.
+
+    The ranking statistic is the ALL-INTEGER fixed-point ratio
+        score_fp = (c12 * N * SCALE) DIV (c1 * c2)
+    (c12 = bigram count, c1/c2 = marginal first/second-position counts,
+    N = total bigrams) — exp(PMI) scaled, monotone in PMI, so the top-k
+    cutoff is bit-deterministic across engines (a float-ULP disagreement
+    at the k-th rank can't happen); the interpretable float PMI column is
+    derived FROM that integer afterwards. Ties break (score, w1, w2).
+
+    Plan shape: bigrams come from an array-transform inside the scan
+    (transform over sequence — no posexplode+window, zero extra shuffle),
+    then one groupBy(w1, w2) [the only corpus-sized shuffle]; marginals
+    and N are aggregations OVER THE BIGRAM-COUNT TABLE (vocab^2-sized,
+    tiny) joined broadcast. The final top-k runs on the vocab^2 table —
+    bounded by vocabulary, not corpus, at any data size. Overflow: needs
+    c12 * N * SCALE < 2^63, i.e. corpora under ~3e6 bigrams per... at
+    larger N drop SCALE or pre-aggregate per shard (documented knob)."""
+    arr = "filter(split(text, '\\\\s+'), x -> x != '')"
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({arr}) - 1), "
+                f"i -> struct(element_at({arr}, i) AS w1, "
+                f"element_at({arr}, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("n_bigrams"))
+    scored = (
+        c12.filter(F.col("c12") >= int(min_count))
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_fp",
+            F.expr(f"c12 * n_bigrams * {PMI_SCALE} DIV (c1 * c2)"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_fp"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(top))
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("score_fp").cast("bigint").alias("score_fp"),
+            pround(
+                F.log(F.col("score_fp").cast("double") / F.lit(float(PMI_SCALE))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def collocations_pmi_oracle(
+    min_count: int = PMI_MIN_COUNT, top: int = PMI_TOP
+) -> str:
+    arr = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+        WITH bg AS (
+            SELECT unnest(list_transform(range(1, len({arr})),
+                          i -> {{'w1': {arr}[i], 'w2': {arr}[i + 1]}}),
+                   recursive := true)
+            FROM documents
+        ), c12 AS (
+            SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        ), c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        c2 AS (SELECT w2, sum(c12) AS c2 FROM c12 GROUP BY w2),
+        n AS (SELECT sum(c12) AS n_bigrams FROM c12),
+        scored AS (
+            SELECT c12.w1, c12.w2, c12.c12,
+                   (c12.c12 * (SELECT n_bigrams FROM n) * {PMI_SCALE})
+                       // (c1.c1 * c2.c2) AS score_fp
+            FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2)
+            WHERE c12.c12 >= {int(min_count)}
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       ORDER BY score_fp DESC, w1 ASC, w2 ASC) AS rk
+            FROM scored
+        )
+        SELECT CAST(rk AS BIGINT) AS rk, w1, w2,
+               CAST(c12 AS BIGINT) AS c12,
+               CAST(score_fp AS BIGINT) AS score_fp,
+               {dround(f"ln(CAST(score_fp AS DOUBLE) / {float(PMI_SCALE)!r})", 6)} AS pmi
+        FROM ranked WHERE rk <= {int(top)}
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (memorization / near-boilerplate scoring)
+# ---------------------------------------------------------------------------
+
+#: novelty n-gram width (word n-grams)
+NOVELTY_N = 3
+#: fixed-point scale for the novelty ratio
+NOVELTY_SCALE = 1_000_000
+
+
+def _ngram_arr(n: int, dialect: str) -> str:
+    """SQL building the doc's word n-gram strings (space-joined)."""
+    if dialect == "spark":
+        arr = "filter(split(text, '\\\\s+'), x -> x != '')"
+        gram = " || ' ' || ".join(f"element_at({arr}, i + {j})" for j in range(n))
+        return f"transform(sequence(1, size({arr}) - {n - 1}), i -> {gram})"
+    arr = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    gram = " || ' ' || ".join(f"{arr}[i + {j}]" for j in range(n))
+    return f"list_transform(range(1, len({arr}) - {n - 2}), i -> {gram})"
+
+
+def novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """Per-document n-gram novelty: the share of the doc's DISTINCT word
+    n-grams that occur in NO other document. High novelty = original text;
+    low novelty = boilerplate / near-duplicate / memorized content — the
+    standard corpus-hygiene signal next to dedup (dedup drops whole docs,
+    novelty SCORES partial overlap).
+
+    n-grams travel as poly-hash BIGINTs, never strings, through the
+    corpus-wide shuffle (hash collisions merge grams — the contract is
+    hashed-gram novelty, same honesty note as text_fingerprint). The ratio
+    is integer fixed-point, so the row hash is engine-stable.
+
+    Plan: distinct (doc, gram_h) pairs [shuffle 1], gram document
+    frequency over those pairs [shuffle 2, partial-agg], df joined back on
+    gram_h [same exchange reused], per-doc fold [shuffle 3] — every stage
+    keyed and combiner-friendly; nothing corpus-sized ever sits on one
+    node."""
+    gram_h = poly_hash_sql("g")
+    pairs = (
+        docs.select(
+            "doc_id", F.explode(F.expr(_ngram_arr(int(n), "spark"))).alias("g")
+        )
+        .select("doc_id", F.expr(gram_h).alias("gram_h"))
+        .distinct()
+    )
+    df_ = pairs.groupBy("gram_h").agg(F.count("*").alias("df"))
+    return (
+        pairs.join(df_, "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_fp",
+            F.expr(f"n_unique * {NOVELTY_SCALE} DIV n_grams"),
+        )
+    )
+
+
+def novelty_oracle(n: int = NOVELTY_N) -> str:
+    gram_h = poly_hash_duck("g")
+    return f"""
+        WITH grams AS (
+            SELECT doc_id, unnest({_ngram_arr(int(n), "duck")}) AS g
+            FROM documents
+        ), pairs AS (
+            SELECT DISTINCT doc_id, {gram_h} AS gram_h FROM grams
+        ), dfreq AS (
+            SELECT gram_h, count(*) AS df FROM pairs GROUP BY gram_h
+        )
+        SELECT p.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               (sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                * {NOVELTY_SCALE}) // count(*) AS novelty_fp
+        FROM pairs p JOIN dfreq d USING (gram_h)
+        GROUP BY p.doc_id
     """

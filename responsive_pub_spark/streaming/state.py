@@ -170,6 +170,104 @@ class KeyValueStore:
         return st
 
 
+class VersionedKeyValueStore:
+    """Timestamp-versioned KV store — the KS 3.5 ``VersionedKeyValueStore``
+    surface (put(k,v,ts) / get(k) / get(k, asOfTimestamp) / delete(k,ts)
+    with history retention). Each key holds its version history as a
+    ts-sorted list; a same-timestamp put REPLACES that version (KS
+    last-writer-wins per timestamp); ``None`` values are tombstones.
+
+    Timestamps are caller-chosen ordered numbers — the gate row uses
+    integer microseconds so as-of comparisons are bit-exact across engines.
+
+    History retention: versions whose validTo falls behind
+    (observed stream time - retention) are dropped on write; an as-of read
+    older than the retention horizon returns None even if a version
+    survives (the KS contract: expired history is undefined, we pin it to
+    "gone")."""
+
+    def __init__(self, history_retention: float | None = None):
+        self._versions: dict = {}  # key -> list[(ts, value)] ts-ascending
+        self.history_retention = history_retention
+        self.stream_time: float = float("-inf")
+
+    def put(self, key, value, ts) -> None:
+        versions = self._versions.setdefault(key, [])
+        i = bisect.bisect_left([t for t, _ in versions], ts)
+        if i < len(versions) and versions[i][0] == ts:
+            versions[i] = (ts, value)
+        else:
+            versions.insert(i, (ts, value))
+        if ts > self.stream_time:
+            self.stream_time = ts
+        self._expire(key)
+
+    def delete(self, key, ts):
+        """Tombstone at ``ts``; returns the value active just before it."""
+        prev = self.get_asof(key, ts)
+        self.put(key, None, ts)
+        return None if prev is None else prev[0]
+
+    def get(self, key):
+        """Latest record version's value (None if absent or tombstone)."""
+        versions = self._versions.get(key)
+        return versions[-1][1] if versions else None
+
+    def get_asof(self, key, as_of_ts):
+        """Record active at ``as_of_ts`` as (value, valid_from, valid_to)
+        — valid_to None for the open current version. None when: no
+        version at-or-before the timestamp, the active version is a
+        tombstone, or the timestamp is past the retention horizon."""
+        if (
+            self.history_retention is not None
+            and as_of_ts < self.stream_time - self.history_retention
+        ):
+            return None
+        versions = self._versions.get(key)
+        if not versions:
+            return None
+        i = bisect.bisect_right([t for t, _ in versions], as_of_ts) - 1
+        if i < 0:
+            return None
+        ts, value = versions[i]
+        if value is None:
+            return None
+        valid_to = versions[i + 1][0] if i + 1 < len(versions) else None
+        return (value, ts, valid_to)
+
+    def _expire(self, key) -> None:
+        if self.history_retention is None:
+            return
+        horizon = self.stream_time - self.history_retention
+        versions = self._versions[key]
+        # a version is droppable once SHADOWED before the horizon: its
+        # validTo (the next version's ts) is at-or-behind the horizon.
+        # The latest version always survives.
+        keep = 0
+        while keep + 1 < len(versions) and versions[keep + 1][0] <= horizon:
+            keep += 1
+        if keep:
+            del versions[:keep]
+
+    def approximate_num_entries(self) -> int:
+        return len(self._versions)
+
+    def dump(self) -> bytes:
+        return pickle.dumps(
+            (self._versions, self.stream_time, self.history_retention),
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    @classmethod
+    def load(
+        cls, blob: bytes | None, history_retention: float | None = None
+    ) -> "VersionedKeyValueStore":
+        st = cls(history_retention)
+        if blob:
+            st._versions, st.stream_time, st.history_retention = pickle.loads(blob)
+        return st
+
+
 class WindowStore:
     """Windowed-store view over a :class:`KeyValueStore` — the
     RemoteWindowOperations surface (SURVEY.md §2.6:

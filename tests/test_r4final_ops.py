@@ -1,0 +1,189 @@
+"""Unit + plan tests for the r4-final operator wave: VersionedKeyValueStore
+semantics, HLL register mergeability, PageRank mass conservation, and the
+scale-critical plan shapes of the new gate rows (the registry oracle test
+covers value parity; these pin the CONTRACTS the oracle can't see)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from responsive_pub_spark import registry
+from responsive_pub_spark.operators import graph, olap, sketches, textops
+from responsive_pub_spark.plans import audit
+from responsive_pub_spark.sources.readers import read_table
+from responsive_pub_spark.streaming.state import VersionedKeyValueStore
+
+
+# ---------------------------------------------------------------------------
+# VersionedKeyValueStore (KS 3.5 surface)
+# ---------------------------------------------------------------------------
+
+def test_versioned_store_basic_asof():
+    st = VersionedKeyValueStore()
+    st.put("k", "v1", 10)
+    st.put("k", "v2", 20)
+    st.put("k", "v3", 30)
+    assert st.get("k") == "v3"
+    assert st.get_asof("k", 5) is None                 # before first version
+    assert st.get_asof("k", 10) == ("v1", 10, 20)
+    assert st.get_asof("k", 19) == ("v1", 10, 20)
+    assert st.get_asof("k", 20) == ("v2", 20, 30)
+    assert st.get_asof("k", 99) == ("v3", 30, None)    # open current version
+
+
+def test_versioned_store_same_ts_put_replaces():
+    """KS last-writer-wins per timestamp: a same-ts put REPLACES, it does
+    not stack a second version."""
+    st = VersionedKeyValueStore()
+    st.put("k", "a", 10)
+    st.put("k", "b", 10)
+    assert st.get_asof("k", 10) == ("b", 10, None)
+    assert len(st._versions["k"]) == 1
+
+
+def test_versioned_store_out_of_order_put():
+    """A late (out-of-order) put lands in timestamp position, splitting the
+    enclosing validity interval — the defining versioned-store behavior a
+    plain latest-value store can't express."""
+    st = VersionedKeyValueStore()
+    st.put("k", "v1", 10)
+    st.put("k", "v3", 30)
+    st.put("k", "v2", 20)  # late arrival
+    assert st.get_asof("k", 25) == ("v2", 20, 30)
+    assert st.get_asof("k", 15) == ("v1", 10, 20)
+
+
+def test_versioned_store_tombstones():
+    st = VersionedKeyValueStore()
+    st.put("k", "v1", 10)
+    old = st.delete("k", 20)
+    assert old == "v1"
+    assert st.get("k") is None            # tombstone is the latest version
+    assert st.get_asof("k", 25) is None   # active version is the tombstone
+    assert st.get_asof("k", 15) == ("v1", 10, 20)
+    st.put("k", "v2", 30)
+    assert st.get("k") == "v2"
+
+
+def test_versioned_store_history_retention():
+    """Versions fully shadowed before (stream_time - retention) are dropped;
+    an as-of read behind the horizon answers None even if a version
+    physically survives."""
+    st = VersionedKeyValueStore(history_retention=100)
+    st.put("k", "v1", 0)
+    st.put("k", "v2", 50)
+    st.put("k", "v3", 500)  # stream time 500, horizon 400: v1 shadowed@50
+    assert [t for t, _ in st._versions["k"]] == [50, 500]
+    assert st.get_asof("k", 399) is None  # behind the horizon
+    assert st.get_asof("k", 450) == ("v2", 50, 500)
+    assert st.get_asof("k", 500) == ("v3", 500, None)
+
+
+def test_versioned_store_dump_load_roundtrip():
+    st = VersionedKeyValueStore(history_retention=100)
+    st.put("a", 1, 10)
+    st.put("a", 2, 20)
+    st.put("b", 9, 15)
+    st2 = VersionedKeyValueStore.load(st.dump())
+    assert st2.get_asof("a", 15) == (1, 10, 20)
+    assert st2.get("b") == 9
+    assert st2.history_retention == 100
+    assert st2.approximate_num_entries() == 2
+
+
+# ---------------------------------------------------------------------------
+# HLL: the merge property the 100 TB posture rests on
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """Sketching half the corpus twice and max-merging the register tables
+    must equal sketching the whole corpus once — the property that lets
+    100 TB of partials collapse tree-wise."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "props"
+    )
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+
+    def regs(df):
+        from responsive_pub_spark.functions.hashing import poly_hash_sql
+
+        item = "CAST(user_id AS STRING) || '|' || props"
+        h = poly_hash_sql(f"({item})")
+        reg, rho = sketches._hll_reg_rho(h, "spark")
+        return (
+            df.select(
+                "event_type", F.expr(reg).alias("reg"), F.expr(rho).alias("rho")
+            )
+            .groupBy("event_type", "reg")
+            .agg(F.max("rho").alias("m_j"))
+        )
+
+    merged = (
+        regs(a)
+        .unionByName(regs(b))
+        .groupBy("event_type", "reg")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    whole = regs(ev)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_within_tolerance(spark, sf_dir):
+    """256 registers -> ~6.5% standard error; assert a loose 4-sigma band
+    so the test pins estimator sanity, not luck."""
+    rows = sketches.hll_distinct(
+        read_table(spark, sf_dir, "events")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_est == pytest.approx(r.exact_distinct, rel=0.26)
+
+
+# ---------------------------------------------------------------------------
+# PageRank: mass conservation + plan shape
+# ---------------------------------------------------------------------------
+
+def test_pagerank_mass_and_bounds(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    pdf = graph.pagerank(li).toPandas()
+    n = len(pdf)
+    total = pdf.rank_fp.sum()
+    # integer truncation only ever LOSES mass, and at most ~2 units per
+    # node per round (the DIV by outdeg and by 100)
+    assert total <= n * graph.PR_SCALE
+    assert total >= n * graph.PR_SCALE - n * 10 * graph.PR_ITERS
+    assert (pdf.rank_fp >= (15 * graph.PR_SCALE) // 100).all()
+    assert set(pdf.node_type) == {"part", "supplier"}
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    """Scale contracts: cube is ONE Expand + <=1 shuffle; collocations'
+    marginals join broadcast (vocab^2 table); novelty and pagerank have no
+    cartesian anywhere; HLL collapses map-side (partial agg before its
+    exchanges)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cube = olap.cube_pricing(orders)
+    p = audit.executed_plan(cube)
+    assert "Expand" in p
+    assert audit.count_exchanges(cube) <= 1, p
+
+    docs = read_table(spark, sf_dir, "documents")
+    coll = textops.collocations_pmi(docs)
+    assert audit.broadcast_join_count(coll) >= 3  # c1, c2, n all broadcast
+    p = audit.executed_plan(coll)
+    assert "CartesianProduct" not in p
+
+    nov = textops.novelty(docs)
+    p = audit.executed_plan(nov)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pr = graph.pagerank(li)
+    p = audit.executed_plan(pr)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
