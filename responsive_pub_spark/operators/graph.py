@@ -13,9 +13,13 @@ which is what gives the operator an exact DuckDB oracle (same trick as
 mixture_resample / pack_sequences).
 
 Scale shape: the edge table is the big input; it is shuffled ONCE onto src
-and cached, and every iteration reuses that partitioning (rank tables are
-node-sized, orders of magnitude smaller than edges). Overflow headroom:
-85 * total_mass must stay < 2^63 — with SCALE=1e9 that allows ~10^11 nodes.
+and every iteration references the SAME exchange subtree, which Catalyst
+dedups via ReuseExchange — no persist() needed (a persist here would pin
+block-manager memory across calls, the exact leak ADVICE r3 flagged in
+cluster_pairs; measured: the ReuseExchange plan is not slower). Rank
+tables are node-sized, orders of magnitude smaller than edges. Overflow
+headroom: 85 * total_mass must stay < 2^63 — with SCALE=1e9 that allows
+~10^11 nodes.
 
 Reference parity: the reference has no graph surface; this is part of the
 LLM-pipeline extension set (quality weighting over a doc-link graph).
@@ -55,7 +59,7 @@ def pagerank(lineitem: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     (all-integer; the symmetric graph has no dangling nodes, so no
     redistribution term). Returns one row per node with the decoded node
     type/key, the final fixed-point rank, and the out-degree."""
-    edges = _bipartite_edges(lineitem).repartition("src").persist()
+    edges = _bipartite_edges(lineitem).repartition("src")
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = deg.select(
         F.col("src").alias("node"),

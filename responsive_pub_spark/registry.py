@@ -34,6 +34,7 @@ from responsive_pub_spark.operators import (
     dedup,
     fk_join,
     graph,
+    linkage,
     olap,
     pipeline_ops,
     quantize,
@@ -1865,6 +1866,69 @@ def q_multimodal_audio(spark, sf_dir):
     return multimodal.chunk_audio(media)
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority) analog over the fixture schema: the
+    canonical 3-way fact join + filtered aggregate that exercises Catalyst
+    join planning end-to-end — customer (filtered dim) joins BROADCAST,
+    orders⋈lineitem shuffles once on the order key, revenue partially
+    aggregates map-side, and the top-10 compiles to TakeOrderedAndProject
+    (no global sort materialization).
+
+    Revenue is exact integer arithmetic: cents x (10000 - discount_bp) —
+    a float sum over a shuffle would be order-dependent and break the
+    oracle hash. Ranking ties break by l_orderkey (total order)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    rev = (
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))"
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), cust.c_custkey == orders.o_custkey
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(rev)).cast("bigint").alias("revenue_cbp"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue_cbp",
+        )
+        .orderBy(F.desc("revenue_cbp"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                    (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+                AS BIGINT) AS revenue_cbp
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_cbp DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2146,11 +2210,22 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_decode_features": QuerySpec(
         q_multimodal_decode, multimodal.decode_features_long_oracle(), bench=True
     ),
-    "multimodal_audio_chunks": QuerySpec(
-        q_multimodal_audio, multimodal.chunk_audio_oracle()
+    # (multimodal_audio_chunks / multimodal_frame_sample, green r3, rotate
+    # past 50 — the multimodal family stays in-window via decode_features)
+    "tpch_q3_shipping": QuerySpec(
+        q_tpch_q3,
+        ORACLE_TPCH_Q3,
+        bench=True,
+        doc="TPC-H Q3 analog: 3-way fact join, broadcast filtered dim, "
+        "integer-cent revenue, TakeOrderedAndProject top-10",
     ),
-    "multimodal_frame_sample": QuerySpec(
-        q_multimodal_frames, multimodal.sample_frames_oracle()
+    "fuzzy_match_names": QuerySpec(
+        lambda spark, sf_dir: linkage.fuzzy_match_names(
+            _t(spark, sf_dir, "part")
+        ),
+        linkage.fuzzy_match_names_oracle(),
+        doc="record linkage: blocked levenshtein match over DISTINCT names "
+        "(collapse-first, cartesian-free)",
     ),
     # --- r2-green substantial operators ---
     # --- never driver-gated until r4 (r3 VERDICT task 2): the four KS DSL
@@ -2394,6 +2469,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "papi_window_concat": QuerySpec(q_papi_window_concat, ORACLE_PAPI_WINDOW_CONCAT),
 
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
+    "multimodal_audio_chunks": QuerySpec(
+        q_multimodal_audio, multimodal.chunk_audio_oracle()
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        q_multimodal_frames, multimodal.sample_frames_oracle()
+    ),
     "bpe_vocab": QuerySpec(
         lambda spark, sf_dir: bpe.bpe_vocab(_t(spark, sf_dir, "documents")),
         bpe.bpe_vocab_oracle(),

@@ -187,3 +187,42 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     p = audit.executed_plan(pr)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 analog + fuzzy linkage plan shapes
+# ---------------------------------------------------------------------------
+
+def test_tpch_q3_plan_shape(spark, sf_dir):
+    """The filtered customer dim must join broadcast (the big side never
+    shuffles for it), the top-10 must compile to TakeOrderedAndProject
+    (no global sort), and the date filters must push into the scans."""
+    df = registry.q_tpch_q3(spark, sf_dir)
+    p = audit.executed_plan(df)
+    assert audit.broadcast_join_count(df) >= 1, p
+    assert "TakeOrderedAndProject" in p, p
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed, pushed
+
+
+def test_fuzzy_match_collapse_first(spark, sf_dir):
+    """The quadratic comparison runs over DISTINCT names: with 64 distinct
+    names in 2000 rows the candidate join is vocabulary-sized, and row
+    multiplicities let callers expand without re-pairing."""
+    from responsive_pub_spark.operators import linkage
+
+    part = read_table(spark, sf_dir, "part")
+    out = linkage.fuzzy_match_names(part).toPandas()
+    n_names = part.select("p_name").distinct().count()
+    assert len(out) <= n_names * (n_names - 1) // 2
+    assert (out.dist <= linkage.FUZZY_MAX_DIST).all()
+    assert (out.name_a < out.name_b).all()
+    # multiplicities cover the fact table: every matched name's n equals
+    # its true row count
+    counts = dict(
+        part.groupBy("p_name").count().collect()
+    )
+    for _, r in out.head(20).iterrows():
+        assert counts[r.name_a] == r.n_a and counts[r.name_b] == r.n_b
+    p = audit.executed_plan(linkage.fuzzy_match_names(part))
+    assert "CartesianProduct" not in p
