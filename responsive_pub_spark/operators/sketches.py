@@ -305,8 +305,12 @@ HLL_B = 57787
 #: the quotient h // m carries floor(log2(P / m)) = 22 significant bits;
 #: a zero quotient gets the max rank (all 22 bits "zero") + 1
 HLL_RHO_MAX = 23
-#: bias-correction constant for m = 256 (Flajolet et al. 2007, alpha_m)
-HLL_ALPHA = f"(0.7213 / (1.0 + 1.079 / {float(HLL_M)!r}))"
+#: bias-correction constant for m = 256 (Flajolet et al. 2007, alpha_m) —
+#: computed in PYTHON and shipped as one double constant: a `0.7213 / ...`
+#: SQL literal expression is DECIMAL arithmetic in Spark (unmarked decimal
+#: literals are DecimalType) and diverges from DuckDB's double result in
+#: the 9th digit, which the sf0.1 sweep surfaced as a pround(4) flip
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / float(HLL_M))
 
 
 def _hll_reg_rho(item_hash: str, dialect: str) -> tuple[str, str]:
@@ -314,30 +318,48 @@ def _hll_reg_rho(item_hash: str, dialect: str) -> tuple[str, str]:
 
     rho is the trailing-zero rank of the quotient bits: P(rho >= j) = 2^-j,
     the same geometric tail HLL's leading-zero rank has (this is the
-    Flajolet–Martin / PCSA bit statistic — estimator-compatible, and exactly
-    expressible in BOTH engines via `w & -w` + log2 of a power of two, where
-    a leading-zero count would need a CASE ladder)."""
+    Flajolet–Martin / PCSA bit statistic — estimator-compatible, and
+    expressible in BOTH engines as PURE INTEGER arithmetic:
+    ctz(w) = bit_count((w & -w) - 1). log2() is off-limits here — one
+    engine's log2(2^k) can come back 20.999... and CAST-truncate a rank,
+    which the sf0.1 sweep caught; a leading-zero count would need a CASE
+    ladder)."""
     h = f"((({item_hash}) * {HLL_A} + {HLL_B}) % {P})"
     reg = f"({h} % {HLL_M})"
     div = "DIV" if dialect == "spark" else "//"
     w = f"({h} {div} {HLL_M})"
     rho = (
         f"(CASE WHEN {w} = 0 THEN {HLL_RHO_MAX} "
-        f"ELSE CAST(log2(CAST(({w} & -{w}) AS DOUBLE)) AS BIGINT) + 1 END)"
+        f"ELSE bit_count(({w} & -{w}) - 1) + 1 END)"
     )
     return reg, rho
 
 
 def _hll_est(sum_col: str, regs_col: str, zeros: str) -> str:
     """Estimator SQL (engine-portable): raw HLL with the standard
-    small-range linear-counting correction. All the float inputs are exact
-    dyadic rationals (sums of 2^-rho with rho <= 23) except the ln() in the
-    small-range branch, so pround(4) makes the hash engine-stable."""
+    small-range linear-counting correction.
+
+    ``sum_col`` is the harmonic denominator as an EXACT INTEGER scaled by
+    2^RHO_MAX (sum of 1 << (RHO_MAX - rho) — engines' pow(2.0, -rho) is
+    NOT correctly rounded everywhere; the cross-scale sweep caught a
+    1-ULP pow() divergence at sf0.1, so no float enters before the single
+    final division). Absent registers contribute 2^RHO_MAX each."""
     m = float(HLL_M)
-    raw = f"({HLL_ALPHA} * {m!r} * {m!r} / ({sum_col} + ({HLL_M} - {regs_col})))"
-    lc = f"({m!r} * ln({m!r} / CAST({zeros} AS DOUBLE)))"
+    # alpha * m^2 * 2^RHO_MAX folded to ONE Python double, shipped as a
+    # string-cast literal — both engines then perform a single identical
+    # IEEE division (bare float literals are NOT doubles in Spark SQL)
+    num = HLL_ALPHA * float(HLL_M * HLL_M * (1 << HLL_RHO_MAX))
+    denom = (
+        f"CAST({sum_col} + CAST({HLL_M} - {regs_col} AS BIGINT) "
+        f"* {1 << HLL_RHO_MAX} AS DOUBLE)"
+    )
+    raw = f"(CAST('{num!r}' AS DOUBLE) / {denom})"
+    lc = (
+        f"(CAST('{m!r}' AS DOUBLE) * "
+        f"ln(CAST('{m!r}' AS DOUBLE) / CAST({zeros} AS DOUBLE)))"
+    )
     return (
-        f"(CASE WHEN {raw} <= {2.5 * m!r} AND {zeros} > 0 "
+        f"(CASE WHEN {raw} <= CAST('{2.5 * m!r}' AS DOUBLE) AND {zeros} > 0 "
         f"THEN {lc} ELSE {raw} END)"
     )
 
@@ -385,7 +407,9 @@ def hll_distinct(
         .agg(
             F.sum("reg_distinct").cast("bigint").alias("exact_distinct"),
             F.count("*").cast("bigint").alias("regs_hit"),
-            F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("_s"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)")
+            ).alias("_s"),
         )
         .select(
             group_col,
@@ -414,7 +438,7 @@ def hll_distinct_oracle(
             SELECT {group_col},
                    CAST(sum(reg_distinct) AS BIGINT) AS exact_distinct,
                    CAST(count(*) AS BIGINT) AS regs_hit,
-                   sum(pow(2.0, -m_j)) AS s
+                   sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j)) AS s
             FROM per_reg GROUP BY 1
         )
         SELECT {group_col}, exact_distinct, regs_hit,
