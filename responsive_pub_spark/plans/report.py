@@ -114,6 +114,15 @@ SCALE_NOTES = {
         "memory = payload_bytes x arrow batch rows — tune "
         "spark.sql.execution.arrow.maxRecordsPerBatch for large blobs."
     ),
+    "tpch_q3_shipping": (
+        "the canonical 3-way fact join: filtered customer dim joins "
+        "BROADCAST (the orders/lineitem sides never shuffle for it), "
+        "orders joins lineitem on the order key, revenue partially "
+        "aggregates map-side, and the top-10 compiles to "
+        "TakeOrderedAndProject — per-partition heaps, no global sort. "
+        "Date filters push into both parquet scans. At 100 TB the only "
+        "full-fact shuffle is the l_orderkey agg; AQE right-sizes it."
+    ),
 }
 
 
@@ -324,6 +333,54 @@ EXTENDED_NOTES = {
         "aggregate the SAME exchange's output; idf is a BROADCAST "
         "vocab-sized join; per-doc rank<=k is WindowGroupLimit "
         "(shuffle 2 moves scored pairs once)."
+    ),
+    "sketch_hll": (
+        "HLL: each record maps to (register, rho) in codegen; the corpus "
+        "collapses to <= 256 rows per group via partial MAX before the "
+        "shuffle, and register tables merge by pairwise max (tree "
+        "reduction at any scale). Estimator arithmetic is one IEEE "
+        "division over an exact integer denominator — no pow/log2 in the "
+        "rank path (both diverge across engines)."
+    ),
+    "graph_pagerank": (
+        "iterative dataflow: edges shuffle ONCE onto src; all 3 unrolled "
+        "rounds reference the same exchange subtree and Catalyst dedups "
+        "it via ReuseExchange (no persist — no block-manager residue). "
+        "Per round: node-sized contrib join + one keyed integer sum. At "
+        "100 TB rank tables stay node-sized; edge exchange is the only "
+        "fact-scale cost, paid once."
+    ),
+    "versioned_kv_asof": (
+        "PAPI per-key replay lane (labeled Python stage): one hash "
+        "repartition on user_id, versions and probes stay inside each "
+        "group. The store itself is the surface under test — history "
+        "retention bounds per-key state like the KS versioned store's "
+        "segment expiry."
+    ),
+    "text_collocations": (
+        "bigrams via array transform INSIDE the scan (no posexplode+"
+        "window); groupBy(w1,w2) is the only corpus-sized shuffle; "
+        "marginals + N aggregate the vocab^2 count table and join back "
+        "BROADCAST; global top-k runs on vocab^2 rows — bounded by "
+        "vocabulary, not corpus."
+    ),
+    "olap_cube_pricing": (
+        "CUBE compiles to ONE Expand + hash aggregate: each row "
+        "replicated per grouping set MAP-SIDE and partially aggregated "
+        "before the single shuffle — network cost is output-groups-"
+        "bounded, vs d+1 fact scans for naive per-set groupBys."
+    ),
+    "text_novelty": (
+        "distinct (doc, gram_hash) pairs -> gram df -> join back on the "
+        "hash -> per-doc fold; grams travel as BIGINT hashes, never "
+        "strings. Every stage keyed + combiner-friendly; nothing "
+        "corpus-sized on one node."
+    ),
+    "fuzzy_match_names": (
+        "collapse-first record linkage: levenshtein runs over DISTINCT "
+        "names (vocabulary-scale) within last-token blocks — an "
+        "equi-join, never a cartesian; names carry row multiplicities "
+        "so expansion needs no fact re-scan."
     ),
 }
 
