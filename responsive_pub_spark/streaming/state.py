@@ -258,6 +258,9 @@ class VersionedKeyValueStore:
             protocol=pickle.HIGHEST_PROTOCOL,
         )
 
+    #: multi-store checkpoint-blob interface (ProcessorContext extras)
+    to_blob = dump
+
     @classmethod
     def load(
         cls, blob: bytes | None, history_retention: float | None = None
@@ -433,6 +436,30 @@ class ProcessorContext:
             st.stream_time = max(st.stream_time, self.store.stream_time)
             self._extra_stores[name] = st
         return self._extra_stores[name]
+
+    def get_versioned_store(
+        self, name: str, history_retention: float | None = None
+    ) -> "VersionedKeyValueStore":
+        """Named VERSIONED store (the KS 3.5 ``VersionedKeyValueStore``
+        next to the plain KV surface). In streaming it participates in the
+        same multi-store checkpoint blob as other named stores, so version
+        histories survive micro-batch boundaries and restarts; in batch the
+        group's full history replays each run, so a fresh store is
+        equivalent."""
+        if name == "default":
+            raise ValueError("'default' is the primary KV store")
+        if name not in self._extra_stores:
+            if name in self._extra_blobs:
+                st = VersionedKeyValueStore.load(
+                    self._extra_blobs.pop(name), history_retention
+                )
+            else:
+                st = VersionedKeyValueStore(history_retention)
+            self._extra_stores[name] = st
+        st = self._extra_stores[name]
+        if not isinstance(st, VersionedKeyValueStore):
+            raise TypeError(f"store {name!r} exists and is not versioned")
+        return st
 
     def _all_stores(self):
         yield self.store

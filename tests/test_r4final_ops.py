@@ -226,3 +226,73 @@ def test_fuzzy_match_collapse_first(spark, sf_dir):
         assert counts[r.name_a] == r.n_a and counts[r.name_b] == r.n_b
     p = audit.executed_plan(linkage.fuzzy_match_names(part))
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# Versioned store in the STREAMING lane (cross-micro-batch history)
+# ---------------------------------------------------------------------------
+
+SCHEMA_VIN = "user_id LONG, event_id LONG, v DOUBLE, ts DOUBLE"
+SCHEMA_VOUT = "user_id BIGINT, event_id BIGINT, asof_prev DOUBLE"
+
+VROWS = [
+    {"user_id": 1, "event_id": 1, "v": 10.0, "ts": 1.0},
+    {"user_id": 1, "event_id": 2, "v": 20.0, "ts": 2.0},
+    {"user_id": 1, "event_id": 3, "v": 30.0, "ts": 3.0},
+    {"user_id": 2, "event_id": 4, "v": 99.0, "ts": 2.5},
+]
+# asof(ts - 0.5) sees the version active half a step ago — for rows 2/3
+# that is a version written in a PREVIOUS micro-batch
+VEXPECTED = [(1, 1, None), (1, 2, 10.0), (1, 3, 20.0), (2, 4, None)]
+
+
+def _make_versioned_proc():
+    from responsive_pub_spark.streaming import state
+
+    class VersionedProc(state.Processor):
+        def process(self, ctx, rec):
+            hist = ctx.get_versioned_store("hist")
+            probe = hist.get_asof("v", float(rec["ts"]) - 0.5)
+            hist.put("v", float(rec["v"]), float(rec["ts"]))
+            ctx.forward(
+                user_id=int(rec["user_id"]),
+                event_id=int(rec["event_id"]),
+                asof_prev=None if probe is None else probe[0],
+            )
+
+    return VersionedProc
+
+
+def test_versioned_store_batch_lane(spark):
+    from responsive_pub_spark.streaming import state
+
+    df = spark.createDataFrame([tuple(r.values()) for r in VROWS], SCHEMA_VIN)
+    out = state.process(
+        df, ["user_id"], _make_versioned_proc(), SCHEMA_VOUT,
+        ts_col="ts", order_by=("event_id",),
+    )
+    got = sorted(
+        (r.user_id, r.event_id, r.asof_prev) for r in out.collect()
+    )
+    assert got == sorted(VEXPECTED)
+
+
+def test_versioned_store_streaming_survives_restarts(spark, tmp_path):
+    """One row per micro-batch, every advance a cold start from the
+    checkpoint: the version HISTORY (not just latest value) must restore,
+    or the as-of probes into earlier batches' versions return None."""
+    from responsive_pub_spark.streaming import state
+    from responsive_pub_spark.streaming.runtime import TopologyTestDriver
+
+    def build(sdf):
+        return state.process_streaming(
+            sdf, ["user_id"], _make_versioned_proc(), SCHEMA_VOUT,
+            ts_col="ts", order_by=("event_id",),
+        )
+
+    drv = TopologyTestDriver(spark, SCHEMA_VIN, build, str(tmp_path / "v"))
+    got = []
+    for r in VROWS:
+        drv.pipe([r])
+        got += [(o.user_id, o.event_id, o.asof_prev) for o in drv.advance()]
+    assert sorted(got) == sorted(VEXPECTED)
