@@ -445,3 +445,183 @@ def hll_distinct_oracle(
                {dround(est, 4)} AS hll_est
         FROM per_grp
     """
+
+
+def hll_setops(
+    events: DataFrame,
+    group_col: str = "event_type",
+    item_expr: str = "CAST(user_id AS STRING) || '|' || props",
+) -> DataFrame:
+    """HLL SET ALGEBRA across groups: union cardinality by register
+    max-merge and intersection by inclusion-exclusion, for every unordered
+    group pair — against the exact answers.
+
+    This is why the sketch wins at 100 TB: overlap questions ("how many
+    users do click and purchase share?") are answered from the tiny
+    per-group register tables alone — max-merge two 256-row tables — with
+    NO second corpus scan and no corpus-sized set intersection. The exact
+    columns here exist for the oracle contract; a production pipeline
+    would drop them.
+
+    Register tables fan out to the pairs they belong to via two BROADCAST
+    equi-joins on the (10-row) pair list — no nested-loop join. All
+    estimator inputs stay exact integers until the one IEEE division per
+    estimate (the sketch_hll discipline); intersection = raw_a + raw_b -
+    raw_union computed from those identical doubles, rounded once.
+
+    Honesty note: inclusion-exclusion inherits the ABSOLUTE error of the
+    union estimate, so small true intersections can estimate near zero or
+    negative (visible in the gate fixture — true overlap ~240 against a
+    ~4000-sized union's ±6.5% noise). That is the documented weakness of
+    HLL intersections (and why theta sketches exist); the gate row pins
+    the estimator arithmetic, not its accuracy on small overlaps."""
+    h = poly_hash_sql(f"({item_expr})")
+    reg, rho = _hll_reg_rho(h, "spark")
+    base = events.select(
+        F.col(group_col).alias("g"),
+        F.expr(item_expr).alias("_item"),
+        F.expr(reg).alias("reg"),
+        F.expr(rho).alias("rho"),
+    )
+    regs = base.groupBy("g", "reg").agg(F.max("rho").alias("m_j"))
+    pairs = (
+        regs.select(F.col("g").alias("ga"))
+        .distinct()
+        .join(regs.select(F.col("g").alias("gb")).distinct())
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    shift = f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)"
+    per_grp = regs.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("regs_hit"),
+        F.sum(F.expr(shift)).alias("s"),
+    )
+    fan = (
+        regs.join(F.broadcast(pairs), regs.g == pairs.ga)
+        .select("ga", "gb", "reg", "m_j")
+        .unionByName(
+            regs.join(F.broadcast(pairs), regs.g == pairs.gb).select(
+                "ga", "gb", "reg", "m_j"
+            )
+        )
+    )
+    union_regs = (
+        fan.groupBy("ga", "gb", "reg")
+        .agg(F.max("m_j").alias("m_j"))
+        .groupBy("ga", "gb")
+        .agg(
+            F.count("*").cast("bigint").alias("u_regs"),
+            F.sum(F.expr(shift)).alias("u_s"),
+        )
+    )
+    items = base.select("g", "_item").distinct()
+    ia = items.select(F.col("g").alias("ga"), "_item")
+    ib = items.select(F.col("g").alias("gb"), "_item")
+    exact_inter = (
+        ia.join(ib, "_item")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").cast("bigint").alias("exact_intersect"))
+    )
+    exact_cnt = items.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("exact")
+    )
+    raw_a = _hll_est("s_a", "regs_a", f"({HLL_M} - regs_a)")
+    raw_b = _hll_est("s_b", "regs_b", f"({HLL_M} - regs_b)")
+    raw_u = _hll_est("u_s", "u_regs", f"({HLL_M} - u_regs)")
+    a_side = per_grp.select(
+        F.col("g").alias("ga"),
+        F.col("regs_hit").alias("regs_a"),
+        F.col("s").alias("s_a"),
+    )
+    b_side = per_grp.select(
+        F.col("g").alias("gb"),
+        F.col("regs_hit").alias("regs_b"),
+        F.col("s").alias("s_b"),
+    )
+    ea = exact_cnt.select(F.col("g").alias("ga"), F.col("exact").alias("exact_a"))
+    eb = exact_cnt.select(F.col("g").alias("gb"), F.col("exact").alias("exact_b"))
+    return (
+        union_regs.join(F.broadcast(a_side), "ga")
+        .join(F.broadcast(b_side), "gb")
+        .join(F.broadcast(ea), "ga")
+        .join(F.broadcast(eb), "gb")
+        .join(exact_inter, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "exact_a",
+            "exact_b",
+            F.coalesce("exact_intersect", F.lit(0)).cast("bigint").alias(
+                "exact_intersect"
+            ),
+            pround(F.expr(raw_u), 4).alias("hll_union"),
+            pround(F.expr(f"({raw_a}) + ({raw_b}) - ({raw_u})"), 4).alias(
+                "hll_intersect"
+            ),
+        )
+    )
+
+
+def hll_setops_oracle(
+    group_col: str = "event_type",
+    item_expr: str = "CAST(user_id AS VARCHAR) || '|' || props",
+) -> str:
+    h = poly_hash_duck(f"({item_expr})")
+    reg, rho = _hll_reg_rho(h, "duck")
+    shift = f"CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j)"
+    raw_a = _hll_est("s_a", "regs_a", f"({HLL_M} - regs_a)")
+    raw_b = _hll_est("s_b", "regs_b", f"({HLL_M} - regs_b)")
+    raw_u = _hll_est("u_s", "u_regs", f"({HLL_M} - u_regs)")
+    return f"""
+        WITH base AS (
+            SELECT {group_col} AS g, {item_expr} AS item,
+                   {reg} AS reg, {rho} AS rho
+            FROM events
+        ), regs AS (
+            SELECT g, reg, max(rho) AS m_j FROM base GROUP BY g, reg
+        ), per_grp AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS regs_hit,
+                   sum({shift}) AS s
+            FROM regs GROUP BY g
+        ), pairs AS (
+            SELECT a.g AS ga, b.g AS gb
+            FROM (SELECT DISTINCT g FROM regs) a,
+                 (SELECT DISTINCT g FROM regs) b
+            WHERE a.g < b.g
+        ), fan AS (
+            SELECT p.ga, p.gb, r.reg, r.m_j
+            FROM pairs p JOIN regs r ON r.g = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, r.reg, r.m_j
+            FROM pairs p JOIN regs r ON r.g = p.gb
+        ), union_regs AS (
+            SELECT ga, gb, CAST(count(*) AS BIGINT) AS u_regs,
+                   sum({shift}) AS u_s
+            FROM (SELECT ga, gb, reg, max(m_j) AS m_j
+                  FROM fan GROUP BY ga, gb, reg)
+            GROUP BY ga, gb
+        ), items AS (SELECT DISTINCT g, item FROM base),
+        exact_cnt AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS exact FROM items GROUP BY g
+        ), exact_inter AS (
+            SELECT a.g AS ga, b.g AS gb,
+                   CAST(count(*) AS BIGINT) AS exact_intersect
+            FROM items a JOIN items b ON a.item = b.item AND a.g < b.g
+            GROUP BY a.g, b.g
+        )
+        SELECT u.ga AS type_a, u.gb AS type_b,
+               ea.exact AS exact_a, eb.exact AS exact_b,
+               CAST(coalesce(ei.exact_intersect, 0) AS BIGINT)
+                   AS exact_intersect,
+               {dround(raw_u, 4)} AS hll_union,
+               {dround(f"({raw_a}) + ({raw_b}) - ({raw_u})", 4)}
+                   AS hll_intersect
+        FROM union_regs u
+        JOIN (SELECT g AS ga, regs_hit AS regs_a, s AS s_a FROM per_grp)
+             USING (ga)
+        JOIN (SELECT g AS gb, regs_hit AS regs_b, s AS s_b FROM per_grp)
+             USING (gb)
+        JOIN (SELECT g AS ga, exact FROM exact_cnt) ea USING (ga)
+        JOIN (SELECT g AS gb, exact FROM exact_cnt) eb USING (gb)
+        LEFT JOIN exact_inter ei ON ei.ga = u.ga AND ei.gb = u.gb
+    """

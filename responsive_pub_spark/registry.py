@@ -2160,9 +2160,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_search_ivf_trained": QuerySpec(
         q_sim_ivf_trained, similarity.ivf_trained_oracle()
     ),
-    "chunk_dedup": QuerySpec(
-        lambda spark, sf_dir: pipeline_ops.chunk_dedup(_t(spark, sf_dir, "documents")),
-        pipeline_ops.chunk_dedup_oracle(),
+    # (chunk_dedup, green r3, rotates past 50 — span-dedup family stays
+    # in-window via chunk_text_sliding + the dedup rows)
+    "sketch_hll_setops": QuerySpec(
+        lambda spark, sf_dir: sketches.hll_setops(
+            _t(spark, sf_dir, "events")
+        ),
+        sketches.hll_setops_oracle(),
+        doc="HLL set algebra: union by register max-merge, intersection "
+        "by inclusion-exclusion — overlap answers from the tiny register "
+        "tables, no second corpus scan",
     ),
     "pack_sequences": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
@@ -2463,6 +2470,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # no cartesian) is what's asserted.
     "sim_search_pq": QuerySpec(q_sim_pq, similarity.pq_topk_oracle()),
     "quality_classifier": QuerySpec(q_quality_classifier, pipeline_ops.quality_classifier_oracle()),
+    "chunk_dedup": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.chunk_dedup(_t(spark, sf_dir, "documents")),
+        pipeline_ops.chunk_dedup_oracle(),
+    ),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
     "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
