@@ -111,6 +111,26 @@ def query_processor_state(
                         continue  # this key never touched that store
                 elif store_name != "default":
                     continue
+                from responsive_pub_spark.streaming.state import (
+                    VersionedKeyValueStore,
+                )
+
+                if raw[:4] == VersionedKeyValueStore.BLOB_MAGIC:
+                    # versioned store: one IQ row per (key, version) —
+                    # store_key renders as (key, valid_from); tombstones
+                    # surface as value None (the full history IS the
+                    # queryable surface of a versioned store)
+                    vst = VersionedKeyValueStore.load(raw)
+                    for vk, versions in sorted(vst._versions.items()):
+                        if store_key is not None and vk != store_key:
+                            continue
+                        for vts, vv in versions:
+                            for k in key_cols:
+                                out[k].append(getattr(row, k))
+                            out["store_key"].append(repr((vk, vts)))
+                            out["store_value"].append(repr(vv))
+                            out["write_ts"].append(float(vts))
+                    continue
                 store, _fires, _wc = SegmentedKeyValueStore.from_blob(raw)
                 if store_key is not None:
                     v = store.get(store_key)

@@ -252,8 +252,12 @@ class VersionedKeyValueStore:
     def approximate_num_entries(self) -> int:
         return len(self._versions)
 
+    #: blob magic so IQ / multi-store readers can tell a versioned store
+    #: from a SegmentedKeyValueStore without trying to decode it as one
+    BLOB_MAGIC = b"VKV1"
+
     def dump(self) -> bytes:
-        return pickle.dumps(
+        return self.BLOB_MAGIC + pickle.dumps(
             (self._versions, self.stream_time, self.history_retention),
             protocol=pickle.HIGHEST_PROTOCOL,
         )
@@ -267,6 +271,8 @@ class VersionedKeyValueStore:
     ) -> "VersionedKeyValueStore":
         st = cls(history_retention)
         if blob:
+            if blob[: len(cls.BLOB_MAGIC)] == cls.BLOB_MAGIC:
+                blob = blob[len(cls.BLOB_MAGIC):]
             st._versions, st.stream_time, st.history_retention = pickle.loads(blob)
         return st
 

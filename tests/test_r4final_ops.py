@@ -296,3 +296,34 @@ def test_versioned_store_streaming_survives_restarts(spark, tmp_path):
         drv.pipe([r])
         got += [(o.user_id, o.event_id, o.asof_prev) for o in drv.advance()]
     assert sorted(got) == sorted(VEXPECTED)
+
+
+def test_versioned_store_iq_over_checkpoint(spark, tmp_path):
+    """IQ reaches the versioned store's FULL history in a checkpoint: one
+    row per (key, version) with write_ts = valid_from. Regression guard:
+    the generic decoder must not try to read a VKV1 blob as a segmented
+    KV store."""
+    from responsive_pub_spark.streaming import iq, state
+    from responsive_pub_spark.streaming.runtime import TopologyTestDriver
+
+    def build(sdf):
+        return state.process_streaming(
+            sdf, ["user_id"], _make_versioned_proc(), SCHEMA_VOUT,
+            ts_col="ts", order_by=("event_id",),
+        )
+
+    drv = TopologyTestDriver(spark, SCHEMA_VIN, build, str(tmp_path / "q"))
+    for r in VROWS:
+        drv.pipe([r])
+        drv.advance()
+
+    rows = iq.query_processor_state(
+        spark, drv.checkpoint, ["user_id"], store_name="hist"
+    ).collect()
+    got = sorted((r.user_id, r.store_key, r.store_value, r.write_ts) for r in rows)
+    assert got == [
+        (1, "('v', 1.0)", "10.0", 1.0),
+        (1, "('v', 2.0)", "20.0", 2.0),
+        (1, "('v', 3.0)", "30.0", 3.0),
+        (2, "('v', 2.5)", "99.0", 2.5),
+    ]
