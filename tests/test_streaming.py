@@ -777,3 +777,43 @@ def test_hist_quantile_sketch_streaming_equals_batch(spark, workdir):
     both = spark.createDataFrame(b1 + b2, "g STRING, v DOUBLE")
     batch = {(r.g, r.bucket): r.cnt for r in build(both).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_hll_register_table_streaming_equals_batch(spark, workdir):
+    """HLL's state is a keyed MAX per (group, register) — associative and
+    idempotent, so it accumulates incrementally under Structured Streaming
+    with no operator changes: register maxima after N micro-batches equal
+    the batch sketch over the union (and identical registers give the
+    identical estimate, since the estimator is a pure function of them)."""
+    from responsive_pub_spark.functions.hashing import poly_hash_sql
+    from responsive_pub_spark.operators.sketches import _hll_reg_rho
+
+    reg, rho = _hll_reg_rho(poly_hash_sql("item"), "spark")
+
+    def build(sdf):
+        return (
+            sdf.select(
+                "g", F.expr(reg).alias("reg"), F.expr(rho).alias("rho")
+            )
+            .groupBy("g", "reg")
+            .agg(F.max("rho").alias("m_j"))
+        )
+
+    drv = TopologyTestDriver(
+        spark, "g STRING, item STRING", build, workdir, output_mode="complete"
+    )
+    b1 = [{"g": "a", "item": f"u{i}"} for i in range(40)]
+    b2 = [{"g": "a", "item": f"u{i}"} for i in range(20, 60)] + [
+        {"g": "b", "item": "solo"}
+    ]
+    drv.pipe(b1)
+    drv.advance()
+    drv.pipe(b2)
+    streamed = {(r.g, r.reg): r.m_j for r in drv.advance()}
+    drv.close()
+
+    both = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], "g STRING, item STRING"
+    )
+    batch = {(r.g, r.reg): r.m_j for r in build(both).collect()}
+    assert streamed == batch and len(batch) > 0
