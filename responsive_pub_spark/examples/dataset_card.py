@@ -13,6 +13,11 @@ document corpus — the read-only twin of ``examples/pretrain_pipeline.py``
    (`textops.char_entropy`, zero-shuffle per-row codegen).
 4. **contamination** — exact + fuzzy overlap vs the eval split
    (`pipeline_ops.decontaminate{,_fuzzy}`, eval side broadcast).
+5. **originality** — per-lang n-gram novelty band (`textops.novelty`:
+   share of a doc's 3-grams found in no other doc — the partial-overlap
+   boilerplate/memorization signal next to dedup's whole-doc verdicts).
+6. **collocations** — the corpus's strongest bigram associations
+   (`textops.collocations_pmi`, all-integer rank, vocab²-bounded).
 
 Every stage is one pruned scan + a small keyed agg; nothing here shuffles
 the corpus more than once, so the report costs roughly one pass at any
@@ -51,6 +56,17 @@ def build_report(docs: DataFrame) -> dict[str, DataFrame]:
             "oov_frac", pround(F.col("total_oov") / F.col("total_tokens"), 6)
         )
     )
+    novelty_band = (
+        textops.novelty(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("novelty_fp").alias("novelty_min_fp"),
+            F.max("novelty_fp").alias("novelty_max_fp"),
+            F.expr("sum(novelty_fp) DIV count(*)").alias("novelty_mean_fp"),
+        )
+    )
     return {
         "composition": textops.corpus_stats(docs),
         "vocab": vocab,
@@ -59,4 +75,6 @@ def build_report(docs: DataFrame) -> dict[str, DataFrame]:
         "entropy_band": entropy_band,
         "contamination_exact": pipeline_ops.decontaminate(docs),
         "contamination_fuzzy": pipeline_ops.decontaminate_fuzzy(docs),
+        "novelty_band": novelty_band,
+        "collocations": textops.collocations_pmi(docs),
     }

@@ -183,3 +183,10 @@ def test_dataset_card_report_sections(spark, sf_dir):
     assert bands and all(r["h_min"] <= r["h_max"] for r in bands)
     for key in ("contamination_exact", "contamination_fuzzy"):
         assert rep[key].count() >= 0  # materializes without error
+    nov = rep["novelty_band"].collect()
+    assert nov and all(
+        0 <= r["novelty_min_fp"] <= r["novelty_mean_fp"] <= r["novelty_max_fp"] <= 1_000_000
+        for r in nov
+    )
+    coll = rep["collocations"].collect()
+    assert coll and all(r["c12"] >= 5 for r in coll)
