@@ -484,6 +484,9 @@ def hll_setops(
         F.expr(rho).alias("rho"),
     )
     regs = base.groupBy("g", "reg").agg(F.max("rho").alias("m_j"))
+    # deliberate bounded cartesian over GROUP LABELS (k^2 for k groups —
+    # a handful of rows), never over data rows; the anti-cartesian rule
+    # guards fact-scale join inputs, not label enumerations
     pairs = (
         regs.select(F.col("g").alias("ga"))
         .distinct()
