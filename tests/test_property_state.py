@@ -161,3 +161,64 @@ def test_tws_map_store_matches_dict_model(op_seq):
         assert dict(store.prefix(some)) == {
             k: v for k, v in model.items() if k.startswith(some)
         }
+
+
+# ---------------------------------------------------------------------------
+# VersionedKeyValueStore vs a brute-force version-list model
+# ---------------------------------------------------------------------------
+
+vkeys = st.text(alphabet="xy", min_size=1, max_size=2)
+vts = st.integers(0, 50)
+vops = st.lists(
+    st.one_of(
+        st.tuples(st.just("put"), vkeys, vts, st.integers(0, 9)),
+        st.tuples(st.just("delete"), vkeys, vts, st.none()),
+        st.tuples(st.just("asof"), vkeys, vts, st.none()),
+        st.tuples(st.just("get"), vkeys, st.none(), st.none()),
+        # checkpoint boundary: dump + load must be observationally identity
+        st.tuples(st.just("reload"), vkeys, st.none(), st.none()),
+    ),
+    max_size=60,
+)
+
+
+def _model_asof(hist: dict, k, ts):
+    """Brute-force as-of over a {key: {ts: value}} model (None=tombstone)."""
+    versions = sorted(hist.get(k, {}).items())
+    versions = [(t, v) for t, v in versions if t <= ts]
+    if not versions:
+        return None
+    t, v = versions[-1]
+    if v is None:
+        return None
+    later = sorted(t2 for t2 in hist.get(k, {}) if t2 > t)
+    return (v, t, later[0] if later else None)
+
+
+@settings(max_examples=200, deadline=None)
+@given(op_seq=vops)
+def test_versioned_store_matches_model(op_seq):
+    from responsive_pub_spark.streaming.state import VersionedKeyValueStore
+
+    store, hist = VersionedKeyValueStore(), {}
+    for op, k, ts, v in op_seq:
+        if op == "put":
+            store.put(k, v, ts)
+            hist.setdefault(k, {})[ts] = v
+        elif op == "delete":
+            expect_prev = _model_asof(hist, k, ts)
+            got = store.delete(k, ts)
+            assert got == (None if expect_prev is None else expect_prev[0])
+            hist.setdefault(k, {})[ts] = None
+        elif op == "asof":
+            assert store.get_asof(k, ts) == _model_asof(hist, k, ts)
+        elif op == "get":
+            versions = sorted(hist.get(k, {}).items())
+            expect = versions[-1][1] if versions else None
+            assert store.get(k) == expect
+        else:  # reload
+            store = VersionedKeyValueStore.load(store.dump())
+    # final full-surface sweep
+    for k in hist:
+        for ts in range(0, 51, 7):
+            assert store.get_asof(k, ts) == _model_asof(hist, k, ts)
