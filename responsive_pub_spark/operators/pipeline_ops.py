@@ -1079,3 +1079,63 @@ def snapshot_diff_docs_oracle() -> str:
                     ELSE 'unchanged' END AS status
         FROM o FULL OUTER JOIN n ON o.k = n.k
     """
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+#: split hash family (distinct from every other affine family in the repo)
+SPLIT_A = 75353
+SPLIT_B = 11149
+#: split percentages: [0, TRAIN) train, [TRAIN, TRAIN+VAL) val, rest test
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+
+
+def _split_expr(rep_col: str) -> str:
+    """Engine-portable bucket + split label from a cluster-representative id."""
+    bucket = f"((({rep_col} % {P}) * {SPLIT_A} + {SPLIT_B}) % {P}) % 100"
+    return (
+        f"(CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END)"
+    )
+
+
+def split_leakage_safe(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test split that is SAFE AGAINST NEAR-DUP
+    LEAKAGE: the split decision hashes the document's near-dup CLUSTER
+    representative, not the document — so a doc and its paraphrase can
+    never land in different splits (the classic eval-contamination bug a
+    per-doc hash split has by construction).
+
+    Pipeline: minhash near-dup pairs -> connected components (min-label
+    propagation, the dedup_clusters machinery) -> affine-hash the
+    canonical id into 100 buckets -> 80/10/10. Singleton docs are their
+    own representative, so for a clean corpus this degrades to the plain
+    hash split. Deterministic end-to-end: re-running on the same corpus
+    reproduces the split exactly (no rand()), and appending new docs
+    never moves old singletons between splits."""
+    from responsive_pub_spark.operators import dedup
+
+    pairs = dedup.minhash_pairs(docs)
+    clusters = dedup.cluster_pairs(docs.select("doc_id"), pairs)
+    return clusters.select(
+        "doc_id",
+        "canonical_id",
+        F.expr(_split_expr("canonical_id")).alias("split"),
+    )
+
+
+def split_leakage_safe_oracle() -> str:
+    from responsive_pub_spark.operators import dedup
+
+    cluster_sql = dedup.cluster_pairs_oracle(
+        f"pairs AS ({dedup.minhash_pairs_oracle()})"
+    )
+    return f"""
+        SELECT doc_id, canonical_id,
+               {_split_expr("canonical_id")} AS split
+        FROM ({cluster_sql})
+    """

@@ -2171,9 +2171,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "by inclusion-exclusion — overlap answers from the tiny register "
         "tables, no second corpus scan",
     ),
-    "pack_sequences": QuerySpec(
-        lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
-        pipeline_ops.pack_sequences_oracle(),
+    # (pack_sequences, green r3, rotates past 50 — the packing/chunking
+    # family stays in-window via chunk_text_sliding)
+    "split_leakage_safe": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.split_leakage_safe(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.split_leakage_safe_oracle(),
+        doc="train/val/test split hashing the near-dup CLUSTER "
+        "representative — a doc and its paraphrase can never land in "
+        "different splits",
     ),
     "zorder_layout": QuerySpec(
         lambda spark, sf_dir: layout.zorder_orders(_t(spark, sf_dir, "orders")),
@@ -2473,6 +2480,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "chunk_dedup": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.chunk_dedup(_t(spark, sf_dir, "documents")),
         pipeline_ops.chunk_dedup_oracle(),
+    ),
+    "pack_sequences": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
+        pipeline_ops.pack_sequences_oracle(),
     ),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),

@@ -327,3 +327,39 @@ def test_versioned_store_iq_over_checkpoint(spark, tmp_path):
         (1, "('v', 3.0)", "30.0", 3.0),
         (2, "('v', 2.5)", "99.0", 2.5),
     ]
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split contracts
+# ---------------------------------------------------------------------------
+
+def test_split_leakage_safe_properties(spark, sf_dir):
+    """(1) no near-dup cluster ever spans two splits; (2) fractions land
+    near 80/10/10; (3) the split is reproducible run-over-run; (4) docs
+    NOT in any near-dup pair split exactly as the plain hash of their own
+    id — appending new docs can't move old singletons."""
+    from responsive_pub_spark.operators import dedup, pipeline_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = pipeline_ops.split_leakage_safe(docs).toPandas()
+    per_cluster = out.groupby("canonical_id").split.nunique()
+    assert per_cluster.max() == 1
+
+    frac = out.split.value_counts(normalize=True)
+    assert 0.6 < frac.get("train", 0) < 0.95
+    assert frac.get("val", 0) > 0.02 and frac.get("test", 0) > 0.02
+
+    again = pipeline_ops.split_leakage_safe(docs).toPandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+
+    singles = out[out.doc_id == out.canonical_id]
+    expected = spark.createDataFrame(
+        singles[["doc_id"]]
+    ).selectExpr(
+        "doc_id",
+        f"{pipeline_ops._split_expr('doc_id')} AS split",
+    ).toPandas()
+    merged = singles.merge(expected, on="doc_id", suffixes=("", "_plain"))
+    assert (merged.split == merged.split_plain).all()
