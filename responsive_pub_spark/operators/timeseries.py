@@ -103,3 +103,107 @@ def rollup_gapfill_oracle(
         FROM dense d
         LEFT JOIN rolled r USING ({key}, bucket_start)
     """
+
+
+# ---------------------------------------------------------------------------
+# exponentially decayed trending scores
+# ---------------------------------------------------------------------------
+
+#: decay half-life in days (weights halve every HALF_LIFE_DAYS of age)
+TREND_HALF_LIFE_DAYS = 4
+#: fixed-point weight scale: weight(age) = (1 << 20) >> (age // half_life)
+TREND_W_SCALE = 1 << 20
+#: per-group top-k
+TREND_TOP_K = 10
+
+
+def trending_decay(
+    events: DataFrame,
+    group_col: str = "event_type",
+    item_col: str = "props",
+    half_life_days: int = TREND_HALF_LIFE_DAYS,
+    top: int = TREND_TOP_K,
+) -> DataFrame:
+    """Top-k TRENDING items per group under exponential time decay —
+    recency-weighted popularity (the feed/leaderboard primitive), with the
+    decay computed in ALL-INTEGER arithmetic: day-age buckets shift a
+    fixed-point weight right once per half-life, so both engines produce
+    the identical score (a float exp(-age/tau) would drift in the last
+    ULP and flip top-k boundaries).
+
+    Plan: one (group, item, day) keyed count with map-side partials [the
+    only corpus-sized shuffle]; the global anchor day is a 1-row
+    broadcast; scoring and the per-group rank<=k (WindowGroupLimit) run
+    over the item-cardinality table. step-wise decay note: ages within
+    the same half-life window share a weight — the documented
+    deterministic contract, not a bug."""
+    day = "unix_micros(ts) DIV 86400000000"
+    counts = (
+        events.select(
+            group_col, item_col, F.expr(day).alias("day")
+        )
+        .groupBy(group_col, item_col, "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    anchor = counts.agg(F.max("day").alias("anchor_day"))
+    hl = int(half_life_days)
+    weight = f"shiftright({TREND_W_SCALE}, CAST((anchor_day - day) DIV {hl} AS INT))"
+    scored = (
+        counts.crossJoin(F.broadcast(anchor))
+        .groupBy(group_col, item_col)
+        .agg(
+            F.sum(F.expr(f"cnt * {weight}")).cast("bigint").alias("score_fp"),
+            F.sum("cnt").cast("bigint").alias("total_cnt"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score_fp"), F.asc(item_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(top))
+        .select(
+            group_col,
+            F.col("rk").cast("bigint").alias("rk"),
+            item_col,
+            "score_fp",
+            "total_cnt",
+        )
+    )
+
+
+def trending_decay_oracle(
+    group_col: str = "event_type",
+    item_col: str = "props",
+    half_life_days: int = TREND_HALF_LIFE_DAYS,
+    top: int = TREND_TOP_K,
+) -> str:
+    hl = int(half_life_days)
+    return f"""
+        WITH counts AS (
+            SELECT {group_col}, {item_col},
+                   epoch_us(date_trunc('microseconds', ts)) // 86400000000
+                       AS day,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2, 3
+        ), anchor AS (SELECT max(day) AS anchor_day FROM counts),
+        scored AS (
+            SELECT {group_col}, {item_col},
+                   CAST(sum(cnt * ({TREND_W_SCALE} >>
+                        CAST((anchor_day - day) // {hl} AS INT))) AS BIGINT)
+                       AS score_fp,
+                   CAST(sum(cnt) AS BIGINT) AS total_cnt
+            FROM counts, anchor
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY {group_col}
+                       ORDER BY score_fp DESC, {item_col} ASC) AS rk
+            FROM scored
+        )
+        SELECT {group_col}, CAST(rk AS BIGINT) AS rk, {item_col},
+               score_fp, total_cnt
+        FROM ranked WHERE rk <= {int(top)}
+    """

@@ -2219,7 +2219,17 @@ REGISTRY: dict[str, QuerySpec] = {
         "trailing-zero rank) vs exact; register table is the mergeable "
         "fixed-size state",
     ),
-    "papi_session_concat": QuerySpec(q_papi_session_concat, ORACLE_PAPI_SESSION_CONCAT),
+    # (papi_session_concat, green r3, rotates past 50 — PAPI-store family
+    # keeps 4 in-window rows; session semantics stay multi-round-green)
+    "trending_decay": QuerySpec(
+        lambda spark, sf_dir: timeseries.trending_decay(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.trending_decay_oracle(),
+        doc="top-k trending items per group under exponential time decay "
+        "— all-integer bit-shift weights, so top-k cutoffs are "
+        "bit-deterministic",
+    ),
     "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),
     "multimodal_decode_features": QuerySpec(
         q_multimodal_decode, multimodal.decode_features_long_oracle(), bench=True
@@ -2489,6 +2499,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),
     "papi_punctuate_daily": QuerySpec(q_papi_punctuate_daily, ORACLE_PAPI_PUNCTUATE_DAILY),
     "papi_window_concat": QuerySpec(q_papi_window_concat, ORACLE_PAPI_WINDOW_CONCAT),
+    "papi_session_concat": QuerySpec(q_papi_session_concat, ORACLE_PAPI_SESSION_CONCAT),
 
     "multimodal_bytes": QuerySpec(q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
     "multimodal_audio_chunks": QuerySpec(
