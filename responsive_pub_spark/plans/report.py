@@ -382,6 +382,28 @@ EXTENDED_NOTES = {
         "equi-join, never a cartesian; names carry row multiplicities "
         "so expansion needs no fact re-scan."
     ),
+    "sketch_hll_setops": (
+        "set algebra over register tables: union = pairwise MAX of two "
+        "256-row tables, intersection = inclusion-exclusion on the raw "
+        "estimates — overlap answers with NO second corpus scan. The "
+        "only corpus-sized work is building the per-group registers "
+        "once; the pair fan-out is two broadcast equi-joins on the "
+        "group-label list."
+    ),
+    "split_leakage_safe": (
+        "minhash pairs -> min-label components (localCheckpoint-"
+        "truncated rounds) -> affine split hash of the canonical id. "
+        "The split adds ZERO shuffles beyond clustering; singletons "
+        "cost the signature pass only. Rerun-stable and append-stable "
+        "by construction (no rand())."
+    ),
+    "trending_decay": (
+        "one (group, item, day) keyed count with map-side partials is "
+        "the only corpus shuffle; anchor day is a 1-row broadcast; "
+        "decay weights are integer bit-shifts per half-life bucket; "
+        "rank<=k compiles to WindowGroupLimit over item-cardinality "
+        "rows."
+    ),
 }
 
 
