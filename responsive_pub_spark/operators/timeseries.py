@@ -207,3 +207,94 @@ def trending_decay_oracle(
                score_fp, total_cnt
         FROM ranked WHERE rk <= {int(top)}
     """
+
+
+# ---------------------------------------------------------------------------
+# per-key OLS trend
+# ---------------------------------------------------------------------------
+
+#: OLS fixed-point output scale (slope in milli-units/hour * 1e4)
+OLS_SCALE = 10_000
+
+
+def trend_ols(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key ordinary-least-squares trend of ``value`` over time — the
+    metric-drift / per-entity-trend primitive (is this user's spend
+    rising?).
+
+    Closed-form OLS from four keyed INTEGER sums (n, Sx, Sy, Sxy, Sxx):
+    x = whole hours since the key's first event, y = integer milli-units.
+    Integer sums are shuffle-order-free, and the slope is ONE integer
+    division at the end:
+
+        slope_fp = (n*Sxy - Sx*Sy) * SCALE DIV (n*Sxx - Sx*Sx)
+
+    so both engines agree bit-for-bit. Keys whose events all fall in one
+    hour have zero x-variance -> slope NULL.
+
+    Overflow envelope: |n*Sxy*SCALE| must stay < 2^63 — holds to ~10^4
+    events/key at hour resolution and milli values (the gate scales);
+    beyond that, pre-aggregate y per (key, hour) first (same plan shape,
+    one extra keyed agg) — documented knob, not a silent cap.
+
+    Plan: two keyed aggs over the same key partitioning (min-x pass,
+    then sums — Catalyst reuses the exchange), output is key-cardinality.
+    """
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("y"),
+    )
+    base = ev.groupBy("k").agg(F.min("us").alias("us0"))
+    sums = (
+        ev.join(base, "k")
+        .select(
+            "k", F.expr("(us - us0) DIV 3600000000").alias("x"), "y"
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+        )
+    )
+    den = "(n * sxx - sx * sx)"
+    num = "(n * sxy - sx * sy)"
+    return sums.select(
+        F.col("k").alias(key_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"CASE WHEN {den} = 0 THEN NULL "
+               f"ELSE {num} * {OLS_SCALE} DIV {den} END")
+        .cast("bigint")
+        .alias("slope_fp"),
+        F.expr(f"sy * {OLS_SCALE} DIV n").cast("bigint").alias("mean_y_fp"),
+    )
+
+
+def trend_ols_oracle(key_col: str = "user_id") -> str:
+    den = "(n * sxx - sx * sx)"
+    num = "(n * sxy - sx * sy)"
+    return f"""
+        WITH ev AS (
+            SELECT {key_col} AS k,
+                   epoch_us(date_trunc('microseconds', ts)) AS us,
+                   CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+            FROM events
+        ), base AS (SELECT k, min(us) AS us0 FROM ev GROUP BY k),
+        xy AS (
+            SELECT ev.k, (us - us0) // 3600000000 AS x, y
+            FROM ev JOIN base USING (k)
+        ), sums AS (
+            SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy GROUP BY k
+        )
+        SELECT k AS {key_col}, CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN {den} = 0 THEN NULL
+                    ELSE {num} * {OLS_SCALE} // {den} END AS BIGINT)
+                   AS slope_fp,
+               CAST(sy * {OLS_SCALE} // n AS BIGINT) AS mean_y_fp
+        FROM sums
+    """

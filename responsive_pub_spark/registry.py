@@ -2456,7 +2456,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_papi_partition_stream_time, ORACLE_PAPI_PARTITION_STREAM_TIME
     ),
     # ------------------------------------------------------------------
-    # position 51+ — outside the driver's 50-row window.  Everything below
+    # position 51+ — outside the driver's 50-row window.  trend_ols is
+    # NEW inventory parked here deliberately: the r4 window is fully
+    # booked with 31 first-gating rows, and the r5 rotation list (below)
+    # frees 17 slots — it first-gates in r5.  Everything below it
     # has at least one driver-green round and is trivia-stable; the
     # full-registry pytest oracle (test_registry_oracle.py) keeps the
     # identical check.  r4 rotations out: window_hopping/grace,
@@ -2470,6 +2473,14 @@ REGISTRY: dict[str, QuerySpec] = {
     # r1+r3); decontam_overlap, sample_stratified (green r2+r3 — the
     # fuzzy/weighted siblings keep both families in-window).
     # ------------------------------------------------------------------
+    "trend_ols": QuerySpec(
+        lambda spark, sf_dir: timeseries.trend_ols(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.trend_ols_oracle(),
+        doc="per-key OLS value trend from integer sums — one integer "
+        "division per key; NEW inventory, first-gates in r5",
+    ),
     # r4-final rotations out (multi-round green; identical oracles still
     # gated by the pytest sweep, and the FK/PAPI oracles ALSO stay
     # in-window via fk_join_streaming / papi_tws_running_count):
