@@ -298,3 +298,171 @@ def trend_ols_oracle(key_col: str = "user_id") -> str:
                CAST(sy * {OLS_SCALE} // n AS BIGINT) AS mean_y_fp
         FROM sums
     """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+#: microseconds per week
+_WEEK_US = 7 * 86_400_000_000
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by signup week, each
+    cohort's share of users still active N weeks later — the
+    product-analytics staple next to funnels and trending.
+
+    cohort = the user's first 'signup' event week (users who never signed
+    up are out of frame); activity = any event at-or-after signup.
+    retention_bp is integer basis points, so the whole matrix is exact.
+
+    Plan: signup week per user is one keyed min; (user, week) activity
+    pairs dedup on the same user-keyed exchange; the matrix agg runs over
+    cohort-week x offset cells. Nothing corpus-sized leaves the user
+    partitioning until the final tiny agg."""
+    ev = events.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_type",
+    )
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+        .withColumn("cohort_week", F.expr(f"signup_us DIV {_WEEK_US}"))
+    )
+    activity = (
+        ev.join(signup, "user_id")
+        .filter(F.col("us") >= F.col("signup_us"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(f"us DIV {_WEEK_US} - cohort_week").alias("week_offset"),
+        )
+        .distinct()
+    )
+    cohort_sizes = signup.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("n_cohort")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.expr("n_active * 10000 DIV n_cohort")
+            .cast("bigint")
+            .alias("retention_bp"),
+        )
+    )
+
+
+def cohort_retention_oracle() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT user_id,
+                   epoch_us(date_trunc('microseconds', ts)) AS us,
+                   event_type
+            FROM events
+        ), signup AS (
+            SELECT user_id, min(us) AS signup_us,
+                   min(us) // {_WEEK_US} AS cohort_week
+            FROM ev WHERE event_type = 'signup' GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT e.user_id, s.cohort_week,
+                   e.us // {_WEEK_US} - s.cohort_week AS week_offset
+            FROM ev e JOIN signup s USING (user_id)
+            WHERE e.us >= s.signup_us
+        ), sizes AS (
+            SELECT cohort_week, count(DISTINCT user_id) AS n_cohort
+            FROM signup GROUP BY cohort_week
+        )
+        SELECT CAST(a.cohort_week AS BIGINT) AS cohort_week,
+               CAST(a.week_offset AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
+               CAST(s.n_cohort AS BIGINT) AS n_cohort,
+               CAST(count(DISTINCT a.user_id) * 10000 // s.n_cohort
+                    AS BIGINT) AS retention_bp
+        FROM activity a JOIN sizes s USING (cohort_week)
+        GROUP BY a.cohort_week, a.week_offset, s.n_cohort
+    """
+
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit
+# ---------------------------------------------------------------------------
+
+#: audited columns -> fixed-point expression for min/max (None = not ordered)
+DQ_COLS = {
+    "event_id": "event_id",
+    "user_id": "user_id",
+    "value": "CAST(floor(value * 1000 + 0.5) AS BIGINT)",
+    "ts": "unix_micros(ts)",
+    "event_type": None,
+    "props": None,
+}
+
+
+def dq_audit(events: DataFrame) -> DataFrame:
+    """Column-level data-quality audit of the events table — the
+    expectations/contract check a pipeline runs before trusting an input
+    drop: per column, row count, null count, exact distinct count, and
+    (for orderable columns) integer fixed-point min/max.
+
+    ONE scan: every column's metrics are aggregate expressions in a
+    single Expand-free hash aggregate (no per-column re-scan), stacked to
+    long form afterwards. All-integer output — engine-exact."""
+    aggs = []
+    for c, fp in DQ_COLS.items():
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+        ]
+        if fp:
+            aggs += [
+                F.min(F.expr(fp)).alias(f"min_{c}"),
+                F.max(F.expr(fp)).alias(f"max_{c}"),
+            ]
+    row = events.agg(F.count("*").alias("n_rows"), *aggs)
+    stacked = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, "
+        + (f"min_{c}, max_{c}" if fp else "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)")
+        for c, fp in DQ_COLS.items()
+    )
+    n = len(DQ_COLS)
+    return row.selectExpr(
+        "n_rows",
+        f"stack({n}, {stacked}) AS (col, n_null, n_distinct, min_fp, max_fp)",
+    ).select(
+        "col",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("min_fp").cast("bigint").alias("min_fp"),
+        F.col("max_fp").cast("bigint").alias("max_fp"),
+    )
+
+
+def dq_audit_oracle() -> str:
+    parts = []
+    duck_fp = {
+        "value": "CAST(floor(value * 1000 + 0.5) AS BIGINT)",
+        "ts": "epoch_us(date_trunc('microseconds', ts))",
+    }
+    for c, fp in DQ_COLS.items():
+        fpd = duck_fp.get(c, c if fp else None)
+        mn = f"CAST(min({fpd}) AS BIGINT)" if fpd else "CAST(NULL AS BIGINT)"
+        mx = f"CAST(max({fpd}) AS BIGINT)" if fpd else "CAST(NULL AS BIGINT)"
+        parts.append(
+            f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_fp, {mx} AS max_fp "
+            f"FROM events"
+        )
+    return " UNION ALL ".join(parts)

@@ -2481,6 +2481,22 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="per-key OLS value trend from integer sums — one integer "
         "division per key; NEW inventory, first-gates in r5",
     ),
+    "cohort_retention": QuerySpec(
+        lambda spark, sf_dir: timeseries.cohort_retention(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.cohort_retention_oracle(),
+        doc="signup-week cohort retention matrix in integer basis "
+        "points; NEW inventory, first-gates in r5",
+    ),
+    "dq_audit_events": QuerySpec(
+        lambda spark, sf_dir: timeseries.dq_audit(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.dq_audit_oracle(),
+        doc="column-level data-quality audit (nulls/distincts/fixed-"
+        "point min-max) in ONE scan; NEW inventory, first-gates in r5",
+    ),
     # r4-final rotations out (multi-round green; identical oracles still
     # gated by the pytest sweep, and the FK/PAPI oracles ALSO stay
     # in-window via fk_join_streaming / papi_tws_running_count):
