@@ -20,7 +20,7 @@ A key idle for years would explode its span — bound it with retention
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.functions.portable import pround
@@ -466,3 +466,71 @@ def dq_audit_oracle() -> str:
             f"FROM events"
         )
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix
+# ---------------------------------------------------------------------------
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every (from_type, to_type) pair, the transition count and integer
+    basis-point probability — the behavioral-model / next-event-prediction
+    table that funnels and trending both approximate.
+
+    Plan: ONE shuffle keys each user's events (lag window in event-time
+    order, event_id tiebreak — a total order, so the pair multiset is
+    deterministic); the matrix agg and row-normalization run over
+    |types|^2 cells. All-integer."""
+    w = (
+        Window.partitionBy("user_id").orderBy("us", "event_id")
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            F.col("event_type").alias("to_type"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_from").cast("bigint").alias("n_from"),
+        F.expr("n * 10000 DIV n_from").cast("bigint").alias("prob_bp"),
+    )
+
+
+def markov_transitions_oracle() -> str:
+    return """
+        WITH ev AS (
+            SELECT user_id, event_id,
+                   epoch_us(date_trunc('microseconds', ts)) AS us,
+                   event_type AS to_type
+            FROM events
+        ), pairs AS (
+            SELECT lag(to_type) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                   ) AS from_type,
+                   to_type
+            FROM ev
+        ), counts AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        ), totals AS (
+            SELECT from_type, sum(n) AS n_from FROM counts GROUP BY from_type
+        )
+        SELECT c.from_type, c.to_type,
+               CAST(c.n AS BIGINT) AS n,
+               CAST(t.n_from AS BIGINT) AS n_from,
+               CAST(c.n * 10000 // t.n_from AS BIGINT) AS prob_bp
+        FROM counts c JOIN totals t USING (from_type)
+    """

@@ -2497,6 +2497,15 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="column-level data-quality audit (nulls/distincts/fixed-"
         "point min-max) in ONE scan; NEW inventory, first-gates in r5",
     ),
+    "markov_transitions": QuerySpec(
+        lambda spark, sf_dir: timeseries.markov_transitions(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.markov_transitions_oracle(),
+        doc="first-order event-type transition matrix (counts + integer "
+        "bp probabilities) from one lag-window pass; NEW inventory, "
+        "first-gates in r5",
+    ),
     # r4-final rotations out (multi-round green; identical oracles still
     # gated by the pytest sweep, and the FK/PAPI oracles ALSO stay
     # in-window via fk_join_streaming / papi_tws_running_count):
