@@ -147,7 +147,13 @@ def trending_decay(
     )
     anchor = counts.agg(F.max("day").alias("anchor_day"))
     hl = int(half_life_days)
-    weight = f"shiftright({TREND_W_SCALE}, CAST((anchor_day - day) DIV {hl} AS INT))"
+    # clamp the shift: the weight is 0 for ages >= 21 half-lives anyway
+    # (2^20 scale), and UNclamped shifts diverge across engines — Spark
+    # wraps shift counts mod 64 on BIGINT while DuckDB saturates to 0,
+    # so a corpus spanning 64+ half-lives would resurrect ancient counts
+    # on one engine only (pinned by test_trending_decay_old_data_is_zero)
+    shift = f"least(CAST((anchor_day - day) DIV {hl} AS INT), 63)"
+    weight = f"CAST(shiftright(CAST({TREND_W_SCALE} AS BIGINT), {shift}) AS BIGINT)"
     scored = (
         counts.crossJoin(F.broadcast(anchor))
         .groupBy(group_col, item_col)
@@ -191,8 +197,9 @@ def trending_decay_oracle(
         ), anchor AS (SELECT max(day) AS anchor_day FROM counts),
         scored AS (
             SELECT {group_col}, {item_col},
-                   CAST(sum(cnt * ({TREND_W_SCALE} >>
-                        CAST((anchor_day - day) // {hl} AS INT))) AS BIGINT)
+                   CAST(sum(cnt * (CAST({TREND_W_SCALE} AS BIGINT) >>
+                        least(CAST((anchor_day - day) // {hl} AS INT), 63)))
+                        AS BIGINT)
                        AS score_fp,
                    CAST(sum(cnt) AS BIGINT) AS total_cnt
             FROM counts, anchor
@@ -458,10 +465,14 @@ def dq_audit_oracle() -> str:
         fpd = duck_fp.get(c, c if fp else None)
         mn = f"CAST(min({fpd}) AS BIGINT)" if fpd else "CAST(NULL AS BIGINT)"
         mx = f"CAST(max({fpd}) AS BIGINT)" if fpd else "CAST(NULL AS BIGINT)"
+        # ts distincts count MICRO-truncated values: Spark's parquet read
+        # already truncates TIMESTAMP(NANOS) to micros, so the oracle must
+        # dedup at the same resolution (the registry._EV convention)
+        dc = "date_trunc('microseconds', ts)" if c == "ts" else c
         parts.append(
             f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
-            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(count(DISTINCT {dc}) AS BIGINT) AS n_distinct, "
             f"{mn} AS min_fp, {mx} AS max_fp "
             f"FROM events"
         )

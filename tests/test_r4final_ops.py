@@ -363,3 +363,33 @@ def test_split_leakage_safe_properties(spark, sf_dir):
     ).toPandas()
     merged = singles.merge(expected, on="doc_id", suffixes=("", "_plain"))
     assert (merged.split == merged.split_plain).all()
+
+
+def test_trending_decay_old_data_is_zero(spark):
+    """Counts older than 63 half-lives must weigh EXACTLY zero — Spark
+    wraps bigint shift counts mod 64 (shiftright(x, 70) == shiftright(x,
+    6)) while DuckDB saturates, so an unclamped shift would resurrect
+    ancient counts on one engine only. The operator clamps at 63."""
+    import pandas as pd
+
+    from responsive_pub_spark.operators import timeseries
+
+    rows = [
+        # anchor-day item: small but recent
+        (1, "2024-06-01 00:00:00", "recent", 3),
+        # 400 days older (100 half-lives): a HUGE count that must not
+        # surface above the recent item
+        (1, "2023-04-28 00:00:00", "ancient", 1_000_000),
+    ]
+    data = []
+    for uid, ts, item, n in rows:
+        data += [(uid, ts, item)] * min(n, 1000)  # cap for test runtime
+    df = spark.createDataFrame(
+        data, "user_id LONG, ts_s STRING, props STRING"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "props",
+                 "'click' AS event_type")
+    out = timeseries.trending_decay(df).toPandas()
+    recent = out[out.props == "recent"].iloc[0]
+    ancient = out[out.props == "ancient"].iloc[0]
+    assert ancient.score_fp == 0
+    assert recent.score_fp > 0 and recent.rk < ancient.rk
