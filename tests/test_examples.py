@@ -190,3 +190,35 @@ def test_dataset_card_report_sections(spark, sf_dir):
     )
     coll = rep["collocations"].collect()
     assert coll and all(r["c12"] >= 5 for r in coll)
+
+
+def test_analytics_report_sections(spark, sf_dir):
+    """examples/analytics_report.py: every section materializes; the cube
+    accounts for every order; retention stays within [0, 10000] bp; the
+    Markov rows of each from_type sum to ~10000 bp (integer truncation
+    loses at most |types| bp per row)."""
+    from responsive_pub_spark.examples import analytics_report
+    from responsive_pub_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    rep = analytics_report.build_report(events, orders)
+
+    cube = rep["activity_cube"]
+    total = cube.filter("gid = 3").first()
+    assert total["n"] == orders.count()
+
+    ret = rep["retention"].collect()
+    assert ret and all(0 <= r.retention_bp <= 10000 for r in ret)
+
+    mk = (
+        rep["behavior_model"]
+        .groupBy("from_type")
+        .agg(F.sum("prob_bp").alias("s"), F.count("*").alias("k"))
+        .collect()
+    )
+    assert mk and all(10000 - r.k <= r.s <= 10000 for r in mk)
+
+    for key in ("trending", "user_trends", "audience_overlap", "input_health"):
+        assert rep[key].count() > 0
