@@ -2465,13 +2465,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # identical check.  r4 rotations out: window_hopping/grace,
     # join_stream_table, dedup_exact/fact, sim_search_lsh,
     # bootstrap_compact (green r2+r3), window_topk, funnel_sequence (r2).
-    # r5 rotations out: agg_pricing_summary, window_tumbling, join_global,
-    # window_session, join_stream_stream, dedup_minhash_lsh,
-    # sim_search_bruteforce, sim_search_ivf, curate_corpus, dedup_clusters,
-    # timeseries_rollup_gapfill, join_asof (all green r1+r2+r3);
-    # multimodal_bytes, papi_window_concat, papi_punctuate_daily (green
-    # r1+r3); decontam_overlap, sample_stratified (green r2+r3 — the
-    # fuzzy/weighted siblings keep both families in-window).
+    # r5 window plan: rotate IN the five first-gating tail rows below
+    # (trend_ols, cohort_retention, dq_audit_events, markov_transitions,
+    # bpe_vocab); rotate OUT five rows that will be multi-round green
+    # after an r4-green gate — candidates with r3+r4 evidence and
+    # family coverage retained: sim_search_ivf_trained, iq_store_dump,
+    # kv_sink_roundtrip, source_cap, resample_by_score (async_enrich and
+    # multimodal_decode_features stay — sole rows of their families).
     # ------------------------------------------------------------------
     "trend_ols": QuerySpec(
         lambda spark, sf_dir: timeseries.trend_ols(
