@@ -338,7 +338,7 @@ def test_split_leakage_safe_properties(spark, sf_dir):
     near 80/10/10; (3) the split is reproducible run-over-run; (4) docs
     NOT in any near-dup pair split exactly as the plain hash of their own
     id — appending new docs can't move old singletons."""
-    from responsive_pub_spark.operators import dedup, pipeline_ops
+    from responsive_pub_spark.operators import pipeline_ops
 
     docs = read_table(spark, sf_dir, "documents")
     out = pipeline_ops.split_leakage_safe(docs).toPandas()
