@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from responsive_pub_spark.functions.portable import pround
+from responsive_pub_spark.functions.hashing import P
+from responsive_pub_spark.functions.portable import dround, pround
 
 BUCKET_S = 3600
 
@@ -544,4 +545,124 @@ def markov_transitions_oracle() -> str:
                CAST(t.n_from AS BIGINT) AS n_from,
                CAST(c.n * 10000 // t.n_from AS BIGINT) AS prob_bp
         FROM counts c JOIN totals t USING (from_type)
+    """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis
+# ---------------------------------------------------------------------------
+
+#: variant-assignment hash family (distinct from split/LC/HLL families)
+AB_A = 104729
+AB_B = 7481
+#: conversion bar: a user "converts" on metric m with >= this many m-events
+#: (binary had-any-event saturates on a dense fixture: every user converts,
+#: zero variance, every z NULL — a threshold makes the statistic real)
+AB_CONV_MIN = 15
+
+
+def ab_test(events: DataFrame, metric_col: str = "event_type") -> DataFrame:
+    """Two-proportion z-test per conversion metric under a deterministic
+    50/50 user-hash variant assignment — the experimentation readout
+    (guardrail metrics per variant) every product pipeline ships next to
+    cohorts and funnels.
+
+    For each metric value m: exposures = distinct users per variant,
+    conversions = distinct users with >= 1 m-event. All counts are exact
+    integers; the z statistic's inputs are those integers, so the single
+    sqrt/divide chain runs on identical doubles in both engines and
+    pround(6) pins the hash. A real experiment passes its own assignment
+    column; the hash split here doubles as an A/A harness (no true
+    effect — |z| should stay small, which the fixture shows).
+
+    Plan: one distinct (user, metric) pass + a user-level variant map
+    derived in codegen; everything after is variant x metric cells."""
+    variant = f"CASE WHEN ((user_id % {P}) * {AB_A} + {AB_B}) % {P} % 2 = 0 THEN 'A' ELSE 'B' END"
+    users = (
+        events.select("user_id").distinct().withColumn("variant", F.expr(variant))
+    )
+    exposures = users.groupBy("variant").agg(
+        F.count("*").alias("n")
+    )
+    conv = (
+        events.select("user_id", F.col(metric_col).alias("metric"))
+        .groupBy("user_id", "metric")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") >= AB_CONV_MIN)
+        .withColumn("variant", F.expr(variant))
+        .groupBy("metric", "variant")
+        .agg(F.count("*").alias("c"))
+    )
+    wide = (
+        conv.groupBy("metric")
+        .pivot("variant", ["A", "B"])
+        .agg(F.first("c"))
+        .withColumnRenamed("A", "conv_a")
+        .withColumnRenamed("B", "conv_b")
+        .crossJoin(
+            F.broadcast(
+                exposures.groupBy()
+                .pivot("variant", ["A", "B"])
+                .agg(F.first("n"))
+                .withColumnRenamed("A", "n_a")
+                .withColumnRenamed("B", "n_b")
+            )
+        )
+    )
+    # degenerate pooled rates (0% or 100% conversion — the dense fixture
+    # converts every user on every metric) have zero variance: z is NULL
+    z = (
+        "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b "
+        "THEN NULL ELSE "
+        "((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b)) / "
+        "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * "
+        "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * "
+        "(1.0 / n_a + 1.0 / n_b)) END"
+    )
+    return wide.select(
+        "metric",
+        F.coalesce("conv_a", F.lit(0)).cast("bigint").alias("conv_a"),
+        F.coalesce("conv_b", F.lit(0)).cast("bigint").alias("conv_b"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        pround(F.expr(z), 6).alias("z"),
+    )
+
+
+def ab_test_oracle(metric_col: str = "event_type") -> str:
+    variant = f"CASE WHEN ((user_id % {P}) * {AB_A} + {AB_B}) % {P} % 2 = 0 THEN 'A' ELSE 'B' END"
+    z = (
+        "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b "
+        "THEN NULL ELSE "
+        "((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b)) / "
+        "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * "
+        "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * "
+        "(1.0 / n_a + 1.0 / n_b)) END"
+    )
+    return f"""
+        WITH users AS (
+            SELECT DISTINCT user_id FROM events
+        ), assigned AS (
+            SELECT user_id, {variant} AS variant FROM users
+        ), exposures AS (
+            SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b
+            FROM assigned
+        ), conv AS (
+            SELECT m.metric,
+                   sum(CASE WHEN a.variant = 'A' THEN 1 ELSE 0 END) AS conv_a,
+                   sum(CASE WHEN a.variant = 'B' THEN 1 ELSE 0 END) AS conv_b
+            FROM (SELECT user_id, {metric_col} AS metric
+                  FROM events GROUP BY user_id, {metric_col}
+                  HAVING count(*) >= {AB_CONV_MIN}) m
+            JOIN assigned a USING (user_id)
+            GROUP BY m.metric
+        )
+        SELECT metric,
+               CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(conv_b AS BIGINT) AS conv_b,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               {dround(z, 6)} AS z
+        FROM conv, exposures
     """

@@ -2506,6 +2506,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "bp probabilities) from one lag-window pass; NEW inventory, "
         "first-gates in r5",
     ),
+    "ab_test_zscore": QuerySpec(
+        lambda spark, sf_dir: timeseries.ab_test(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.ab_test_oracle(),
+        doc="two-proportion z-test per metric under a deterministic "
+        "50/50 user-hash A/A assignment (|z| small = the harness is "
+        "unbiased); degenerate pooled rates are NULL-guarded; NEW "
+        "inventory, first-gates in r5",
+    ),
     # r4-final rotations out (multi-round green; identical oracles still
     # gated by the pytest sweep, and the FK/PAPI oracles ALSO stay
     # in-window via fk_join_streaming / papi_tws_running_count):
