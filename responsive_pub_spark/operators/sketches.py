@@ -628,3 +628,92 @@ def hll_setops_oracle(
         JOIN (SELECT g AS gb, exact FROM exact_cnt) eb USING (gb)
         LEFT JOIN exact_inter ei ON ei.ga = u.ga AND ei.gb = u.gb
     """
+
+
+#: heavy-hitter threshold as a fraction denominator: theta = total // HH_FRAC
+HH_FRAC = 800
+
+
+def heavy_hitters(
+    events: DataFrame, item_col: str = "item", frac: int = HH_FRAC
+) -> DataFrame:
+    """All items with exact count >= total/frac — found the scalable way:
+    a Count-Min PREFILTER picks candidates (CMS overestimates, so the
+    candidate set has NO false negatives), and only candidates pay for an
+    exact count. At 100 TB the corpus is scanned twice at most: once
+    collapsing into the fixed-size sketch, once counting just the
+    candidate items (pruned MAP-SIDE by a broadcast semi-join on the
+    candidate set — on Zipfian real-world frequencies candidates are a
+    sliver of the item space; the deliberately UNIFORM fixture instead
+    parks most items near θ, which stress-tests the prefilter's
+    false-positive band: est >= θ > exact items must appear as candidates
+    and then fail verification). θ and every count are integers; output
+    is the verified hitters with exact and sketch counts."""
+    h = poly_hash_sql(item_col)
+    buckets = _cms_buckets(h, "spark")
+    sketch = (
+        events.select(F.posexplode(F.expr(buckets)).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = events.count()
+    theta = total // int(frac)
+    # candidate pass: distinct items probe the broadcast sketch
+    est = (
+        events.select(item_col).distinct()
+        .select(item_col, F.posexplode(F.expr(buckets)).alias("d", "bucket"))
+        .join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .filter(F.col("cms_est") >= theta)
+    )
+    # verify pass: exact counts ONLY for candidates (map-side prune via
+    # the broadcast left-semi join before the count shuffle)
+    exact = (
+        events.join(
+            F.broadcast(est.select(item_col)), item_col, "left_semi"
+        )
+        .groupBy(item_col)
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .filter(F.col("exact_count") >= theta)
+    )
+    return exact.join(F.broadcast(est), item_col).select(
+        item_col,
+        "exact_count",
+        "cms_est",
+        F.lit(theta).cast("bigint").alias("theta"),
+    )
+
+
+def heavy_hitters_oracle(item_col: str = "item", frac: int = HH_FRAC) -> str:
+    h = poly_hash_duck(item_col)
+    buckets = _cms_buckets(h, "duck")
+    return f"""
+        WITH sketch AS (
+            SELECT d, bucket, count(*) AS cnt FROM (
+                SELECT unnest({buckets}) AS bucket,
+                       generate_subscripts({buckets}, 1) - 1 AS d
+                FROM events
+            ) GROUP BY d, bucket
+        ),
+        theta AS (SELECT count(*) // {int(frac)} AS t FROM events),
+        est AS (
+            SELECT {item_col}, min(s.cnt) AS cms_est
+            FROM (
+                SELECT {item_col},
+                       unnest({buckets}) AS bucket,
+                       generate_subscripts({buckets}, 1) - 1 AS d
+                FROM (SELECT DISTINCT {item_col} FROM events)
+            ) p JOIN sketch s USING (d, bucket)
+            GROUP BY {item_col}
+        )
+        SELECT e.{item_col},
+               CAST(count(*) AS BIGINT) AS exact_count,
+               CAST(est.cms_est AS BIGINT) AS cms_est,
+               CAST((SELECT t FROM theta) AS BIGINT) AS theta
+        FROM events e
+        JOIN est USING ({item_col})
+        WHERE est.cms_est >= (SELECT t FROM theta)
+        GROUP BY e.{item_col}, est.cms_est
+        HAVING count(*) >= (SELECT t FROM theta)
+    """

@@ -2122,6 +2122,29 @@ def q_snapshot_diff(spark, sf_dir):
     return pipeline_ops.snapshot_diff(old, new)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """θ-frequent (user, event_type) items via the CMS-prefilter +
+    exact-verify two-pass (sketches.heavy_hitters). The uniform fixture
+    parks most items near θ = total/800, exercising the prefilter's
+    FP band rather than a Zipf head."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("item")
+    )
+    return sketches.heavy_hitters(ev, item_col="item")
+
+
+ORACLE_HEAVY_HITTERS = (
+    sketches.heavy_hitters_oracle(item_col="item")
+    .replace("FROM events", "FROM ev2")
+    .replace(
+        "WITH sketch AS",
+        "WITH ev2 AS (SELECT CAST(user_id AS VARCHAR) || ':' || event_type "
+        "AS item FROM events), sketch AS",
+        1,
+    )
+)
+
+
 def q_sketch_cms(spark, sf_dir):
     """Count-Min over (user, event_type) items: ~750+ distinct items vs
     4x256 counters, so hash collisions occur and some estimates exceed the
@@ -2505,6 +2528,13 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="first-order event-type transition matrix (counts + integer "
         "bp probabilities) from one lag-window pass; NEW inventory, "
         "first-gates in r5",
+    ),
+    "heavy_hitters": QuerySpec(
+        q_heavy_hitters,
+        ORACLE_HEAVY_HITTERS,
+        doc="theta-frequent items via CMS prefilter (no false negatives) "
+        "+ exact verify of candidates only — the two-pass scalable "
+        "heavy-hitter pattern; NEW inventory, first-gates in r5",
     ),
     "ab_test_zscore": QuerySpec(
         lambda spark, sf_dir: timeseries.ab_test(
