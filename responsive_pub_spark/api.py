@@ -243,6 +243,60 @@ class KStream:
             joined = joined.drop(table.df[rk])
         return self._with(joined)
 
+    def join_versioned(
+        self,
+        changelog: "KStream",
+        value_cols: Sequence[str],
+        prefix: str = "v_",
+    ) -> "KStream":
+        """TEMPORAL stream-table join — the KS 3.5 semantics when the
+        table is backed by a VersionedKeyValueStore: each stream record
+        joins the table VERSION active at the record's own timestamp
+        (at-or-before), not the latest row. ``changelog`` is the
+        versioned table's update stream (same key columns; one version
+        per (key, ts) — a same-ts version and stream record match, the
+        version winning the tie, per versioned-store put-then-read
+        order). Records before the first version get NULLs.
+
+        Plan: the union trick (operators/asof.py — both sides tagged and
+        hash-shuffled ONCE on the key, one ordered window pass carries
+        the active version forward) — no range-join candidate blow-up,
+        the same single-shuffle shape the as-of gate row locks in."""
+        vals = list(value_cols)
+        left = self.df.select(
+            *[F.col(c) for c in self.df.columns],
+            F.lit(True).alias("__is_left"),
+            *[F.lit(None).cast(changelog.df.schema[c].dataType).alias(f"{prefix}{c}") for c in vals],
+        )
+        right_cols = set(changelog.key) | {changelog.ts_col} | set(vals)
+        right = changelog.df.select(
+            *[
+                F.col(c) if c in right_cols else F.lit(None).cast(
+                    self.df.schema[c].dataType
+                ).alias(c)
+                for c in self.df.columns
+            ],
+            F.lit(False).alias("__is_left"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in vals],
+        )
+        unioned = left.unionByName(right)
+        w = (
+            Window.partitionBy(*self.key)
+            .orderBy(F.col(self.ts_col).asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.select(
+            *[F.col(c) for c in self.df.columns],
+            "__is_left",
+            *[
+                F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+                for c in vals
+            ],
+        )
+        return self._with(
+            carried.filter(F.col("__is_left")).drop("__is_left")
+        )
+
     def join_windowed(
         self,
         other: "KStream",

@@ -393,3 +393,35 @@ def test_trending_decay_old_data_is_zero(spark):
     ancient = out[out.props == "ancient"].iloc[0]
     assert ancient.score_fp == 0
     assert recent.score_fp > 0 and recent.rk < ancient.rk
+
+
+def test_join_versioned_matches_store_replay(spark):
+    """KStream.join_versioned == per-key VersionedKeyValueStore.get_asof
+    replay: each stream record sees the version active at its own
+    timestamp, same-ts version wins the tie, pre-first-version is NULL."""
+    from responsive_pub_spark.api import KStream
+    from responsive_pub_spark.streaming.state import VersionedKeyValueStore
+
+    stream_rows = [
+        (1, 5.0, "e1"), (1, 15.0, "e2"), (1, 20.0, "e3"), (2, 9.0, "e4")
+    ]
+    version_rows = [(1, 10.0, "A"), (1, 20.0, "B"), (2, 30.0, "C")]
+    sdf = spark.createDataFrame(stream_rows, "k LONG, ts DOUBLE, ev STRING")
+    vdf = spark.createDataFrame(version_rows, "k LONG, ts DOUBLE, payload STRING")
+    out = (
+        KStream(sdf, key=["k"], ts_col="ts")
+        .join_versioned(KStream(vdf, key=["k"], ts_col="ts"), ["payload"])
+        .df.collect()
+    )
+    got = {(r.k, r.ev): r.v_payload for r in out}
+
+    stores: dict = {}
+    for k, ts, payload in version_rows:
+        stores.setdefault(k, VersionedKeyValueStore()).put("v", payload, ts)
+    want = {}
+    for k, ts, ev in stream_rows:
+        hit = stores.get(k, VersionedKeyValueStore()).get_asof("v", ts)
+        want[(k, ev)] = None if hit is None else hit[0]
+    assert got == want
+    assert got[(1, "e1")] is None          # before first version
+    assert got[(1, "e3")] == "B"           # same-ts version wins
