@@ -425,3 +425,33 @@ def test_join_versioned_matches_store_replay(spark):
     assert got == want
     assert got[(1, "e1")] is None          # before first version
     assert got[(1, "e3")] == "B"           # same-ts version wins
+
+
+def test_heavy_hitters_contract(spark, sf_dir):
+    """(1) completeness: EVERY item with exact >= theta appears (the CMS
+    prefilter cannot false-negative because est >= exact); (2) est >=
+    exact on every output row; (3) the prefilter's FP band is real on
+    this fixture: some candidate had est >= theta > exact and was
+    correctly dropped by verification."""
+    from pyspark.sql import functions as F
+
+    from responsive_pub_spark.operators import sketches
+    from responsive_pub_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("item")
+    )
+    out = sketches.heavy_hitters(ev).toPandas()
+    theta = int(out.theta.iloc[0]) if len(out) else ev.count() // sketches.HH_FRAC
+    truth = (
+        ev.groupBy("item").count().filter(F.col("count") >= theta).toPandas()
+    )
+    assert set(out.item) == set(truth.item)
+    assert (out.cms_est >= out.exact_count).all()
+    if theta > 1:  # at sf0.001 theta==1: every present item is a hitter,
+        # so no FP band can exist by construction
+        est_all = sketches.cms_frequencies(ev).toPandas()
+        fp_band = est_all[
+            (est_all.cms_est >= theta) & (est_all.exact_count < theta)
+        ]
+        assert len(fp_band) > 0, "fixture never exercised the FP band"
