@@ -2488,13 +2488,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # identical check.  r4 rotations out: window_hopping/grace,
     # join_stream_table, dedup_exact/fact, sim_search_lsh,
     # bootstrap_compact (green r2+r3), window_topk, funnel_sequence (r2).
-    # r5 window plan: rotate IN the five first-gating tail rows below
+    # r5 window plan: rotate IN the seven first-gating tail rows below
     # (trend_ols, cohort_retention, dq_audit_events, markov_transitions,
-    # bpe_vocab); rotate OUT five rows that will be multi-round green
-    # after an r4-green gate — candidates with r3+r4 evidence and
-    # family coverage retained: sim_search_ivf_trained, iq_store_dump,
-    # kv_sink_roundtrip, source_cap, resample_by_score (async_enrich and
-    # multimodal_decode_features stay — sole rows of their families).
+    # heavy_hitters, ab_test_zscore, bpe_vocab); rotate OUT seven rows
+    # that will be multi-round green after an r4-green gate — candidates
+    # with r3+r4 evidence and family coverage retained:
+    # sim_search_ivf_trained, iq_store_dump, kv_sink_roundtrip,
+    # source_cap, resample_by_score, dedup_simhash_clusters,
+    # dedup_embedding_strict (async_enrich and multimodal_decode_features
+    # stay — sole rows of their families).
     # ------------------------------------------------------------------
     "trend_ols": QuerySpec(
         lambda spark, sf_dir: timeseries.trend_ols(
