@@ -817,3 +817,38 @@ def test_hll_register_table_streaming_equals_batch(spark, workdir):
     )
     batch = {(r.g, r.reg): r.m_j for r in build(both).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_trending_counts_streaming_equals_batch(spark, workdir):
+    """trending_decay's state — the (group, item, day) count table — is a
+    plain keyed count, so it accumulates incrementally under Structured
+    Streaming; the decay scoring is a pure function of that table plus
+    the anchor day, so micro-batched counts == batch counts implies
+    identical trending output."""
+
+    def build(sdf):
+        return (
+            sdf.selectExpr(
+                "g", "item", "CAST(ts_day AS BIGINT) AS day"
+            )
+            .groupBy("g", "item", "day")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    drv = TopologyTestDriver(
+        spark, "g STRING, item STRING, ts_day LONG", build, workdir,
+        output_mode="complete",
+    )
+    b1 = [{"g": "a", "item": f"i{j % 3}", "ts_day": 19700 + j % 4} for j in range(30)]
+    b2 = [{"g": "a", "item": f"i{j % 5}", "ts_day": 19702} for j in range(20)]
+    drv.pipe(b1)
+    drv.advance()
+    drv.pipe(b2)
+    streamed = {(r.g, r.item, r.day): r.cnt for r in drv.advance()}
+    drv.close()
+
+    both = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], "g STRING, item STRING, ts_day LONG"
+    )
+    batch = {(r.g, r.item, r.day): r.cnt for r in build(both).collect()}
+    assert streamed == batch and len(batch) > 0
