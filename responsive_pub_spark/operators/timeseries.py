@@ -666,3 +666,59 @@ def ab_test_oracle(metric_col: str = "event_type") -> str:
                {dround(z, 6)} AS z
         FROM conv, exposures
     """
+
+
+# ---------------------------------------------------------------------------
+# group variance from integer sums
+# ---------------------------------------------------------------------------
+
+def group_variance(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Population variance / stddev of ``value`` per group from three
+    BIGINT sums (n, Σy, Σy²) in integer centi-units — the one-pass
+    parallel variance (no two-pass mean subtraction, no Welford state):
+
+        var = (n·Σy² − (Σy)²) / n²
+
+    Integer sums are shuffle-order-free; the only floats are one division
+    and one sqrt over identical integer inputs, pround-pinned. Overflow
+    envelope: n·Σy² < 2^63 — holds to ~10^7 rows/group at centi scale;
+    past that, aggregate per shard and merge the sums (they are plain
+    additions — the whole point of the sum form)."""
+    ev = events.select(
+        F.col(group_col).alias("g"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("y"),
+    )
+    sums = ev.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    num = "(n * syy - sy * sy)"
+    return sums.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("sy DIV n").cast("bigint").alias("mean_c"),
+        F.expr(f"{num} DIV (n * n)").cast("bigint").alias("var_c2"),
+        pround(
+            F.expr(f"sqrt(CAST({num} AS DOUBLE) / CAST(n * n AS DOUBLE))"), 6
+        ).alias("stddev_c"),
+    )
+
+
+def group_variance_oracle(group_col: str = "event_type") -> str:
+    num = "(n * syy - sy * sy)"
+    return f"""
+        WITH sums AS (
+            SELECT {group_col} AS g, count(*) AS n,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sy,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS syy
+            FROM events GROUP BY 1
+        )
+        SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
+               CAST(sy // n AS BIGINT) AS mean_c,
+               CAST({num} // (n * n) AS BIGINT) AS var_c2,
+               {dround(f"sqrt(CAST({num} AS DOUBLE) / CAST(n * n AS DOUBLE))", 6)}
+                   AS stddev_c
+        FROM sums
+    """

@@ -2548,6 +2548,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "unbiased); degenerate pooled rates are NULL-guarded; NEW "
         "inventory, first-gates in r5",
     ),
+    "group_variance": QuerySpec(
+        lambda spark, sf_dir: timeseries.group_variance(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.group_variance_oracle(),
+        doc="one-pass parallel variance from three BIGINT sums (no "
+        "Welford state, sums merge by addition); NEW inventory, "
+        "first-gates in r5",
+    ),
     # r4-final rotations out (multi-round green; identical oracles still
     # gated by the pytest sweep, and the FK/PAPI oracles ALSO stay
     # in-window via fk_join_streaming / papi_tws_running_count):
