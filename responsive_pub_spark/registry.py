@@ -2557,6 +2557,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "Welford state, sums merge by addition); NEW inventory, "
         "first-gates in r5",
     ),
+    "sketch_hll_windowed": QuerySpec(
+        lambda spark, sf_dir: sketches.hll_distinct_windowed(
+            _t(spark, sf_dir, "events")
+        ),
+        sketches.hll_distinct_windowed_oracle(),
+        doc="HLL composed with event-time windows (distinct per week "
+        "per group) — the register key gains a window column, all "
+        "sketch properties inherited; NEW inventory, first-gates in r5",
+    ),
     # r4-final rotations out (multi-round green; identical oracles still
     # gated by the pytest sweep, and the FK/PAPI oracles ALSO stay
     # in-window via fk_join_streaming / papi_tws_running_count):
