@@ -404,6 +404,50 @@ EXTENDED_NOTES = {
         "rank<=k compiles to WindowGroupLimit over item-cardinality "
         "rows."
     ),
+    "trend_ols": (
+        "closed-form OLS from five BIGINT sums: two keyed aggs over the "
+        "same key partitioning (min-x, then sums — exchange reused); "
+        "output is key-cardinality; one integer division per key."
+    ),
+    "cohort_retention": (
+        "signup week = keyed min; (user, week) activity dedups on the "
+        "same user-keyed exchange; the matrix agg runs over cohort x "
+        "offset cells with sizes joined broadcast — nothing corpus-"
+        "sized leaves the user partitioning."
+    ),
+    "dq_audit_events": (
+        "every column's null/distinct/min/max metrics are aggregate "
+        "expressions of ONE hash aggregate over one scan (stacked to "
+        "long form after) — no per-column re-scan at any width."
+    ),
+    "markov_transitions": (
+        "ONE shuffle keys each user's sequence (lag window, total "
+        "order); matrix agg + bp normalization run over |types|^2 "
+        "cells with totals joined broadcast."
+    ),
+    "ab_test_zscore": (
+        "variant is a codegen hash of the user id; exposures and "
+        "thresholded conversions are keyed counts; the z chain runs on "
+        "variant x metric cells. A/A on the fixture: |z| < 2."
+    ),
+    "heavy_hitters": (
+        "pass 1 collapses the corpus into the fixed-size CMS (map-side "
+        "partials); candidates = distinct items probing the broadcast "
+        "sketch; pass 2 counts ONLY candidates, pruned map-side by a "
+        "broadcast left-semi join — no false negatives by the CMS "
+        "one-sided bound."
+    ),
+    "group_variance": (
+        "one keyed agg producing (n, sum y, sum y^2); variance is a "
+        "pure function of the sums, which merge across shards by plain "
+        "addition — the parallel one-pass form."
+    ),
+    "sketch_hll_windowed": (
+        "identical plan to sketch_hll with the window id in the "
+        "register key: corpus collapses map-side to <= 256 rows per "
+        "(window, group); windowed cardinality without per-window "
+        "user sets."
+    ),
 }
 
 
