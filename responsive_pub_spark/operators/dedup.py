@@ -24,7 +24,7 @@ Every operator has a DuckDB oracle twin built from the same constants in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.functions.hashing import (
@@ -969,4 +969,69 @@ def semantic_dedup_oracle(
         SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cid,
                (d.vec_id IS NOT NULL) AS is_duplicate
         FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """
+
+
+def keep_best(docs: DataFrame) -> DataFrame:
+    """Quality-aware dedup: near-dup clusters elect the LONGEST member as
+    canonical (longest-is-most-complete, the common production heuristic),
+    not the lowest id — `cluster_pairs` answers "which rows are
+    duplicates", this answers "which copy should survive". Ties break by
+    doc_id (a total order).
+
+    Plan: minhash pairs -> min-label components (the dedup_clusters
+    machinery) -> one rank-1 window per cluster over (n_chars DESC,
+    doc_id ASC), which compiles to WindowGroupLimit — each cluster ships
+    one candidate per partition. Output: every doc with its cluster's
+    elected keeper and a keep verdict."""
+    pairs = minhash_pairs(docs)
+    labels = cluster_pairs(docs.select("doc_id"), pairs).select(
+        "doc_id", F.col("canonical_id").alias("cluster_id")
+    )
+    sized = labels.join(
+        docs.select("doc_id", F.length("text").alias("n_len")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_len"), F.asc("doc_id")
+    )
+    best = (
+        sized.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("cluster_id"), F.col("doc_id").alias("keep_id")
+        )
+    )
+    return (
+        sized.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("keep_id").cast("bigint").alias("keep_id"),
+            (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+        )
+    )
+
+
+def keep_best_oracle() -> str:
+    cluster_sql = cluster_pairs_oracle(f"pairs AS ({minhash_pairs_oracle()})")
+    return f"""
+        WITH labels AS (
+            SELECT doc_id, canonical_id AS cluster_id FROM ({cluster_sql})
+        ), sized AS (
+            SELECT l.doc_id, l.cluster_id, length(d.text) AS n_len
+            FROM labels l JOIN documents d USING (doc_id)
+        ), best AS (
+            SELECT cluster_id, doc_id AS keep_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_len DESC, doc_id ASC)
+                           AS rk
+                FROM sized
+            ) WHERE rk = 1
+        )
+        SELECT s.doc_id,
+               CAST(s.cluster_id AS BIGINT) AS cluster_id,
+               CAST(b.keep_id AS BIGINT) AS keep_id,
+               (s.doc_id = b.keep_id) AS keep
+        FROM sized s JOIN best b USING (cluster_id)
     """

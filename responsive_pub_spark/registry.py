@@ -2566,6 +2566,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "per group) — the register key gains a window column, all "
         "sketch properties inherited; NEW inventory, first-gates in r5",
     ),
+    "dedup_keep_best": QuerySpec(
+        lambda spark, sf_dir: dedup.keep_best(
+            _t(spark, sf_dir, "documents")
+        ),
+        dedup.keep_best_oracle(),
+        doc="quality-aware dedup: clusters elect the LONGEST member as "
+        "keeper (rank-1 WindowGroupLimit per cluster), not the lowest "
+        "id; NEW inventory, first-gates in r5",
+    ),
     # r4-final rotations out (multi-round green; identical oracles still
     # gated by the pytest sweep, and the FK/PAPI oracles ALSO stay
     # in-window via fk_join_streaming / papi_tws_running_count):
