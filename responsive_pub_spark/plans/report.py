@@ -448,6 +448,12 @@ EXTENDED_NOTES = {
         "(window, group); windowed cardinality without per-window "
         "user sets."
     ),
+    "dedup_keep_best": (
+        "cluster labels from the min-label rounds; keeper election is "
+        "one rank-1 window per cluster over (length DESC, id ASC) — "
+        "WindowGroupLimit ships one candidate per partition per "
+        "cluster. Dedup decides WHICH rows; this decides WHICH COPY."
+    ),
 }
 
 
