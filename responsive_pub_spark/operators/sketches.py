@@ -656,8 +656,12 @@ def heavy_hitters(
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
-    total = events.count()
-    theta = total // int(frac)
+    # θ stays IN the plan as a broadcast 1-row aggregate (no eager
+    # events.count() on the driver — that was a third full scan and a
+    # driver-side action inside query construction)
+    theta_df = events.agg(
+        F.expr(f"count(*) DIV {int(frac)}").cast("bigint").alias("theta")
+    )
     # candidate pass: distinct items probe the broadcast sketch
     est = (
         events.select(item_col).distinct()
@@ -665,7 +669,8 @@ def heavy_hitters(
         .join(F.broadcast(sketch), ["d", "bucket"])
         .groupBy(item_col)
         .agg(F.min("cnt").cast("bigint").alias("cms_est"))
-        .filter(F.col("cms_est") >= theta)
+        .crossJoin(F.broadcast(theta_df))
+        .filter(F.col("cms_est") >= F.col("theta"))
     )
     # verify pass: exact counts ONLY for candidates (map-side prune via
     # the broadcast left-semi join before the count shuffle)
@@ -675,13 +680,11 @@ def heavy_hitters(
         )
         .groupBy(item_col)
         .agg(F.count("*").cast("bigint").alias("exact_count"))
-        .filter(F.col("exact_count") >= theta)
     )
-    return exact.join(F.broadcast(est), item_col).select(
-        item_col,
-        "exact_count",
-        "cms_est",
-        F.lit(theta).cast("bigint").alias("theta"),
+    return (
+        exact.join(F.broadcast(est), item_col)
+        .filter(F.col("exact_count") >= F.col("theta"))
+        .select(item_col, "exact_count", "cms_est", "theta")
     )
 
 

@@ -465,12 +465,16 @@ def collocations_pmi(
     c12 * N * SCALE < 2^63, i.e. corpora under ~3e6 bigrams per... at
     larger N drop SCALE or pre-aggregate per shard (documented knob)."""
     arr = "filter(split(text, '\\\\s+'), x -> x != '')"
+    # short-doc guard: size < 2 would make sequence(1, 0) descend and
+    # element_at(arr, 0) throw (DuckDB's range() is empty-safe) — same
+    # guard as bpe._pairs_expr / _ngram_arr
     bigrams = docs.select(
         F.explode(
             F.expr(
-                f"transform(sequence(1, size({arr}) - 1), "
+                f"CASE WHEN size({arr}) < 2 THEN array() "
+                f"ELSE transform(sequence(1, size({arr}) - 1), "
                 f"i -> struct(element_at({arr}, i) AS w1, "
-                f"element_at({arr}, i + 1) AS w2))"
+                f"element_at({arr}, i + 1) AS w2)) END"
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
@@ -555,7 +559,14 @@ def _ngram_arr(n: int, dialect: str) -> str:
     if dialect == "spark":
         arr = "filter(split(text, '\\\\s+'), x -> x != '')"
         gram = " || ' ' || ".join(f"element_at({arr}, i + {j})" for j in range(n))
-        return f"transform(sequence(1, size({arr}) - {n - 1}), i -> {gram})"
+        # short-doc guard: for docs with < n words Spark's
+        # sequence(1, size - (n-1)) DESCENDS ([1, 0]) and element_at(arr, 0)
+        # throws; DuckDB's range() is already empty on that input.  Same
+        # pitfall (and same guard) as bpe._pairs_expr.
+        return (
+            f"CASE WHEN size({arr}) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size({arr}) - {n - 1}), i -> {gram}) END"
+        )
     arr = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     gram = " || ' ' || ".join(f"{arr}[i + {j}]" for j in range(n))
     return f"list_transform(range(1, len({arr}) - {n - 2}), i -> {gram})"
@@ -618,8 +629,12 @@ def novelty_oracle(n: int = NOVELTY_N) -> str:
                CAST(count(*) AS BIGINT) AS n_grams,
                CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_unique,
-               (sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
-                * {NOVELTY_SCALE}) // count(*) AS novelty_fp
+               -- CAST: DuckDB types this // as HUGEINT, which the driver's
+               -- pandas canonicalization coerces to float64 (hash-diverges
+               -- from Spark's BIGINT even when every value matches — the
+               -- r4 red row); BIGINT keeps both sides integer end-to-end
+               CAST((sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                * {NOVELTY_SCALE}) // count(*) AS BIGINT) AS novelty_fp
         FROM pairs p JOIN dfreq d USING (gram_h)
         GROUP BY p.doc_id
     """

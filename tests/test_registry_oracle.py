@@ -33,6 +33,24 @@ def test_query_matches_oracle(spark, duck, sf_dir, name, spec):
     assert ok, f"{name}: {msg}"
 
 
+@pytest.mark.parametrize("name,spec", CASES, ids=[c[0] for c in CASES])
+def test_oracle_types_survive_pandas(duck, name, spec):
+    """No oracle output column may be HUGEINT/UHUGEINT/DECIMAL: the driver
+    canonicalizes DuckDB results through pandas, which coerces those to
+    float64 and hash-diverges from Spark's BIGINT even when every value
+    matches (the r4 ``text_novelty`` red row).  Same pattern as the
+    non-atomic-output assertion above.  LIMIT 0 — type check only."""
+    rows = duck.execute(f"DESCRIBE SELECT * FROM ({spec.oracle})").fetchall()
+    for col, dtype, *_ in rows:
+        t = dtype.upper()
+        assert t not in {"HUGEINT", "UHUGEINT"} and not t.startswith("DECIMAL"), (
+            f"{name}: oracle column {col} has DuckDB type {dtype} — the "
+            "driver's pandas canonicalization coerces it to float64 and the "
+            "value hash diverges from Spark; CAST it to BIGINT/DOUBLE in the "
+            "oracle SQL"
+        )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
