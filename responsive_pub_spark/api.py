@@ -262,22 +262,36 @@ class KStream:
         hash-shuffled ONCE on the key, one ordered window pass carries
         the active version forward) — no range-join candidate blow-up,
         the same single-shuffle shape the as-of gate row locks in."""
+        from pyspark.sql.types import StructType
+
         vals = list(value_cols)
+        # the whole version travels as ONE struct through last(ignorenulls):
+        # per-column last() would resurrect an OLDER version's value for any
+        # column the active version carries as NULL
+        ver_type = StructType([changelog.df.schema[c] for c in vals])
         left = self.df.select(
             *[F.col(c) for c in self.df.columns],
             F.lit(True).alias("__is_left"),
-            *[F.lit(None).cast(changelog.df.schema[c].dataType).alias(f"{prefix}{c}") for c in vals],
+            F.lit(None).cast(ver_type).alias("__ver"),
         )
-        right_cols = set(changelog.key) | {changelog.ts_col} | set(vals)
+        # right projection: the changelog's ts column feeds self.ts_col even
+        # if named differently (otherwise right rows sort NULLS FIRST and
+        # every stream record would see an arbitrary "latest" version)
+        right_cols = set(changelog.key) | set(vals)
+        right_proj = []
+        for c in self.df.columns:
+            if c == self.ts_col:
+                right_proj.append(F.col(changelog.ts_col).alias(self.ts_col))
+            elif c in right_cols:
+                right_proj.append(F.col(c))
+            else:
+                right_proj.append(
+                    F.lit(None).cast(self.df.schema[c].dataType).alias(c)
+                )
         right = changelog.df.select(
-            *[
-                F.col(c) if c in right_cols else F.lit(None).cast(
-                    self.df.schema[c].dataType
-                ).alias(c)
-                for c in self.df.columns
-            ],
+            *right_proj,
             F.lit(False).alias("__is_left"),
-            *[F.col(c).alias(f"{prefix}{c}") for c in vals],
+            F.struct(*[F.col(c) for c in vals]).alias("__ver"),
         )
         unioned = left.unionByName(right)
         w = (
@@ -288,13 +302,13 @@ class KStream:
         carried = unioned.select(
             *[F.col(c) for c in self.df.columns],
             "__is_left",
-            *[
-                F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-                for c in vals
-            ],
+            F.last("__ver", ignorenulls=True).over(w).alias("__ver"),
         )
         return self._with(
-            carried.filter(F.col("__is_left")).drop("__is_left")
+            carried.filter(F.col("__is_left")).select(
+                *[F.col(c) for c in self.df.columns],
+                *[F.col(f"__ver.{c}").alias(f"{prefix}{c}") for c in vals],
+            )
         )
 
     def join_windowed(
@@ -598,6 +612,15 @@ class TimeWindowedKStream:
         """Aggregate per (key, window). Output columns: key..., window_start
         and window_end as epoch-second BIGINTs, then the aggregates."""
         df = self._grace_filtered()
+        if self.suppressed and not self.df.isStreaming:
+            # batch analog of suppress(untilWindowCloses): in a ts-ordered
+            # replay the running watermark (ts - grace) never passes a
+            # record's own window end, so nothing is late — the final
+            # aggregate of a CLOSED window includes everything that arrived
+            # before close.  Applying the final-watermark late-drop here
+            # instead would delete every record of every closed window
+            # (all are older than max ts - grace) and emit nothing.
+            df = self.df
         w = self.windows
         if isinstance(w, SessionWindows):
             win = F.session_window(F.col(self.ts_col), w.gap_str)
@@ -613,6 +636,22 @@ class TimeWindowedKStream:
             *[F.col(a) for a in out.columns if a != "w" and a not in self.key],
         )
         if self.suppressed:
+            if not df.isStreaming:
+                # batch analog of APPEND-mode final emission: only windows
+                # CLOSED by the final watermark (max event time - grace)
+                # emit; a window still inside grace when the stream ends is
+                # open state, never an output row.  Broadcast 1-row scalar.
+                wm = self.df.agg(
+                    (
+                        F.max(ts_to_double(self.df, self.ts_col))
+                        - F.lit(float(self.windows.grace_s))
+                    ).alias("__wm")
+                )
+                res = (
+                    res.join(F.broadcast(wm))
+                    .filter(F.col("window_end") <= F.col("__wm"))
+                    .drop("__wm")
+                )
             _EMIT_FINAL.add(res)
         return res
 

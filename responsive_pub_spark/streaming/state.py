@@ -273,7 +273,12 @@ class VersionedKeyValueStore:
         if blob:
             if blob[: len(cls.BLOB_MAGIC)] == cls.BLOB_MAGIC:
                 blob = blob[len(cls.BLOB_MAGIC):]
-            st._versions, st.stream_time, st.history_retention = pickle.loads(blob)
+            st._versions, st.stream_time, pickled_ret = pickle.loads(blob)
+            # an EXPLICITLY passed retention wins over the pickled config:
+            # ctx.get_versioned_store(name, new_retention) on a restored
+            # checkpoint must reconfigure, not silently keep the old value
+            if history_retention is None:
+                st.history_retention = pickled_ret
         return st
 
 
