@@ -852,3 +852,141 @@ def test_trending_counts_streaming_equals_batch(spark, workdir):
     )
     batch = {(r.g, r.item, r.day): r.cnt for r in build(both).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_ktable_regroup_streaming_retraction(spark, workdir):
+    """STREAMING KGroupedTable re-agg retraction (r4 VERDICT task 6): a key
+    whose group changes mid-stream must RETRACT from the old group
+    (get-before-put subtract-then-add, PartitionedOperations.java:364-371)
+    — and a group whose last member leaves drops out of the table entirely
+    (the retraction tombstone). Each advance() is a cold restart from the
+    checkpoints, so retraction state survives restarts too."""
+    from responsive_pub_spark.streaming.regroup import RegroupStreaming
+
+    schema = "user_id BIGINT, event_id BIGINT, grp STRING, val BIGINT, ts DOUBLE"
+    rg = RegroupStreaming(
+        spark, workdir, schema, key_col="user_id", order_by=("event_id",)
+    )
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(rg.input_dir)
+
+    def snap():
+        return {r.grp: (r.n, r.total) for r in rg.snapshot().collect()}
+
+    put([(1, 1, "a", 10, 1.0), (2, 2, "a", 20, 2.0)])
+    rg.advance()
+    assert snap() == {"a": (2, 30)}
+
+    # user 1 moves a -> b: group a's aggregate must come DOWN (old value
+    # subtracted), not just group b's go up
+    put([(1, 3, "b", 15, 3.0)])
+    rg.advance()
+    assert snap() == {"a": (1, 20), "b": (1, 15)}
+
+    # user 2 also leaves a -> a reaches n=0 and disappears (tombstone)
+    put([(2, 4, "b", 5, 4.0)])
+    rg.advance()
+    assert snap() == {"b": (2, 20)}
+
+    # batch equivalence: latest-per-key regroup over the full changelog
+    from responsive_pub_spark.api import KStream
+
+    all_rows = spark.createDataFrame(
+        [(1, 1, "a", 10, 1.0), (2, 2, "a", 20, 2.0),
+         (1, 3, "b", 15, 3.0), (2, 4, "b", 5, 4.0)],
+        schema,
+    )
+    t = KStream(all_rows, key=["user_id"]).to_table(tiebreak=["event_id"])
+    batch = {
+        r.grp: (r.n, r.total)
+        for r in t.group_by("grp")
+        .aggregate(F.count("*").alias("n"), F.sum("val").alias("total"))
+        .df.collect()
+    }
+    assert batch == snap()
+
+
+def test_mid_batch_fault_injection_exactly_once(spark, workdir, tmp_path):
+    """E2E chaos contract (STJoinExample.java:81-88 injected failures +
+    AccumulatingChecksum): a processor THROWS partway through a micro-batch
+    — after some records of the batch already updated state and forwarded
+    — the query dies, and a restart from the checkpoint replays the batch
+    from scratch. The committed output must contain each record's effect
+    EXACTLY once: the per-key checksum chain equals the single-pass batch
+    chain, and no record's emission appears twice."""
+    import os
+
+    marker = str(tmp_path / "fault_injected")
+    poison_id = 205  # mid-batch, mid-key-group: records 200-204 precede it
+
+    def make_proc():
+        class PoisonChecksum(state.Processor):
+            def process(self, ctx, rec):
+                if int(rec["event_id"]) == poison_id and not os.path.exists(
+                    marker
+                ):
+                    open(marker, "x").close()
+                    raise RuntimeError("injected mid-batch fault (chaos e2e)")
+                c = ctx.store.get("c") or 0
+                c = (c * 31 + int(rec["event_id"])) % 1_000_000_007
+                ctx.store.put("c", c)
+                ctx.forward(user_id=int(rec["user_id"]), checksum=c)
+
+        return PoisonChecksum
+
+    def build(sdf):
+        return state.process_streaming(
+            sdf,
+            ["user_id"],
+            make_proc(),
+            "user_id BIGINT, checksum BIGINT",
+            ts_col="ts",
+            order_by=("event_id",),
+        )
+
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, event_id LONG, ts DOUBLE", build, workdir
+    )
+    rows = [
+        {"user_id": u, "event_id": u * 100 + i, "ts": float(i)}
+        for u in (1, 2) for i in range(9)
+    ]
+    # chunk 1 commits cleanly; chunk 2 contains the poison record
+    chunk1 = [r for r in rows if r["event_id"] % 100 < 3]
+    chunk2 = [r for r in rows if r["event_id"] % 100 >= 3]
+    drv.pipe(chunk1)
+    out1 = drv.advance()
+    assert len(out1) == len(chunk1)
+
+    drv.pipe(chunk2)
+    with pytest.raises(Exception, match="injected mid-batch fault"):
+        drv.advance()
+    assert os.path.exists(marker)  # the fault DID fire mid-batch
+
+    # restart from checkpoint: the failed batch replays from scratch
+    out2 = drv.advance()
+    emissions = drv.all_output()
+    drv.close()
+
+    # exactly-once: one emission per input record, none duplicated
+    assert len(out2) == len(chunk2)
+    assert len(emissions) == len(rows)
+
+    # chain equality with the single-pass batch replay — a dropped,
+    # duplicated, or double-counted record would diverge the digest
+    batch = state.process(
+        spark.createDataFrame(rows, "user_id LONG, event_id LONG, ts DOUBLE"),
+        ["user_id"],
+        _make_checksum(),
+        "user_id BIGINT, checksum BIGINT",
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+    expected = {r.user_id: r.checksum for r in batch.collect()}
+    final = {}
+    for r in emissions:
+        final[r.user_id] = r.checksum
+    assert final == expected
