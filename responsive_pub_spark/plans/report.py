@@ -435,7 +435,9 @@ EXTENDED_NOTES = {
         "partials); candidates = distinct items probing the broadcast "
         "sketch; pass 2 counts ONLY candidates, pruned map-side by a "
         "broadcast left-semi join — no false negatives by the CMS "
-        "one-sided bound."
+        "one-sided bound. θ lives IN the plan as a broadcast 1-row "
+        "aggregate (r4's eager driver-side count() removed — no third "
+        "scan, no action during query construction)."
     ),
     "group_variance": (
         "one keyed agg producing (n, sum y, sum y^2); variance is a "
@@ -453,6 +455,47 @@ EXTENDED_NOTES = {
         "one rank-1 window per cluster over (length DESC, id ASC) — "
         "WindowGroupLimit ships one candidate per partition per "
         "cluster. Dedup decides WHICH rows; this decides WHICH COPY."
+    ),
+    "bpe_vocab": (
+        "applies the learned merge table: same vocab-sized unique-word "
+        "plan as bpe_merges (corpus scanned once for frequencies; every "
+        "rewrite runs on the unique-word table) plus one final explode + "
+        "keyed agg over segmented symbols — symbol inventory is "
+        "vocab-bounded at any corpus size."
+    ),
+    "suppress_emit_final": (
+        "suppress(untilWindowCloses) batch analog: the windowed agg plan "
+        "of window_tumbling plus ONE broadcast 1-row watermark aggregate "
+        "(max ts - grace) filtering open windows — emit-final costs one "
+        "extra scalar join, never a second corpus pass. Streaming: the "
+        "filter IS the APPEND output mode; the suppression buffer is the "
+        "state store itself."
+    ),
+    "join_versioned_stream": (
+        "temporal join via the union trick (same plan family as "
+        "join_asof): both sides tagged, ONE hash shuffle on the key, one "
+        "ordered window pass carries the active version forward — no "
+        "range-join candidate blow-up. The version travels as ONE struct "
+        "through last(ignorenulls), so per-column NULLs cannot mix "
+        "versions; version tie at equal ts resolves version-first."
+    ),
+    "dedup_stream_first": (
+        "first-arrival-wins per id: one window shuffle on the id cols, "
+        "rank-1 filter compiles to WindowGroupLimit (Partial+Final) — "
+        "map tasks pre-prune to their local first occurrence before the "
+        "exchange. Streaming twin is dropDuplicatesWithinWatermark: "
+        "per-id state evicted once the watermark passes (bounded state "
+        "on infinite streams)."
+    ),
+    "table_regroup_streaming": (
+        "STREAMING lane (plan audited on the compaction read side): two "
+        "checkpointed queries over a retraction topic — stage 0 keyed on "
+        "the table PK (get-before-put emits ±deltas), stage 1 keyed on "
+        "the group; each stage is one keyed shuffle into "
+        "applyInPandasWithState with O(delta) segstore flushes. Integer "
+        "deltas make subtract-then-add exact; retraction traffic is "
+        "2 rows per UPDATE (not per key), so a stable 100 TB table "
+        "streams only its churn."
     ),
 }
 

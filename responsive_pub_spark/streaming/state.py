@@ -969,6 +969,21 @@ class TwsMapStateStore:
         self._ms = map_state
         self.ttl_seconds = ttl_seconds
         self.stream_time: float = float("-inf")
+        # write-back batch cache (r4 VERDICT stretch #9): the lane's
+        # throughput ceiling was ONE state-server socket round trip per
+        # store op — a counter processor doing get+put per record paid
+        # 2 round trips x records.  The cache absorbs every re-read and
+        # re-write of a store key within the micro-batch and flush()
+        # writes each touched entry ONCE at batch end, keeping the
+        # per-entry delta-write property (untouched entries never write).
+        # Negative lookups cache too (_ABSENT).  Scans merge the cache
+        # overlay with the backing map.  A task failure flushes nothing —
+        # TWS state commits at batch end anyway, so EOS is unchanged.
+        self._cache: dict = {}  # key-bytes -> (key, value | _ABSENT, ts)
+        self._dirty: set = set()  # key-bytes needing flush
+
+    #: cache sentinel for "known absent" (read miss or tombstone)
+    _ABSENT = object()
 
     @staticmethod
     def _k(key) -> bytes:
@@ -981,13 +996,13 @@ class TwsMapStateStore:
 
     # -- write path ---------------------------------------------------------
     def put(self, key, value, ts: float | None = None) -> None:
-        self._ms.updateValue(
-            (self._k(key),),
-            (
-                pickle.dumps(value, protocol=pickle.HIGHEST_PROTOCOL),
-                float(ts if ts is not None else self.stream_time),
-            ),
+        kb = self._k(key)
+        self._cache[kb] = (
+            key,
+            value,
+            float(ts if ts is not None else self.stream_time),
         )
+        self._dirty.add(kb)
 
     def put_if_absent(self, key, value, ts: float | None = None):
         old = self.get(key)
@@ -997,32 +1012,61 @@ class TwsMapStateStore:
 
     def delete(self, key):
         old = self.get(key)
-        kb = (self._k(key),)
-        if self._ms.containsKey(kb):
-            self._ms.removeKey(kb)
+        kb = self._k(key)
+        self._cache[kb] = (key, self._ABSENT, None)
+        self._dirty.add(kb)
         return old
+
+    def flush(self) -> None:
+        """Write the batch's touched entries to the backing MapState —
+        one updateValue/removeKey per FINAL value per key (values pickle
+        once here, not per put)."""
+        for kb in self._dirty:
+            key, val, ts = self._cache[kb]
+            if val is self._ABSENT:
+                if self._ms.containsKey((kb,)):
+                    self._ms.removeKey((kb,))
+            else:
+                self._ms.updateValue(
+                    (kb,),
+                    (pickle.dumps(val, protocol=pickle.HIGHEST_PROTOCOL), ts),
+                )
+        self._dirty.clear()
 
     # -- read path ----------------------------------------------------------
     def get(self, key):
-        # getValue returns None for a missing key — ONE state-server round
-        # trip per get, not a containsKey+getValue pair (every round trip
-        # is a socket exchange with the JVM state server; the hot path is
-        # get/put per record)
-        entry = self._ms.getValue((self._k(key),))
-        if entry is None:
+        kb = self._k(key)
+        ent = self._cache.get(kb)
+        if ent is None:
+            # getValue returns None for a missing key — ONE state-server
+            # round trip per COLD get (cache hits are free); misses cache
+            # as _ABSENT so repeat probes don't re-pay the socket
+            entry = self._ms.getValue((kb,))
+            if entry is None:
+                ent = (key, self._ABSENT, None)
+            else:
+                vb, ts = entry
+                ent = (key, pickle.loads(vb), ts)
+            self._cache[kb] = ent
+        _, val, ts = ent
+        if val is self._ABSENT or not self._live(ts):
             return None
-        vb, ts = entry
-        if not self._live(ts):
-            return None
-        return pickle.loads(vb)
+        return val
 
     def _entries_sorted(self) -> list:
         out = []
         for (kb,), (vb, ts) in self._ms.iterator():
+            if kb in self._cache:  # overlay wins (newer write or tombstone)
+                continue
             if self._live(ts):
-                out.append((pickle.loads(kb), vb))
-        out.sort(key=lambda e: e[0])
-        return [(k, pickle.loads(vb)) for k, vb in out]
+                out.append((pickle.loads(kb), vb, True))
+        merged = [(k, pickle.loads(vb)) for k, vb, _ in out]
+        for _, (key, val, ts) in self._cache.items():
+            if val is self._ABSENT or not self._live(ts):
+                continue
+            merged.append((key, val))
+        merged.sort(key=lambda e: e[0])
+        return merged
 
     def range(self, key_from, key_to) -> Iterator[tuple]:
         for k, v in self._entries_sorted():
@@ -1050,7 +1094,11 @@ class TwsMapStateStore:
         yield from reversed(self._entries_sorted())
 
     def approximate_num_entries(self) -> int:
-        return sum(1 for _ in self._ms.keys())
+        n = sum(1 for (kb,) in self._ms.keys() if kb not in self._cache)
+        n += sum(
+            1 for _, val, _ts in self._cache.values() if val is not self._ABSENT
+        )
+        return n
 
 
 def process_streaming_tws_map(
@@ -1142,6 +1190,12 @@ def process_streaming_tws_map(
                     f"store(s) {sorted(undeclared)} not declared: pass "
                     "store_names=[...] or use the blob lanes"
                 )
+            # write-back flush: each touched entry hits the state server
+            # ONCE with its final value (the per-record get/put round
+            # trips were absorbed by the cache)
+            store.flush()
+            for st in ctx._extra_stores.values():
+                st.flush()
             self._meta.update(
                 (
                     pickle.dumps(
