@@ -1054,13 +1054,12 @@ class TwsMapStateStore:
         return val
 
     def _entries_sorted(self) -> list:
-        out = []
+        merged = []
         for (kb,), (vb, ts) in self._ms.iterator():
             if kb in self._cache:  # overlay wins (newer write or tombstone)
                 continue
             if self._live(ts):
-                out.append((pickle.loads(kb), vb, True))
-        merged = [(k, pickle.loads(vb)) for k, vb, _ in out]
+                merged.append((pickle.loads(kb), pickle.loads(vb)))
         for _, (key, val, ts) in self._cache.items():
             if val is self._ABSENT or not self._live(ts):
                 continue
