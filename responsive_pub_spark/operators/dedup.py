@@ -1035,3 +1035,116 @@ def keep_best_oracle() -> str:
                (s.doc_id = b.keep_id) AS keep
         FROM sized s JOIN best b USING (cluster_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# containment dedup: doc A (near-)contained in doc B
+# ---------------------------------------------------------------------------
+
+#: directed-containment threshold: |A∩B| / |A| — the quote-expansion and
+#: prepended-boilerplate case Jaccard misses (|A∩B|/|A∪B| shrinks as B grows,
+#: |A∩B|/|A| does not)
+CONTAINMENT_THRESHOLD = 0.9
+#: rare-shingle blocking width (prefix-filter k)
+CONTAINMENT_RARE_K = 2
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    rare_k: int = CONTAINMENT_RARE_K,
+) -> DataFrame:
+    """Directed near-containment pairs: doc_inner's word-3-gram shingle set
+    is >= ``threshold`` contained in doc_outer's. Catches the pattern the
+    symmetric Jaccard family is blind to — a short doc quoted whole inside
+    a much longer one has Jaccard ~ |A|/|B| (tiny) but containment ~ 1.
+
+    Blocking is PREFIX FILTERING (the PPJoin family's rare-token rule),
+    not MinHash: one-permutation MinHash collides with probability equal
+    to the JACCARD, which is exactly what's small for size-skewed
+    containment pairs. Instead each doc nominates its ``rare_k`` globally
+    RAREST shingles (by document frequency, ties by hash) and candidates
+    are docs sharing one of them — full containment implies the inner
+    doc's rarest shingle is in the outer doc, so recall at containment
+    1.0 is EXACT, and near-1 containment misses only if every nominated
+    rare shingle falls in the missing fraction.
+
+    Plan: shingle postings (one keyed shuffle), document frequency over
+    postings (keyed, partial-agg), rare nomination = rank-1..k window per
+    doc (WindowGroupLimit), candidate equi-join of rare shingles against
+    the postings ON THE SHINGLE HASH — traffic per rare shingle is its
+    posting list, which is minimal BY CONSTRUCTION (it was chosen as the
+    doc's rarest); verification joins the two shingle sets only for
+    candidate pairs. No cross join at any step; every stage is a keyed
+    equi-join that survives 100x."""
+    d = docs.select(
+        "doc_id", F.expr(T.shingle_hashes_sql("text")).alias("hs")
+    ).persist()
+    posts = d.select("doc_id", F.explode("hs").alias("h"))
+    dfreq = posts.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
+    rare = (
+        posts.join(dfreq, "h")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(rare_k))
+        .select(F.col("doc_id").alias("doc_inner"), "h")
+    )
+    cand = (
+        rare.join(posts.select(F.col("doc_id").alias("doc_outer"), "h"), "h")
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .select("doc_inner", "doc_outer")
+        .distinct()
+    )
+    return (
+        cand.join(
+            d.select(F.col("doc_id").alias("doc_inner"), F.col("hs").alias("hs_a")),
+            "doc_inner",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_outer"), F.col("hs").alias("hs_b")),
+            "doc_outer",
+        )
+        .withColumn(
+            "containment",
+            pround(
+                F.size(F.array_intersect("hs_a", "hs_b")) / F.size("hs_a"), 6
+            ),
+        )
+        .filter(F.col("containment") >= float(threshold))
+        .select("doc_inner", "doc_outer", "containment")
+    )
+
+
+def containment_pairs_oracle(
+    threshold: float = CONTAINMENT_THRESHOLD, rare_k: int = CONTAINMENT_RARE_K
+) -> str:
+    hs = T.shingle_hashes_duck("text")
+    cont = (
+        "(floor((CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)"
+        " / len(da.hs)) * 1000000 + 0.5) / 1000000)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {hs} AS hs FROM documents
+        ), posts AS (
+            SELECT doc_id, unnest(hs) AS h FROM d
+        ), dfreq AS (
+            SELECT h, count(*) AS df FROM posts GROUP BY h
+        ), rare AS (
+            SELECT doc_id AS doc_inner, h FROM (
+                SELECT p.doc_id, p.h,
+                       row_number() OVER (PARTITION BY p.doc_id
+                                          ORDER BY f.df ASC, p.h ASC) AS rk
+                FROM posts p JOIN dfreq f USING (h)
+            ) WHERE rk <= {int(rare_k)}
+        ), cand AS (
+            SELECT DISTINCT r.doc_inner, p.doc_id AS doc_outer
+            FROM rare r JOIN posts p USING (h)
+            WHERE p.doc_id <> r.doc_inner
+        )
+        SELECT c.doc_inner, c.doc_outer, {cont} AS containment
+        FROM cand c
+        JOIN d da ON da.doc_id = c.doc_inner
+        JOIN d db ON db.doc_id = c.doc_outer
+        WHERE {cont} >= {float(threshold)}
+    """

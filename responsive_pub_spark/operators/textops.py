@@ -638,3 +638,133 @@ def novelty_oracle(n: int = NOVELTY_N) -> str:
         FROM pairs p JOIN dfreq d USING (gram_h)
         GROUP BY p.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (top-k docs per query term)
+# ---------------------------------------------------------------------------
+
+#: BM25 knobs — k1=1.2, b=0.75 (the Robertson defaults), folded into the
+#: integer rank statistic below as exact rationals (11/5, 3/10, 9/10)
+BM25_TOP = 10
+BM25_N_QUERIES = 3
+BM25_SCALE = 1_000_000
+#: query terms = the corpus's top-df terms at length >= this (stopword-ish
+#: short tokens excluded); derived identically on both engines
+BM25_MIN_TERM_LEN = 6
+
+
+def bm25_topk(
+    docs: DataFrame, n_queries: int = BM25_N_QUERIES, top: int = BM25_TOP
+) -> DataFrame:
+    """Top-k documents per query term under BM25 (k1=1.2, b=0.75) — the
+    retrieval-side scoring pass of a training-data pipeline (mining docs
+    for a topic, building retrieval eval sets).
+
+    Ranking is BIT-DETERMINISTIC: within one query term the idf factor is
+    constant, so docs rank by the tf-saturation part alone —
+        score_fp = (110 * tf * total_dl * SCALE)
+                   DIV (5 * (10 * tf * total_dl + 3 * total_dl + 9 * dl * N))
+    which is BM25's tf term with avgdl = total_dl/N cleared to integers
+    (k1, b as exact rationals). The interpretable float bm25 column
+    (idf * tf-term) derives FROM the integer afterwards. Overflow bound:
+    needs 110 * tf * total_dl * SCALE < 2^63 — fine to ~1e9 total tokens
+    per shard; beyond that drop SCALE or rank on the per-shard statistic
+    (same documented knob as collocations_pmi).
+
+    Plan: one token explode feeds tf (keyed agg), dl (keyed agg), df
+    (keyed agg over the tf table — vocab-sized); query terms are a
+    broadcast ``top-n_queries`` of the vocab table; scoring joins tf
+    against the broadcast terms (the corpus-sized side is filtered BEFORE
+    any shuffle), dl joins on doc_id, corpus stats ride a broadcast 1-row
+    aggregate; final top-k is a WindowGroupLimit per term."""
+    arr = "filter(split(text, '\\\\s+'), x -> x != '')"
+    tokens = docs.select("doc_id", F.explode(F.expr(arr)).alias("w"))
+    tf = tokens.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("total_dl"), F.count("*").alias("n_docs")
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    qterms = (
+        dfreq.filter(F.length("w") >= BM25_MIN_TERM_LEN)
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(int(n_queries))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score_fp",
+            F.expr(
+                f"110 * tf * total_dl * {BM25_SCALE} DIV "
+                f"(5 * (10 * tf * total_dl + 3 * total_dl + 9 * dl * n_docs))"
+            ),
+        )
+    )
+    w_ = Window.partitionBy("w").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_))
+        .filter(F.col("rk") <= int(top))
+        .select(
+            F.col("w").alias("term"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("score_fp").cast("bigint").alias("score_fp"),
+            pround(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("score_fp").cast("double") / F.lit(float(BM25_SCALE))),
+                6,
+            ).alias("bm25"),
+        )
+    )
+
+
+def bm25_topk_oracle(
+    n_queries: int = BM25_N_QUERIES, top: int = BM25_TOP
+) -> str:
+    arr = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+        WITH tokens AS (
+            SELECT doc_id, unnest({arr}) AS w FROM documents
+        ), tf AS (
+            SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY 1, 2
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1
+        ), stats AS (
+            SELECT sum(dl) AS total_dl, count(*) AS n_docs FROM dl
+        ), dfreq AS (
+            SELECT w, count(*) AS df FROM tf GROUP BY 1
+        ), qterms AS (
+            SELECT w, df FROM dfreq WHERE length(w) >= {BM25_MIN_TERM_LEN}
+            ORDER BY df DESC, w ASC LIMIT {int(n_queries)}
+        ), scored AS (
+            SELECT tf.w, tf.doc_id, tf.tf, q.df, s.n_docs,
+                   CAST((110 * tf.tf * s.total_dl * {BM25_SCALE}) //
+                        (5 * (10 * tf.tf * s.total_dl + 3 * s.total_dl
+                              + 9 * dl.dl * s.n_docs)) AS BIGINT) AS score_fp
+            FROM tf
+            JOIN qterms q USING (w)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY w
+                       ORDER BY score_fp DESC, doc_id ASC) AS rk
+            FROM scored
+        )
+        SELECT w AS term, CAST(rk AS BIGINT) AS rk, doc_id,
+               CAST(tf AS BIGINT) AS tf, score_fp,
+               {dround(
+                   f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+                   f" * (CAST(score_fp AS DOUBLE) / {float(BM25_SCALE)!r})",
+                   6,
+               )} AS bm25
+        FROM ranked WHERE rk <= {int(top)}
+    """

@@ -487,6 +487,25 @@ EXTENDED_NOTES = {
         "per-id state evicted once the watermark passes (bounded state "
         "on infinite streams)."
     ),
+    "dedup_containment": (
+        "directed containment via PREFIX FILTERING, not MinHash (MinHash "
+        "collides at the Jaccard rate — exactly what is small for "
+        "size-skewed containment pairs): postings + df are keyed aggs, "
+        "each doc nominates its rare_k globally rarest shingles "
+        "(WindowGroupLimit), candidates equi-join rare shingles against "
+        "postings — traffic per rare shingle IS its posting list, minimal "
+        "by construction; verify touches candidate pairs only. Recall at "
+        "containment 1.0 is exact (the inner doc's rarest shingle must be "
+        "in the container)."
+    ),
+    "text_bm25_topk": (
+        "one token explode feeds tf/dl/df keyed aggs (df over the "
+        "vocab-sized tf table); query terms broadcast, corpus side "
+        "filtered BEFORE any shuffle; corpus stats ride a broadcast "
+        "1-row aggregate; the per-term top-k is WindowGroupLimit over "
+        "the all-integer tf-saturation statistic (idf constant within "
+        "a term, so float never decides a rank)."
+    ),
     "table_regroup_streaming": (
         "STREAMING lane (plan audited on the compaction read side): two "
         "checkpointed queries over a retraction topic — stage 0 keyed on "

@@ -2723,6 +2723,28 @@ REGISTRY: dict[str, QuerySpec] = {
     # text_tfidf_top).  async_enrich and multimodal_decode_features stay
     # — sole rows of their families.
     # ------------------------------------------------------------------
+    # --- NEW r5 inventory, first-gates in r6 (the r5 window closed with
+    # --- 14 first-gating rows; these are pytest-oracle guarded meanwhile)
+    "dedup_containment": QuerySpec(
+        lambda spark, sf_dir: dedup.containment_pairs(
+            _t(spark, sf_dir, "documents")
+        ),
+        dedup.containment_pairs_oracle(),
+        doc="directed near-containment pairs (|A∩B|/|A| >= 0.9) via "
+        "rare-shingle prefix-filter blocking — the quote-expansion case "
+        "Jaccard misses; recall EXACT at containment 1.0; NEW inventory, "
+        "first-gates in r6",
+    ),
+    "text_bm25_topk": QuerySpec(
+        lambda spark, sf_dir: textops.bm25_topk(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.bm25_topk_oracle(),
+        doc="BM25 top-10 docs per query term (k1=1.2, b=0.75); ranking "
+        "by the all-integer tf-saturation statistic (idf constant within "
+        "a term) so the cutoff is bit-deterministic; NEW inventory, "
+        "first-gates in r6",
+    ),
     "sim_search_ivf_trained": QuerySpec(
         q_sim_ivf_trained, similarity.ivf_trained_oracle()
     ),

@@ -135,3 +135,54 @@ def test_suppress_requires_grace():
         TimeWindowedKStream(
             None, ["k"], "ts", TimeWindows.of_size_with_no_grace("1 hour")
         ).suppress_until_window_closes()
+
+
+def test_containment_recall_exact_at_full_containment(spark):
+    """The prefix-filter blocking contract: a doc FULLY contained in
+    another shares its rarest shingle with the container by construction,
+    so recall at containment 1.0 is exact — and the symmetric Jaccard of
+    the planted pair is small (the case the Jaccard family misses)."""
+    from responsive_pub_spark.operators import dedup
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    outer = inner + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(30))
+    others = [
+        (i, f"unrelated document number {i} with its own words w{i}a w{i}b w{i}c w{i}d")
+        for i in range(10, 20)
+    ]
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer)] + others, "doc_id LONG, text STRING"
+    )
+    got = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in dedup.containment_pairs(docs).collect()
+    }
+    assert got.get((1, 2)) == 1.0  # planted full containment found
+    # and the pair is genuinely Jaccard-invisible at the usual threshold
+    n_inner = len(inner.split()) - 2   # 3-gram shingles of the inner doc
+    n_outer = len(outer.split()) - 2
+    assert n_inner / n_outer < dedup.NGRAM_JACCARD_THRESHOLD
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity on a crafted corpus: a doc with more occurrences of the
+    query term ranks above one with fewer at equal length, and a SHORTER
+    doc outranks a longer one at equal tf (the length normalization)."""
+    from responsive_pub_spark.operators import textops
+
+    term = "quantum"  # >= BM25_MIN_TERM_LEN, present in most docs
+    pad = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{term} {term} {term} " + pad(20, "a")),   # tf=3, dl=23
+            (2, f"{term} " + pad(22, "b")),                  # tf=1, dl=23
+            (3, f"{term} " + pad(50, "c")),                  # tf=1, dl=51
+            (4, f"{term} {term} " + pad(21, "d")),           # tf=2, dl=23
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = textops.bm25_topk(docs, n_queries=1).collect()
+    assert all(r.term == term for r in out)
+    rank = {r.doc_id: r.rk for r in out}
+    assert rank[1] < rank[4] < rank[2]  # tf monotone at equal length
+    assert rank[2] < rank[3]            # shorter doc wins at equal tf
