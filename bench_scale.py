@@ -70,6 +70,13 @@ if DOCS_MODE:
         "curate_corpus",
         "text_quality",
         "decontam_overlap",
+        # r5: containment on a dup-heavy corpus — every replica pair is a
+        # mutual 1.0-containment, so output is quadratic in dup-group size
+        # by CONTRACT (like the simhash pair form); what this measures is
+        # the blocking side: every shingle's df rises AMPLIFY-fold, so
+        # "rarest" posting lists grow AMPLIFY x and candidates stay
+        # ~rare_k * AMPLIFY per doc, not corpus-quadratic
+        "dedup_containment",
         # LAST: the pair form on a dup-heavy corpus is the known foot-gun
         # (quadratic in dup-group size; 35x wall in r2, OOM on this heap in
         # r3) — run it after everything else so its failure mode can't
