@@ -2745,6 +2745,25 @@ REGISTRY: dict[str, QuerySpec] = {
         "a term) so the cutoff is bit-deterministic; NEW inventory, "
         "first-gates in r6",
     ),
+    "stateless_peek": QuerySpec(
+        lambda spark, sf_dir: (
+            KStream(_t(spark, sf_dir, "events"), key=["user_id"])
+            .peek(lambda df: df.sparkSession)  # observation-only callback
+            .df.filter(F.col("event_type") == "click")
+            .select(
+                "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+            )
+        ),
+        f"""
+        WITH {_EV}
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM ev WHERE event_type = 'click'
+        """,
+        doc="peek is observation-only (STJoinExample.java:81-88): the "
+        "gated contract is stream IDENTITY through the peek — rows equal "
+        "the un-peeked plan's; the last §2 row with no driver evidence; "
+        "NEW inventory, first-gates in r6",
+    ),
     "sim_search_ivf_trained": QuerySpec(
         q_sim_ivf_trained, similarity.ivf_trained_oracle()
     ),
