@@ -1093,7 +1093,12 @@ class TwsMapStateStore:
         yield from reversed(self._entries_sorted())
 
     def approximate_num_entries(self) -> int:
-        n = sum(1 for (kb,) in self._ms.keys() if kb not in self._cache)
+        # iterator(), not keys(): its ((kb,), (vb, ts)) element shape is
+        # the one the scan path already pins; cache overlay (unflushed
+        # writes AND tombstones) must be visible to the estimate
+        n = sum(
+            1 for (kb,), _v in self._ms.iterator() if kb not in self._cache
+        )
         n += sum(
             1 for _, val, _ts in self._cache.values() if val is not self._ABSENT
         )

@@ -135,9 +135,16 @@ class _FakeMapState:
 @settings(max_examples=200, deadline=None)
 @given(op_seq=ops)
 def test_tws_map_store_matches_dict_model(op_seq):
+    """The adapter carries a write-back batch cache (r5): reads/writes are
+    absorbed in-process and ``flush()`` commits touched entries to the
+    backing MapState — a "flush" op here is a MICRO-BATCH BOUNDARY: flush,
+    then reopen a FRESH adapter over the same backing map (exactly what
+    the next batch's handleInputRows does) and the committed state must
+    equal the model."""
     from responsive_pub_spark.streaming.state import TwsMapStateStore
 
-    store, model = TwsMapStateStore(_FakeMapState()), {}
+    ms = _FakeMapState()
+    store, model = TwsMapStateStore(ms), {}
     for op, k, v in op_seq:
         if op == "put":
             store.put(k, v)
@@ -145,7 +152,9 @@ def test_tws_map_store_matches_dict_model(op_seq):
         elif op == "delete":
             assert store.delete(k) == model.pop(k, None)
         elif op == "flush":
-            pass  # live-handle store: every op IS the flush
+            store.flush()
+            store = TwsMapStateStore(ms)  # next micro-batch's adapter
+            assert dict(store.all()) == model
         else:
             prior = store.put_if_absent(k, v)
             assert prior == model.get(k)
@@ -161,6 +170,13 @@ def test_tws_map_store_matches_dict_model(op_seq):
         assert dict(store.prefix(some)) == {
             k: v for k, v in model.items() if k.startswith(some)
         }
+    # end-of-batch commit: the backing map holds exactly the model
+    store.flush()
+    committed = {
+        __import__("pickle").loads(kb): __import__("pickle").loads(vb)
+        for kb, (vb, _ts) in ms._m.items()
+    }
+    assert committed == model
 
 
 # ---------------------------------------------------------------------------
