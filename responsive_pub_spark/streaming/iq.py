@@ -270,6 +270,102 @@ def query_window_store(
     )
 
 
+def query_session_store(
+    spark: SparkSession,
+    checkpoint: str,
+    key_cols: list[str],
+    session_key: "object | None" = None,
+    earliest_end: "float | None" = None,
+    latest_start: "float | None" = None,
+    group_keys: "list | None" = None,
+    store_name: str = "default",
+    **options,
+) -> DataFrame:
+    """SessionStore IQ parity: the ``findSessions(key, earliestSessionEnd,
+    latestSessionStart)`` / ``fetch(key)`` / ``fetchAll`` surface
+    (ResponsiveSessionStore.java:166-224) over a checkpointed composition —
+    :class:`state.SessionStore` writes ``(key, session_start,
+    session_end)`` SessionKey tuples (internal/utils/SessionKey.java:19-31),
+    so a keyed fetch is the sorted tuple-prefix scan and the KS overlap
+    bound is ``session_end >= earliest_end AND session_start <=
+    latest_start`` — the exact merge-scan window the session aggregator
+    probes. Output: one row per (group key, session): ``session_key
+    STRING, session_start DOUBLE, session_end DOUBLE, store_value
+    STRING``."""
+    raw = read_state(spark, checkpoint, **options)
+    flat = raw.select(
+        *[raw["key"][k].alias(k) for k in key_cols],
+        raw["value"]["groupState"]["blob"].alias("blob"),
+    )
+    if group_keys is not None:
+        from pyspark.sql import functions as F
+
+        gks = [gk if isinstance(gk, tuple) else (gk,) for gk in group_keys]
+        cond = None
+        for gk in gks:
+            c = None
+            for col, v in zip(key_cols, gk):
+                cc = F.col(col) == F.lit(v)
+                c = cc if c is None else (c & cc)
+            cond = c if cond is None else (cond | c)
+        flat = flat.filter(cond)
+
+    def decode(batches: Iterable[pd.DataFrame]):
+        import pickle
+
+        from responsive_pub_spark.streaming.segstore import SegmentedKeyValueStore
+
+        for pdf in batches:
+            out = {k: [] for k in key_cols} | {
+                "session_key": [], "session_start": [],
+                "session_end": [], "store_value": [],
+            }
+            for row in pdf.itertuples(index=False):
+                blob = row.blob
+                if blob is None:
+                    continue
+                raw_b = bytes(blob)
+                if raw_b[:4] == b"MST1":
+                    primary, extras = pickle.loads(raw_b[4:])
+                    if store_name == "default":
+                        raw_b = primary
+                    elif store_name in extras:
+                        raw_b = extras[store_name]
+                    else:
+                        continue
+                elif store_name != "default":
+                    continue
+                store, _fires, _wc = SegmentedKeyValueStore.from_blob(raw_b)
+                if session_key is not None:
+                    items = store.prefix_tuple((session_key,))
+                else:
+                    items = (
+                        e
+                        for e in store.all()
+                        if isinstance(e[0], tuple) and len(e[0]) == 3
+                    )
+                for sk, sv in items:
+                    skey, ss, se = sk
+                    if earliest_end is not None and se < earliest_end:
+                        continue
+                    if latest_start is not None and ss > latest_start:
+                        continue
+                    for k in key_cols:
+                        out[k].append(getattr(row, k))
+                    out["session_key"].append(repr(skey))
+                    out["session_start"].append(float(ss))
+                    out["session_end"].append(float(se))
+                    out["store_value"].append(repr(sv))
+            yield pd.DataFrame(out)
+
+    key_schema = ", ".join(f"{k} LONG" for k in key_cols)
+    return flat.mapInPandas(
+        decode,
+        f"{key_schema}, session_key STRING, session_start DOUBLE, "
+        "session_end DOUBLE, store_value STRING",
+    )
+
+
 def query_tws_map_state(
     spark: SparkSession,
     checkpoint: str,

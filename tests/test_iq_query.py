@@ -168,3 +168,77 @@ def test_window_store_fetch_iq(spark, workdir):
         (1, 0.0, "10"), (2, 0.0, "40")
     }
     drv.close()
+
+
+def test_session_store_find_sessions_iq(spark, workdir):
+    """SessionStore IQ parity: findSessions(key, earliestEnd, latestStart)
+    over a checkpointed composition — the KS merge-scan overlap bound
+    (session_end >= earliestEnd AND session_start <= latestStart) served
+    against the (key, start, end) SessionKey layout."""
+
+    def make_sessions():
+        class SessionWriter(state.Processor):
+            """Gap-10 sessionizer through the SessionStore surface:
+            extend-or-open per record (find overlapping, merge)."""
+
+            def init(self, ctx):
+                self.ss = state.SessionStore(ctx.store)
+
+            def process(self, ctx, rec):
+                t = float(ctx.timestamp)
+                hits = list(self.ss.find_sessions("s", t - 10.0, t + 10.0))
+                if hits:
+                    (k_, ss_, se_), cnt = hits[0]
+                    self.ss.delete("s", ss_, se_)
+                    self.ss.put("s", min(ss_, t), max(se_, t), cnt + 1)
+                else:
+                    self.ss.put("s", t, t, 1)
+                ctx.forward(
+                    user_id=int(rec["user_id"]), event_id=int(rec["event_id"])
+                )
+
+        return SessionWriter
+
+    def build(sdf):
+        return state.process_streaming(
+            sdf, ["user_id"], make_sessions(),
+            "user_id BIGINT, event_id BIGINT",
+            ts_col="ts", order_by=("event_id",),
+        )
+
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, event_id LONG, ts DOUBLE", build, workdir
+    )
+    drv.pipe(
+        [
+            {"user_id": 1, "event_id": 1, "ts": 0.0},
+            {"user_id": 1, "event_id": 2, "ts": 5.0},   # merges with ts=0
+            {"user_id": 1, "event_id": 3, "ts": 40.0},  # new session
+            {"user_id": 2, "event_id": 4, "ts": 100.0},
+        ]
+    )
+    drv.advance()
+    ck = drv.checkpoint
+
+    # fetch(key): all of user 1's sessions
+    got = iq.query_session_store(
+        spark, ck, ["user_id"], session_key="s", group_keys=[1]
+    ).collect()
+    assert {(r.session_start, r.session_end, r.store_value) for r in got} == {
+        (0.0, 5.0, "2"), (40.0, 40.0, "1")
+    }
+
+    # findSessions overlap bound: sessions alive in [3, 30] — only the
+    # first (ends at 5 >= 3, starts at 0 <= 30; the 40-session starts late)
+    got = iq.query_session_store(
+        spark, ck, ["user_id"], session_key="s",
+        earliest_end=3.0, latest_start=30.0, group_keys=[1],
+    ).collect()
+    assert [(r.session_start, r.session_end) for r in got] == [(0.0, 5.0)]
+
+    # fetchAll: every key's sessions
+    got = iq.query_session_store(spark, ck, ["user_id"]).collect()
+    assert {(r.user_id, r.session_start) for r in got} == {
+        (1, 0.0), (1, 40.0), (2, 100.0)
+    }
+    drv.close()
