@@ -99,3 +99,45 @@ def test_simhash_pairs_join_is_value_collapsed(spark, sf_dir):
     df = dedup.simhash_pairs(docs, max_output_pairs=None)
     p = audit.executed_plan(df)
     assert "CartesianProduct" not in p
+
+
+def test_r5_ops_plan_shapes(spark, sf_dir):
+    """The r5 operators' scale contracts: containment candidates are an
+    equi-join on the shingle hash (no cartesian); BM25 broadcasts the
+    query terms and corpus stats (the corpus side is filtered before any
+    shuffle); dedup_stream_first's rank-1 compiles to WindowGroupLimit
+    (map-side pre-prune); suppress's emit-final filter is one broadcast
+    scalar join on top of the windowed agg — one corpus shuffle total;
+    heavy_hitters keeps θ in-plan (query CONSTRUCTION runs zero jobs)."""
+    from responsive_pub_spark.operators import dedup, sketches, textops
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    cont = dedup.containment_pairs(docs)
+    p = audit.executed_plan(cont)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    bm25 = textops.bm25_topk(docs)
+    p = audit.executed_plan(bm25)
+    assert "CartesianProduct" not in p
+    assert audit.broadcast_join_count(bm25) >= 2, p  # qterms + stats
+
+    first = registry.q_dedup_stream_first(spark, sf_dir)
+    assert "WindowGroupLimit" in audit.executed_plan(first)
+
+    sup = registry.q_suppress_emit_final(spark, sf_dir)
+    a = audit.audit(sup)
+    assert a["exchanges"] <= 2, audit.executed_plan(sup)
+    assert "CartesianProduct" not in audit.executed_plan(sup)
+
+    # θ folded into the plan: building the heavy-hitters query must not
+    # run a single Spark job (r4 had an eager events.count() here)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("item")
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sketches.heavy_hitters(ev, item_col="item")  # construction only
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
