@@ -681,7 +681,10 @@ def bm25_topk(
     arr = "filter(split(text, '\\\\s+'), x -> x != '')"
     tokens = docs.select("doc_id", F.explode(F.expr(arr)).alias("w"))
     tf = tokens.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl/df/stats all derive from the (doc, word)-sized tf table — the
+    # corpus explodes ONCE; dl = sum(tf) per doc is definitionally the
+    # token count
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.sum("dl").alias("total_dl"), F.count("*").alias("n_docs")
     )

@@ -44,6 +44,7 @@ _SURFACES = {
     "python_grouped": r"FlatMapGroupsInPandas\b",
     "python_map": r"MapInPandas|ArrowEvalPython|BatchEvalPython",
     "generate_explode": r"Generate (posexplode|explode)",
+    "window_group_limit": r"WindowGroupLimit",
     "union": r"\bUnion\b",
     "sort": r"\bSort\b",
 }
