@@ -762,10 +762,25 @@ class KGroupedTable:
     df: DataFrame
     key: list[str]
 
+    def _check_batch(self) -> None:
+        # Spark rejects chaining two stateful aggregations (latest-per-key,
+        # then re-agg) in one update-mode query, and a naive re-agg over an
+        # update stream would double-count without retraction
+        if self.df.isStreaming:
+            raise ValueError(
+                "streaming KGroupedTable re-aggregation needs RETRACTION "
+                "(get-before-put subtract/add) and runs as two chained "
+                "checkpointed queries over a retraction topic: use "
+                "streaming/regroup.RegroupStreaming (gate row "
+                "table_regroup_streaming shows the harness)"
+            )
+
     def count(self, alias: str = "cnt") -> KTable:
+        self._check_batch()
         return KTable(self.df.groupBy(*self.key).agg(F.count("*").alias(alias)), list(self.key))
 
     def aggregate(self, *aggs: Column) -> KTable:
+        self._check_batch()
         return KTable(self.df.groupBy(*self.key).agg(*aggs), list(self.key))
 
 

@@ -186,3 +186,15 @@ def test_bm25_ranking_properties(spark):
     rank = {r.doc_id: r.rk for r in out}
     assert rank[1] < rank[4] < rank[2]  # tf monotone at equal length
     assert rank[2] < rank[3]            # shorter doc wins at equal tf
+
+
+def test_streaming_regroup_refuses_naive_path(spark, tmp_path):
+    """KTable.group_by().aggregate() on a STREAMING snapshot must refuse
+    with a pointer to RegroupStreaming — a naive second aggregation would
+    double-count without retraction (and Spark would reject the chained
+    stateful ops at start anyway, much less helpfully)."""
+    from responsive_pub_spark.api import KGroupedTable
+
+    sdf = spark.readStream.format("rate").load()  # any streaming df
+    with pytest.raises(ValueError, match="RegroupStreaming"):
+        KGroupedTable(sdf, ["value"]).count()
