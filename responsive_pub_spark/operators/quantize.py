@@ -117,3 +117,117 @@ def sq8_oracle(max_dim: int = SQ8_REGISTRY_DIMS) -> str:
                    * 1000000 + 0.5) / 1000000) AS abs_err
         FROM q
     """
+
+
+# ---------------------------------------------------------------------------
+# top principal component by fixed-point integer power iteration
+# ---------------------------------------------------------------------------
+
+#: embedding quantization scale for the PCA Gram products (|e| <= ~1)
+PCA_QSCALE = 1024
+#: fixed-point scale of the iterated direction vector (L-inf normalized)
+PCA_VSCALE = 10_000
+#: power-iteration count (fixed + unrolled in the oracle)
+PCA_ITERS = 3
+
+
+def pca_power_top(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """POWER ITERATION toward the top principal direction of the
+    (uncentered) embedding Gram matrix X^T X — the whitening/centering
+    primitive of an embedding pipeline (dominant-direction removal, ABTT
+    "all-but-the-top", PCA-based index rotations), expressed as iterative
+    dataflow like :mod:`graph` PageRank.
+
+    The gated contract is the FIXED-ROUND iterate (``iters`` unrolled
+    rounds from the all-ones start), exactly like the 3-iteration
+    PageRank row — not a converged eigenvector: convergence rate is
+    (λ2/λ1)^t, so on a near-isotropic corpus (this fixture's random
+    embeddings: λ1/λ2 ≈ 1.02) no small round count converges, while on
+    real embedding corpora the dominant direction is pronounced (the ABTT
+    observation) and a few rounds suffice; raise ``iters`` as the
+    spectrum demands — per-round cost is flat and the plan is O(1) deep.
+
+    Everything is FIXED-POINT INTEGER so the result is bit-identical
+    across engines (float matrix products would drift with aggregation
+    order): embeddings quantize to q = round(e * QSCALE); one iteration is
+        p_i   = (Σ_d q_id * v_d) DIV QSCALE          (per-vector projection)
+        w_d   = Σ_i q_id * p_i                       (back-projection)
+        v'_d  = w_d * VSCALE DIV max_d |w_d|         (L-inf renormalize)
+    Both engines truncate integer division toward zero, so DIV == `//`
+    on negatives (verified). Overflow bound: |w| <= rows * QSCALE *
+    64 * QSCALE * VSCALE / QSCALE — safe past 1e8 rows per shard at these
+    scales; for more, shard the Gram accumulation and merge (documented
+    knob, same pattern as collocations_pmi/bm25).
+
+    Plan per iteration: v (dim-sized) broadcasts onto the quantized
+    table, ONE keyed shuffle per projection/back-projection pair;
+    ``localCheckpoint`` pins the per-round plan to O(1) like PageRank/BPE.
+    Output: one row per dimension (d, component_fp)."""
+    q = (
+        emb.select("vec_id", F.posexplode("embedding").alias("d0", "e"))
+        .select(
+            "vec_id",
+            (F.col("d0") + 1).cast("bigint").alias("d"),
+            F.expr(f"CAST(floor(e * {PCA_QSCALE} + 0.5) AS BIGINT)").alias("q"),
+        )
+        .persist()
+    )
+    v = q.select("d").distinct().select(
+        "d", F.lit(int(PCA_VSCALE)).cast("bigint").alias("v")
+    )
+    for _ in range(int(iters)):
+        dot = (
+            q.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(F.expr(f"sum(q * v) DIV {PCA_QSCALE}").alias("p"))
+        )
+        w = (
+            q.join(dot, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("q") * F.col("p")).alias("w"))
+        )
+        mx = w.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select("d", F.expr(f"w * {PCA_VSCALE} DIV m").alias("v"))
+            .localCheckpoint()
+        )
+    return v.select("d", F.col("v").alias("component_fp"))
+
+
+def pca_power_top_oracle(iters: int = PCA_ITERS) -> str:
+    qs, vs = PCA_QSCALE, PCA_VSCALE
+    body = [
+        f"""
+        q AS (
+            SELECT vec_id, CAST(d AS BIGINT) AS d,
+                   CAST(floor(e * {qs} + 0.5) AS BIGINT) AS q
+            FROM (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS d
+                  FROM embeddings)
+        ),
+        v0 AS (SELECT DISTINCT d, CAST({vs} AS BIGINT) AS v FROM q)"""
+    ]
+    prev = "v0"
+    for i in range(int(iters)):
+        body.append(
+            f"""
+        dot{i} AS (
+            SELECT q.vec_id, sum(q.q * v.v) // {qs} AS p
+            FROM q JOIN {prev} v USING (d) GROUP BY q.vec_id
+        ),
+        w{i} AS (
+            SELECT q.d, sum(q.q * dot{i}.p) AS w
+            FROM q JOIN dot{i} USING (vec_id) GROUP BY q.d
+        ),
+        v{i + 1} AS (
+            SELECT d, CAST(w * {vs} //
+                   (SELECT greatest(max(abs(w)), 1) FROM w{i}) AS BIGINT) AS v
+            FROM w{i}
+        )"""
+        )
+        prev = f"v{i + 1}"
+    return (
+        "WITH " + ",".join(body)
+        + f"\n        SELECT d, CAST(v AS BIGINT) AS component_fp FROM {prev}"
+    )

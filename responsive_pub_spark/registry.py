@@ -2751,6 +2751,18 @@ REGISTRY: dict[str, QuerySpec] = {
         "a term) so the cutoff is bit-deterministic; NEW inventory, "
         "first-gates in r6",
     ),
+    "embed_pca_power": QuerySpec(
+        lambda spark, sf_dir: quantize.pca_power_top(
+            _t(spark, sf_dir, "embeddings")
+        ),
+        quantize.pca_power_top_oracle(),
+        doc="fixed-point integer power iteration toward the top "
+        "principal direction (3 unrolled rounds, L-inf renormalized; "
+        "bit-identical across engines — the gated contract is the "
+        "fixed-round iterate, like graph_pagerank) — the "
+        "centering/whitening primitive of an embedding pipeline; NEW "
+        "inventory, first-gates in r6",
+    ),
     "stateless_peek": QuerySpec(
         lambda spark, sf_dir: (
             KStream(_t(spark, sf_dir, "events"), key=["user_id"])

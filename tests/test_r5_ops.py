@@ -198,3 +198,30 @@ def test_streaming_regroup_refuses_naive_path(spark, tmp_path):
     sdf = spark.readStream.format("rate").load()  # any streaming df
     with pytest.raises(ValueError, match="RegroupStreaming"):
         KGroupedTable(sdf, ["value"]).count()
+
+
+def test_pca_power_converges_on_dominant_direction(spark):
+    """On a corpus WITH a pronounced top direction (the real-embedding
+    shape — ABTT), 3 power rounds align with it; the near-isotropic
+    fixture case is documented as non-converging by contract."""
+    import math
+    import random
+
+    from responsive_pub_spark.operators import quantize
+
+    rng = random.Random(7)
+    dim = 16
+    u = [math.sin(0.7 * d + 1) for d in range(dim)]
+    un = math.sqrt(sum(x * x for x in u))
+    u = [x / un for x in u]
+    rows = []
+    for i in range(300):
+        s = rng.uniform(0.5, 1.0) * (1 if rng.random() < 0.5 else -1)
+        vec = [s * u[d] + rng.uniform(-0.05, 0.05) for d in range(dim)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {r.d: r.component_fp for r in quantize.pca_power_top(emb).collect()}
+    v = [got[d + 1] for d in range(dim)]
+    vn = math.sqrt(sum(x * x for x in v))
+    cos = abs(sum(v[d] * u[d] for d in range(dim))) / vn
+    assert cos > 0.98, cos
