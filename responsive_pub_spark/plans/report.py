@@ -506,6 +506,14 @@ EXTENDED_NOTES = {
         "the all-integer tf-saturation statistic (idf constant within "
         "a term, so float never decides a rank)."
     ),
+    "embed_pca_power": (
+        "iterative dataflow like graph_pagerank: per round the dim-sized "
+        "direction vector BROADCASTS onto the quantized (row, dim) table, "
+        "projection + back-projection are two keyed shuffles, and "
+        "localCheckpoint pins the per-round Catalyst plan to O(1). "
+        "All-integer Gram products — no float drift with aggregation "
+        "order; the 1-row L-inf norm rides a broadcast scalar join."
+    ),
     "table_regroup_streaming": (
         "STREAMING lane (plan audited on the compaction read side): two "
         "checkpointed queries over a retraction topic — stage 0 keyed on "
