@@ -244,11 +244,15 @@ def query_window_store(
                 if window_key is not None:
                     items = store.prefix_tuple((window_key,))
                 else:
-                    items = (
-                        e
-                        for e in store.all()
-                        if isinstance(e[0], tuple) and len(e[0]) == 2
-                    )
+                    items = store.all()
+                # only WindowedKey-shaped (key, window_start) entries: a
+                # composition may hold other key shapes (counters, 3-tuple
+                # SessionKeys) in the same store
+                items = (
+                    e
+                    for e in items
+                    if isinstance(e[0], tuple) and len(e[0]) == 2
+                )
                 for sk, sv in items:
                     wk, ws = sk
                     if ts_from is not None and ws < ts_from:
@@ -339,11 +343,14 @@ def query_session_store(
                 if session_key is not None:
                     items = store.prefix_tuple((session_key,))
                 else:
-                    items = (
-                        e
-                        for e in store.all()
-                        if isinstance(e[0], tuple) and len(e[0]) == 3
-                    )
+                    items = store.all()
+                # only SessionKey-shaped (key, start, end) entries (see the
+                # WindowedKey note in query_window_store)
+                items = (
+                    e
+                    for e in items
+                    if isinstance(e[0], tuple) and len(e[0]) == 3
+                )
                 for sk, sv in items:
                     skey, ss, se = sk
                     if earliest_end is not None and se < earliest_end:
