@@ -189,6 +189,40 @@ def main() -> None:
         "jvm_stjoin": run("jvm_stjoin", jvm_stjoin),
         "papi_python": run("papi_python", papi),
     }
+    # r5: the KTable re-agg RETRACTION lane (streaming/regroup.py) — two
+    # chained checkpointed queries over a retraction topic; wall time
+    # covers BOTH stages (get-before-put delta emission + running
+    # re-aggregation), one availableNow drain each
+    try:
+        from responsive_pub_spark.streaming.regroup import RegroupStreaming
+
+        rg_dir = os.path.join(work, "regroup")
+        rg = RegroupStreaming(
+            spark,
+            rg_dir,
+            "user_id BIGINT, event_id BIGINT, grp STRING, val BIGINT, ts DOUBLE",
+            key_col="user_id",
+            order_by=("event_id",),
+        )
+        src_df = spark.read.parquet(src)
+        src_df.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("grp"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("val"),
+            ts_to_double(src_df, "ts").alias("ts"),
+        ).write.mode("overwrite").parquet(rg.input_dir)
+        t0 = time.perf_counter()
+        rg.advance()
+        wall = time.perf_counter() - t0
+        results["regroup_retract"] = {
+            "wall_sec": round(wall, 3),
+            "rows_in": n_rows,
+            "rec_per_sec": int(n_rows / wall),
+            "groups_out": rg.snapshot().count(),
+        }
+    except Exception as e:  # noqa: BLE001
+        results["regroup_retract"] = {"error": f"{type(e).__name__}: {e}"}
     # the r4 map-state lane (per-entry delta writes) needs the RocksDB
     # provider and a protobuf runtime; record it when available, never
     # fail the whole bench over it
