@@ -166,3 +166,51 @@ def read_stream_jsonl_docs(
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     return r.json(path)
+
+
+def read_csv_docs(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """Batch-read a CSV/TSV document corpus into the engine's ``documents``
+    schema — the other standard training-data interchange shape next to
+    JSONL (``sep="\\t"`` for TSV).
+
+    Same dead-letter contract as :func:`read_jsonl_docs`: PERMISSIVE mode
+    with an explicit ``_corrupt_record`` — a malformed line (wrong column
+    count, unparseable number) becomes a quarantine ROW carrying the raw
+    line, never a job failure; route through :func:`split_corrupt`.
+    ``multiLine`` stays OFF: multiline CSV parsing is not splittable (one
+    file = one task), the wrong shape at 100 TB — corpora with embedded
+    newlines should carry them escaped (``\\n``) or ship JSONL/parquet."""
+    return (
+        spark.read.schema(JSONL_DOC_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(bool(header)).lower())
+        .option("sep", sep)
+        .option("enforceSchema", "false")
+        .csv(path)
+    )
+
+
+def read_stream_csv_docs(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming CSV corpus source — same file-ingest/dead-letter contract
+    as :func:`read_stream_jsonl_docs`."""
+    r = (
+        spark.readStream.schema(JSONL_DOC_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", "true")
+        .option("sep", sep)
+    )
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.csv(path)
