@@ -990,3 +990,56 @@ def test_mid_batch_fault_injection_exactly_once(spark, workdir, tmp_path):
     for r in emissions:
         final[r.user_id] = r.checksum
     assert final == expected
+
+
+def test_ktable_regroup_streaming_randomized_equivalence(spark, tmp_path):
+    """Randomized retraction referee: random per-key group-hopping update
+    sequences, split into random micro-batches (per-key ts order held
+    across batches — changelog arrival order), must compact to exactly the
+    batch regroup over the final snapshot. Catches double-counting, missed
+    retractions, and tombstone bugs the crafted cases might not."""
+    import random
+
+    from responsive_pub_spark.api import KStream
+    from responsive_pub_spark.streaming.regroup import RegroupStreaming
+
+    schema = "user_id BIGINT, event_id BIGINT, grp STRING, val BIGINT, ts DOUBLE"
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for user in range(8):
+            for step in range(rng.randint(1, 6)):
+                eid += 1
+                rows.append(
+                    (user, eid, rng.choice("abc"), rng.randint(-5, 50),
+                     float(eid))
+                )
+        # random temporal batch splits (ts-ordered rows -> per-key order
+        # holds across batches)
+        cuts = sorted(rng.sample(range(1, len(rows)), 2))
+        batches = [rows[: cuts[0]], rows[cuts[0]: cuts[1]], rows[cuts[1]:]]
+
+        rg = RegroupStreaming(
+            spark, str(tmp_path / f"rg{seed}"), schema,
+            key_col="user_id", order_by=("event_id",),
+        )
+        for b in batches:
+            if not b:
+                continue
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(rg.input_dir)
+            rg.advance()
+        streamed = {r.grp: (r.n, r.total) for r in rg.snapshot().collect()}
+
+        t = KStream(
+            spark.createDataFrame(rows, schema), key=["user_id"]
+        ).to_table(tiebreak=["event_id"])
+        batch = {
+            r.grp: (r.n, r.total)
+            for r in t.group_by("grp")
+            .aggregate(F.count("*").alias("n"), F.sum("val").alias("total"))
+            .df.collect()
+        }
+        assert streamed == batch, (seed, streamed, batch)
