@@ -89,11 +89,32 @@ class KeyValueTableSink:
     def _deltas(self) -> list[str]:
         return sorted(glob.glob(os.path.join(self.path, "delta-*.parquet")))
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Current table contents: latest row per key, tombstones dropped."""
+    def read(
+        self, spark: SparkSession, as_of_batch: int | None = None
+    ) -> DataFrame:
+        """Current table contents: latest row per key, tombstones dropped.
+
+        ``as_of_batch`` is TIME TRAVEL over the delta log: the table as it
+        stood after commit batch N (deltas with ``_batch_id > N`` are
+        excluded BEFORE the scan — file-level pruning, not a filter over
+        the full log). Requires the deltas to still exist: ``compact()``
+        truncates the changelog and folds history into the highest batch
+        id, after which earlier as-of points are gone (the same trade the
+        reference's changelog-truncation makes; keep deltas or snapshot
+        externally if audit history matters)."""
         files = self._deltas()
+        if as_of_batch is not None:
+            files = [
+                f
+                for f in files
+                if int(os.path.basename(f)[len("delta-"):].split(".")[0])
+                <= int(as_of_batch)
+            ]
         if not files:
-            raise FileNotFoundError(f"empty KV table at {self.path}")
+            raise FileNotFoundError(
+                f"empty KV table at {self.path}"
+                + (f" as of batch {as_of_batch}" if as_of_batch is not None else "")
+            )
         log = spark.read.parquet(*files)
         ord_ = (
             F.struct(F.col("_batch_id"), F.col(self.ts_col))

@@ -130,3 +130,36 @@ def test_streaming_counts_materialize_across_restart(spark, tmp_path):
     assert got == {"x": 2, "y": 1}
     drv.close()
     assert os.path.isdir(table)
+
+
+def test_time_travel_read_as_of_batch(spark, tmp_path):
+    """as_of_batch reads the table as committed at batch N (file-level
+    delta pruning): upserts after N are invisible, a later tombstone has
+    not yet deleted, and as-of points BEFORE compaction's fold are gone
+    by documented contract."""
+    import pytest as _pytest
+
+    sink = KeyValueTableSink(str(tmp_path / "t"), ["k"], ["v"], ts_col="ts")
+    sink(_mkdf(spark, [("a", 1, 1.0), ("b", 2, 1.0)]), 0)
+    sink(_mkdf(spark, [("a", 10, 2.0), ("c", 3, 2.0)]), 1)
+    sink(_mkdf(spark, [("b", None, 3.0)]), 2)  # tombstone b
+
+    assert {r.k: r.v for r in sink.read(spark, as_of_batch=0).collect()} == {
+        "a": 1, "b": 2
+    }
+    assert {r.k: r.v for r in sink.read(spark, as_of_batch=1).collect()} == {
+        "a": 10, "b": 2, "c": 3
+    }
+    # as-of at/after the tip == current
+    assert {r.k: r.v for r in sink.read(spark, as_of_batch=2).collect()} == {
+        r.k: r.v for r in sink.read(spark).collect()
+    }
+
+    sink.compact(spark)
+    # history folded into batch 2: the current read survives, batch-0
+    # granularity is gone (changelog truncation trade)
+    assert {r.k: r.v for r in sink.read(spark, as_of_batch=2).collect()} == {
+        "a": 10, "c": 3
+    }
+    with _pytest.raises(FileNotFoundError):
+        sink.read(spark, as_of_batch=0)
