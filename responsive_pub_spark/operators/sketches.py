@@ -801,3 +801,84 @@ def hll_distinct_windowed_oracle(
                regs_hit, {dround(est, 4)} AS hll_est
         FROM per_grp
     """
+
+
+def cms_frequencies_windowed(
+    events: DataFrame,
+    item_expr: str = "CAST(user_id AS STRING) || ':' || event_type",
+    window_days: int = 7,
+) -> DataFrame:
+    """Count-Min composed with event-time windows: per-window item
+    frequency estimates from a fixed D x W counter table PER WINDOW —
+    the windowed-frequency question ("how often this item this week")
+    answered without per-window exact item maps, the same composition
+    rule the windowed-HLL row pins: the sketch key simply gains a window
+    column, map-side partials / mergeability / the one-sided
+    est >= exact bound all inherited unchanged. Sketch size stays
+    windows x D x W (broadcastable); probes are the per-window distinct
+    items joining the broadcast sketch on (win, d, bucket)."""
+    h = poly_hash_sql("item")
+    win = f"unix_micros(ts) DIV {window_days * 86_400_000_000}"
+    base = events.select(
+        F.expr(win).alias("win"), F.expr(item_expr).alias("item")
+    )
+    buckets = _cms_buckets(h, "spark")
+    sketch = (
+        base.select("win", F.posexplode(F.expr(buckets)).alias("d", "bucket"))
+        .groupBy("win", "d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = base.groupBy("win", "item").agg(F.count("*").alias("exact_count"))
+    probes = exact.select(
+        "win",
+        "item",
+        "exact_count",
+        F.posexplode(F.expr(buckets)).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["win", "d", "bucket"])
+        .groupBy("win", "item", "exact_count")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .select(
+            F.col("win").cast("bigint").alias("win"),
+            "item",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            "cms_est",
+        )
+    )
+
+
+def cms_frequencies_windowed_oracle(
+    item_expr: str = "CAST(user_id AS VARCHAR) || ':' || event_type",
+    window_days: int = 7,
+) -> str:
+    h = poly_hash_duck("item")
+    buckets = _cms_buckets(h, "duck")
+    win = (
+        f"epoch_us(date_trunc('microseconds', ts)) "
+        f"// {window_days * 86_400_000_000}"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {win} AS win, {item_expr} AS item FROM events
+        ), sketch AS (
+            SELECT win, d, bucket, count(*) AS cnt FROM (
+                SELECT win, unnest({buckets}) AS bucket,
+                       generate_subscripts({buckets}, 1) - 1 AS d
+                FROM base
+            ) GROUP BY win, d, bucket
+        ), exact AS (
+            SELECT win, item, count(*) AS exact_count FROM base
+            GROUP BY win, item
+        ), probes AS (
+            SELECT win, item, exact_count,
+                   unnest({buckets}) AS bucket,
+                   generate_subscripts({buckets}, 1) - 1 AS d
+            FROM exact
+        )
+        SELECT CAST(p.win AS BIGINT) AS win, p.item,
+               CAST(p.exact_count AS BIGINT) AS exact_count,
+               CAST(min(s.cnt) AS BIGINT) AS cms_est
+        FROM probes p JOIN sketch s USING (win, d, bucket)
+        GROUP BY p.win, p.item, p.exact_count
+    """

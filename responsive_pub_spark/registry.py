@@ -2751,6 +2751,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "a term) so the cutoff is bit-deterministic; NEW inventory, "
         "first-gates in r6",
     ),
+    "sketch_cms_windowed": QuerySpec(
+        lambda spark, sf_dir: sketches.cms_frequencies_windowed(
+            _t(spark, sf_dir, "events")
+        ),
+        sketches.cms_frequencies_windowed_oracle(),
+        doc="Count-Min composed with event-time windows (per-window "
+        "frequency estimates; fixed D x W counters per window, one-sided "
+        "bound inherited — the sketch-window composition rule, like "
+        "sketch_hll_windowed); NEW inventory, first-gates in r6",
+    ),
     "embed_pca_power": QuerySpec(
         lambda spark, sf_dir: quantize.pca_power_top(
             _t(spark, sf_dir, "embeddings")
