@@ -506,6 +506,13 @@ EXTENDED_NOTES = {
         "the all-integer tf-saturation statistic (idf constant within "
         "a term, so float never decides a rank)."
     ),
+    "sketch_cms_windowed": (
+        "the sketch-window composition rule (same as sketch_hll_windowed): "
+        "the counter key gains a window column — corpus collapses "
+        "map-side to <= windows x D x W rows per partition, probes join "
+        "the BROADCAST windowed sketch on (win, d, bucket); one-sided "
+        "est >= exact inherited per window."
+    ),
     "embed_pca_power": (
         "iterative dataflow like graph_pagerank: per round the dim-sized "
         "direction vector BROADCASTS onto the quantized (row, dim) table, "
