@@ -251,6 +251,7 @@ def hist_quantiles_oracle(
     lo: float = HIST_LO,
     hi: float = HIST_HI,
     buckets: int = HIST_BUCKETS,
+    table: str = "orders",
 ) -> str:
     b = int(buckets)
     width = (float(hi) - float(lo)) / b
@@ -272,7 +273,7 @@ def hist_quantiles_oracle(
     return f"""
         WITH hist AS (
             SELECT {group_col}, {bucket} AS bucket, count(*) AS cnt
-            FROM orders GROUP BY 1, 2
+            FROM {table} GROUP BY 1, 2
         ), cum AS (
             SELECT {group_col}, bucket, cnt,
                    sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bucket

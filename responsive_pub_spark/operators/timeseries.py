@@ -722,3 +722,101 @@ def group_variance_oracle(group_col: str = "event_type") -> str:
                    AS stddev_c
         FROM sums
     """
+
+
+# ---------------------------------------------------------------------------
+# key-skew audit (the 100 TB shuffle-planning report)
+# ---------------------------------------------------------------------------
+
+SKEW_TOP = 10
+
+
+def skew_report(df: DataFrame, key_col: str = "user_id", top: int = SKEW_TOP) -> DataFrame:
+    """Hot-key audit before a big shuffle: the ``top`` heaviest values of a
+    prospective join/agg key with row count and integer-basis-point share
+    of the table — the report that decides between plain hash join, AQE
+    skew-join, salting, or a broadcast. One keyed count (map-side
+    partials), a broadcast 1-row total, and a WindowGroupLimit-prunable
+    global rank over the (already tiny) per-key count table."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    total = df.agg(F.count("*").alias("n_total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc(key_col))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(top))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            key_col,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("cnt * 10000 DIV n_total").cast("bigint").alias("share_bp"),
+        )
+    )
+
+
+def skew_report_oracle(key_col: str = "user_id", top: int = SKEW_TOP) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT {key_col}, count(*) AS cnt FROM events GROUP BY 1
+        ), tot AS (SELECT count(*) AS n_total FROM events),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY cnt DESC, {key_col} ASC) AS rk
+            FROM counts
+        )
+        SELECT CAST(rk AS BIGINT) AS rk, {key_col},
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(cnt * 10000 // (SELECT n_total FROM tot) AS BIGINT)
+                   AS share_bp
+        FROM ranked WHERE rk <= {int(top)}
+    """
+
+
+# ---------------------------------------------------------------------------
+# quantile-threshold outlier report (sketch-composed DQ)
+# ---------------------------------------------------------------------------
+
+def outlier_report(events: DataFrame) -> DataFrame:
+    """Per-group p99 outlier report: thresholds come from the mergeable
+    histogram-quantile sketch (operators/sketches.hist_quantiles — fixed
+    per-group state, no sort of the raw data), broadcast back onto one
+    corpus scan that counts exceedances and the max — the standard
+    monitoring question ("how many events above the group's p99, and how
+    bad") answered in two passes at any scale. Threshold comparisons use
+    the sketch's deterministic interpolated estimate, so both engines
+    flag the identical rows."""
+    from responsive_pub_spark.operators import sketches
+
+    qs = sketches.hist_quantiles(
+        events, group_col="event_type", val_col="value",
+        lo=0.0, hi=500.0, buckets=128,
+    ).select("event_type", F.col("p99_est").alias("p99"))
+    return (
+        events.join(F.broadcast(qs), "event_type")
+        .groupBy("event_type", "p99")
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n_total"),
+            pround(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+def outlier_report_oracle() -> str:
+    from responsive_pub_spark.operators import sketches
+
+    hist = sketches.hist_quantiles_oracle(
+        group_col="event_type", val_col="value",
+        lo=0.0, hi=500.0, buckets=128, table="events",
+    )
+    return f"""
+        SELECT e.event_type, q.p99, CAST(sum(CASE WHEN e.value > q.p99
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(count(*) AS BIGINT) AS n_total,
+               (floor((max(e.value)) * 100 + 0.5) / 100) AS max_value
+        FROM events e
+        JOIN (SELECT event_type, p99_est AS p99 FROM ({hist})) q
+          USING (event_type)
+        GROUP BY 1, 2
+    """

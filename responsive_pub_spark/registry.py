@@ -2753,6 +2753,25 @@ REGISTRY: dict[str, QuerySpec] = {
         "a term) so the cutoff is bit-deterministic; NEW inventory, "
         "first-gates in r6",
     ),
+    "skew_report": QuerySpec(
+        lambda spark, sf_dir: timeseries.skew_report(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.skew_report_oracle(),
+        doc="hot-key audit before a big shuffle: top-10 heaviest key "
+        "values with integer-bp share — the plan/salt/broadcast decision "
+        "input; NEW inventory, first-gates in r6",
+    ),
+    "outlier_report": QuerySpec(
+        lambda spark, sf_dir: timeseries.outlier_report(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.outlier_report_oracle(),
+        doc="per-group p99 exceedance report with thresholds from the "
+        "mergeable histogram-quantile sketch broadcast onto one corpus "
+        "scan — sketch-composed DQ monitoring; NEW inventory, "
+        "first-gates in r6",
+    ),
     "sketch_cms_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies_windowed(
             _t(spark, sf_dir, "events")
