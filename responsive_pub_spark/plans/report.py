@@ -506,6 +506,18 @@ EXTENDED_NOTES = {
         "the all-integer tf-saturation statistic (idf constant within "
         "a term, so float never decides a rank)."
     ),
+    "skew_report": (
+        "one keyed count with map-side partials, a broadcast 1-row "
+        "total, and a WindowGroupLimit-prunable rank over the per-key "
+        "count table (already tiny) — the audit itself never becomes "
+        "the skew problem it measures."
+    ),
+    "outlier_report": (
+        "two passes at any scale: the histogram-quantile sketch "
+        "collapses pass 1 map-side to <= buckets rows per group, "
+        "thresholds BROADCAST back onto pass 2's scan for exceedance "
+        "counting — no sort, no per-group value materialization."
+    ),
     "sketch_cms_windowed": (
         "the sketch-window composition rule (same as sketch_hll_windowed): "
         "the counter key gains a window column — corpus collapses "

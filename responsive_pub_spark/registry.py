@@ -2722,14 +2722,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # zorder_layout, bloom_semi_join, snapshot_diff, text_oov_rate,
     # text_tfidf_top).  async_enrich and multimodal_decode_features stay
     # — sole rows of their families.
-    # r6 window plan: rotate IN the five first-gating tail rows below
-    # (dedup_containment, text_bm25_topk, sketch_cms_windowed,
-    # embed_pca_power, stateless_peek — NEW r5 inventory, pytest-oracle
-    # green at sf0.001/0.01, the first two also at sf0.1); rotate OUT
-    # five rows that will be multi-round green after an r5-green gate,
-    # families retained (candidates: text_entropy, bpe_merges,
-    # olap_cube_pricing, sketch_lc_distinct, join_range — each family
-    # keeps >= 2 in-window rows).
+    # r6 window plan: rotate IN the seven first-gating tail rows below
+    # (dedup_containment, text_bm25_topk, skew_report, outlier_report,
+    # sketch_cms_windowed, embed_pca_power, stateless_peek — NEW r5
+    # inventory, pytest-oracle green at sf0.001 AND sf0.01, most also at
+    # sf0.1); rotate OUT seven rows that will be multi-round green after
+    # an r5-green gate, families retained (candidates: text_entropy,
+    # bpe_merges, olap_cube_pricing, sketch_lc_distinct, join_range,
+    # corpus_stats, text_collocations — each family keeps >= 2 in-window
+    # rows).
     # ------------------------------------------------------------------
     # --- NEW r5 inventory, first-gates in r6 (the r5 window closed with
     # --- 14 first-gating rows; these are pytest-oracle guarded meanwhile)
