@@ -2468,16 +2468,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_stream_stream_outer": QuerySpec(
         q_join_stream_stream_outer, ORACLE_JOIN_STREAM_STREAM_OUTER
     ),
-    # --- new in r5: interval/range join, SQ8 quantization, corpus stats
-    # --- (agg_pricing_summary, window_tumbling, join_global — all green
-    # --- r1+r2+r3 — rotate past 50; bench membership is unaffected)
-    "join_range": QuerySpec(
-        lambda spark, sf_dir: range_join.error_attribution(
-            _t(spark, sf_dir, "events")
-        ),
-        range_join.error_attribution_oracle(),
-        doc="keyed interval join: clicks within 1h after each error event",
-    ),
+    # --- new in r5: SQ8 quantization (join_range, corpus_stats — green
+    # --- r4/r5 — rotate past 50 in r6 per the documented plan;
+    # --- agg_pricing_summary, window_tumbling, join_global rotated in
+    # --- r5; bench membership is unaffected by rotation)
     "embed_sq8": QuerySpec(
         lambda spark, sf_dir: quantize.sq8_table(
             _t(spark, sf_dir, "embeddings"), max_dim=quantize.SQ8_REGISTRY_DIMS
@@ -2485,29 +2479,10 @@ REGISTRY: dict[str, QuerySpec] = {
         quantize.sq8_oracle(),
         doc="SQ8 scalar quantization codes + per-element reconstruction error",
     ),
-    "corpus_stats": QuerySpec(
-        lambda spark, sf_dir: textops.corpus_stats(
-            _t(spark, sf_dir, "documents")
-        ),
-        textops.corpus_stats_oracle(),
-        doc="per (lang, source, length-bucket) corpus composition report",
-    ),
-    # (text_oov_rate, text_tfidf_top, snapshot_diff — green r4 — rotate
-    # past 50; the text family keeps corpus_stats, collocations, entropy,
-    # unigram_ppl and novelty in-window)
-    "text_entropy": QuerySpec(
-        lambda spark, sf_dir: textops.char_entropy(
-            _t(spark, sf_dir, "documents")
-        ),
-        textops.char_entropy_oracle(),
-        doc="char-unigram Shannon entropy per doc (sorted-fold, bit-stable)",
-    ),
-    "bpe_merges": QuerySpec(
-        lambda spark, sf_dir: bpe.bpe_merges(_t(spark, sf_dir, "documents")),
-        bpe.bpe_merges_oracle(),
-        doc="distributed BPE tokenizer induction: 4 merge steps over the "
-        "unique-word table, oracled by unrolled-merge SQL",
-    ),
+    # (corpus_stats, text_entropy, bpe_merges — green through r5 —
+    # rotate past 50 in r6; the text family keeps unigram_ppl, novelty
+    # and the r6-new bm25 row in-window; bpe_vocab keeps the BPE family
+    # gated in-window)
     # --- new in r4-final: iterative + OLAP + collocation surfaces
     # --- (dedup_simhash/dedup_ngram_jaccard/sim_search_pq, multi-round
     # --- green, rotate past 50; their bench flags travel with them)
@@ -2517,20 +2492,8 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="3-iteration fixed-point-integer PageRank over the "
         "part<->supplier bipartite graph; oracle = unrolled SQL rounds",
     ),
-    "text_collocations": QuerySpec(
-        lambda spark, sf_dir: textops.collocations_pmi(
-            _t(spark, sf_dir, "documents")
-        ),
-        textops.collocations_pmi_oracle(),
-        doc="top-50 bigram collocations by PMI; all-integer rank statistic "
-        "so the k-th-rank cutoff is bit-deterministic",
-    ),
-    "olap_cube_pricing": QuerySpec(
-        lambda spark, sf_dir: olap.cube_pricing(_t(spark, sf_dir, "orders")),
-        olap.cube_pricing_oracle(),
-        doc="CUBE(priority, status) grouping-set lattice in one Expand "
-        "pass; integer-cent metrics; grouping_id bit-parity with DuckDB",
-    ),
+    # (text_collocations, olap_cube_pricing — green r4+r5 — rotate past
+    # 50 in r6 per the documented plan)
     "sketch_quantile_hist": QuerySpec(
         lambda spark, sf_dir: sketches.hist_quantiles(
             _t(spark, sf_dir, "orders")
@@ -2546,11 +2509,9 @@ REGISTRY: dict[str, QuerySpec] = {
         "space overflows the 4x256 counters, so collisions and the "
         "one-sided overestimate are part of the hashed contract",
     ),
-    "sketch_lc_distinct": QuerySpec(
-        lambda spark, sf_dir: sketches.lc_distinct(_t(spark, sf_dir, "events")),
-        sketches.lc_distinct_oracle(),
-        doc="linear-probabilistic distinct count per group vs exact",
-    ),
+    # (sketch_lc_distinct — green r4+r5 — rotates past 50 in r6; the
+    # sketch family keeps quantile_hist, cms, cms_windowed, hll,
+    # hll_windowed and heavy_hitters in-window)
     "decontam_fuzzy": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.decontaminate_fuzzy(
             _t(spark, sf_dir, "documents")
@@ -2705,35 +2666,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "papi_partition_stream_time": QuerySpec(
         q_papi_partition_stream_time, ORACLE_PAPI_PARTITION_STREAM_TIME
     ),
-    # ------------------------------------------------------------------
-    # position 51+ — outside the driver's 50-row window.  Everything
-    # below has at least one driver-green round; the full-registry pytest
-    # oracle (test_registry_oracle.py) keeps the identical check.
-    # r5 rotations executed: IN = the 10 first-gating tail rows
-    # (trend_ols, cohort_retention, dq_audit_events, markov_transitions,
-    # heavy_hitters, ab_test_zscore, group_variance, sketch_hll_windowed,
-    # dedup_keep_best, bpe_vocab) + the 4 new gate rows
-    # (suppress_emit_final, join_versioned_stream, dedup_stream_first,
-    # table_regroup_streaming); OUT = the r3 cohort with r3+r4 green
-    # (sim_search_ivf_trained, iq_store_dump, kv_sink_roundtrip,
-    # source_cap, resample_by_score, dedup_simhash_clusters,
-    # dedup_embedding_strict) + 7 r4-green rows whose families keep
-    # in-window coverage (sketch_hll_setops, split_leakage_safe,
-    # zorder_layout, bloom_semi_join, snapshot_diff, text_oov_rate,
-    # text_tfidf_top).  async_enrich and multimodal_decode_features stay
-    # — sole rows of their families.
-    # r6 window plan: rotate IN the seven first-gating tail rows below
-    # (dedup_containment, text_bm25_topk, skew_report, outlier_report,
-    # sketch_cms_windowed, embed_pca_power, stateless_peek — NEW r5
-    # inventory, pytest-oracle green at sf0.001 AND sf0.01, most also at
-    # sf0.1); rotate OUT seven rows that will be multi-round green after
-    # an r5-green gate, families retained (candidates: text_entropy,
-    # bpe_merges, olap_cube_pricing, sketch_lc_distinct, join_range,
-    # corpus_stats, text_collocations — each family keeps >= 2 in-window
-    # rows).
-    # ------------------------------------------------------------------
-    # --- NEW r5 inventory, first-gates in r6 (the r5 window closed with
-    # --- 14 first-gating rows; these are pytest-oracle guarded meanwhile)
+    # --- r6 rotation IN (r5 VERDICT task 1): the seven first-gating
+    # --- tail rows — NEW r5 inventory, judge-oracle-verified at sf0.01
+    # --- in the r5 session, pytest-oracle green at sf0.001 AND sf0.01,
+    # --- most also at sf0.1.  Once these gate green, all 132 registry
+    # --- queries carry a driver-green CORRECTNESS row at least once. ---
     "dedup_containment": QuerySpec(
         lambda spark, sf_dir: dedup.containment_pairs(
             _t(spark, sf_dir, "documents")
@@ -2813,6 +2750,79 @@ REGISTRY: dict[str, QuerySpec] = {
         "gated contract is stream IDENTITY through the peek — rows equal "
         "the un-peeked plan's; the last §2 row with no driver evidence; "
         "NEW inventory, first-gates in r6",
+    ),
+    # ------------------------------------------------------------------
+    # position 51+ — outside the driver's 50-row window.  Everything
+    # below has at least one driver-green round; the full-registry pytest
+    # oracle (test_registry_oracle.py) keeps the identical check.
+    # r6 rotations executed: IN = the 7 first-gating tail rows above
+    # (dedup_containment, text_bm25_topk, skew_report, outlier_report,
+    # sketch_cms_windowed, embed_pca_power, stateless_peek); OUT = 7
+    # multi-round-green rows whose families keep >= 2 in-window rows
+    # (text_entropy, bpe_merges, olap_cube_pricing, sketch_lc_distinct,
+    # join_range, corpus_stats, text_collocations — parked directly
+    # below).
+    # r5 rotations executed: IN = the 10 first-gating tail rows
+    # (trend_ols, cohort_retention, dq_audit_events, markov_transitions,
+    # heavy_hitters, ab_test_zscore, group_variance, sketch_hll_windowed,
+    # dedup_keep_best, bpe_vocab) + the 4 new gate rows
+    # (suppress_emit_final, join_versioned_stream, dedup_stream_first,
+    # table_regroup_streaming); OUT = the r3 cohort with r3+r4 green
+    # (sim_search_ivf_trained, iq_store_dump, kv_sink_roundtrip,
+    # source_cap, resample_by_score, dedup_simhash_clusters,
+    # dedup_embedding_strict) + 7 r4-green rows whose families keep
+    # in-window coverage (sketch_hll_setops, split_leakage_safe,
+    # zorder_layout, bloom_semi_join, snapshot_diff, text_oov_rate,
+    # text_tfidf_top).  async_enrich and multimodal_decode_features stay
+    # — sole rows of their families.
+    # ------------------------------------------------------------------
+    # --- r6 rotation OUT (multi-round green; identical oracles remain
+    # --- gated by the full-registry pytest sweep) ---
+    "join_range": QuerySpec(
+        lambda spark, sf_dir: range_join.error_attribution(
+            _t(spark, sf_dir, "events")
+        ),
+        range_join.error_attribution_oracle(),
+        doc="keyed interval join: clicks within 1h after each error event",
+    ),
+    "corpus_stats": QuerySpec(
+        lambda spark, sf_dir: textops.corpus_stats(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.corpus_stats_oracle(),
+        doc="per (lang, source, length-bucket) corpus composition report",
+    ),
+    "text_entropy": QuerySpec(
+        lambda spark, sf_dir: textops.char_entropy(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.char_entropy_oracle(),
+        doc="char-unigram Shannon entropy per doc (sorted-fold, bit-stable)",
+    ),
+    "bpe_merges": QuerySpec(
+        lambda spark, sf_dir: bpe.bpe_merges(_t(spark, sf_dir, "documents")),
+        bpe.bpe_merges_oracle(),
+        doc="distributed BPE tokenizer induction: 4 merge steps over the "
+        "unique-word table, oracled by unrolled-merge SQL",
+    ),
+    "text_collocations": QuerySpec(
+        lambda spark, sf_dir: textops.collocations_pmi(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.collocations_pmi_oracle(),
+        doc="top-50 bigram collocations by PMI; all-integer rank statistic "
+        "so the k-th-rank cutoff is bit-deterministic",
+    ),
+    "olap_cube_pricing": QuerySpec(
+        lambda spark, sf_dir: olap.cube_pricing(_t(spark, sf_dir, "orders")),
+        olap.cube_pricing_oracle(),
+        doc="CUBE(priority, status) grouping-set lattice in one Expand "
+        "pass; integer-cent metrics; grouping_id bit-parity with DuckDB",
+    ),
+    "sketch_lc_distinct": QuerySpec(
+        lambda spark, sf_dir: sketches.lc_distinct(_t(spark, sf_dir, "events")),
+        sketches.lc_distinct_oracle(),
+        doc="linear-probabilistic distinct count per group vs exact",
     ),
     "sim_search_ivf_trained": QuerySpec(
         q_sim_ivf_trained, similarity.ivf_trained_oracle()
