@@ -2686,10 +2686,14 @@ REGISTRY: dict[str, QuerySpec] = {
             _t(spark, sf_dir, "documents")
         ),
         textops.bm25_topk_oracle(),
+        bench=True,
         doc="BM25 top-10 docs per query term (k1=1.2, b=0.75); ranking "
         "by the all-integer tf-saturation statistic (idf constant within "
         "a term) so the cutoff is bit-deterministic; NEW inventory, "
-        "first-gates in r6",
+        "first-gates in r6; joins the bench headline set in r6 (r5 "
+        "VERDICT task 5 — retrieval scoring is the most user-visible "
+        "r5 family; the legacy-15 + tpch_q3 set is unchanged for "
+        "round-over-round comparability)",
     ),
     "skew_report": QuerySpec(
         lambda spark, sf_dir: timeseries.skew_report(
