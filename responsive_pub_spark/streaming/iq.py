@@ -177,6 +177,8 @@ def query_window_store(
     ts_to: "float | None" = None,
     group_keys: "list | None" = None,
     store_name: str = "default",
+    window_key_from: "object | None" = None,
+    window_key_to: "object | None" = None,
     **options,
 ) -> DataFrame:
     """WindowStore IQ parity over a checkpointed composition (r4 VERDICT
@@ -190,6 +192,11 @@ def query_window_store(
     - ``window_key`` set → the store's SORTED tuple-prefix scan
       (``prefix_tuple((key,),)``) — a keyed fetch never iterates foreign
       keys' windows;
+    - ``window_key_from``/``window_key_to`` set → the KEY-RANGE fetch
+      ``fetch(keyFrom, keyTo, tFrom, tTo)``
+      (internal/stores/RemoteWindowOperations.java:333): one sorted
+      tuple-range scan bounded on the major (key) component, inclusive
+      both ends;
     - ``ts_from``/``ts_to`` (epoch seconds, inclusive) bound
       ``window_start`` BEFORE values repr;
     - neither → ``all()`` over well-formed windowed keys.
@@ -243,6 +250,16 @@ def query_window_store(
                 store, _fires, _wc = SegmentedKeyValueStore.from_blob(raw_b)
                 if window_key is not None:
                     items = store.prefix_tuple((window_key,))
+                elif window_key_from is not None or window_key_to is not None:
+                    if window_key_from is None or window_key_to is None:
+                        raise ValueError(
+                            "key-range fetch needs BOTH window_key_from "
+                            "and window_key_to (inclusive bounds)"
+                        )
+                    items = store.range(
+                        (window_key_from, float("-inf")),
+                        (window_key_to, float("inf")),
+                    )
                 else:
                     items = store.all()
                 # only WindowedKey-shaped (key, window_start) entries: a

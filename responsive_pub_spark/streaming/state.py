@@ -318,6 +318,32 @@ class WindowStore:
             if t_from <= ws <= t_to:
                 yield (k, ws), v
 
+    def fetch_key_range(
+        self, key_from, key_to, t_from: float, t_to: float
+    ) -> Iterator[tuple]:
+        """Key-range fetch — ``fetch(keyFrom, keyTo, timeFrom, timeTo)``
+        (internal/stores/RemoteWindowOperations.java:333): every window
+        with key in [key_from, key_to] AND start in [t_from, t_to], all
+        bounds inclusive (KS WindowStore.fetch contract), ordered by
+        (key, window_start). One sorted range scan over the WindowedKey
+        tuple keyspace — time is the MINOR tuple component, so the scan
+        bounds prune on key and the time bounds filter per entry."""
+        lo = (key_from, float("-inf"))
+        hi = (key_to, float("inf"))
+        for (k, ws), v in self.kv.range(lo, hi):
+            if t_from <= ws <= t_to:
+                yield (k, ws), v
+
+    def backward_fetch_key_range(
+        self, key_from, key_to, t_from: float, t_to: float
+    ) -> Iterator[tuple]:
+        """Descending key-range fetch — the reference's backwardFetch
+        key-range variant throws (RemoteWindowOperations.java:339);
+        supported here."""
+        yield from reversed(
+            list(self.fetch_key_range(key_from, key_to, t_from, t_to))
+        )
+
     def all(self) -> Iterator[tuple]:
         return self.kv.all()
 

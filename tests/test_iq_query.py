@@ -170,6 +170,97 @@ def test_window_store_fetch_iq(spark, workdir):
     drv.close()
 
 
+def test_window_store_key_range_fetch_iq(spark, workdir):
+    """Key-range windowed fetch over a checkpointed composition —
+    ``fetch(keyFrom, keyTo, tFrom, tTo)``
+    (internal/stores/RemoteWindowOperations.java:333) served by
+    iq.query_window_store(window_key_from=, window_key_to=): one sorted
+    tuple-range scan bounded on the major (store-key) component, with the
+    time bound filtering window_start; store keys outside the range never
+    surface even when their windows are in the time bound."""
+
+    def make_bucketed():
+        class BucketedCount(state.Processor):
+            """10s tumbling counts bucketed under per-parity store keys
+            ('even'/'odd' by event_id) — multiple store keys per group so
+            a key-range scan has something to prune."""
+
+            def init(self, ctx):
+                self.ws = state.WindowStore(ctx.store)
+
+            def process(self, ctx, rec):
+                start = float(int(ctx.timestamp // 10) * 10)
+                bucket = "even" if int(rec["event_id"]) % 2 == 0 else "odd"
+                cur = self.ws.fetch(bucket, start) or 0
+                self.ws.put(bucket, start, cur + 1)
+                ctx.forward(
+                    user_id=int(rec["user_id"]), event_id=int(rec["event_id"])
+                )
+
+        return BucketedCount
+
+    def build(sdf):
+        return state.process_streaming(
+            sdf, ["user_id"], make_bucketed(),
+            "user_id BIGINT, event_id BIGINT",
+            ts_col="ts", order_by=("event_id",),
+        )
+
+    drv = TopologyTestDriver(
+        spark, "user_id LONG, event_id LONG, ts DOUBLE", build, workdir
+    )
+    drv.pipe(
+        [
+            {"user_id": 1, "event_id": 2, "ts": 5.0},
+            {"user_id": 1, "event_id": 3, "ts": 6.0},
+            {"user_id": 1, "event_id": 4, "ts": 15.0},
+            {"user_id": 2, "event_id": 5, "ts": 5.0},
+        ]
+    )
+    drv.advance()
+    ck = drv.checkpoint
+
+    # fetch(keyFrom='even', keyTo='odd', tFrom=0, tTo=20): both buckets,
+    # all windows, both users
+    got = iq.query_window_store(
+        spark, ck, ["user_id"],
+        window_key_from="even", window_key_to="odd",
+        ts_from=0.0, ts_to=20.0,
+    ).collect()
+    assert {(r.user_id, r.window_key, r.window_start, r.store_value) for r in got} == {
+        (1, "'even'", 0.0, "1"), (1, "'even'", 10.0, "1"),
+        (1, "'odd'", 0.0, "1"), (2, "'odd'", 0.0, "1"),
+    }
+
+    # key range that EXCLUDES 'odd' ('even'..'every'): only even buckets
+    got = iq.query_window_store(
+        spark, ck, ["user_id"],
+        window_key_from="even", window_key_to="every",
+    ).collect()
+    assert {(r.user_id, r.window_key, r.window_start) for r in got} == {
+        (1, "'even'", 0.0), (1, "'even'", 10.0),
+    }
+
+    # time bound prunes within the key range (inclusive both ends)
+    got = iq.query_window_store(
+        spark, ck, ["user_id"],
+        window_key_from="even", window_key_to="odd",
+        ts_from=10.0, ts_to=10.0, group_keys=[1],
+    ).collect()
+    assert [(r.user_id, r.window_key, r.window_start) for r in got] == [
+        (1, "'even'", 10.0)
+    ]
+
+    # half-open misuse is a loud error, not a silent full scan
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="key-range"):
+        iq.query_window_store(
+            spark, ck, ["user_id"], window_key_from="even"
+        ).collect()
+    drv.close()
+
+
 def test_session_store_find_sessions_iq(spark, workdir):
     """SessionStore IQ parity: findSessions(key, earliestEnd, latestStart)
     over a checkpointed composition — the KS merge-scan overlap bound

@@ -28,6 +28,36 @@ def test_window_store_ops():
     assert ws.fetch("a", 0) is None
 
 
+def test_window_store_key_range_fetch():
+    """fetch(keyFrom, keyTo, tFrom, tTo) — RemoteWindowOperations.java:333.
+    All bounds inclusive; output ordered by (key, window_start); keys
+    outside [keyFrom, keyTo] never appear even when their windows are in
+    the time range."""
+    ws = WindowStore(KeyValueStore())
+    for key, starts in (("a", (0, 60)), ("b", (60, 120)), ("c", (60,)), ("d", (60,))):
+        for s in starts:
+            ws.put(key, s, f"{key}@{s}")
+    got = [(k, ws_, v) for (k, ws_), v in ws.fetch_key_range("b", "c", 0, 120)]
+    assert got == [
+        ("b", 60.0, "b@60"), ("b", 120.0, "b@120"), ("c", 60.0, "c@60"),
+    ]
+    # time bounds prune within the key range (inclusive both ends)
+    assert [(k, s) for (k, s), _ in ws.fetch_key_range("a", "d", 60, 60)] == [
+        ("a", 60.0), ("b", 60.0), ("c", 60.0), ("d", 60.0),
+    ]
+    # degenerate single-key range == per-key fetch_range
+    assert list(ws.fetch_key_range("b", "b", 0, 1e9)) == list(
+        ws.fetch_range("b", 0, 1e9)
+    )
+    # backward variant reverses (the reference's backwardFetch throws;
+    # supported here)
+    assert [(k, s) for (k, s), _ in ws.backward_fetch_key_range("b", "c", 0, 120)] == [
+        ("c", 60.0), ("b", 120.0), ("b", 60.0),
+    ]
+    # empty key range yields nothing
+    assert list(ws.fetch_key_range("e", "f", 0, 1e9)) == []
+
+
 def test_window_store_retention_expiry():
     """Segmenter analog: advancing stream time drops whole old windows
     (Segmenter.java:24-75 segment drop)."""
