@@ -68,7 +68,9 @@ def bloom_prefilter(fact: DataFrame, dim: DataFrame, key_col: str) -> DataFrame:
     the prefilter costs one pruned pass over the fact scan. (An
     explode-K-probes + groupBy formulation would shuffle Kx the fact
     table and defeat the operator's entire purpose.)"""
-    positions = bloom_build(dim, key_col).persist()
+    # localCheckpoint, not persist(): the K broadcast probes reuse the one
+    # (tiny) position set; blocks are lifetime-scoped to the result
+    positions = bloom_build(dim, key_col).localCheckpoint(eager=True)
     out = fact
     for k in range(BLOOM_K):
         pos_k = (

@@ -60,13 +60,15 @@ def curate_corpus(
         "doc_id", F.expr(T.fingerprint_sql("text", "spark")).alias("fingerprint")
     )
     # kept_exact feeds three consumers (both endpoint joins + the anti-join);
-    # persist so the quality+dedup subtree runs once, not three times
+    # materialize so the quality+dedup subtree runs once, not three times.
+    # localCheckpoint, not persist(): lifetime-scoped to the result (see
+    # dedup.minhash_pairs)
     kept_exact = (
         fp.join(kept_q, "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     pairs = dedup.minhash_pairs(docs)

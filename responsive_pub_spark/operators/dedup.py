@@ -140,10 +140,15 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD)
     Candidates: docs sharing any LSH band bucket (equi-join on
     (band_id, band_hash)). Verify: exact Jaccard over distinct shingle-hash
     sets >= threshold. Output (doc_a, doc_b, jaccard)."""
-    # Persist the signatures: every downstream branch (band explode, both
-    # self-join sides, both verify joins) reuses the one materialization —
-    # at 100 TB this is the "write signatures once, join many" pattern.
-    sig = _sig_df(docs).persist()
+    # Materialize the signatures once: every downstream branch (band
+    # explode, both self-join sides, both verify joins) reuses the one
+    # materialization — at 100 TB this is the "write signatures once, join
+    # many" pattern. localCheckpoint, not persist(): checkpoint blocks are
+    # ContextCleaner-scoped to the returned DataFrame's lifetime, where a
+    # bare persist() pins a CacheManager entry until session end (leaks
+    # across repeated calls in a long-lived session). On a cluster swap for
+    # checkpoint() to reliable storage if executor loss must be survivable.
+    sig = _sig_df(docs).localCheckpoint(eager=True)
     band_arr = F.array(
         *[
             F.expr(band_hash_sql([f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]))
@@ -295,9 +300,12 @@ def simhash_pairs(
         return simhash_clusters(docs, max_hamming=max_hamming)
     if output != "pairs":
         raise ValueError(f"output must be 'pairs' or 'clusters', got {output!r}")
+    # localCheckpoint, not persist(): lifetime-scoped to the returned
+    # DataFrame (see minhash_pairs) — and the pair-volume guard below
+    # collects against it, so the signature job runs exactly once.
     sh = docs.select(
         F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash")
-    ).persist()
+    ).localCheckpoint(eager=True)
     if max_output_pairs is not None:
         est = sh.groupBy("simhash").count().agg(
             F.sum(F.expr("count * (count - 1) div 2")).alias("p")
@@ -401,10 +409,17 @@ def simhash_clusters(
             f"byte-band blocking is exact only for max_hamming < "
             f"{SIMHASH_BANDS} (pigeonhole); got {max_hamming}"
         )
+    # localCheckpoint, not persist(): lifetime-scoped to the returned
+    # DataFrame (see minhash_pairs); reps is checkpointed off the already-
+    # materialized sh blocks, so the simhash expression evaluates once.
     sh = docs.select(
         F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash")
-    ).persist()
-    reps = sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id")).persist()
+    ).localCheckpoint(eager=True)
+    reps = (
+        sh.groupBy("simhash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     byte_arr = F.array(
         *[F.expr(f"(simhash div {1 << (8 * b)}) % 256") for b in range(SIMHASH_BANDS)]
     )
@@ -512,7 +527,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_THRESH
                 for j in range(NGRAM_BLOCK_HASHES)
             ]
         ),
-    ).persist()
+        # localCheckpoint, not persist(): lifetime-scoped to the returned
+        # DataFrame (see minhash_pairs)
+    ).localCheckpoint(eager=True)
     bands = d.select("doc_id", F.posexplode("mins").alias("perm", "min_h"))
     cand = (
         bands.alias("a")
@@ -1077,9 +1094,11 @@ def containment_pairs(
     doc's rarest); verification joins the two shingle sets only for
     candidate pairs. No cross join at any step; every stage is a keyed
     equi-join that survives 100x."""
+    # localCheckpoint, not persist(): lifetime-scoped to the returned
+    # DataFrame (see minhash_pairs)
     d = docs.select(
         "doc_id", F.expr(T.shingle_hashes_sql("text")).alias("hs")
-    ).persist()
+    ).localCheckpoint(eager=True)
     posts = d.select("doc_id", F.explode("hs").alias("h"))
     dfreq = posts.groupBy("h").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))

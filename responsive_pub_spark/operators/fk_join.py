@@ -143,7 +143,10 @@ def _stage1_declarative(merged: DataFrame) -> DataFrame:
             ignorenulls=True,
         ).over(ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    rec = rec.persist()  # shared by the S/U pass and both interval-join sides
+    # shared by the S/U pass and both interval-join sides; localCheckpoint,
+    # not persist() — blocks are ContextCleaner-scoped to the result's
+    # lifetime instead of pinned in the CacheManager until session end
+    rec = rec.localCheckpoint(eager=True)
     su = rec.filter(F.col("kind") != "R").select(
         "left_key",
         F.when(F.col("kind") == "S", F.col("payload")).alias("left_payload"),
@@ -435,12 +438,18 @@ class FkJoinStreaming:
 def fk_join_snapshot(changelog: DataFrame, inner: bool = True) -> DataFrame:
     """Compact the changelog to the joined KTable: latest emission per left
     key. Tie-break at equal ts_sec prefers the non-null right payload
-    (subscribe-then-fanout within one instant resolves to the join result).
+    (subscribe-then-fanout within one instant resolves to the join result),
+    then the non-null left payload (an unsubscribe tombstone for the OLD FK
+    loses to the same-instant subscribe of the new one — without this term
+    the max_by pick between the two equal-ord rows is partitioning-
+    dependent, i.e. nondeterministic).
     """
     ord_ = F.struct(
         F.col("ts_sec"),
         F.col("right_payload").isNotNull(),
         F.coalesce(F.col("right_payload"), F.lit("")),
+        F.col("left_payload").isNotNull(),
+        F.coalesce(F.col("left_payload"), F.lit("")),
     )
     snap = changelog.groupBy("left_key").agg(
         F.max_by("left_payload", ord_).alias("left_payload"),

@@ -857,7 +857,9 @@ def decontaminate_fuzzy(
         band_hash_sql,
     )
 
-    sig = _sig_df(docs).persist()
+    # localCheckpoint, not persist(): lifetime-scoped to the returned
+    # DataFrame (see dedup.minhash_pairs)
+    sig = _sig_df(docs).localCheckpoint(eager=True)
     band_arr = F.array(
         *[
             F.expr(band_hash_sql([f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]))

@@ -170,7 +170,9 @@ def pca_power_top(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
             (F.col("d0") + 1).cast("bigint").alias("d"),
             F.expr(f"CAST(floor(e * {PCA_QSCALE} + 0.5) AS BIGINT)").alias("q"),
         )
-        .persist()
+        # localCheckpoint, not persist(): reused every iteration, blocks
+        # lifetime-scoped to the returned DataFrame (see dedup.minhash_pairs)
+        .localCheckpoint(eager=True)
     )
     v = q.select("d").distinct().select(
         "d", F.lit(int(PCA_VSCALE)).cast("bigint").alias("v")

@@ -1079,7 +1079,7 @@ def q_sim_ivf_trained(spark, sf_dir):
     Lloyd iterations with order-pinned float folds, unrolled to DuckDB SQL
     by similarity.ivf_trained_oracle()."""
     emb = _t(spark, sf_dir, "embeddings")
-    cent = similarity.train_centroids(emb).persist()
+    cent = similarity.train_centroids(emb).localCheckpoint(eager=True)
     return similarity.ivf_topk(emb, centroids=cent)
 
 
