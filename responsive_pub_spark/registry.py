@@ -1434,6 +1434,123 @@ ORACLE_PAPI_PARTITION_STREAM_TIME = f"""
 """
 
 
+def q_kafka_headers_route(spark, sf_dir):
+    """Kafka record headers end-to-end at the gate (r6 VERDICT task 1;
+    record model SURVEY.md §1.1 — the reference threads headers through
+    its processor contexts, internal/async/contexts/
+    DelegatingProcessorContext.java): events ride the wire with headers
+    built from typed columns, round-trip through the file-broker sink
+    (the exact ``format("kafka")`` wire shape INCLUDING the optional
+    ``headers ARRAY<STRUCT<key STRING, value BINARY>>`` column), and the
+    consumer then routes on the HEADER BYTES ONLY — never the JSON
+    payload — via the JVM array accessors (Headers.lastHeader
+    semantics). Per-(route, parity) counts must match the oracle computed
+    from the original typed columns."""
+    import tempfile
+
+    from responsive_pub_spark.functions import headers as H
+    from responsive_pub_spark.sources import kafka as K
+
+    ev = _t(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_id", "user_id", "event_type",
+        ts_to_double(ev, "ts").alias("ts"),
+    ).withColumn(
+        "hdrs",
+        H.make_headers(
+            ("route", F.encode("event_type", "utf-8")),
+            ("parity", F.encode((F.col("event_id") % 2).cast("string"), "utf-8")),
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="hdr_gate_") + "/log"
+    K.to_kafka(
+        typed, ["user_id"], ["event_id"], "events-hdr",
+        ts_col="ts", sink="files", path=path, headers_col="hdrs",
+    )
+    wire = K.read_kafka_log(spark, path)
+    return (
+        wire.select(
+            H.header_value_str("headers", "route").alias("route"),
+            H.header_value_str("headers", "parity").alias("parity"),
+        )
+        .groupBy("route", "parity")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+ORACLE_KAFKA_HEADERS_ROUTE = """
+    SELECT event_type AS route,
+           CAST(event_id % 2 AS VARCHAR) AS parity,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+#: window-key-range gate bounds: day-windows of Jan 8..Jan 21 2024 (UTC)
+WKR_T_FROM = 1704672000
+WKR_T_TO = 1705795200
+
+
+class _WindowKeyRangeEmit(state.Processor):
+    """Per-user daily counts bucketed under per-event-type WindowStore
+    keys; at close, emits ONLY the ``fetch(keyFrom, keyTo, tFrom, tTo)``
+    key-range scan (internal/stores/RemoteWindowOperations.java:333 —
+    r6 VERDICT task 2): types in ['error','signup'] (excluding 'click'
+    and 'view') and window starts in [WKR_T_FROM, WKR_T_TO], all bounds
+    inclusive."""
+
+    def init(self, ctx):
+        self.ws = state.WindowStore(ctx.store)
+
+    def process(self, ctx, rec):
+        start = float(int(ctx.timestamp // DAY) * DAY)
+        k = str(rec["event_type"])
+        self.ws.put(k, start, (self.ws.fetch(k, start) or 0) + 1)
+
+    def close(self, ctx):
+        for (k, ws_), v in self.ws.fetch_key_range(
+            "error", "signup", float(WKR_T_FROM), float(WKR_T_TO)
+        ):
+            ctx.forward(
+                user_id=int(ctx.key[0]),
+                event_type=k,
+                window_start=int(ws_),
+                n=int(v),
+            )
+
+
+def q_papi_window_key_range(spark, sf_dir):
+    """Window-store key-range fetch at the gate: the store holds every
+    (event_type, day) window per user; the gated output is exactly the
+    key-range + time-range scan, so any off-by-one in either bound (or a
+    foreign key leaking into the scan) is a row-count/hash mismatch."""
+    ev = _t(spark, sf_dir, "events")
+    return state.process(
+        ev.select("user_id", "event_type", "event_id", "ts"),
+        key=["user_id"],
+        processor_factory=_WindowKeyRangeEmit,
+        output_schema=(
+            "user_id BIGINT, event_type STRING, window_start BIGINT, n BIGINT"
+        ),
+        ts_col="ts",
+        order_by=("event_id",),
+    )
+
+
+ORACLE_PAPI_WINDOW_KEY_RANGE = f"""
+    WITH {_EV},
+    w AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts) / {DAY}) AS BIGINT) * {DAY} AS window_start
+        FROM ev
+    )
+    SELECT user_id, event_type, window_start, CAST(count(*) AS BIGINT) AS n
+    FROM w
+    WHERE event_type >= 'error' AND event_type <= 'signup'
+      AND window_start BETWEEN {WKR_T_FROM} AND {WKR_T_TO}
+    GROUP BY 1, 2, 3
+"""
+
+
 def q_serde_roundtrip(spark, sf_dir):
     """Byte-record model round trip (SURVEY.md §1.1): typed events -> the
     Kafka wire shape (key BINARY, value BINARY, timestamp) -> typed rows.
@@ -2414,26 +2531,9 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="KS 3.5 VersionedKeyValueStore: timestamped puts/tombstones, "
         "get(key, asOfTimestamp) probes at now/-1h/-1d per key",
     ),
-    "sketch_hll": QuerySpec(
-        lambda spark, sf_dir: sketches.hll_distinct(
-            _t(spark, sf_dir, "events")
-        ),
-        sketches.hll_distinct_oracle(),
-        doc="HyperLogLog distinct estimate per group (256 registers, "
-        "trailing-zero rank) vs exact; register table is the mergeable "
-        "fixed-size state",
-    ),
-    # (papi_session_concat, green r3, rotates past 50 — PAPI-store family
-    # keeps 4 in-window rows; session semantics stay multi-round-green)
-    "trending_decay": QuerySpec(
-        lambda spark, sf_dir: timeseries.trending_decay(
-            _t(spark, sf_dir, "events")
-        ),
-        timeseries.trending_decay_oracle(),
-        doc="top-k trending items per group under exponential time decay "
-        "— all-integer bit-shift weights, so top-k cutoffs are "
-        "bit-deterministic",
-    ),
+    # (sketch_hll and trending_decay rotate past 50 in r7 — parked in the
+    # r7 rotation-OUT block below; papi_session_concat, green r3, rotated
+    # past 50 earlier — PAPI-store family keeps 4 in-window rows)
     "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),
     "multimodal_decode_features": QuerySpec(
         q_multimodal_decode, multimodal.decode_features_long_oracle(), bench=True
@@ -2666,6 +2766,29 @@ REGISTRY: dict[str, QuerySpec] = {
     "papi_partition_stream_time": QuerySpec(
         q_papi_partition_stream_time, ORACLE_PAPI_PARTITION_STREAM_TIME
     ),
+    # --- r7 rotation IN (r6 VERDICT tasks 1 + 2): the two NEW-surface
+    # --- rows — Kafka record headers end-to-end and the window-store
+    # --- key-range fetch.  OUT (parked below position 50): sketch_hll
+    # --- and trending_decay, multi-round green (r4-r6), their families
+    # --- keeping >= 2 in-window rows each (sketches: quantile_hist, cms,
+    # --- hll_windowed, cms_windowed; analytics: trend_ols, cohort,
+    # --- dq_audit, markov, ab_test, group_variance, skew/outlier). ---
+    "kafka_headers_route": QuerySpec(
+        q_kafka_headers_route,
+        ORACLE_KAFKA_HEADERS_ROUTE,
+        doc="Kafka record headers end-to-end: typed -> wire headers "
+        "column -> file-broker sink round trip -> header-routed branch "
+        "counts via the JVM lastHeader accessors; NEW surface, "
+        "first-gates in r7",
+    ),
+    "papi_window_key_range": QuerySpec(
+        q_papi_window_key_range,
+        ORACLE_PAPI_WINDOW_KEY_RANGE,
+        doc="window-store fetch(keyFrom, keyTo, tFrom, tTo) "
+        "(RemoteWindowOperations.java:333): gated output IS the key-range "
+        "+ time-range scan over the WindowedKey layout; NEW surface, "
+        "first-gates in r7",
+    ),
     # --- r6 rotation IN (r5 VERDICT task 1): the seven first-gating
     # --- tail rows — NEW r5 inventory, judge-oracle-verified at sf0.01
     # --- in the r5 session, pytest-oracle green at sf0.001 AND sf0.01,
@@ -2780,6 +2903,26 @@ REGISTRY: dict[str, QuerySpec] = {
     # text_tfidf_top).  async_enrich and multimodal_decode_features stay
     # — sole rows of their families.
     # ------------------------------------------------------------------
+    # --- r7 rotation OUT (multi-round green r4-r6; identical oracles
+    # --- remain gated by the full-registry pytest sweep) ---
+    "sketch_hll": QuerySpec(
+        lambda spark, sf_dir: sketches.hll_distinct(
+            _t(spark, sf_dir, "events")
+        ),
+        sketches.hll_distinct_oracle(),
+        doc="HyperLogLog distinct estimate per group (256 registers, "
+        "trailing-zero rank) vs exact; register table is the mergeable "
+        "fixed-size state",
+    ),
+    "trending_decay": QuerySpec(
+        lambda spark, sf_dir: timeseries.trending_decay(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.trending_decay_oracle(),
+        doc="top-k trending items per group under exponential time decay "
+        "— all-integer bit-shift weights, so top-k cutoffs are "
+        "bit-deterministic",
+    ),
     # --- r6 rotation OUT (multi-round green; identical oracles remain
     # --- gated by the full-registry pytest sweep) ---
     "join_range": QuerySpec(

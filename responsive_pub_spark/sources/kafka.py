@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 
 from responsive_pub_spark.sources import serde
 
-#: Columns the Spark Kafka sink consumes (timestamp is broker-assigned).
+#: Columns the Spark Kafka sink consumes (timestamp is broker-assigned);
+#: a ``headers`` column, when present, is carried too — the connector
+#: writes it as the record's Kafka headers.
 KAFKA_SINK_COLUMNS = ("key", "value", "topic")
 
 
@@ -41,13 +43,19 @@ def kafka_wire(
     value_cols: Sequence[str],
     topic: str,
     ts_col: str = "ts",
+    headers_col: "str | None" = None,
 ) -> DataFrame:
     """Typed rows -> Kafka producer-record shape: key/value BINARY via the
-    engine serde (sources/serde.py), topic literal, event timestamp."""
-    rec = serde.to_kafka_records(df, key_cols, value_cols, ts_col)
-    return rec.select(
-        "key", "value", F.lit(topic).alias("topic"), "timestamp"
-    )
+    engine serde (sources/serde.py), topic literal, event timestamp, and
+    — when ``headers_col`` is given — the connector's optional ``headers``
+    column (ARRAY<STRUCT<key STRING, value BINARY>>, the reference record
+    model's fourth component, SURVEY.md §1.1; build one with
+    functions/headers.make_headers)."""
+    rec = serde.to_kafka_records(df, key_cols, value_cols, ts_col, headers_col)
+    cols = ["key", "value", F.lit(topic).alias("topic"), "timestamp"]
+    if headers_col is not None:
+        cols.append("headers")
+    return rec.select(*cols)
 
 
 def to_kafka(
@@ -62,11 +70,18 @@ def to_kafka(
     path: str | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
+    headers_col: str | None = None,
 ):
     """Write a (batch or streaming) DataFrame to a Kafka topic (or the
     file-broker contract sink). Returns the StreamingQuery for streaming
-    input, else None."""
-    wire = kafka_wire(df, key_cols, value_cols, topic, ts_col)
+    input, else None. ``headers_col`` adds the record-headers column to
+    the wire rows: the real connector writes it as Kafka record headers;
+    the file broker persists it verbatim (round-trip pinned by
+    tests/test_kafka_headers.py)."""
+    wire = kafka_wire(df, key_cols, value_cols, topic, ts_col, headers_col)
+    sink_cols = list(KAFKA_SINK_COLUMNS) + (
+        ["headers"] if headers_col is not None else []
+    )
     if sink == "files":
         if path is None:
             raise ValueError("sink='files' requires path=")
@@ -100,7 +115,7 @@ def to_kafka(
 
         def _produce(bdf: DataFrame, batch_id: int) -> None:
             (
-                bdf.select(*KAFKA_SINK_COLUMNS)
+                bdf.select(*sink_cols)
                 .write.format("kafka")
                 .option("kafka.bootstrap.servers", bootstrap_servers)
                 .save()
@@ -118,7 +133,7 @@ def to_kafka(
             q.awaitTermination()
         return q
     (
-        wire.select(*KAFKA_SINK_COLUMNS)
+        wire.select(*sink_cols)
         .write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .save()

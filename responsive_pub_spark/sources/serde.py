@@ -27,14 +27,24 @@ def to_kafka_records(
     key_cols: Sequence[str],
     value_cols: Sequence[str],
     ts_col: str = "ts",
+    headers_col: "str | None" = None,
 ) -> DataFrame:
-    """Typed rows -> (key BINARY, value BINARY, timestamp): the exact
-    schema of Spark's Kafka source/sink."""
+    """Typed rows -> (key BINARY, value BINARY, timestamp[, headers]): the
+    exact schema of Spark's Kafka source/sink. ``headers_col`` (an
+    ``ARRAY<STRUCT<key STRING, value BINARY>>`` column, see
+    functions/headers.py) rides along as the connector's optional
+    ``headers`` column — the reference record model's fourth component
+    (SURVEY.md §1.1)."""
+    from responsive_pub_spark.functions.headers import HEADERS_DDL
+
     key = F.encode(F.concat_ws(KEY_SEP, *[F.col(c).cast("string") for c in key_cols]), "utf-8")
     value = F.encode(F.to_json(F.struct(*[F.col(c) for c in value_cols])), "utf-8")
-    return df.select(
+    cols = [
         key.alias("key"), value.alias("value"), F.col(ts_col).alias("timestamp")
-    )
+    ]
+    if headers_col is not None:
+        cols.append(F.col(headers_col).cast(HEADERS_DDL).alias("headers"))
+    return df.select(*cols)
 
 
 def from_kafka_records(
@@ -43,14 +53,23 @@ def from_kafka_records(
     key_types: Sequence[str],
     value_schema: str,
     ts_col: str = "timestamp",
+    include_headers: bool = False,
 ) -> DataFrame:
-    """(key BINARY, value BINARY, timestamp) -> typed rows. ``value_schema``
-    is a DDL string for from_json; composite keys split on KEY_SEP."""
+    """(key BINARY, value BINARY, timestamp[, headers]) -> typed rows.
+    ``value_schema`` is a DDL string for from_json; composite keys split on
+    KEY_SEP. ``include_headers=True`` carries the connector's ``headers``
+    column through to the typed rows (read a real ``format("kafka")``
+    source with ``.option("includeHeaders", "true")`` for it to exist)."""
     ks = F.split(F.decode("key", "utf-8"), KEY_SEP)
     key_exprs = [
         ks.getItem(i).cast(t).alias(n)
         for i, (n, t) in enumerate(zip(key_names, key_types))
     ]
     v = F.from_json(F.decode("value", "utf-8"), value_schema)
-    tmp = records.select(*key_exprs, v.alias("__v__"), F.col(ts_col).alias("ts"))
-    return tmp.select(*list(key_names), "__v__.*", "ts")
+    extra = [F.col("headers")] if include_headers else []
+    tmp = records.select(
+        *key_exprs, v.alias("__v__"), F.col(ts_col).alias("ts"), *extra
+    )
+    return tmp.select(
+        *list(key_names), "__v__.*", "ts", *(["headers"] if include_headers else [])
+    )

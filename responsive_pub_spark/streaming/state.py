@@ -436,6 +436,14 @@ class ProcessorContext:
         self.key = key
         self.store = store
         self.timestamp: float = float("-inf")  # current record event-time
+        #: current record's Kafka headers (list of {"key", "value"} dicts,
+        #: or None) — the reference threads headers through its processor
+        #: contexts (internal/async/contexts/DelegatingProcessorContext
+        #: .java, internal/async/AsyncUtils.java); set per record by
+        #: _replay when the input carries a ``headers`` column. Decode
+        #: with functions/headers.headers_get; forward onward by emitting
+        #: a headers column (``ctx.forward(headers=[...])``).
+        self.headers = None
         # columnar accumulation: building one pandas DataFrame from column
         # lists is ~10x cheaper than from 100k per-row dicts
         self._out_cols: list[str] | None = None
@@ -647,9 +655,15 @@ def _replay(
     else:
         ts_vals = pdf[ts_col].astype("float64").to_numpy()
     rows = pdf.itertuples(index=False, name=None)
+    has_headers = "headers" in cols
     for ts_s, row in zip(ts_vals, rows):
         ctx._advance(float(ts_s))
-        proc.process(ctx, dict(zip(cols, row)))
+        rec = dict(zip(cols, row))
+        if has_headers:
+            # the KS Record.headers() surface: current record's headers
+            # visible on the context for the duration of process()
+            ctx.headers = rec["headers"]
+        proc.process(ctx, rec)
 
 
 def process(
