@@ -1043,3 +1043,48 @@ def test_ktable_regroup_streaming_randomized_equivalence(spark, tmp_path):
             .df.collect()
         }
         assert streamed == batch, (seed, streamed, batch)
+
+
+def test_regroup_vectorized_equals_processor(spark, tmp_path):
+    """Engine referee (r6 VERDICT task 5): the vectorized regroup stages
+    (whole-batch shift/cumsum seeded from checkpointed heads) must emit the
+    EXACT changelog of the per-record processor engine — every retraction
+    delta and every per-delta re-agg emission, across micro-batch
+    boundaries and cold restarts, not just the compacted snapshot."""
+    import random
+
+    from responsive_pub_spark.streaming.regroup import RegroupStreaming
+
+    schema = "user_id BIGINT, event_id BIGINT, grp STRING, val BIGINT, ts DOUBLE"
+    rng = random.Random(7)
+    rows, eid = [], 0
+    for user in range(6):
+        for _ in range(rng.randint(2, 5)):
+            eid += 1
+            rows.append((user, eid, rng.choice("abc"), rng.randint(-5, 50), float(eid)))
+    cut = len(rows) // 2
+    batches = [rows[:cut], rows[cut:]]
+
+    def drive(engine):
+        rg = RegroupStreaming(
+            spark, str(tmp_path / f"rg_{engine}"), schema,
+            key_col="user_id", order_by=("event_id",), engine=engine,
+        )
+        for b in batches:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(rg.input_dir)
+            rg.advance()
+        chg = sorted(
+            (r.grp, r.emit_seq, r.n, r.total)
+            for r in rg.changelog().collect()
+        )
+        retr = sorted(
+            map(tuple, spark.read.parquet(rg.retract_topic).collect())
+        )
+        return chg, retr
+
+    vec = drive("vectorized")
+    proc = drive("processor")
+    assert vec[1] == proc[1]  # retraction topic identical
+    assert vec[0] == proc[0]  # re-agg changelog identical
