@@ -1021,9 +1021,26 @@ class TwsMapStateStore:
         # TWS state commits at batch end anyway, so EOS is unchanged.
         self._cache: dict = {}  # key-bytes -> (key, value | _ABSENT, ts)
         self._dirty: set = set()  # key-bytes needing flush
+        # iterator-preload state (r6 VERDICT stretch #8): Spark 4.1.2's
+        # state-server proto has NO batch/prefix GetValue (verified:
+        # StateMessage_pb2 carries only GetValue/Iterator/Keys/Values/
+        # ContainsKey point+scan calls) — but Iterator responses are
+        # CHUNKED (many pairs per round trip), so the FIRST cold read
+        # sweeps the map into the cache: a processor touching K store
+        # keys pays ~ceil(entries/chunk) round trips instead of K. A
+        # 1-entry map (the counter-lane shape) stays at the protocol's
+        # 1-round-trip-per-grouping-key floor. Maps larger than
+        # _PRELOAD_MAX abandon the sweep and fall back to point gets.
+        self._swept = False
+        self._fully_loaded = False
 
     #: cache sentinel for "known absent" (read miss or tombstone)
     _ABSENT = object()
+
+    #: preload sweep cap: beyond this many entries the map is point-get
+    #: territory (sweeping a huge map to serve a few gets would invert
+    #: the optimization)
+    _PRELOAD_MAX = 4096
 
     @staticmethod
     def _k(key) -> bytes:
@@ -1074,19 +1091,44 @@ class TwsMapStateStore:
         self._dirty.clear()
 
     # -- read path ----------------------------------------------------------
+    def _preload(self) -> None:
+        """One chunked-iterator sweep into the cache on the first cold
+        read (see __init__ notes): completes -> misses become free
+        (_fully_loaded); overruns _PRELOAD_MAX -> abandons and leaves
+        point gets in charge. Runs at most once per store instance (=
+        per grouping key per micro-batch)."""
+        self._swept = True
+        n = 0
+        for (kb,), (vb, ts) in self._ms.iterator():
+            if kb not in self._cache:  # overlay (newer write/delete) wins
+                self._cache[kb] = (pickle.loads(kb), pickle.loads(vb), ts)
+            n += 1
+            if n > self._PRELOAD_MAX:
+                return
+        self._fully_loaded = True
+
     def get(self, key):
         kb = self._k(key)
         ent = self._cache.get(kb)
+        if ent is None and not self._swept:
+            self._preload()
+            ent = self._cache.get(kb)
         if ent is None:
-            # getValue returns None for a missing key — ONE state-server
-            # round trip per COLD get (cache hits are free); misses cache
-            # as _ABSENT so repeat probes don't re-pay the socket
-            entry = self._ms.getValue((kb,))
-            if entry is None:
+            if self._fully_loaded:
+                # complete sweep: anything uncached is KNOWN absent —
+                # no round trip
                 ent = (key, self._ABSENT, None)
             else:
-                vb, ts = entry
-                ent = (key, pickle.loads(vb), ts)
+                # getValue returns None for a missing key — ONE
+                # state-server round trip per COLD get (cache hits are
+                # free); misses cache as _ABSENT so repeat probes don't
+                # re-pay the socket
+                entry = self._ms.getValue((kb,))
+                if entry is None:
+                    ent = (key, self._ABSENT, None)
+                else:
+                    vb, ts = entry
+                    ent = (key, pickle.loads(vb), ts)
             self._cache[kb] = ent
         _, val, ts = ent
         if val is self._ABSENT or not self._live(ts):

@@ -446,3 +446,84 @@ def test_iq_over_named_map_store(spark, tmp_path, rocksdb_state):
         (2, "'s'", "7"),
     }
     drv.close()
+
+
+class _FakeMapState:
+    """Counting fake of the TWS MapState client surface used by
+    TwsMapStateStore — getValue/iterator/updateValue/containsKey/
+    removeKey — so the preload protocol economics are assertable without
+    a state server."""
+
+    def __init__(self, entries=None):
+        self.data = dict(entries or {})
+        self.get_calls = 0
+        self.iter_calls = 0
+
+    def getValue(self, key_tuple):
+        self.get_calls += 1
+        return self.data.get(key_tuple[0])
+
+    def iterator(self):
+        self.iter_calls += 1
+        return (((kb,), v) for kb, v in list(self.data.items()))
+
+    def updateValue(self, key_tuple, value):
+        self.data[key_tuple[0]] = value
+
+    def containsKey(self, key_tuple):
+        return key_tuple[0] in self.data
+
+    def removeKey(self, key_tuple):
+        self.data.pop(key_tuple[0], None)
+
+
+def _fake_entry(key, val, ts=1.0):
+    import pickle
+
+    return (
+        pickle.dumps(key, protocol=pickle.HIGHEST_PROTOCOL),
+        (pickle.dumps(val, protocol=pickle.HIGHEST_PROTOCOL), ts),
+    )
+
+
+def test_tws_map_preload_collapses_cold_reads():
+    """r6 VERDICT stretch #8: Spark 4.1.2's state proto has no batch get,
+    but the chunked Iterator serves as one — the FIRST cold read sweeps
+    the map into the cache, so K cold point-gets cost one iterator sweep
+    and zero getValue round trips, and post-sweep misses are KNOWN absent
+    without a round trip."""
+    fake = _FakeMapState(dict(_fake_entry(f"k{i}", i) for i in range(5)))
+    st = state.TwsMapStateStore(fake)
+    st.stream_time = 2.0
+    for i in range(5):
+        assert st.get(f"k{i}") == i
+    assert st.get("nope") is None  # complete sweep -> known absent
+    assert fake.iter_calls == 1
+    assert fake.get_calls == 0  # zero point round trips
+
+
+def test_tws_map_preload_overrun_falls_back_to_point_gets():
+    """A map larger than the sweep cap abandons the preload: point gets
+    stay in charge and a miss pays (and caches) exactly one getValue."""
+    n = state.TwsMapStateStore._PRELOAD_MAX + 10
+    fake = _FakeMapState(dict(_fake_entry(f"k{i:06d}", i) for i in range(n)))
+    st = state.TwsMapStateStore(fake)
+    st.stream_time = 2.0
+    assert st.get("k000001") == 1  # triggers the (abandoned) sweep
+    assert fake.iter_calls == 1
+    assert not st._fully_loaded
+    before = fake.get_calls
+    assert st.get("missing-key") is None
+    assert st.get("missing-key") is None  # absent cached: one trip only
+    assert fake.get_calls - before <= 1
+
+
+def test_tws_map_preload_overlay_wins():
+    """A write before the sweep shadows the backing entry: the preload
+    must never clobber the batch's newer cache overlay."""
+    fake = _FakeMapState(dict([_fake_entry("a", "old"), _fake_entry("b", "keep")]))
+    st = state.TwsMapStateStore(fake)
+    st.stream_time = 2.0
+    st.put("a", "new", ts=2.0)
+    assert st.get("b") == "keep"  # cold read -> sweep
+    assert st.get("a") == "new"  # overlay intact
