@@ -27,6 +27,8 @@ reference runtime's motivation for key-range pruning on restore
 
 from __future__ import annotations
 
+from responsive_pub_spark.cache import scoped_persist
+
 from pyspark.sql import DataFrame, functions as F
 
 from responsive_pub_spark.functions.hashing import P
@@ -68,9 +70,9 @@ def bloom_prefilter(fact: DataFrame, dim: DataFrame, key_col: str) -> DataFrame:
     the prefilter costs one pruned pass over the fact scan. (An
     explode-K-probes + groupBy formulation would shuffle Kx the fact
     table and defeat the operator's entire purpose.)"""
-    # localCheckpoint, not persist(): the K broadcast probes reuse the one
-    # (tiny) position set; blocks are lifetime-scoped to the result
-    positions = bloom_build(dim, key_col).localCheckpoint(eager=True)
+    # scoped_persist: the K broadcast probes reuse the one (tiny)
+    # position set (see cache.py)
+    positions = scoped_persist(bloom_build(dim, key_col))
     out = fact
     for k in range(BLOOM_K):
         pos_k = (

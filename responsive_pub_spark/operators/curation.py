@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from responsive_pub_spark.cache import scoped_persist
+
 from responsive_pub_spark.functions import text as T
 from responsive_pub_spark.operators import dedup, textops
 
@@ -59,16 +61,14 @@ def curate_corpus(
     fp = docs.select(
         "doc_id", F.expr(T.fingerprint_sql("text", "spark")).alias("fingerprint")
     )
-    # kept_exact feeds three consumers (both endpoint joins + the anti-join);
-    # materialize so the quality+dedup subtree runs once, not three times.
-    # localCheckpoint, not persist(): lifetime-scoped to the result (see
-    # dedup.minhash_pairs)
-    kept_exact = (
+    # kept_exact feeds three consumers (both endpoint joins + the
+    # anti-join); scoped_persist so the quality+dedup subtree runs once,
+    # not three times (see cache.py)
+    kept_exact = scoped_persist(
         fp.join(kept_q, "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .localCheckpoint(eager=True)
     )
 
     pairs = dedup.minhash_pairs(docs)

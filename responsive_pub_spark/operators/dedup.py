@@ -36,6 +36,7 @@ from responsive_pub_spark.functions.hashing import (
     MINHASH_B,
     NUM_HASHES,
 )
+from responsive_pub_spark.cache import scoped_persist
 from responsive_pub_spark.functions import text as T
 from responsive_pub_spark.functions.portable import pround
 
@@ -140,15 +141,13 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD)
     Candidates: docs sharing any LSH band bucket (equi-join on
     (band_id, band_hash)). Verify: exact Jaccard over distinct shingle-hash
     sets >= threshold. Output (doc_a, doc_b, jaccard)."""
-    # Materialize the signatures once: every downstream branch (band
-    # explode, both self-join sides, both verify joins) reuses the one
-    # materialization — at 100 TB this is the "write signatures once, join
-    # many" pattern. localCheckpoint, not persist(): checkpoint blocks are
-    # ContextCleaner-scoped to the returned DataFrame's lifetime, where a
-    # bare persist() pins a CacheManager entry until session end (leaks
-    # across repeated calls in a long-lived session). On a cluster swap for
-    # checkpoint() to reliable storage if executor loss must be survivable.
-    sig = _sig_df(docs).localCheckpoint(eager=True)
+    # Persist the signatures: every downstream branch (band explode, both
+    # self-join sides, both verify joins) reuses the one materialization —
+    # at 100 TB this is the "write signatures once, join many" pattern.
+    # scoped_persist (cache.py): plan-keyed LRU pool — repeat calls hit
+    # the warm cache, varying inputs stay bounded at POOL_MAX entries, no
+    # CacheManager leak across a long-lived session.
+    sig = scoped_persist(_sig_df(docs))
     band_arr = F.array(
         *[
             F.expr(band_hash_sql([f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]))
@@ -300,12 +299,11 @@ def simhash_pairs(
         return simhash_clusters(docs, max_hamming=max_hamming)
     if output != "pairs":
         raise ValueError(f"output must be 'pairs' or 'clusters', got {output!r}")
-    # localCheckpoint, not persist(): lifetime-scoped to the returned
-    # DataFrame (see minhash_pairs) — and the pair-volume guard below
-    # collects against it, so the signature job runs exactly once.
-    sh = docs.select(
+    # scoped_persist (see minhash_pairs); the pair-volume guard below
+    # collects against it, so the signature expression evaluates once.
+    sh = scoped_persist(docs.select(
         F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash")
-    ).localCheckpoint(eager=True)
+    ))
     if max_output_pairs is not None:
         est = sh.groupBy("simhash").count().agg(
             F.sum(F.expr("count * (count - 1) div 2")).alias("p")
@@ -409,16 +407,13 @@ def simhash_clusters(
             f"byte-band blocking is exact only for max_hamming < "
             f"{SIMHASH_BANDS} (pigeonhole); got {max_hamming}"
         )
-    # localCheckpoint, not persist(): lifetime-scoped to the returned
-    # DataFrame (see minhash_pairs); reps is checkpointed off the already-
-    # materialized sh blocks, so the simhash expression evaluates once.
-    sh = docs.select(
+    # scoped_persist both (see minhash_pairs); reps materializes off the
+    # sh cache, so the simhash expression evaluates once.
+    sh = scoped_persist(docs.select(
         F.col("doc_id"), F.expr(_simhash_sql("spark")).alias("simhash")
-    ).localCheckpoint(eager=True)
-    reps = (
-        sh.groupBy("simhash")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
+    ))
+    reps = scoped_persist(
+        sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
     )
     byte_arr = F.array(
         *[F.expr(f"(simhash div {1 << (8 * b)}) % 256") for b in range(SIMHASH_BANDS)]
@@ -515,7 +510,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_THRESH
     (permutation, min-hash) — one shuffle, no cross join; a true pair at
     exactly the threshold is missed with probability (1-J)^k <= 0.07%
     (recall referee: tests/test_ngram_recall.py)."""
-    d = docs.select(
+    # scoped_persist (see minhash_pairs)
+    d = scoped_persist(docs.select(
         "doc_id", F.expr(T.shingle_hashes_sql("text")).alias("hs")
     ).withColumn(
         "mins",
@@ -527,9 +523,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_THRESH
                 for j in range(NGRAM_BLOCK_HASHES)
             ]
         ),
-        # localCheckpoint, not persist(): lifetime-scoped to the returned
-        # DataFrame (see minhash_pairs)
-    ).localCheckpoint(eager=True)
+    ))
     bands = d.select("doc_id", F.posexplode("mins").alias("perm", "min_h"))
     cand = (
         bands.alias("a")
@@ -1094,11 +1088,10 @@ def containment_pairs(
     doc's rarest); verification joins the two shingle sets only for
     candidate pairs. No cross join at any step; every stage is a keyed
     equi-join that survives 100x."""
-    # localCheckpoint, not persist(): lifetime-scoped to the returned
-    # DataFrame (see minhash_pairs)
-    d = docs.select(
+    # scoped_persist (see minhash_pairs)
+    d = scoped_persist(docs.select(
         "doc_id", F.expr(T.shingle_hashes_sql("text")).alias("hs")
-    ).localCheckpoint(eager=True)
+    ))
     posts = d.select("doc_id", F.explode("hs").alias("h"))
     dfreq = posts.groupBy("h").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
@@ -1114,7 +1107,7 @@ def containment_pairs(
         .select("doc_inner", "doc_outer")
         .distinct()
     )
-    return (
+    out = (
         cand.join(
             d.select(F.col("doc_id").alias("doc_inner"), F.col("hs").alias("hs_a")),
             "doc_inner",
@@ -1132,6 +1125,7 @@ def containment_pairs(
         .filter(F.col("containment") >= float(threshold))
         .select("doc_inner", "doc_outer", "containment")
     )
+    return out
 
 
 def containment_pairs_oracle(

@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from responsive_pub_spark.cache import scoped_persist
 from responsive_pub_spark.functions.portable import ts_to_double
 from responsive_pub_spark.streaming import state
 
@@ -143,10 +144,9 @@ def _stage1_declarative(merged: DataFrame) -> DataFrame:
             ignorenulls=True,
         ).over(ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    # shared by the S/U pass and both interval-join sides; localCheckpoint,
-    # not persist() — blocks are ContextCleaner-scoped to the result's
-    # lifetime instead of pinned in the CacheManager until session end
-    rec = rec.localCheckpoint(eager=True)
+    # shared by the S/U pass and both interval-join sides; scoped_persist
+    # (cache.py) — warm across repeat calls, bounded across a session
+    rec = scoped_persist(rec)
     su = rec.filter(F.col("kind") != "R").select(
         "left_key",
         F.when(F.col("kind") == "S", F.col("payload")).alias("left_payload"),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from responsive_pub_spark.cache import scoped_persist
+
 from responsive_pub_spark.functions import text as T
 from responsive_pub_spark.functions.hashing import P
 from responsive_pub_spark.functions.portable import pround
@@ -857,9 +859,8 @@ def decontaminate_fuzzy(
         band_hash_sql,
     )
 
-    # localCheckpoint, not persist(): lifetime-scoped to the returned
-    # DataFrame (see dedup.minhash_pairs)
-    sig = _sig_df(docs).localCheckpoint(eager=True)
+    # scoped_persist (see dedup.minhash_pairs)
+    sig = scoped_persist(_sig_df(docs))
     band_arr = F.array(
         *[
             F.expr(band_hash_sql([f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]))

@@ -23,6 +23,8 @@ this extends the LLM-pipeline inventory (SURVEY.md §2-ext).
 
 from __future__ import annotations
 
+from responsive_pub_spark.cache import scoped_persist
+
 from pyspark.sql import DataFrame, functions as F
 
 from responsive_pub_spark.functions.portable import pround
@@ -170,10 +172,9 @@ def pca_power_top(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
             (F.col("d0") + 1).cast("bigint").alias("d"),
             F.expr(f"CAST(floor(e * {PCA_QSCALE} + 0.5) AS BIGINT)").alias("q"),
         )
-        # localCheckpoint, not persist(): reused every iteration, blocks
-        # lifetime-scoped to the returned DataFrame (see dedup.minhash_pairs)
-        .localCheckpoint(eager=True)
     )
+    # scoped_persist, reused every iteration (see dedup.minhash_pairs)
+    q = scoped_persist(q)
     v = q.select("d").distinct().select(
         "d", F.lit(int(PCA_VSCALE)).cast("bigint").alias("v")
     )

@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from responsive_pub_spark import cache
 from responsive_pub_spark.api import KStream, KTable, Pipeline
 from responsive_pub_spark.operators import (
     asof,
@@ -1079,7 +1080,7 @@ def q_sim_ivf_trained(spark, sf_dir):
     Lloyd iterations with order-pinned float folds, unrolled to DuckDB SQL
     by similarity.ivf_trained_oracle()."""
     emb = _t(spark, sf_dir, "embeddings")
-    cent = similarity.train_centroids(emb).localCheckpoint(eager=True)
+    cent = cache.scoped_persist(similarity.train_centroids(emb))
     return similarity.ivf_topk(emb, centroids=cent)
 
 

