@@ -141,3 +141,17 @@ def test_r5_ops_plan_shapes(spark, sf_dir):
     sketches.heavy_hitters(ev, item_col="item")  # construction only
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_r7_ops_plan_shapes(spark, sf_dir):
+    """r7 plan contracts: the header-route consumer stays entirely in JVM
+    array expressions (no Python eval node — routing on header bytes must
+    not fall off codegen), aggregates with one keyed shuffle, and pushes
+    nothing through a cartesian; the regroup vectorized stages build on
+    applyInPandasWithState (state-backed, not a collect-based fold)."""
+    q = registry.q_kafka_headers_route(spark, sf_dir)
+    p = audit.executed_plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "CartesianProduct" not in p
+    a = audit.audit(q)
+    assert a["exchanges"] <= 1, p  # one shuffle: the (route, parity) agg
