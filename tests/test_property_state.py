@@ -238,3 +238,39 @@ def test_versioned_store_matches_model(op_seq):
     for k in hist:
         for ts in range(0, 51, 7):
             assert store.get_asof(k, ts) == _model_asof(hist, k, ts)
+
+
+@given(
+    entries=st.lists(
+        st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=2),
+                  st.integers(0, 15)),
+        max_size=40,
+    ),
+    key_from=st.text(alphabet="abcdef", min_size=1, max_size=2),
+    key_to=st.text(alphabet="abcdef", min_size=1, max_size=2),
+    t_from=st.integers(0, 15),
+    t_to=st.integers(0, 15),
+)
+@settings(max_examples=200, deadline=None)
+def test_window_store_key_range_matches_bruteforce_model(
+    entries, key_from, key_to, t_from, t_to
+):
+    """fetch(keyFrom, keyTo, tFrom, tTo) (RemoteWindowOperations.java:333)
+    against the brute-force filter-everything model: same entries, same
+    (key, window_start) order, all bounds inclusive — including empty and
+    inverted ranges."""
+    from responsive_pub_spark.streaming.state import WindowStore
+
+    ws = WindowStore(KeyValueStore())
+    for k, s in entries:
+        ws.put(k, float(s), f"{k}@{s}")  # duplicate puts overwrite, like KS
+    got = list(ws.fetch_key_range(key_from, key_to, float(t_from), float(t_to)))
+    model = sorted(
+        ((k, s), v)
+        for (k, s), v in ws.all()
+        if key_from <= k <= key_to and t_from <= s <= t_to
+    )
+    assert got == model
+    assert list(
+        ws.backward_fetch_key_range(key_from, key_to, float(t_from), float(t_to))
+    ) == list(reversed(model))
