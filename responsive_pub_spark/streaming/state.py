@@ -391,6 +391,37 @@ class SessionStore:
                 out.append(((k, s, e), v))
         return out
 
+    def find_sessions_range(
+        self, key_from, key_to, earliest_end: float, latest_start: float
+    ) -> list:
+        """Key-range merge-candidate scan — the KS
+        ``findSessions(keyFrom, keyTo, earliestSessionEndTime,
+        latestSessionStartTime)`` overload (the reference's session op
+        surface stops at the per-key form; supported here like the
+        window-store key-range fetch). One sorted range scan over the
+        (key, start, end) SessionKey tuple keyspace, overlap-filtered
+        per entry; ordered by (key, start, end)."""
+        lo = (key_from, float("-inf"), float("-inf"))
+        hi = (key_to, float("inf"), float("inf"))
+        out = []
+        for (k, s, e), v in self.kv.range(lo, hi):
+            if e >= earliest_end and s <= latest_start:
+                out.append(((k, s, e), v))
+        return out
+
+    def backward_find_sessions_range(
+        self, key_from, key_to, earliest_end: float, latest_start: float
+    ) -> list:
+        """Descending variant (the reference's backwardFindSessions
+        throws; supported here)."""
+        return list(
+            reversed(
+                self.find_sessions_range(
+                    key_from, key_to, earliest_end, latest_start
+                )
+            )
+        )
+
     def merge_in(self, key, ts: float, value, gap_s: float, merger):
         """KS session-aggregate update: merge all sessions within ``gap_s``
         of ``ts`` plus the new event into one session

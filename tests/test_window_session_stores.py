@@ -85,6 +85,30 @@ def test_session_store_ops_and_merge():
     assert ss.delete("b", 0, 5) == "z"
 
 
+def test_session_store_key_range_find_sessions():
+    """findSessions(keyFrom, keyTo, earliestEnd, latestStart) — the KS
+    key-range overload: keys bounded inclusively, overlap filter
+    (end >= earliestEnd AND start <= latestStart) per session, output
+    ordered by (key, start, end)."""
+    ss = SessionStore(KeyValueStore())
+    ss.put("a", 0, 10, "a1")
+    ss.put("b", 5, 15, "b1")
+    ss.put("b", 100, 110, "b2")
+    ss.put("c", 8, 12, "c1")
+    ss.put("d", 0, 50, "d1")
+    got = [(k, s, e, v) for (k, s, e), v in
+           ss.find_sessions_range("b", "c", 10, 99)]
+    assert got == [("b", 5.0, 15.0, "b1"), ("c", 8.0, 12.0, "c1")]
+    # degenerate single-key range == per-key find_sessions
+    assert ss.find_sessions_range("b", "b", 0, 1e9) == ss.find_sessions("b", 0, 1e9)
+    # backward variant reverses
+    assert ss.backward_find_sessions_range("a", "d", 0, 1e9) == list(
+        reversed(ss.find_sessions_range("a", "d", 0, 1e9))
+    )
+    # empty key range
+    assert ss.find_sessions_range("x", "z", 0, 1e9) == []
+
+
 def test_session_merge_in_gap_semantics():
     """An event within the gap of two existing sessions merges BOTH into
     one (ResponsiveSessionStore.java:131-165): sessions [0,10] and [30,40]
