@@ -102,6 +102,35 @@ def shingle_hashes_duck(text_expr: str, n: int = SHINGLE_N) -> str:
     return f"list_transform([{th}], th -> {inner})[1]"
 
 
+def shingle_hashes_all_sql(text_expr: str, n: int) -> str:
+    """Spark SQL: ALL word n-gram shingle hashes (duplicates kept — the
+    repetition-ratio numerator needs occurrence counts, where
+    shingle_hashes_sql's array_distinct serves set semantics). Same
+    let-binding shape; docs shorter than ``n`` tokens yield an empty
+    array (sequence(0, -1) DESCENDS in Spark, hence the guard)."""
+    th = token_hashes_sql(text_expr)
+    inner = (
+        f"CASE WHEN size(th) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(th) - {n}), "
+        f"i -> aggregate(slice(th, i + 1, {n}), 0L, "
+        f"(acc, h) -> (acc * 31 + h) % {P})) END"
+    )
+    return f"element_at(transform(array({th}), th -> {inner}), 1)"
+
+
+def shingle_hashes_all_duck(text_expr: str, n: int) -> str:
+    """DuckDB SQL: identical all-occurrence shingle hashes."""
+    th = token_hashes_duck(text_expr)
+    inner = (
+        f"CASE WHEN len(th) < {n} THEN [] "
+        f"ELSE list_transform(range(0, len(th) - {n} + 1), "
+        f"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_slice(th, i + 1, i + {n})), "
+        f"(acc, h) -> (acc * 31 + h) % {P})) END"
+    )
+    return f"list_transform([{th}], th -> {inner})[1]"
+
+
 # -- language id ------------------------------------------------------------
 
 def _arr_lit_sql(words: list[str]) -> str:

@@ -1142,3 +1142,98 @@ def split_leakage_safe_oracle() -> str:
                {_split_expr("canonical_id")} AS split
         FROM ({cluster_sql})
     """
+
+
+# -- cross-doc boilerplate chunk report -------------------------------------
+
+#: a chunk is boilerplate when it appears in >= this many DISTINCT docs
+BOILER_MIN_DOCS = 3
+#: chunk width in tokens (non-overlapping, chunk_hashes_sql stride)
+BOILER_CHUNK_TOKENS = 16
+
+
+def boilerplate_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = BOILER_CHUNK_TOKENS,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """Cross-document boilerplate detection — the repeated-passage analog
+    of line-level boilerplate removal (C4's "three-sentence span" rule,
+    CCNet's shared-paragraph hashing): a fixed-size token chunk occurring
+    in >= ``min_docs`` DISTINCT documents is boilerplate (headers,
+    footers, license blocks, templated passages), and a doc's boilerplate
+    share is the fraction of its chunks that are flagged.
+
+    Plan: one scan computes non-overlapping chunk hashes
+    (functions/text.chunk_hashes_sql — the span-dedup unit); explode ->
+    document frequency per chunk hash (ONE keyed shuffle with map-side
+    partial agg); flagged chunks join back against the exploded postings
+    (AQE broadcasts the flagged side when small); per-doc re-agg. At
+    100 TB every stage is a keyed equi-join on a 64-bit hash — the same
+    posting-list shape as containment dedup, no cross join anywhere.
+
+    Output: (doc_id, n_chunks, n_boiler, boiler_bp) — boiler_bp in
+    integer basis points (floor), 0 for chunk-less docs.
+    """
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(T.chunk_hashes_sql("text", int(chunk_tokens)))
+        ).alias("h"),
+    )
+    flagged = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= int(min_docs))
+        .select("h")
+    )
+    per_doc = (
+        chunks.join(flagged, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_boiler"))
+    )
+    totals = docs.select(
+        "doc_id",
+        F.expr(f"size({T.chunk_hashes_sql('text', int(chunk_tokens))})")
+        .cast("bigint")
+        .alias("n_chunks"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.expr(
+                "CASE WHEN n_chunks = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (10000 * coalesce(n_boiler, 0)) DIV n_chunks END"
+            ).alias("boiler_bp"),
+        )
+    )
+
+
+def boilerplate_chunks_oracle(
+    chunk_tokens: int = BOILER_CHUNK_TOKENS, min_docs: int = BOILER_MIN_DOCS
+) -> str:
+    hs = T.chunk_hashes_duck("text", int(chunk_tokens))
+    return f"""
+        WITH ch AS (
+            SELECT doc_id, unnest({hs}) AS h FROM documents
+        ), flagged AS (
+            SELECT h FROM ch GROUP BY h
+            HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+        ), per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+            FROM ch WHERE h IN (SELECT h FROM flagged)
+            GROUP BY 1
+        ), totals AS (
+            SELECT doc_id, CAST(len({hs}) AS BIGINT) AS n_chunks
+            FROM documents
+        )
+        SELECT t.doc_id, t.n_chunks,
+               CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+               CASE WHEN t.n_chunks = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (10000 * coalesce(p.n_boiler, 0)) // t.n_chunks
+               END AS boiler_bp
+        FROM totals t LEFT JOIN per_doc p USING (doc_id)
+    """

@@ -771,3 +771,75 @@ def bm25_topk_oracle(
                )} AS bm25
         FROM ranked WHERE rk <= {int(top)}
     """
+
+
+# -- within-doc repetition filter (Gopher/RefinedWeb-style) -----------------
+
+#: duplicated-n-gram thresholds in basis points: a doc KEEPs when its
+#: duplicated-bigram share <= 20% and duplicated-trigram share <= 18%
+#: (the Gopher repetition-filter family's shape; thresholds pinned for the
+#: fixture corpus)
+REP_MAX_DUP2_BP = 2000
+REP_MAX_DUP3_BP = 1800
+
+
+def repetition_report(
+    docs: DataFrame,
+    max_dup2_bp: int = REP_MAX_DUP2_BP,
+    max_dup3_bp: int = REP_MAX_DUP3_BP,
+) -> DataFrame:
+    """Within-document repetition filter — the Gopher-style "fraction of
+    duplicated n-grams" quality signal (Rae et al. 2021 §A1.1; also the
+    RefinedWeb/CCNet repetition family): a looping or boilerplate-stuffed
+    doc repeats the same n-grams far above natural prose rates.
+
+    Per doc, for n in (2, 3): dup_n = total n-gram occurrences minus
+    DISTINCT n-grams, as integer basis points of total (floor division —
+    bit-identical across engines). ``keep`` applies both thresholds. One
+    JVM-expression scan, zero shuffles, zero Python — the cheapest
+    pre-filter in a curation pipeline, so it runs FIRST at 100 TB.
+    """
+    out = docs.select(
+        "doc_id",
+        F.expr(f"size({T.tokens_sql('text')})").cast("bigint").alias("n_tokens"),
+        *[
+            F.expr(
+                f"""CASE WHEN size(sh) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (10000 * (size(sh) - size(array_distinct(sh))))
+                         DIV size(sh) END""".replace(
+                    "sh", f"({T.shingle_hashes_all_sql('text', n)})"
+                )
+            ).alias(f"dup{n}_bp")
+            for n in (2, 3)
+        ],
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup2_bp") <= int(max_dup2_bp))
+        & (F.col("dup3_bp") <= int(max_dup3_bp)),
+    )
+
+
+def repetition_report_oracle(
+    max_dup2_bp: int = REP_MAX_DUP2_BP, max_dup3_bp: int = REP_MAX_DUP3_BP
+) -> str:
+    toks = T.tokens_duck("text")
+    cols = []
+    for n in (2, 3):
+        sh = T.shingle_hashes_all_duck("text", n)
+        cols.append(
+            f"""CASE WHEN len({sh}) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (10000 * (len({sh}) - len(list_distinct({sh}))))
+                     // len({sh}) END AS dup{n}_bp"""
+        )
+    return f"""
+        WITH rep AS (
+            SELECT doc_id,
+                   CAST(len({toks}) AS BIGINT) AS n_tokens,
+                   {', '.join(cols)}
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, dup2_bp, dup3_bp,
+               (dup2_bp <= {int(max_dup2_bp)} AND dup3_bp <= {int(max_dup3_bp)}) AS keep
+        FROM rep
+    """

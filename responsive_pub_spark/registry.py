@@ -2595,14 +2595,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # (text_collocations, olap_cube_pricing — green r4+r5 — rotate past
     # 50 in r6 per the documented plan)
-    "sketch_quantile_hist": QuerySpec(
-        lambda spark, sf_dir: sketches.hist_quantiles(
-            _t(spark, sf_dir, "orders")
-        ),
-        sketches.hist_quantiles_oracle(),
-        doc="histogram quantile sketch: p50/p90/p99 per group by in-bucket "
-        "interpolation; fixed-size mergeable state",
-    ),
+    # (sketch_quantile_hist rotates past 50 in r7 — parked in the r7
+    # rotation-OUT block; sketch family keeps cms, cms_windowed,
+    # hll_windowed, heavy_hitters in-window)
     "sketch_cms": QuerySpec(
         q_sketch_cms,
         ORACLE_SKETCH_CMS,
@@ -2638,12 +2633,8 @@ REGISTRY: dict[str, QuerySpec] = {
         "k per stratum; WindowGroupLimit-prunable rank",
     ),
     # (quality_classifier, green r2+r3, rotates past 50)
-    "text_novelty": QuerySpec(
-        lambda spark, sf_dir: textops.novelty(_t(spark, sf_dir, "documents")),
-        textops.novelty_oracle(),
-        doc="per-doc 3-gram novelty (share of hashed grams in no other "
-        "doc) — the partial-overlap memorization signal next to dedup",
-    ),
+    # (text_novelty rotates past 50 in r7 — parked below; text family
+    # keeps text_unigram_ppl and text_bm25_topk in-window)
     # (r3 cohort — dedup_simhash_clusters, dedup_embedding_strict,
     # kv_sink_roundtrip, iq_store_dump, source_cap, resample_by_score —
     # green r3+r4, rotate past 50 per the documented plan)
@@ -2790,6 +2781,28 @@ REGISTRY: dict[str, QuerySpec] = {
         "+ time-range scan over the WindowedKey layout; NEW surface, "
         "first-gates in r7",
     ),
+    "text_repetition": QuerySpec(
+        lambda spark, sf_dir: textops.repetition_report(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.repetition_report_oracle(),
+        doc="Gopher-style within-doc repetition filter: duplicated 2/3-"
+        "gram shares in integer basis points + keep flag; zero-shuffle "
+        "JVM scan — the cheapest curation pre-filter; NEW inventory, "
+        "first-gates in r7 (OUT: sketch_quantile_hist, text_novelty — "
+        "multi-round green, families keep >= 2 in-window rows)",
+    ),
+    "boilerplate_chunks": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.boilerplate_chunks(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.boilerplate_chunks_oracle(),
+        doc="cross-doc boilerplate detection (C4/CCNet repeated-passage "
+        "analog): non-overlapping 16-token chunk hashes, document "
+        "frequency >= 3 flags boilerplate, per-doc share in bp; one "
+        "keyed shuffle + left-semi join back; NEW inventory, first-gates "
+        "in r7",
+    ),
     # --- r6 rotation IN (r5 VERDICT task 1): the seven first-gating
     # --- tail rows — NEW r5 inventory, judge-oracle-verified at sf0.01
     # --- in the r5 session, pytest-oracle green at sf0.001 AND sf0.01,
@@ -2906,6 +2919,20 @@ REGISTRY: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # --- r7 rotation OUT (multi-round green r4-r6; identical oracles
     # --- remain gated by the full-registry pytest sweep) ---
+    "sketch_quantile_hist": QuerySpec(
+        lambda spark, sf_dir: sketches.hist_quantiles(
+            _t(spark, sf_dir, "orders")
+        ),
+        sketches.hist_quantiles_oracle(),
+        doc="histogram quantile sketch: p50/p90/p99 per group by in-bucket "
+        "interpolation; fixed-size mergeable state",
+    ),
+    "text_novelty": QuerySpec(
+        lambda spark, sf_dir: textops.novelty(_t(spark, sf_dir, "documents")),
+        textops.novelty_oracle(),
+        doc="per-doc 3-gram novelty (share of hashed grams in no other "
+        "doc) — the partial-overlap memorization signal next to dedup",
+    ),
     "sketch_hll": QuerySpec(
         lambda spark, sf_dir: sketches.hll_distinct(
             _t(spark, sf_dir, "events")

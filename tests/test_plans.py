@@ -155,3 +155,21 @@ def test_r7_ops_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p
     a = audit.audit(q)
     assert a["exchanges"] <= 1, p  # one shuffle: the (route, parity) agg
+
+    from responsive_pub_spark.operators import pipeline_ops, textops
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    # repetition filter: pure per-row JVM expressions — ZERO exchanges,
+    # zero Python (the cheapest pre-filter must stay the cheapest)
+    rep = textops.repetition_report(docs)
+    p = audit.executed_plan(rep)
+    assert audit.audit(rep)["exchanges"] == 0, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+    # boilerplate chunks: keyed equi-joins only, no cartesian; the doc-
+    # frequency agg keeps map-side partial aggregation
+    bp_q = pipeline_ops.boilerplate_chunks(docs)
+    p = audit.executed_plan(bp_q)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "partial_count" in p or "HashAggregate" in p, p
