@@ -541,7 +541,35 @@ EXTENDED_NOTES = {
         "applyInPandasWithState with O(delta) segstore flushes. Integer "
         "deltas make subtract-then-add exact; retraction traffic is "
         "2 rows per UPDATE (not per key), so a stable 100 TB table "
-        "streams only its churn."
+        "streams only its churn. As of r7 both stages default to the "
+        "VECTORIZED engine (per-key shift / integer cumsum seeded from "
+        "checkpointed heads — 1.6x soak, emissions byte-identical to the "
+        "per-record processor referee)."
+    ),
+    "kafka_headers_route": (
+        "record headers end-to-end: typed rows gain the connector's "
+        "headers column (array expr build), round-trip the file-broker "
+        "sink, and the consumer routes on header BYTES via filter + "
+        "try_element_at — pure JVM array exprs (plan-gated: no Python "
+        "eval node), then ONE keyed shuffle for the (route, parity) "
+        "counts. At 100 TB the sink/source stay embarrassingly parallel; "
+        "header decode rides the scan."
+    ),
+    "text_repetition": (
+        "Gopher-style duplicated-n-gram shares: tokenization let-bound "
+        "once per row, 2/3-gram occurrence and distinct counts are pure "
+        "array arithmetic, shares as integer basis points (floor DIV) — "
+        "ZERO exchanges, zero Python (plan-gated). The cheapest curation "
+        "pre-filter, so it runs FIRST and prunes the corpus before any "
+        "shuffle-bearing stage."
+    ),
+    "boilerplate_chunks": (
+        "cross-doc repeated-passage detection: non-overlapping 16-token "
+        "chunk hashes per row (codegen), ONE keyed shuffle for document "
+        "frequency (map-side partials), flagged chunks rejoin the "
+        "postings as a left-semi (AQE broadcasts while small), per-doc "
+        "re-agg on doc_id. Posting-list shape throughout — no cross "
+        "join, traffic is (doc_id, hash64) pairs."
     ),
 }
 
