@@ -99,6 +99,10 @@ def test_varying_inputs_stay_bounded(spark, sf_dir):
 
 
 def test_clear_pool_unpersists_everything(spark, sf_dir):
+    # own the CacheManager for this test: other suite tests may hold
+    # legitimate caches of their own, so global emptiness is only
+    # assertable from a clean slate
+    spark.catalog.clearCache()
     docs = read_table(spark, sf_dir, "documents")
     assert dedup.minhash_pairs(docs).count() >= 0
     assert cache.pool_size() >= 1
