@@ -69,6 +69,15 @@ if DOCS_MODE:
         "sim_search_pq",
         "curate_corpus",
         "text_quality",
+        # r7: the zero-shuffle repetition pre-filter must stay ~flat on the
+        # dup-heavy corpus (pure per-row scan; replicas add rows, not work
+        # per row)
+        "text_repetition",
+        # r7: boilerplate chunks on a 10x-replicated corpus is the
+        # OP'S OWN target shape — every replica group's chunks hit the
+        # df >= 3 flag, so the flagged set is large but the plan stays
+        # posting-list-shaped (keyed df agg + left-semi join back)
+        "boilerplate_chunks",
         "decontam_overlap",
         # r5: containment on a dup-heavy corpus — every replica pair is a
         # mutual 1.0-containment, so output is quadratic in dup-group size

@@ -799,16 +799,39 @@ def repetition_report(
     JVM-expression scan, zero shuffles, zero Python — the cheapest
     pre-filter in a curation pipeline, so it runs FIRST at 100 TB.
     """
-    out = docs.select(
+    from responsive_pub_spark.functions.hashing import P
+
+    # bind the token-hash array ONCE as a real column: the three outputs
+    # (token count + both n-gram shares) all derive from it, and Spark's
+    # interpreted higher-order functions would otherwise re-tokenize per
+    # output expression (measured ~3x on the dup-heavy scale corpus);
+    # chained projections fuse into one codegen stage — still one scan
+    bound = docs.select(
+        "doc_id", F.expr(T.token_hashes_sql("text")).alias("th")
+    )
+
+    def sh(n: int) -> str:
+        return (
+            f"CASE WHEN size(th) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size(th) - {n}), "
+            f"i -> aggregate(slice(th, i + 1, {n}), 0L, "
+            f"(acc, h) -> (acc * 31 + h) % {P})) END"
+        )
+
+    grams = bound.select(
         "doc_id",
-        F.expr(f"size({T.tokens_sql('text')})").cast("bigint").alias("n_tokens"),
+        F.expr("size(th)").cast("bigint").alias("n_tokens"),
+        F.expr(sh(2)).alias("sh2"),
+        F.expr(sh(3)).alias("sh3"),
+    )
+    out = grams.select(
+        "doc_id",
+        "n_tokens",
         *[
             F.expr(
-                f"""CASE WHEN size(sh) = 0 THEN CAST(0 AS BIGINT)
-                    ELSE (10000 * (size(sh) - size(array_distinct(sh))))
-                         DIV size(sh) END""".replace(
-                    "sh", f"({T.shingle_hashes_all_sql('text', n)})"
-                )
+                f"CASE WHEN size(sh{n}) = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE (10000 * (size(sh{n}) - size(array_distinct(sh{n})))) "
+                f"DIV size(sh{n}) END"
             ).alias(f"dup{n}_bp")
             for n in (2, 3)
         ],
