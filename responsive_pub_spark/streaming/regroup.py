@@ -164,6 +164,17 @@ def _reagg_stage_vectorized(deltas: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def run(key_vals, pdf_iter, state_h):
+        # chaos hook (off unless the env var names a workdir): the
+        # reference's examples inject failures mid-processing
+        # (STJoinExample.java:81-88); tests/test_chaos_sigkill.py arms
+        # this to SIGKILL the process while stage B is MID-BATCH —
+        # after stage A committed the retraction topic
+        chaos = os.environ.get("SPARK_GRAFT_CHAOS_STALL")
+        if chaos and os.path.exists(os.path.join(chaos, "armed")):
+            open(os.path.join(chaos, "inflight"), "a").close()
+            import time as _time
+
+            _time.sleep(300)
         n0 = s0 = e0 = 0
         if state_h.exists and state_h.get[0]:
             n0, s0, e0 = pickle.loads(state_h.get[0])

@@ -128,3 +128,114 @@ def test_sigkill_mid_batch_exactly_once(spark, tmp_path):
         f"read_parquet('{table_dir}/delta-*.parquet/*.parquet')"
     ).fetchone()[0]
     assert n_rows == len(rows)
+
+
+REGROUP_CHILD = os.path.join(REPO, "tests", "chaos_regroup_child.py")
+
+
+def _run_regroup_child(workdir, wait=True):
+    proc = subprocess.Popen(
+        [sys.executable, REGROUP_CHILD, workdir],
+        cwd=REPO,
+        start_new_session=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    if wait:
+        assert proc.wait(timeout=300) == 0
+    return proc
+
+
+def _write_changelog(spark, workdir, rows):
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, grp STRING, val BIGINT, ts DOUBLE"
+    )
+    df.coalesce(1).write.mode("append").parquet(
+        os.path.join(workdir, "table-changelog")
+    )
+
+
+def test_sigkill_mid_stage_b_regroup_exactly_once(spark, tmp_path):
+    """Two-stage kill (r7 hardening beyond the single-topology chaos e2e):
+    SIGKILL the whole process group while the regroup's stage B is
+    MID-BATCH — stage A of the same advance already COMMITTED its deltas
+    to the retraction topic. The restart must not re-emit stage A's
+    deltas (its checkpoint committed) and must replay stage B's batch
+    from scratch: the compacted snapshot equals the latest-per-key batch
+    regroup, and the changelog carries each group's delta count exactly
+    once (emit_seq is contiguous)."""
+    workdir = str(tmp_path / "chaos_rg")
+    os.makedirs(workdir)
+
+    batch1 = [(1, 1, "a", 10, 1.0), (2, 2, "a", 20, 2.0)]
+    # user 1 moves a -> b (a retraction + an add), user 3 appears
+    batch2 = [(1, 3, "b", 15, 3.0), (3, 4, "b", 5, 4.0)]
+
+    _write_changelog(spark, workdir, batch1)
+    _run_regroup_child(workdir)  # clean advance
+    retract_dir = os.path.join(workdir, "retractions")
+    import glob
+
+    deltas_after_1 = len(
+        spark.read.schema(
+            "grp STRING, cnt_delta BIGINT, val_delta BIGINT, ts DOUBLE"
+        ).parquet(retract_dir).collect()
+    )
+    assert deltas_after_1 == 2  # two adds
+
+    # arm: stage B stalls mid-batch on the NEXT advance; kill there
+    open(os.path.join(workdir, "armed"), "w").close()
+    _write_changelog(spark, workdir, batch2)
+    proc = _run_regroup_child(workdir, wait=False)
+    marker = os.path.join(workdir, "inflight")
+    deadline = time.monotonic() + 240
+    while not os.path.exists(marker) and time.monotonic() < deadline:
+        assert proc.poll() is None, "child exited before stage B stalled"
+        time.sleep(0.2)
+    assert os.path.exists(marker), "stage B never reached mid-batch"
+    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    assert proc.wait(timeout=60) != 0
+
+    # stage A of the killed advance COMMITTED: retraction topic holds
+    # batch 2's three deltas (retract a/10, add b/15, add b/5)
+    deltas = spark.read.schema(
+        "grp STRING, cnt_delta BIGINT, val_delta BIGINT, ts DOUBLE"
+    ).parquet(retract_dir).collect()
+    assert len(deltas) == 5
+
+    # disarm and restart: stage A drains nothing new (no delta dupes),
+    # stage B replays its batch from scratch
+    os.remove(os.path.join(workdir, "armed"))
+    _run_regroup_child(workdir)
+    deltas = spark.read.schema(
+        "grp STRING, cnt_delta BIGINT, val_delta BIGINT, ts DOUBLE"
+    ).parquet(retract_dir).collect()
+    assert len(deltas) == 5, "stage A re-emitted committed deltas"
+
+    # snapshot == latest-per-key batch regroup of ALL input
+    con = duckdb.connect()
+    out_dir = os.path.join(workdir, "reagg-changelog")
+    files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    assert files
+    snap = {
+        g: (n, t)
+        for g, n, t in con.execute(
+            f"""
+            WITH chg AS (SELECT * FROM read_parquet('{out_dir}/*.parquet')),
+            latest AS (
+                SELECT grp, max_by(n, emit_seq) AS n,
+                       max_by(total, emit_seq) AS total
+                FROM chg GROUP BY grp
+            )
+            SELECT grp, n, total FROM latest WHERE n > 0
+            """
+        ).fetchall()
+    }
+    assert snap == {"a": (1, 20), "b": (2, 20)}
+    # emit_seq contiguous per group: no delta applied twice or dropped
+    seqs = con.execute(
+        f"SELECT grp, count(*), max(emit_seq) FROM "
+        f"read_parquet('{out_dir}/*.parquet') GROUP BY grp"
+    ).fetchall()
+    for _g, cnt, mx in seqs:
+        assert cnt == mx
