@@ -22,12 +22,24 @@ the plan's semantic hash:
   (tests/test_persist_hygiene.py asserts zero growth across repeated
   calls AND boundedness across varying inputs).
 
-Entries are keyed per SparkSession, so a stopped session's stale entries
-never shadow a new session's identical plans.
+Correctness hardening (r7 ADVICE):
+
+- the 32-bit ``semanticHash`` alone must never DECIDE reuse — Spark's own
+  CacheManager confirms hash hits with a full-plan ``sameResult`` before
+  serving cached data, and so does the pool: a hash collision between two
+  different plans is detected and stored under a disambiguated slot
+  instead of silently returning the wrong DataFrame;
+- entries key on a STABLE session token (the JVM session UUID, falling
+  back to a monotonically-assigned id held in a WeakValueDictionary —
+  never CPython ``id()``, which is reused after GC and can alias a new
+  session onto a stopped one's stale entries); entries whose session has
+  stopped or been collected are purged on every pool access.
 """
 
 from __future__ import annotations
 
+import itertools
+import weakref
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
@@ -35,29 +47,100 @@ from pyspark.sql import DataFrame
 #: max simultaneously-pooled intermediates; evicting past this unpersists
 POOL_MAX = 16
 
+#: (session_token, semanticHash, probe_slot) -> DataFrame
 _POOL: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
+#: session object -> stable token (weak keys: a collected session's token
+#: is never handed out again — tokens are monotonic, unlike id())
+_SESSION_TOKENS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_TOKEN_SEQ = itertools.count()
 
-def _key(df: DataFrame) -> tuple:
-    jqe = df._jdf.queryExecution()
-    return (id(df.sparkSession), jqe.analyzed().semanticHash())
+#: token -> weakref(session), to purge entries whose session died/stopped
+_SESSION_REFS: dict = {}
+
+
+def _session_token(spark) -> str:
+    tok = _SESSION_TOKENS.get(spark)
+    if tok is None:
+        try:
+            # stable across the session's lifetime, unique across sessions
+            tok = str(spark._jsparkSession.sessionUUID())
+        except Exception:  # noqa: BLE001 — connect/mocked sessions
+            tok = f"py-session-{next(_TOKEN_SEQ)}"
+        _SESSION_TOKENS[spark] = tok
+    # ALWAYS re-arm the liveness ref: clear_pool() drops refs, and a
+    # memoized token without one would read as a dead session and get
+    # its fresh entries purged (order-dependent suite flake)
+    if tok not in _SESSION_REFS:
+        _SESSION_REFS[tok] = weakref.ref(spark)
+    return tok
+
+
+def _session_dead(token: str) -> bool:
+    ref = _SESSION_REFS.get(token)
+    if ref is None:
+        return True
+    spark = ref()
+    if spark is None:
+        return True
+    try:
+        return spark.sparkContext._jsc is None  # stopped session
+    except Exception:  # noqa: BLE001
+        return True
+
+
+def _purge_dead_sessions() -> None:
+    dead = {k for k in _POOL if _session_dead(k[0])}
+    for k in dead:
+        old = _POOL.pop(k)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session already gone
+            pass
+    live = {k[0] for k in _POOL}
+    for tok in [t for t in _SESSION_REFS if t not in live and _session_dead(t)]:
+        _SESSION_REFS.pop(tok, None)
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """Full-plan confirmation behind the 32-bit hash — the CacheManager
+    pattern: hash narrows, ``sameResult`` decides."""
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:  # noqa: BLE001 — dead session mid-probe
+        return False
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` with session-bounded lifetime (see module doc).
     Returns the pooled DataFrame for this plan — callers should use the
     return value so repeat calls share one wrapper."""
-    k = _key(df)
-    pooled = _POOL.get(k)
-    if pooled is not None:
-        _POOL.move_to_end(k)
-        lvl = pooled.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            # the entry was uncached externally (spark.catalog.clearCache,
-            # an explicit unpersist) — a pooled wrapper with no backing
-            # cache would silently recompute on every reuse; re-arm it
-            pooled.persist()
-        return pooled
+    _purge_dead_sessions()
+    tok = _session_token(df.sparkSession)
+    h = df._jdf.queryExecution().analyzed().semanticHash()
+    # probe disambiguation slots: same (session, hash) may hold several
+    # DISTINCT plans if the 32-bit hash collides; sameResult picks ours
+    slot = 0
+    while True:
+        k = (tok, h, slot)
+        pooled = _POOL.get(k)
+        if pooled is None:
+            break
+        if _same_plan(pooled, df):
+            _POOL.move_to_end(k)
+            lvl = pooled.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                # the entry was uncached externally (spark.catalog.
+                # clearCache, an explicit unpersist) — a pooled wrapper
+                # with no backing cache would silently recompute on every
+                # reuse; re-arm it
+                pooled.persist()
+            return pooled
+        slot += 1
     df.persist()
     _POOL[k] = df
     while len(_POOL) > POOL_MAX:
@@ -81,3 +164,4 @@ def clear_pool() -> None:
             old.unpersist(blocking=False)
         except Exception:  # noqa: BLE001
             pass
+    _SESSION_REFS.clear()

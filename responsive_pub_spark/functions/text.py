@@ -102,20 +102,25 @@ def shingle_hashes_duck(text_expr: str, n: int = SHINGLE_N) -> str:
     return f"list_transform([{th}], th -> {inner})[1]"
 
 
-def shingle_hashes_all_sql(text_expr: str, n: int) -> str:
+def shingle_hashes_all_bound_sql(th_col: str, n: int) -> str:
     """Spark SQL: ALL word n-gram shingle hashes (duplicates kept — the
     repetition-ratio numerator needs occurrence counts, where
-    shingle_hashes_sql's array_distinct serves set semantics). Same
-    let-binding shape; docs shorter than ``n`` tokens yield an empty
-    array (sequence(0, -1) DESCENDS in Spark, hence the guard)."""
-    th = token_hashes_sql(text_expr)
-    inner = (
-        f"CASE WHEN size(th) < {n} THEN array() "
-        f"ELSE transform(sequence(0, size(th) - {n}), "
-        f"i -> aggregate(slice(th, i + 1, {n}), 0L, "
+    shingle_hashes_sql's array_distinct serves set semantics) over a
+    PRE-BOUND token-hash array column ``th_col`` — callers bind
+    ``token_hashes_sql`` once per row (the single-tokenization pattern,
+    operators/textops.repetition_report) so Spark's interpreted
+    higher-order functions never re-tokenize per output expression.
+    This is the ONE Spark-side copy of the rolling-hash formula; the
+    oracle twin is ``shingle_hashes_all_duck`` (r7 ADVICE: two inline
+    copies invited silent drift). Docs shorter than ``n`` tokens yield
+    an empty array (sequence(0, -1) DESCENDS in Spark, hence the guard).
+    """
+    return (
+        f"CASE WHEN size({th_col}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({th_col}) - {n}), "
+        f"i -> aggregate(slice({th_col}, i + 1, {n}), 0L, "
         f"(acc, h) -> (acc * 31 + h) % {P})) END"
     )
-    return f"element_at(transform(array({th}), th -> {inner}), 1)"
 
 
 def shingle_hashes_all_duck(text_expr: str, n: int) -> str:

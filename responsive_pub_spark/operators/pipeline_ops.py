@@ -1164,23 +1164,28 @@ def boilerplate_chunks(
     footers, license blocks, templated passages), and a doc's boilerplate
     share is the fraction of its chunks that are flagged.
 
-    Plan: one scan computes non-overlapping chunk hashes
-    (functions/text.chunk_hashes_sql — the span-dedup unit); explode ->
-    document frequency per chunk hash (ONE keyed shuffle with map-side
-    partial agg); flagged chunks join back against the exploded postings
-    (AQE broadcasts the flagged side when small); per-doc re-agg. At
-    100 TB every stage is a keyed equi-join on a 64-bit hash — the same
-    posting-list shape as containment dedup, no cross join anywhere.
+    Plan: ONE bound projection computes the per-doc chunk-hash array
+    (functions/text.chunk_hashes_sql — the span-dedup unit), pooled via
+    scoped_persist so BOTH branches — the exploded postings and the
+    per-doc totals (``size``) — read the single materialization instead
+    of re-scanning docs and re-hashing every chunk (r7 ADVICE). Postings
+    -> document frequency per chunk hash (ONE keyed shuffle with
+    map-side partial agg); flagged chunks join back against the exploded
+    postings (AQE broadcasts the flagged side when small); per-doc
+    re-agg. At 100 TB every stage is a keyed equi-join on a 64-bit hash
+    — the same posting-list shape as containment dedup, no cross join
+    anywhere.
 
     Output: (doc_id, n_chunks, n_boiler, boiler_bp) — boiler_bp in
     integer basis points (floor), 0 for chunk-less docs.
     """
-    chunks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(T.chunk_hashes_sql("text", int(chunk_tokens)))
-        ).alias("h"),
+    bound = scoped_persist(
+        docs.select(
+            "doc_id",
+            F.expr(T.chunk_hashes_sql("text", int(chunk_tokens))).alias("hs"),
+        )
     )
+    chunks = bound.select("doc_id", F.explode("hs").alias("h"))
     flagged = (
         chunks.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -1192,11 +1197,8 @@ def boilerplate_chunks(
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_boiler"))
     )
-    totals = docs.select(
-        "doc_id",
-        F.expr(f"size({T.chunk_hashes_sql('text', int(chunk_tokens))})")
-        .cast("bigint")
-        .alias("n_chunks"),
+    totals = bound.select(
+        "doc_id", F.size("hs").cast("bigint").alias("n_chunks")
     )
     return (
         totals.join(per_doc, "doc_id", "left")

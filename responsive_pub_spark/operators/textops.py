@@ -799,30 +799,21 @@ def repetition_report(
     JVM-expression scan, zero shuffles, zero Python — the cheapest
     pre-filter in a curation pipeline, so it runs FIRST at 100 TB.
     """
-    from responsive_pub_spark.functions.hashing import P
-
     # bind the token-hash array ONCE as a real column: the three outputs
     # (token count + both n-gram shares) all derive from it, and Spark's
     # interpreted higher-order functions would otherwise re-tokenize per
     # output expression (measured ~3x on the dup-heavy scale corpus);
-    # chained projections fuse into one codegen stage — still one scan
+    # chained projections fuse into one codegen stage — still one scan.
+    # The rolling-hash formula lives in ONE place
+    # (functions/text.shingle_hashes_all_bound_sql) next to its duck twin.
     bound = docs.select(
         "doc_id", F.expr(T.token_hashes_sql("text")).alias("th")
     )
-
-    def sh(n: int) -> str:
-        return (
-            f"CASE WHEN size(th) < {n} THEN array() "
-            f"ELSE transform(sequence(0, size(th) - {n}), "
-            f"i -> aggregate(slice(th, i + 1, {n}), 0L, "
-            f"(acc, h) -> (acc * 31 + h) % {P})) END"
-        )
-
     grams = bound.select(
         "doc_id",
         F.expr("size(th)").cast("bigint").alias("n_tokens"),
-        F.expr(sh(2)).alias("sh2"),
-        F.expr(sh(3)).alias("sh3"),
+        F.expr(T.shingle_hashes_all_bound_sql("th", 2)).alias("sh2"),
+        F.expr(T.shingle_hashes_all_bound_sql("th", 3)).alias("sh3"),
     )
     out = grams.select(
         "doc_id",

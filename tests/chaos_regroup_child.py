@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     workdir = sys.argv[1]
     os.environ["SPARK_GRAFT_CHAOS_STALL"] = workdir
+    os.environ["SPARK_GRAFT_CHAOS_ENABLE"] = "1"  # double opt-in (r7 ADVICE)
 
     from pyspark.sql import SparkSession
 

@@ -22,11 +22,6 @@ from responsive_pub_spark.operators import bloom, curation, dedup
 from responsive_pub_spark.sources.readers import read_table
 
 
-def _n_cached(spark) -> int:
-    """Entries in the session CacheManager (the thing that leaked)."""
-    return 0 if spark._jsparkSession.sharedState().cacheManager().isEmpty() else None
-
-
 def _storage_entries(spark) -> int:
     return spark.sparkContext._jsc.sc().getRDDStorageInfo().__len__()
 
@@ -135,4 +130,58 @@ def test_no_bare_dataframe_persist_in_one_shot_operators():
     assert not offenders, (
         "modules with bare .persist() and no unpersist/scoped_persist "
         f"cleanup (leak a CacheManager entry per call): {offenders}"
+    )
+
+
+def test_hash_collision_never_serves_wrong_plan(spark):
+    """r7 ADVICE (medium): the 32-bit semanticHash must NARROW, not
+    DECIDE — a colliding entry under the same (session, hash) key must be
+    detected by the full-plan sameResult confirmation and stored under a
+    disambiguated slot, never returned as the other plan's data."""
+    df = spark.range(64).selectExpr("id", "id * 3 AS y")
+    tok = cache._session_token(spark)
+    h = df._jdf.queryExecution().analyzed().semanticHash()
+    # plant a DIFFERENT plan at this key's first probe slot — the forced
+    # collision (organic 32-bit collisions exist at pool scale too)
+    impostor = spark.range(5).selectExpr("id AS unrelated")
+    cache._POOL[(tok, h, 0)] = impostor
+    got = cache.scoped_persist(df)
+    assert got is not impostor, "collision served the wrong DataFrame"
+    assert got.columns == ["id", "y"]
+    assert (tok, h, 1) in cache._POOL  # disambiguated slot
+    # and the planted entry still resolves to ITSELF on its own probe
+    assert cache.scoped_persist(impostor) is impostor
+
+
+def test_new_session_never_reuses_stale_entries(spark, sf_dir):
+    """Session keying is a stable per-session UUID, not CPython id():
+    two sessions with IDENTICAL plans get separate pool entries, and a
+    session whose weakref died (the stopped-session shape) is purged on
+    the next pool access instead of aliasing a newcomer."""
+    import weakref
+
+    from responsive_pub_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    s2 = spark.newSession()
+    docs2 = read_table(s2, sf_dir, "documents").limit(10)
+    p1 = cache.scoped_persist(docs)
+    p2 = cache.scoped_persist(docs2)
+    assert p1 is not p2  # identical plan, different session, distinct entry
+    tok2 = cache._session_token(s2)
+    assert tok2 != cache._session_token(spark)
+    # simulate s2 stopping: its weakref referent dies (a stopped session
+    # also trips the _jsc-is-None check; newSession shares the context,
+    # so the ref-death path is the testable one here)
+    class _Gone:
+        pass
+
+    g = _Gone()
+    cache._SESSION_REFS[tok2] = weakref.ref(g)
+    del g
+    before = cache.pool_size()
+    cache.scoped_persist(docs)  # any access purges dead sessions
+    assert cache.pool_size() < before
+    assert not any(k[0] == tok2 for k in cache._POOL), (
+        "stale stopped-session entries must be purged, never reused"
     )
