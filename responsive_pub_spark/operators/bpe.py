@@ -132,10 +132,15 @@ def _duck_merge(s_col: str, l_sq: str, r_sq: str, passes: int = REPLACE_PASSES) 
     return e
 
 
-def bpe_merges_oracle(k: int = BPE_MERGES) -> str:
-    """Unrolled-merge DuckDB twin (the unrolled-Lloyd pattern): one CTE
-    chain per step, scalar subqueries stand in for the broadcast top-1."""
+def _oracle_ctes(k: int, carry_word: bool = False) -> "tuple[str, list[str]]":
+    """Shared DuckDB CTE chain unrolling ``k`` merge steps (the
+    unrolled-Lloyd pattern): one pairs/top/spaced trio per step, scalar
+    subqueries standing in for the broadcast top-1. ``carry_word=True``
+    threads the original ``word`` through every spaced CTE — the
+    segmentation-map shape the encode-pass oracles read. Returns the
+    WITH body and the per-step top selects."""
     spaced = "concat(' ', array_to_string(string_split(word, ''), ' '), ' ')"
+    w = "word, " if carry_word else ""
     ctes = [
         """words0 AS MATERIALIZED (
             SELECT word, count(*) AS freq FROM (
@@ -144,7 +149,7 @@ def bpe_merges_oracle(k: int = BPE_MERGES) -> str:
                 FROM documents
             ) GROUP BY word
         )""",
-        f"spaced0 AS MATERIALIZED (SELECT {spaced} AS s, freq FROM words0)",
+        f"spaced0 AS MATERIALIZED (SELECT {w}{spaced} AS s, freq FROM words0)",
     ]
     selects = []
     for step in range(1, int(k) + 1):
@@ -166,13 +171,50 @@ def bpe_merges_oracle(k: int = BPE_MERGES) -> str:
         r_sq = f"(SELECT r FROM top{step})"
         ctes.append(
             f"""spaced{step} AS MATERIALIZED (
-                SELECT {_duck_merge('s', l_sq, r_sq)} AS s, freq FROM {prev}
+                SELECT {w}{_duck_merge('s', l_sq, r_sq)} AS s, freq FROM {prev}
             )"""
         )
         selects.append(
             f"SELECT {step} AS step, l AS left, r AS right, pair_count FROM top{step}"
         )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    return "WITH " + ",\n".join(ctes), selects
+
+
+def bpe_merges_oracle(k: int = BPE_MERGES) -> str:
+    """Unrolled-merge DuckDB twin (see ``_oracle_ctes``)."""
+    ctes, selects = _oracle_ctes(k)
+    return ctes + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _apply_merges(words: DataFrame, k: int, carry: tuple = ()) -> DataFrame:
+    """Run ``k`` greedy merge steps over the spaced unique-word table
+    (columns ``s``, ``freq`` + the ``carry`` columns passed through
+    untouched). Shared engine of ``bpe_vocab``/``bpe_segment_map``: each
+    step is one vocab-sized pair aggregation + a 1-row broadcast winner
+    rewriting every word; the small table is checkpointed per step so
+    Catalyst re-analysis stays O(1), with superseded checkpoint blocks
+    released immediately."""
+    prev_ckpt = None
+    for _step in range(int(k)):
+        pairs = words.select(
+            "freq", F.explode(F.expr(_pairs_expr("s"))).alias("p")
+        ).groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+            F.sum("freq").alias("pair_count")
+        )
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("l"), F.asc("r")
+        ).limit(1)
+        words = words.crossJoin(F.broadcast(top.select("l", "r"))).select(
+            *carry, F.expr(_merge_expr("s")).alias("s"), "freq"
+        )
+        words = words.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            try:
+                prev_ckpt.unpersist()
+            except Exception:
+                pass
+        prev_ckpt = words
+    return words
 
 
 def bpe_vocab(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
@@ -184,26 +226,7 @@ def bpe_vocab(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
     words = word_freqs(docs).select(
         F.expr(_spaced("word")).alias("s"), "freq"
     )
-    prev_ckpt = None
-    for _step in range(1, int(k) + 1):
-        pairs = words.select(
-            "freq", F.explode(F.expr(_pairs_expr("s"))).alias("p")
-        ).groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
-            F.sum("freq").alias("pair_count")
-        )
-        top = pairs.orderBy(
-            F.desc("pair_count"), F.asc("l"), F.asc("r")
-        ).limit(1)
-        words = words.crossJoin(F.broadcast(top.select("l", "r"))).select(
-            F.expr(_merge_expr("s")).alias("s"), "freq"
-        )
-        words = words.localCheckpoint(eager=True)
-        if prev_ckpt is not None:
-            try:
-                prev_ckpt.unpersist()
-            except Exception:
-                pass
-        prev_ckpt = words
+    words = _apply_merges(words, k)
     return (
         words.select(
             "freq", F.explode(F.expr("split(trim(s), ' ')")).alias("symbol")
@@ -213,12 +236,109 @@ def bpe_vocab(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
     )
 
 
+def bpe_segment_map(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
+    """The TOKENIZER itself: (word, n_bpe) — every unique corpus word and
+    the number of BPE tokens its learned segmentation produces after ``k``
+    merges. This is the artifact the encode pass broadcasts: vocab-sized
+    (millions of rows at 100 TB — comfortably a broadcast side), built
+    with the same unique-word-table iteration as induction, so encoding a
+    corpus never re-runs merges over corpus-sized data."""
+    words = word_freqs(docs).select(
+        "word", F.expr(_spaced("word")).alias("s"), "freq"
+    )
+    seg = _apply_merges(words, k, carry=("word",))
+    return seg.select(
+        "word",
+        F.expr("size(split(trim(s), ' '))").cast("bigint").alias("n_bpe"),
+    )
+
+
+def bpe_encode(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
+    """The encode/apply pass (r7 VERDICT task 1): tokenize the corpus with
+    the LEARNED merge table — per-doc real-BPE token counts, the number
+    every token-budgeted downstream op (sequence packing, chunkers,
+    mixture budgets) should run on instead of whitespace counts.
+
+    Plan shape at 100 TB: ONE corpus scan explodes whitespace words; the
+    segmentation map (``bpe_segment_map``, vocab-sized) is broadcast and
+    equi-joined — no corpus-sized shuffle anywhere; per-doc re-agg is the
+    only keyed exchange. Output: (doc_id, n_ws_tokens, n_bpe_tokens,
+    bpe_per_token_bp) with the inflation ratio in integer basis points
+    (floor division — bit-identical across engines). Docs with no words
+    drop out on both engine and oracle sides."""
+    seg = bpe_segment_map(docs, k)
+    corpus = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).alias("word"),
+    )
+    return (
+        corpus.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ws_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.expr("(10000 * n_bpe_tokens) DIV n_ws_tokens").alias(
+                "bpe_per_token_bp"
+            ),
+        )
+    )
+
+
+def pack_sequences_bpe(
+    docs: DataFrame, k: int = BPE_MERGES, budget: "int | None" = None
+) -> DataFrame:
+    """Sequence packing on REAL BPE token counts — the composition the
+    encode pass exists for: ``pipeline_ops.pack_sequences``'s concat-then-
+    split packing (deterministic (lang, doc_id) order, integer cumulative
+    sums, exact DIV/mod arithmetic) with ``n_tokens`` coming from the
+    learned tokenizer instead of the whitespace-regex surrogate. Same
+    single window shuffle per language partition; the only extra cost is
+    the broadcast segmentation join of the encode pass."""
+    from pyspark.sql import Window
+
+    from responsive_pub_spark.operators.pipeline_ops import PACK_BUDGET_TOKENS
+
+    b = int(budget if budget is not None else PACK_BUDGET_TOKENS)
+    seg = bpe_segment_map(docs, k)
+    corpus = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).alias("word"),
+    )
+    toks = (
+        corpus.join(F.broadcast(seg), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("n_bpe").cast("bigint").alias("n_tokens"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"(cum_tokens - n_tokens) DIV {b}").alias("seq_id"),
+        ((F.col("cum_tokens") - F.col("n_tokens")) % b)
+        .cast("bigint")
+        .alias("seq_offset"),
+    )
+
+
 def bpe_vocab_oracle(k: int = BPE_MERGES) -> str:
     """Extends the unrolled-merge chain with the symbol-inventory select."""
-    base = bpe_merges_oracle(k)
-    ctes = base.split("\nSELECT 1 AS step")[0]
-    # base = "WITH <ctes>\nSELECT 1 AS step ... UNION ALL ..." — keep the
-    # CTE chain, swap the final select for the inventory over spaced{k}
+    ctes, _ = _oracle_ctes(k)
     return f"""{ctes}
         SELECT symbol, CAST(sum(freq) AS BIGINT) AS total_count
         FROM (
@@ -226,4 +346,73 @@ def bpe_vocab_oracle(k: int = BPE_MERGES) -> str:
             FROM spaced{int(k)}
         )
         GROUP BY symbol
+    """
+
+
+def _segmap_cte(k: int) -> str:
+    return (
+        f"segmap AS MATERIALIZED (SELECT word, "
+        f"CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_bpe "
+        f"FROM spaced{int(k)})"
+    )
+
+
+def bpe_encode_oracle(k: int = BPE_MERGES) -> str:
+    """Encode-pass twin: the carried-word merge chain becomes the
+    segmentation map; the corpus re-explode joins it and aggregates
+    per-doc token counts — identical integer arithmetic to the Spark
+    side's broadcast-join plan."""
+    ctes, _ = _oracle_ctes(k, carry_word=True)
+    return f"""{ctes},
+        {_segmap_cte(k)},
+        corpus AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> '')) AS word
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_ws_tokens,
+               CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+               (10000 * CAST(sum(n_bpe) AS BIGINT))
+                   // CAST(count(*) AS BIGINT) AS bpe_per_token_bp
+        FROM corpus JOIN segmap USING (word)
+        GROUP BY doc_id
+    """
+
+
+def pack_sequences_bpe_oracle(
+    k: int = BPE_MERGES, budget: "int | None" = None
+) -> str:
+    """Composition twin: per-doc BPE token counts feeding the exact
+    concat-then-split packing SQL of ``pipeline_ops.pack_sequences_oracle``
+    (same window, same integer ``//`` and ``%``)."""
+    from responsive_pub_spark.operators.pipeline_ops import PACK_BUDGET_TOKENS
+
+    b = int(budget if budget is not None else PACK_BUDGET_TOKENS)
+    ctes, _ = _oracle_ctes(k, carry_word=True)
+    return f"""{ctes},
+        {_segmap_cte(k)},
+        corpus AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> '')) AS word
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, lang, CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+            FROM corpus JOIN segmap USING (word)
+            GROUP BY doc_id, lang
+        ),
+        cum AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST((cum_tokens - n_tokens) // {b} AS BIGINT) AS seq_id,
+               CAST((cum_tokens - n_tokens) % {b} AS BIGINT) AS seq_offset
+        FROM cum
     """

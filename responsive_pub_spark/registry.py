@@ -2641,22 +2641,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- the r5 tail inventory moves INSIDE the window (documented r4
     # --- rotation): the analytics/sketch/dedup/bpe rows that first-gate
     # --- this round ---
-    "trend_ols": QuerySpec(
-        lambda spark, sf_dir: timeseries.trend_ols(
-            _t(spark, sf_dir, "events")
-        ),
-        timeseries.trend_ols_oracle(),
-        doc="per-key OLS value trend from integer sums — one integer "
-        "division per key; first-gates r5",
-    ),
-    "cohort_retention": QuerySpec(
-        lambda spark, sf_dir: timeseries.cohort_retention(
-            _t(spark, sf_dir, "events")
-        ),
-        timeseries.cohort_retention_oracle(),
-        doc="signup-week cohort retention matrix in integer basis "
-        "points; first-gates r5",
-    ),
+    # (trend_ols, cohort_retention, markov_transitions — green r5-r7 —
+    # rotate past 50 in r8; the analytics family keeps dq_audit_events,
+    # ab_test_zscore, group_variance, skew_report, outlier_report
+    # in-window)
     "dq_audit_events": QuerySpec(
         lambda spark, sf_dir: timeseries.dq_audit(
             _t(spark, sf_dir, "events")
@@ -2664,14 +2652,6 @@ REGISTRY: dict[str, QuerySpec] = {
         timeseries.dq_audit_oracle(),
         doc="column-level data-quality audit (nulls/distincts/fixed-"
         "point min-max) in ONE scan; first-gates r5",
-    ),
-    "markov_transitions": QuerySpec(
-        lambda spark, sf_dir: timeseries.markov_transitions(
-            _t(spark, sf_dir, "events")
-        ),
-        timeseries.markov_transitions_oracle(),
-        doc="first-order event-type transition matrix (counts + integer "
-        "bp probabilities) from one lag-window pass; first-gates r5",
     ),
     "heavy_hitters": QuerySpec(
         q_heavy_hitters,
@@ -2717,11 +2697,27 @@ REGISTRY: dict[str, QuerySpec] = {
         "keeper (rank-1 WindowGroupLimit per cluster), not the lowest "
         "id; first-gates r5",
     ),
-    "bpe_vocab": QuerySpec(
-        lambda spark, sf_dir: bpe.bpe_vocab(_t(spark, sf_dir, "documents")),
-        bpe.bpe_vocab_oracle(),
-        doc="learned BPE segmentation applied: corpus symbol inventory; "
-        "first-gates r5 (bpe_merges gates the mechanism since r4)",
+    # (bpe_vocab — green r5-r7 — rotates past 50 in r8; the BPE family
+    # is gated in-window by the two NEW encode-pass rows below, and
+    # bpe_merges/bpe_vocab stay oracle-checked in the full pytest sweep)
+    # --- NEW in r8 (r7 VERDICT task 1): the BPE ENCODE/APPLY pass — the
+    # --- engine can now TOKENIZE with the tokenizer it learns ---
+    "bpe_encode": QuerySpec(
+        lambda spark, sf_dir: bpe.bpe_encode(_t(spark, sf_dir, "documents")),
+        bpe.bpe_encode_oracle(),
+        doc="BPE encode/apply: per-doc REAL-BPE token counts via the "
+        "broadcast vocab-sized segmentation map (one corpus scan, no "
+        "corpus-sized shuffle); oracle = carried-word unrolled-merge "
+        "DuckDB segmentation; NEW gate r8",
+    ),
+    "pack_bpe_budget": QuerySpec(
+        lambda spark, sf_dir: bpe.pack_sequences_bpe(
+            _t(spark, sf_dir, "documents")
+        ),
+        bpe.pack_sequences_bpe_oracle(),
+        doc="sequence packing budgeted on LEARNED-BPE token counts — the "
+        "encode pass composed with pack_sequences' concat-then-split "
+        "integer packing; NEW gate r8",
     ),
     # --- new in r4 (driver rows required, r3 VERDICT tasks 5-6): the
     # --- streaming FK-join lane, Repartitioned co-location, and
@@ -2917,6 +2913,40 @@ REGISTRY: dict[str, QuerySpec] = {
     # text_tfidf_top).  async_enrich and multimodal_decode_features stay
     # — sole rows of their families.
     # ------------------------------------------------------------------
+    # --- r8 rotation OUT (multi-round green r5-r7; families keep
+    # --- in-window coverage — analytics via dq_audit_events/
+    # --- ab_test_zscore/group_variance/skew_report/outlier_report, BPE
+    # --- via the NEW bpe_encode/pack_bpe_budget gate rows) ---
+    "trend_ols": QuerySpec(
+        lambda spark, sf_dir: timeseries.trend_ols(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.trend_ols_oracle(),
+        doc="per-key OLS value trend from integer sums — one integer "
+        "division per key; first-gated r5",
+    ),
+    "cohort_retention": QuerySpec(
+        lambda spark, sf_dir: timeseries.cohort_retention(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.cohort_retention_oracle(),
+        doc="signup-week cohort retention matrix in integer basis "
+        "points; first-gated r5",
+    ),
+    "markov_transitions": QuerySpec(
+        lambda spark, sf_dir: timeseries.markov_transitions(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.markov_transitions_oracle(),
+        doc="first-order event-type transition matrix (counts + integer "
+        "bp probabilities) from one lag-window pass; first-gated r5",
+    ),
+    "bpe_vocab": QuerySpec(
+        lambda spark, sf_dir: bpe.bpe_vocab(_t(spark, sf_dir, "documents")),
+        bpe.bpe_vocab_oracle(),
+        doc="learned BPE segmentation applied: corpus symbol inventory; "
+        "first-gated r5 (bpe_merges gates the mechanism since r4)",
+    ),
     # --- r7 rotation OUT (multi-round green r4-r6; identical oracles
     # --- remain gated by the full-registry pytest sweep) ---
     "sketch_quantile_hist": QuerySpec(
