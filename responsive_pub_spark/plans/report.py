@@ -86,12 +86,6 @@ SCALE_NOTES = {
         "tests/test_fk_join.py); n_salts>1 splits each FK's subscribers "
         "across salt sub-partitions with an emission-identical changelog."
     ),
-    "papi_running_count": (
-        "per-record Python path (the deliberate slow lane; PAPI overhead "
-        "probe, not a bench headline). Parallelism pinned by explicit "
-        "repartition(n, key): AQE's byte-based coalescing would serialize "
-        "a CPU-bound stage through one worker."
-    ),
     "dedup_ngram_jaccard": (
         "k=8 permuted min-hash bands (posexplode -> equi-join on (perm, "
         "min_h) -> distinct pairs -> verify with exact Jaccard over the "
@@ -99,15 +93,6 @@ SCALE_NOTES = {
         "threshold is (1-J)^8 <= 0.07% (referee: tests/test_ngram_recall)."
         " At 100 TB the shingle-set verify join is the payload cost — "
         "candidates carry only (doc_id, perm, min_h) until verification."
-    ),
-    "dedup_embedding": (
-        "banded RHP blocking (16 bands x 4 sign bits, per-plane dot "
-        "columns so every expression stays inside codegen), candidates "
-        "verified with the unrolled dot + precomputed squared norms — one "
-        "fold per ROW, 64 codegen mul-adds per PAIR, no cross join. "
-        "Correctness-only in the bench sense: the fixture's wide 0.4 "
-        "threshold makes ~64% of all pairs true candidates; at production "
-        "near-dup thresholds (>=0.85) the same plan is selective."
     ),
     "multimodal_decode_features": (
         "payload pruned to (doc_id, payload) BEFORE the Arrow boundary; batch "
@@ -129,6 +114,21 @@ SCALE_NOTES = {
 #: non-bench operators worth a standing plan audit (LLM-pipeline +
 #: analytics additions); same columns as the bench table
 EXTENDED_NOTES = {
+    "papi_running_count": (
+        "per-record Python path (the deliberate slow lane; PAPI overhead "
+        "probe, not a bench headline). Parallelism pinned by explicit "
+        "repartition(n, key): AQE's byte-based coalescing would serialize "
+        "a CPU-bound stage through one worker."
+    ),
+    "dedup_embedding": (
+        "banded RHP blocking (16 bands x 4 sign bits, per-plane dot "
+        "columns so every expression stays inside codegen), candidates "
+        "verified with the unrolled dot + precomputed squared norms — one "
+        "fold per ROW, 64 codegen mul-adds per PAIR, no cross join. "
+        "Correctness-only in the bench sense: the fixture's wide 0.4 "
+        "threshold makes ~64% of all pairs true candidates; at production "
+        "near-dup thresholds (>=0.85) the same plan is selective."
+    ),
     "sim_search_pq": (
         "PQ: corpus encoded once to M=8 codes/vector (argmin-L2 vs "
         "broadcast codebooks), ADC scoring = code table x broadcast LUT "
@@ -570,6 +570,29 @@ EXTENDED_NOTES = {
         "postings as a left-semi (AQE broadcasts while small), per-doc "
         "re-agg on doc_id. Posting-list shape throughout — no cross "
         "join, traffic is (doc_id, hash64) pairs."
+    ),
+    "papi_window_key_range": (
+        "window-store fetch(keyFrom, keyTo, tFrom, tTo): the gated "
+        "batch twin filters the WindowedKey layout on BOTH bounds "
+        "before the single keyed shuffle — key + window-start "
+        "predicates are codegen comparisons on scan (pushed), so the "
+        "range scan touches only the requested slice, mirroring the "
+        "store's ordered-segment seek instead of a full-store sweep."
+    ),
+    "bpe_encode": (
+        "the encode/apply pass: the learned merge table rewrites the "
+        "VOCAB-SIZED unique-word table (same bounded loop as "
+        "bpe_merges), then the (word -> n_bpe) segmentation map "
+        "broadcast-joins back onto ONE corpus scan — per-doc real-BPE "
+        "token counts with no corpus-sized shuffle; at 100 TB the "
+        "corpus-side cost is the explode + broadcast probe only."
+    ),
+    "pack_bpe_budget": (
+        "sequence packing budgeted on LEARNED-BPE tokens: bpe_encode's "
+        "broadcast segmentation join feeds the same single ordered "
+        "window (cumsum DIV budget) as pack_sequences — swapping the "
+        "whitespace token surrogate for real tokenizer counts adds "
+        "ZERO extra shuffles over the whitespace form."
     ),
 }
 
