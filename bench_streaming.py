@@ -223,6 +223,66 @@ def main() -> None:
         }
     except Exception as e:  # noqa: BLE001
         results["regroup_retract"] = {"error": f"{type(e).__name__}: {e}"}
+    # r8: the streaming NEAR-dup dedup lane (streaming/dedup_stream.py, r7
+    # VERDICT task 2) — three chained checkpointed queries (signatures ->
+    # bucket state -> verified drops) over the documents fixture. Soak
+    # mode appends SOAK exact-dup replicas (shifted doc_ids, same texts):
+    # a dup-heavy worst case where every bucket's member list grows by one
+    # per replica, so the state-growth columns mean something.
+    try:
+        from responsive_pub_spark.streaming.dedup_stream import (
+            SIG_SCHEMA,
+            NearDupStreaming,
+        )
+
+        nd_dir = os.path.join(work, "neardup")
+        nd = NearDupStreaming(spark, nd_dir)
+        docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        replicas = max(SOAK, 1)
+        for i in range(replicas):
+            (
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
+                    "text",
+                    (F.col("doc_id") + F.lit(i * 10**9)).cast("double").alias("ts"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(nd.docs_dir)
+            )
+        t0 = time.perf_counter()
+        nd.advance()
+        wall = time.perf_counter() - t0
+        # state growth, measured from the signature topic the bucket state
+        # is derived from: members per (band_id, band_hash) bucket
+        from responsive_pub_spark.operators import dedup as _dedup
+
+        sig = spark.read.schema(SIG_SCHEMA).parquet(nd.sig_dir)
+        bucket_sizes = (
+            sig.select(
+                F.posexplode(_dedup._band_array()).alias("band_id", "band_hash")
+            )
+            .groupBy("band_id", "band_hash")
+            .count()
+        )
+        stats = bucket_sizes.agg(
+            F.count("*").alias("buckets"),
+            F.max("count").alias("max_members"),
+            F.expr("percentile_approx(count, 0.99)").alias("p99_members"),
+        ).collect()[0]
+        results["dedup_neardup_stream"] = {
+            "wall_sec": round(wall, 3),
+            "rows_in": n_docs * replicas,
+            "rec_per_sec": int(n_docs * replicas / wall),
+            "drops": nd.verdicts().filter("is_duplicate").count(),
+            "state_buckets": stats.buckets,
+            "state_max_members": stats.max_members,
+            "state_p99_members": int(stats.p99_members),
+            "checkpoint_bytes": _dir_bytes(nd.ck_cand),
+        }
+    except Exception as e:  # noqa: BLE001
+        results["dedup_neardup_stream"] = {"error": f"{type(e).__name__}: {e}"}
     # the r4 map-state lane (per-entry delta writes) needs the RocksDB
     # provider and a protobuf runtime; record it when available, never
     # fail the whole bench over it

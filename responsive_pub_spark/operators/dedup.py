@@ -122,17 +122,62 @@ def fact_dedup_oracle() -> str:
 # MinHash + LSH near-dup pairs
 # ---------------------------------------------------------------------------
 
-def _sig_df(docs: DataFrame) -> DataFrame:
-    """doc_id, shingle-hash set, minhash signature — all per-row JVM exprs."""
+def _sig_df(docs: DataFrame, extra: tuple = ()) -> DataFrame:
+    """doc_id, shingle-hash set, minhash signature — all per-row JVM exprs.
+
+    ``extra`` carries additional input columns (e.g. the event-time column
+    of the streaming lane) through the projection untouched."""
     hs = T.shingle_hashes_sql("text")
-    out = docs.select(F.col("doc_id"), F.expr(hs).alias("hs"))
+    out = docs.select(F.col("doc_id"), F.expr(hs).alias("hs"), *extra)
     sig_cols = [
         F.expr(
             f"array_min(transform(hs, h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P}))"
         ).alias(f"mh{j}")
         for j in range(NUM_HASHES)
     ]
-    return out.select("doc_id", "hs", *sig_cols)
+    return out.select("doc_id", "hs", *sig_cols, *extra)
+
+
+def _band_array() -> "F.Column":
+    """LSH band-hash array over the mh0..mhN signature columns — the ONE
+    definition of the banding scheme, shared by the batch pair join and the
+    streaming bucket-state lane (a duplicated formula is a silent-drift
+    hazard; see r7 ADVICE on shingle_hashes_all_sql)."""
+    return F.array(
+        *[
+            F.expr(band_hash_sql([f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]))
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    the (doc_id, hs) shingle-set table. |A∪B| = |A|+|B|-|A∩B| (hs is
+    array_distinct'd at build): one array_intersect per pair instead of
+    intersect + a materialized union array. Works identically as a
+    batch-batch or stream-static join (the streaming dedup lane passes a
+    candidates stream against the static signature topic)."""
+    return (
+        cand.join(
+            sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"),
+            "doc_a",
+        )
+        .join(
+            sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("inter")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD) -> DataFrame:
@@ -148,14 +193,8 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD)
     # the warm cache, varying inputs stay bounded at POOL_MAX entries, no
     # CacheManager leak across a long-lived session.
     sig = scoped_persist(_sig_df(docs))
-    band_arr = F.array(
-        *[
-            F.expr(band_hash_sql([f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]))
-            for b in range(LSH_BANDS)
-        ]
-    )
     allbands = sig.select(
-        "doc_id", F.posexplode(band_arr).alias("band_id", "band_hash")
+        "doc_id", F.posexplode(_band_array()).alias("band_id", "band_hash")
     )
     cand = (
         allbands.alias("a")
@@ -169,28 +208,13 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD)
         .distinct()
     )
     sets = sig.select("doc_id", "hs")
-    # |A∪B| = |A|+|B|-|A∩B| (hs is array_distinct'd at build): one
-    # array_intersect per pair instead of intersect + a materialized
-    # union array — identical integer inputs to the same pround division
-    verified = (
-        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
-        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-        .withColumn(
-            "jaccard",
-            pround(
-                F.col("inter")
-                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return verified
+    return _verify_pairs(cand, sets, threshold).select("doc_a", "doc_b", "jaccard")
 
 
-def minhash_pairs_oracle(threshold: float = MINHASH_JACCARD_THRESHOLD) -> str:
+def _minhash_pairs_ctes(threshold: float) -> str:
+    """The shared DuckDB CTE chain ending in ``pairs`` (verified near-dup
+    pairs, doc_a < doc_b) — one definition for minhash_pairs_oracle and
+    the greedy first-arrival twin so the two can never drift."""
     hs = T.shingle_hashes_duck("text")
     sig_items = ", ".join(
         f"list_min(list_transform(hs, h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P})) AS mh{j}"
@@ -202,8 +226,12 @@ def minhash_pairs_oracle(threshold: float = MINHASH_JACCARD_THRESHOLD) -> str:
         f"FROM sig"
         for b in range(LSH_BANDS)
     )
+    jac = (
+        "(floor((CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)"
+        " / len(list_distinct(list_cat(ha.hs, hb.hs)))) * 1000000 + 0.5) / 1000000)"
+    )
     return f"""
-        WITH hsets AS (
+        hsets AS (
             SELECT doc_id, {hs} AS hs FROM documents
         ), sig AS (
             SELECT doc_id, hs, {sig_items} FROM hsets
@@ -214,15 +242,65 @@ def minhash_pairs_oracle(threshold: float = MINHASH_JACCARD_THRESHOLD) -> str:
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
+        ), pairs AS (
+            SELECT doc_a, doc_b, {jac} AS jaccard
+            FROM cand
+            JOIN hsets ha ON ha.doc_id = cand.doc_a
+            JOIN hsets hb ON hb.doc_id = cand.doc_b
+            WHERE {jac} >= {threshold}
+        )"""
+
+
+def minhash_pairs_oracle(threshold: float = MINHASH_JACCARD_THRESHOLD) -> str:
+    return f"""
+        WITH {_minhash_pairs_ctes(threshold)}
+        SELECT doc_a, doc_b, jaccard FROM pairs
+    """
+
+
+def greedy_keep(
+    docs: DataFrame, threshold: float = MINHASH_JACCARD_THRESHOLD
+) -> DataFrame:
+    """First-arrival GREEDY near-dup verdicts — the batch twin of the
+    streaming lane (streaming/dedup_stream.NearDupStreaming).
+
+    Greedy semantics: replaying docs in doc_id order, a doc is dropped iff
+    it is a verified near-dup (band collision + exact Jaccard >= threshold)
+    of ANY earlier doc — kept or dropped. That is exactly "doc appears as
+    doc_b of some verified pair", since pairs are oriented doc_a < doc_b.
+
+    This deliberately differs from cluster_pairs (connected components):
+    CC drops on PATHS to a smaller id, greedy drops on DIRECT edges only —
+    the order-dependent semantics a single-pass streaming deduper (the
+    reference's FACT-store use case, api/stores/ResponsiveStores.java:79-96)
+    can actually guarantee. On corpora whose dup clusters are cliques (the
+    fixture's planted near-dups) the two keep-sets coincide.
+
+    Scale: one extra left-semi-shaped join over minhash_pairs' plan; the
+    dropped-id set is tiny vs the corpus, so AQE broadcasts it.
+    """
+    pairs = minhash_pairs(docs, threshold)
+    dropped = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_duplicate", F.lit(True))
+    )
+    return (
+        docs.select("doc_id")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
         )
-        SELECT doc_a, doc_b,
-               (floor((CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-                     / len(list_distinct(list_cat(ha.hs, hb.hs)))) * 1000000 + 0.5) / 1000000) AS jaccard
-        FROM cand
-        JOIN hsets ha ON ha.doc_id = cand.doc_a
-        JOIN hsets hb ON hb.doc_id = cand.doc_b
-        WHERE (floor((CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-                    / len(list_distinct(list_cat(ha.hs, hb.hs)))) * 1000000 + 0.5) / 1000000) >= {threshold}
+    )
+
+
+def greedy_keep_oracle(threshold: float = MINHASH_JACCARD_THRESHOLD) -> str:
+    return f"""
+        WITH {_minhash_pairs_ctes(threshold)}
+        SELECT d.doc_id,
+               (d.doc_id IN (SELECT doc_b FROM pairs)) AS is_duplicate
+        FROM documents d
     """
 
 

@@ -2697,6 +2697,24 @@ REGISTRY: dict[str, QuerySpec] = {
         "keeper (rank-1 WindowGroupLimit per cluster), not the lowest "
         "id; first-gates r5",
     ),
+    # --- NEW in r8 (r7 VERDICT task 2): greedy first-arrival near-dup
+    # --- verdicts — the batch twin of the STREAMING near-dup lane
+    # --- (streaming/dedup_stream.NearDupStreaming; replay parity +
+    # --- checkpointed-restart + TTL tests in tests/test_dedup_stream.py).
+    # --- OUT past 50: cohort_retention (green r5-r7; analytics family
+    # --- keeps dq_audit_events / ab_test_zscore / group_variance /
+    # --- trend_ols in-window) ---
+    "dedup_stream_greedy": QuerySpec(
+        lambda spark, sf_dir: dedup.greedy_keep(
+            _t(spark, sf_dir, "documents")
+        ),
+        dedup.greedy_keep_oracle(),
+        doc="greedy first-arrival near-dup keep/drop verdicts (drop on "
+        "DIRECT verified edge to any earlier doc) — the semantics a "
+        "single-pass streaming deduper guarantees; batch twin of the "
+        "FACT-store streaming lane (ResponsiveStores.java:79-96); "
+        "NEW gate r8",
+    ),
     # (bpe_vocab — green r5-r7 — rotates past 50 in r8; the BPE family
     # is gated in-window by the two NEW encode-pass rows below, and
     # bpe_merges/bpe_vocab stay oracle-checked in the full pytest sweep)

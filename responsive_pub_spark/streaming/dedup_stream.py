@@ -1,0 +1,218 @@
+"""Streaming NEAR-duplicate dedup on banded-MinHash bucket state.
+
+The reference names deduplication as the FACT store's first use case
+(api/stores/ResponsiveStores.java:79-96, putIfAbsent first-write-wins at
+bootstrap/ChangelogMigrationTool.java:74-78). ``KStream.deduplicate``
+(api.py) covers the exact-key form; this lane extends it to near-dup:
+an arriving doc is dropped iff it is a verified near-duplicate (LSH band
+collision + exact Jaccard >= threshold) of ANY earlier doc — the greedy
+first-arrival semantics whose batch twin is ``operators.dedup.greedy_keep``
+(replay in doc_id order is asserted bit-equal in
+tests/test_dedup_stream.py, including across checkpointed restarts).
+
+Three checkpointed queries per ``advance()`` — the FkJoinStreaming /
+RegroupStreaming internal-topic wiring:
+
+  query S: docs topic -> per-row signature projection (doc_id, hs,
+           mh0..mhN, ts; ``dedup._sig_df`` — the SAME JVM expressions as
+           the batch operator) -> signatures topic. This IS the
+           "checkpointed signature table" of the batch operator's 100 TB
+           posture: written once, joined many times.
+  query C: signatures -> posexplode(``dedup._band_array()``) -> per-
+           (band_id, band_hash) BUCKET STATE holding member (doc_id, ts)
+           entries ONLY — ids, not shingle sets, so state is ~16 bytes per
+           member per band regardless of document size — emitting a
+           candidate (doc_a, doc_b) pair per (earlier member, new doc).
+  query V: candidates (stream) JOIN the STATIC signatures topic ->
+           exact-Jaccard verify via the shared ``dedup._verify_pairs``
+           expression -> drops changelog (doc_a, doc_b, jaccard, ts).
+
+Verdicts compact batch-side (``verdicts()``): a doc is a duplicate iff it
+appears as doc_b of any verified drop. Dropped docs still enter bucket
+state — a near-dup of a dropped doc is transitively a near-dup of
+something kept, mirroring how batch LSH candidate generation sees ALL
+docs, not only survivors.
+
+Retention (watermark/TTL eviction): members with
+``ts < bucket_max_ts - retention`` are pruned whenever their bucket is
+touched, and a bucket whose members ALL aged out removes its state entry
+entirely — so a long-running stream's state is bounded by the dup
+horizon, not the corpus. A bucket that is never touched again keeps its
+last entry; on a continuous (non-availableNow) runner, pair this with
+``GroupStateTimeout.EventTimeTimeout`` + a watermark to reap those too
+(processing-time timeouts stall availableNow draining — the
+MultiBatchExecutor waits out pending timers — so this harness prunes on
+access only).
+
+Scale posture: the bucket shuffle is on (band_id, band_hash) — the same
+key the batch band join shuffles on; candidate traffic is (id, id) pairs;
+the verify join ships shingle sets for CANDIDATES only. No stage ever
+holds more than one band row per doc per band in flight.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.operators import dedup
+
+DOCS_SCHEMA = "doc_id BIGINT, text STRING, ts DOUBLE"
+SIG_SCHEMA = (
+    "doc_id BIGINT, hs ARRAY<BIGINT>, "
+    + ", ".join(f"mh{j} BIGINT" for j in range(dedup.NUM_HASHES))
+    + ", ts DOUBLE"
+)
+CAND_SCHEMA = "doc_a BIGINT, doc_b BIGINT, ts DOUBLE"
+DROPS_SCHEMA = "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, ts DOUBLE"
+
+
+def _bucket_stage(bands: DataFrame, retention: float | None) -> DataFrame:
+    """Per-(band_id, band_hash) first-arrival bucket state -> candidate
+    pairs. State: pickled (members, max_ts) where members is a list of
+    (doc_id, ts) in arrival order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def run(key_vals, pdf_iter, state_h):
+        members: list = []
+        max_ts = float("-inf")
+        if state_h.exists and state_h.get[0]:
+            members, max_ts = pickle.loads(state_h.get[0])
+        out_a, out_b, out_ts = [], [], []
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "doc_id"], kind="mergesort")
+            for doc_id, ts in zip(
+                pdf["doc_id"].astype("int64"), pdf["ts"].astype("float64")
+            ):
+                doc_id, ts = int(doc_id), float(ts)
+                max_ts = max(max_ts, ts)
+                if retention is not None:
+                    horizon = max_ts - retention
+                    members = [m for m in members if m[1] >= horizon]
+                for m_id, _m_ts in members:
+                    out_a.append(m_id)
+                    out_b.append(doc_id)
+                    out_ts.append(ts)
+                members.append((doc_id, ts))
+        if retention is not None and not members:
+            # every member aged out: evict the whole bucket instead of
+            # keeping an empty tombstone
+            state_h.remove()
+        else:
+            state_h.update(
+                (pickle.dumps((members, max_ts), protocol=pickle.HIGHEST_PROTOCOL),)
+            )
+        yield pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "ts": pd.Series(out_ts, dtype="float64"),
+            }
+        )
+
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        run, CAND_SCHEMA, "blob BINARY", "append", GroupStateTimeout.NoTimeout
+    )
+
+
+class NearDupStreaming:
+    """Checkpointed streaming near-dup dedup lane (see module docstring).
+
+    ``advance()`` drains all three queries with availableNow — every
+    advance is a cold start from the checkpoints, so the restart path is
+    exercised on each call. ``retention`` (event-time seconds) bounds how
+    far back a doc can be deduplicated against; ``None`` keeps the full
+    horizon (the parity-with-batch configuration).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        *,
+        threshold: float = dedup.MINHASH_JACCARD_THRESHOLD,
+        retention: float | None = None,
+    ):
+        self.spark = spark
+        self.threshold = threshold
+        self.retention = retention
+        self.docs_dir = os.path.join(workdir, "docs")
+        self.sig_dir = os.path.join(workdir, "signatures")
+        self.cand_dir = os.path.join(workdir, "candidates")
+        self.drops_dir = os.path.join(workdir, "drops")
+        self.ck_sig = os.path.join(workdir, "ck-sig")
+        self.ck_cand = os.path.join(workdir, "ck-cand")
+        self.ck_drop = os.path.join(workdir, "ck-drop")
+        for d in (self.docs_dir, self.sig_dir, self.cand_dir, self.drops_dir):
+            os.makedirs(d, exist_ok=True)
+
+    def _run(self, out_df: DataFrame, path: str, ckpt: str) -> None:
+        q = (
+            out_df.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def advance(self) -> None:
+        # query S: docs -> signature topic (write-once signature table)
+        docs = self.spark.readStream.schema(DOCS_SCHEMA).parquet(self.docs_dir)
+        self._run(dedup._sig_df(docs, extra=("ts",)), self.sig_dir, self.ck_sig)
+
+        # query C: signatures -> band explode -> bucket state -> candidates
+        sig = self.spark.readStream.schema(SIG_SCHEMA).parquet(self.sig_dir)
+        bands = sig.select(
+            "doc_id",
+            "ts",
+            F.posexplode(dedup._band_array()).alias("band_id", "band_hash"),
+        )
+        self._run(
+            _bucket_stage(bands, self.retention), self.cand_dir, self.ck_cand
+        )
+
+        # query V: candidates (stream) x static signature topic -> verified
+        # drops, via the SAME exact-Jaccard expression as the batch operator
+        cand = self.spark.readStream.schema(CAND_SCHEMA).parquet(self.cand_dir)
+        sets = (
+            self.spark.read.schema(SIG_SCHEMA)
+            .parquet(self.sig_dir)
+            .select("doc_id", "hs")
+        )
+        drops = dedup._verify_pairs(cand, sets, self.threshold).select(
+            "doc_a", "doc_b", "jaccard", "ts"
+        )
+        self._run(drops, self.drops_dir, self.ck_drop)
+
+    def drops(self) -> DataFrame:
+        """The verified-drop changelog: doc_b is a near-dup of earlier
+        doc_a. A pair colliding in several bands appears once per band —
+        it is a changelog; verdicts() compacts."""
+        return self.spark.read.schema(DROPS_SCHEMA).parquet(self.drops_dir)
+
+    def verdicts(self) -> DataFrame:
+        """Compacted (doc_id, is_duplicate) over every ingested doc —
+        the streaming equivalent of ``operators.dedup.greedy_keep``."""
+        ingested = (
+            self.spark.read.schema(DOCS_SCHEMA)
+            .parquet(self.docs_dir)
+            .select("doc_id")
+        )
+        dropped = (
+            self.drops()
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("is_duplicate", F.lit(True))
+        )
+        return ingested.join(dropped, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
+        )

@@ -1,0 +1,135 @@
+"""Streaming near-dup dedup: replay parity with the batch greedy twin
+across checkpointed restarts, transitive chaining through dropped docs,
+and retention (watermark/TTL) eviction.
+
+The reference positions the FACT store for streaming dedup
+(api/stores/ResponsiveStores.java:79-96); evidence pattern mirrors
+test_fk_join_streaming.py — a fresh lane object per chunk of input, each
+advance a cold start from the checkpoints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.operators import dedup
+from responsive_pub_spark.sources.readers import read_table
+from responsive_pub_spark.streaming.dedup_stream import (
+    DOCS_SCHEMA,
+    NearDupStreaming,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _feed(spark, lane, rows):
+    spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(lane.docs_dir)
+
+
+def test_streaming_replay_matches_batch_greedy_across_restarts(spark, tmp_path):
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = [
+        (int(r.doc_id), r.text, float(r.doc_id))
+        for r in docs.orderBy("doc_id").collect()
+    ]
+    wd = str(tmp_path / "neardup")
+
+    # three chunks, a FRESH lane object per chunk: state and topic offsets
+    # must survive the object (and query) lifecycle via the checkpoints
+    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+    lo = 0
+    for hi in cuts:
+        lane = NearDupStreaming(spark, wd)
+        _feed(spark, lane, rows[lo:hi])
+        lane.advance()
+        lo = hi
+
+    lane = NearDupStreaming(spark, wd)
+    got = {
+        (r.doc_id, r.is_duplicate) for r in lane.verdicts().collect()
+    }
+    want = {
+        (r.doc_id, r.is_duplicate)
+        for r in dedup.greedy_keep(docs).collect()
+    }
+    assert got == want
+    # sanity: the fixture plants near-dups — the test must not pass vacuously
+    assert sum(1 for _, d in want if d) >= 5
+
+    # drop changelog only names verified pairs: every drop's jaccard
+    # clears the threshold and doc_a precedes doc_b in arrival order
+    for r in lane.drops().collect():
+        assert r.jaccard >= dedup.MINHASH_JACCARD_THRESHOLD
+        assert r.doc_a < r.doc_b
+
+
+def _chain_corpus():
+    """A -> B -> C chain: B near-dups A, C near-dups B, but C vs A falls
+    below the threshold — distinguishes direct-edge from path semantics."""
+    # words found by deterministic search against the pinned hash
+    # constants: jac(A,B)=jac(B,C)=0.854 >= 0.8 with band collisions,
+    # jac(A,C)=0.727 < 0.8 with NO shared band — the premise assert
+    # below re-verifies via the batch operator
+    base = [f"tok{i:02d}" for i in range(40)]
+    a = list(base)
+    b = list(base)
+    b[5] = "zz000"
+    c = list(b)
+    c[20] = "beta070"
+    return [
+        (1, " ".join(a), 1.0),
+        (2, " ".join(b), 2.0),
+        (3, " ".join(c), 3.0),
+    ]
+
+
+def test_dropped_docs_still_dedup_their_own_near_dups(spark, tmp_path):
+    rows = _chain_corpus()
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA).select("doc_id", "text")
+
+    # premise (batch): exactly the chain edges verify — no (1, 3) pair
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dedup.minhash_pairs(docs).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}, f"fixture premise broke: {pairs}"
+
+    lane = NearDupStreaming(spark, str(tmp_path / "chain"))
+    _feed(spark, lane, rows)
+    lane.advance()
+    got = {r.doc_id: r.is_duplicate for r in lane.verdicts().collect()}
+    # doc 2 drops against doc 1; doc 3 drops against the DROPPED doc 2 —
+    # bucket membership is independent of verdicts, exactly like batch
+    # candidate generation
+    assert got == {1: False, 2: True, 3: True}
+
+
+def test_retention_evicts_members_past_the_dup_horizon(spark, tmp_path):
+    base = " ".join(f"w{i}" for i in range(25))
+    rows1 = [(10, base, 0.0)]
+    rows2 = [(20, base, 1000.0)]   # exact dup but 1000s later
+    rows3 = [(30, base, 1004.0)]   # within horizon of doc 20
+    lane = NearDupStreaming(spark, str(tmp_path / "ttl"), retention=10.0)
+    _feed(spark, lane, rows1)
+    lane.advance()
+    _feed(spark, lane, rows2)
+    lane.advance()
+    _feed(spark, lane, rows3)
+    lane.advance()
+    got = {r.doc_id: r.is_duplicate for r in lane.verdicts().collect()}
+    # doc 20 arrives past the horizon -> doc 10 evicted, 20 KEPT;
+    # doc 30 arrives 4s after 20 -> dropped against 20
+    assert got == {10: False, 20: False, 30: True}
+    drops = {(r.doc_a, r.doc_b) for r in lane.drops().collect()}
+    assert drops == {(20, 30)}
+
+
+def test_unbounded_retention_keeps_the_full_horizon(spark, tmp_path):
+    base = " ".join(f"w{i}" for i in range(25))
+    lane = NearDupStreaming(spark, str(tmp_path / "nottl"))
+    _feed(spark, lane, [(10, base, 0.0)])
+    lane.advance()
+    _feed(spark, lane, [(20, base, 1000.0)])
+    lane.advance()
+    got = {r.doc_id: r.is_duplicate for r in lane.verdicts().collect()}
+    assert got == {10: False, 20: True}
