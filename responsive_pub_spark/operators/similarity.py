@@ -266,6 +266,203 @@ def ivf_topk_oracle(
     """
 
 
+def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Inverted-list assignment: (vec_id, embedding, cid, ccos) via ONE
+    broadcast-join argmax pass over the corpus — the write path of the
+    incremental index (streaming/ann_stream.IvfIncremental). ``ccos`` (the
+    pround'd cosine to the winning centroid) rides along so the residual
+    (1 - ccos) is available for drift accounting without a re-score.
+
+    Identical expressions to ``ivf_topk``'s inline assignment, so a list
+    table built incrementally batch-by-batch equals the batch-built one
+    row-for-row (asserted in tests/test_ann_incremental.py)."""
+    scored_c = emb.join(F.broadcast(cent)).withColumn(
+        "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+    )
+    return (
+        scored_c.groupBy("vec_id", "embedding")
+        .agg(
+            F.max_by(
+                F.struct("cid", "ccos"), F.struct(F.col("ccos"), -F.col("cid"))
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("best.cid").alias("cid"),
+            F.col("best.ccos").alias("ccos"),
+        )
+    )
+
+
+def ivf_query_lists(
+    assign: DataFrame,
+    cent: DataFrame,
+    k: int = IVF_K,
+    n_queries: int = IVF_QUERY_VECS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF query over a PREBUILT inverted-list table — the read path of the
+    incremental index. ``assign`` is (vec_id, embedding, cid, ...) as built
+    by :func:`ivf_assign` (possibly accumulated across many streaming
+    micro-batches); probes score query vectors against the broadcast
+    centroids, candidates come from the probe equi-join on cid. Same
+    output contract as ``ivf_topk`` (query_id, neighbor_id, rank, cosine);
+    with the same centroids and corpus the two are row-identical."""
+    queries = assign.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qscored = queries.join(F.broadcast(cent)).withColumn(
+        "ccos", pround(F.expr(cosine_sql("qv", "centv")), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qscored.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probes)
+        .select("query_id", "qv", "cid")
+    )
+    cand = assign.join(F.broadcast(probes), "cid").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.withColumn(
+        "cosine", pround(F.expr(cosine_sql("qv", "embedding")), 6)
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_drift_report(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    retrain_pm: int = 1200,
+) -> DataFrame:
+    """Per-centroid assignment-residual drift — the RETRAIN TRIGGER of the
+    incremental IVF index. A centroid whose newly-ingested vectors sit
+    much farther from it than its early vectors did is covering a shifted
+    distribution; when enough centroids drift, re-run train_centroids.
+
+    Portable integer arithmetic end-to-end: residual basis points
+    ``1e6 - round(ccos * 1e6)`` (ccos is already pround'd to 6, so this is
+    exact), per-centroid mean residuals as floor-divided bigints over the
+    base half (vec_id < max/2 — the "built then" cohort) vs the recent
+    half, and the drift ratio in per-mille. ``retrain`` fires when the
+    recent mean residual exceeds ``retrain_pm``/1000 of the base mean.
+
+    Scale: one broadcast-join assignment pass + one keyed agg on cid +
+    a broadcast 1-row split-point scalar — no shuffle beyond the
+    centroid-count-sized agg."""
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
+    )
+    return drift_from_assign(ivf_assign(emb, cent), retrain_pm=retrain_pm)
+
+
+def drift_from_assign(
+    assign: DataFrame, retrain_pm: int = 1200
+) -> DataFrame:
+    """The drift aggregation over an EXISTING (vec_id, cid, ccos)
+    assignment table — shared by the batch report above and the
+    incremental index's stored inverted lists (streaming/ann_stream),
+    where the assignment was already computed at ingest time."""
+    a = assign.withColumn(
+        "res_bp",
+        (
+            F.lit(1000000)
+            - F.floor(F.col("ccos") * 1000000 + F.lit(0.5)).cast("bigint")
+        ),
+    )
+    split = assign.agg(
+        F.floor(F.max("vec_id") / 2).cast("bigint").alias("split_id")
+    )
+    a = a.join(F.broadcast(split))
+    per_cid = a.groupBy("cid").agg(
+        F.count(F.when(F.col("vec_id") < F.col("split_id"), 1)).alias("n_base"),
+        F.count(F.when(F.col("vec_id") >= F.col("split_id"), 1)).alias("n_recent"),
+        F.sum(
+            F.when(F.col("vec_id") < F.col("split_id"), F.col("res_bp")).otherwise(0)
+        ).alias("sum_base"),
+        F.sum(
+            F.when(F.col("vec_id") >= F.col("split_id"), F.col("res_bp")).otherwise(0)
+        ).alias("sum_recent"),
+    )
+    mean_base = F.when(
+        F.col("n_base") > 0, F.floor(F.col("sum_base") / F.col("n_base"))
+    ).cast("bigint")
+    mean_recent = F.when(
+        F.col("n_recent") > 0, F.floor(F.col("sum_recent") / F.col("n_recent"))
+    ).cast("bigint")
+    out = per_cid.select(
+        "cid",
+        "n_base",
+        "n_recent",
+        mean_base.alias("mean_base_bp"),
+        mean_recent.alias("mean_recent_bp"),
+    ).withColumn(
+        "drift_pm",
+        F.when(
+            (F.col("mean_base_bp") > 0) & F.col("mean_recent_bp").isNotNull(),
+            F.floor(F.col("mean_recent_bp") * 1000 / F.col("mean_base_bp")).cast(
+                "bigint"
+            ),
+        ),
+    )
+    return out.withColumn(
+        "retrain", F.coalesce(F.col("drift_pm") > retrain_pm, F.lit(False))
+    )
+
+
+def ivf_drift_report_oracle(
+    n_centroids: int = IVF_CENTROIDS, retrain_pm: int = 1200
+) -> str:
+    ccos = dround(cosine_duck("e.embedding", "c.embedding"), 6)
+    return f"""
+        WITH scored_c AS (
+            SELECT e.vec_id, c.vec_id AS cid, {ccos} AS ccos
+            FROM embeddings e JOIN embeddings c ON c.vec_id < {n_centroids}
+        ), assign AS (
+            SELECT vec_id, cid,
+                   1000000 - CAST(floor(ccos * 1000000 + 0.5) AS BIGINT) AS res_bp
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM scored_c
+            ) WHERE rn = 1
+        ), split AS (
+            SELECT CAST(floor(max(vec_id) / 2) AS BIGINT) AS split_id
+            FROM embeddings
+        ), per_cid AS (
+            SELECT cid,
+                   count(*) FILTER (vec_id < split_id) AS n_base,
+                   count(*) FILTER (vec_id >= split_id) AS n_recent,
+                   COALESCE(sum(res_bp) FILTER (vec_id < split_id), 0) AS sum_base,
+                   COALESCE(sum(res_bp) FILTER (vec_id >= split_id), 0) AS sum_recent
+            FROM assign CROSS JOIN split
+            GROUP BY cid
+        ), stats AS (
+            SELECT cid, n_base, n_recent,
+                   CASE WHEN n_base > 0
+                        THEN CAST(floor(sum_base / n_base) AS BIGINT) END AS mean_base_bp,
+                   CASE WHEN n_recent > 0
+                        THEN CAST(floor(sum_recent / n_recent) AS BIGINT) END AS mean_recent_bp
+            FROM per_cid
+        )
+        SELECT cid, n_base, n_recent, mean_base_bp, mean_recent_bp,
+               CASE WHEN mean_base_bp > 0 AND mean_recent_bp IS NOT NULL
+                    THEN CAST(floor(mean_recent_bp * 1000 / mean_base_bp) AS BIGINT)
+               END AS drift_pm,
+               COALESCE(
+                   CASE WHEN mean_base_bp > 0 AND mean_recent_bp IS NOT NULL
+                        THEN CAST(floor(mean_recent_bp * 1000 / mean_base_bp) AS BIGINT)
+                             > {retrain_pm}
+                   END, FALSE) AS retrain
+        FROM stats
+    """
+
+
 def _kmeans_cte(n_centroids: int, iters: int) -> str:
     """DuckDB CTE chain unrolling ``train_centroids``: ``iters`` Lloyd
     iterations as SQL, ending in ``cent_{iters}(cid, centv)``. Every float

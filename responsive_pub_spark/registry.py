@@ -2715,6 +2715,23 @@ REGISTRY: dict[str, QuerySpec] = {
         "FACT-store streaming lane (ResponsiveStores.java:79-96); "
         "NEW gate r8",
     ),
+    # --- NEW in r8 (r7 VERDICT task 4): the incremental-ANN retrain
+    # --- trigger — per-centroid residual drift over the inverted lists
+    # --- (streaming twin: streaming/ann_stream.IvfIncremental.drift()
+    # --- over its stored ingest-time assignments; parity + recall tests
+    # --- in tests/test_ann_incremental.py). OUT past 50: trend_ols
+    # --- (green r5-r7; analytics family keeps dq_audit_events /
+    # --- ab_test_zscore / group_variance in-window) ---
+    "ann_ivf_drift": QuerySpec(
+        lambda spark, sf_dir: similarity.ivf_drift_report(
+            _t(spark, sf_dir, "embeddings")
+        ),
+        similarity.ivf_drift_report_oracle(),
+        doc="per-centroid assignment-residual drift (base vs recent "
+        "cohort, portable integer basis points, per-mille ratio + "
+        "retrain flag) — the retrain trigger of the incremental IVF "
+        "index; NEW gate r8",
+    ),
     # (bpe_vocab — green r5-r7 — rotates past 50 in r8; the BPE family
     # is gated in-window by the two NEW encode-pass rows below, and
     # bpe_merges/bpe_vocab stay oracle-checked in the full pytest sweep)

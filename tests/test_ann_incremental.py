@@ -1,0 +1,106 @@
+"""Incremental IVF maintenance (streaming/ann_stream.IvfIncremental):
+micro-batch ingest equals the batch-built index row-for-row, recall vs
+brute force matches the batch index, frozen centroids survive restarts,
+and the drift report flags a shifted ingest distribution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.operators import similarity
+from responsive_pub_spark.sources.readers import read_table
+from responsive_pub_spark.streaming.ann_stream import IvfIncremental, VECS_SCHEMA
+
+
+def _topk_sets(rows):
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(got_rows, exact_rows):
+    exact = _topk_sets(exact_rows)
+    got = _topk_sets(got_rows)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    return hits / sum(len(v) for v in exact.values())
+
+
+def _feed(spark, lane, rows):
+    spark.createDataFrame(rows, VECS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(lane.vecs_dir)
+
+
+def test_incremental_build_equals_batch_and_matches_its_recall(spark, sf_dir, tmp_path):
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb).persist()
+    wd = str(tmp_path / "ivf-inc")
+
+    rows = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+    lo = 0
+    first = True
+    for hi in cuts:
+        # fresh instance per micro-batch; only the FIRST gets centroids —
+        # later ones must read the frozen copy (restart path)
+        lane = IvfIncremental(spark, wd, centroids=cent if first else None)
+        first = False
+        _feed(spark, lane, rows[lo:hi])
+        lane.advance()
+        lo = hi
+
+    lane = IvfIncremental(spark, wd)
+    assert lane.lists().count() == len(rows)
+
+    inc = lane.topk().collect()
+    batch = similarity.ivf_topk(emb, centroids=cent).collect()
+    key = lambda r: (r.query_id, r.neighbor_id, r.rank, r.cosine)  # noqa: E731
+    assert sorted(map(key, inc)) == sorted(map(key, batch))
+
+    exact = similarity.brute_force_topk(emb).collect()
+    assert _recall(inc, exact) >= _recall(batch, exact)
+    cent.unpersist()
+
+
+def test_fresh_index_requires_centroids(spark, tmp_path):
+    with pytest.raises(ValueError, match="centroids"):
+        IvfIncremental(spark, str(tmp_path / "empty-idx"))
+
+
+def test_drift_report_flags_shifted_ingest(spark, sf_dir, tmp_path):
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb).persist()
+    lane = IvfIncremental(spark, str(tmp_path / "ivf-drift"), centroids=cent)
+
+    base = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    _feed(spark, lane, base)
+    lane.advance()
+    # in-distribution corpus: the natural early/late split shows no drift
+    assert lane.drift().filter("retrain").count() == 0
+
+    # shifted distribution: the NEGATED CENTROID SUM points away from every
+    # list center at once (cosine to each centroid is negative), so
+    # assignment residuals jump well past the in-distribution ~0.75 —
+    # plain negation would NOT do this (the corpus is near-symmetric, so
+    # -v scores like v against a symmetric centroid set)
+    cents = [list(r.centv) for r in cent.collect()]
+    away = [-sum(c[d] for c in cents) for d in range(len(cents[0]))]
+    hi = max(v for v, _ in base) + 1
+    shifted = [(hi + i, away) for i in range(len(base) // 2)]
+    _feed(spark, lane, shifted)
+    lane.advance()
+    flagged = lane.drift().filter("retrain").count()
+    assert flagged >= 1, "negated ingest must trip the retrain trigger"
+
+    # the drift aggregation is the registry-gated batch report's shape:
+    # same columns, portable integers
+    assert lane.drift().columns == similarity.ivf_drift_report(emb).columns
+    cent.unpersist()
