@@ -1052,26 +1052,39 @@ class TwsMapStateStore:
         # TWS state commits at batch end anyway, so EOS is unchanged.
         self._cache: dict = {}  # key-bytes -> (key, value | _ABSENT, ts)
         self._dirty: set = set()  # key-bytes needing flush
-        # iterator-preload state (r6 VERDICT stretch #8): Spark 4.1.2's
-        # state-server proto has NO batch/prefix GetValue (verified:
-        # StateMessage_pb2 carries only GetValue/Iterator/Keys/Values/
-        # ContainsKey point+scan calls) — but Iterator responses are
-        # CHUNKED (many pairs per round trip), so the FIRST cold read
-        # sweeps the map into the cache: a processor touching K store
-        # keys pays ~ceil(entries/chunk) round trips instead of K. A
-        # 1-entry map (the counter-lane shape) stays at the protocol's
-        # 1-round-trip-per-grouping-key floor. Maps larger than
-        # _PRELOAD_MAX abandon the sweep and fall back to point gets.
+        # iterator-preload state (r6 VERDICT stretch #8; PAGED in r8,
+        # r7 VERDICT task 6): Spark 4.1.2's state-server proto has NO
+        # batch/prefix GetValue (verified: StateMessage_pb2 carries only
+        # GetValue/Iterator/Keys/Values/ContainsKey point+scan calls) —
+        # but Iterator responses are CHUNKED (many pairs per round trip),
+        # so cold reads sweep the map into the cache. The sweep is LAZY
+        # and PAGED: the first cold read consumes one _PAGE-entry page;
+        # every subsequent cache MISS consumes one more page before
+        # falling back to a single point get, so the iterator is consumed
+        # AT MOST ONCE total and a processor touching K store keys on an
+        # E-entry map pays <= min(K, ceil(E/_PAGE)) point gets on top of
+        # the one chunked sweep (~ceil(E/chunk) socket round trips) —
+        # instead of abandoning the sweep past a size cap and paying K
+        # point gets on exactly the large sparse maps this lane exists
+        # for. Once the iterator exhausts, every further miss is KNOWN
+        # absent with zero round trips. A 1-entry map (the counter-lane
+        # shape) stays at the protocol's 1-round-trip-per-grouping-key
+        # floor.
         self._swept = False
         self._fully_loaded = False
+        self._iter = None
 
     #: cache sentinel for "known absent" (read miss or tombstone)
     _ABSENT = object()
 
-    #: preload sweep cap: beyond this many entries the map is point-get
-    #: territory (sweeping a huge map to serve a few gets would invert
-    #: the optimization)
-    _PRELOAD_MAX = 4096
+    #: entries consumed from the backing iterator per page: the first
+    #: cold read takes one page; each later miss takes one more — bounds
+    #: the worst case of a few gets against a huge map at
+    #: ~misses x (_PAGE/chunk) round trips while keeping the
+    #: touch-everything case at one full sweep
+    _PAGE = 4096
+    #: back-compat alias (r6 name; tests and docs reference it)
+    _PRELOAD_MAX = _PAGE
 
     @staticmethod
     def _k(key) -> bytes:
@@ -1122,27 +1135,44 @@ class TwsMapStateStore:
         self._dirty.clear()
 
     # -- read path ----------------------------------------------------------
-    def _preload(self) -> None:
-        """One chunked-iterator sweep into the cache on the first cold
-        read (see __init__ notes): completes -> misses become free
-        (_fully_loaded); overruns _PRELOAD_MAX -> abandons and leaves
-        point gets in charge. Runs at most once per store instance (=
-        per grouping key per micro-batch)."""
-        self._swept = True
+    def _consume_page(self) -> None:
+        """Consume up to ``_PAGE`` entries from the (single) backing
+        iterator into the cache; exhaustion flips ``_fully_loaded`` so
+        later misses are free. The iterator is created once and only
+        ever advanced — the whole map is read at most once per store
+        instance (= per grouping key per micro-batch) regardless of how
+        many pages the miss pattern pulls."""
+        if self._fully_loaded:
+            return
+        if self._iter is None:
+            self._iter = iter(self._ms.iterator())
         n = 0
-        for (kb,), (vb, ts) in self._ms.iterator():
+        for (kb,), (vb, ts) in self._iter:
             if kb not in self._cache:  # overlay (newer write/delete) wins
                 self._cache[kb] = (pickle.loads(kb), pickle.loads(vb), ts)
             n += 1
-            if n > self._PRELOAD_MAX:
+            if n >= self._PAGE:
                 return
         self._fully_loaded = True
+        self._iter = None
+
+    def _preload(self) -> None:
+        """First cold read: start the lazy paged sweep (one page now;
+        get() pulls further pages on later misses — see __init__)."""
+        self._swept = True
+        self._consume_page()
 
     def get(self, key):
         kb = self._k(key)
         ent = self._cache.get(kb)
         if ent is None and not self._swept:
             self._preload()
+            ent = self._cache.get(kb)
+        if ent is None and not self._fully_loaded:
+            # miss with the sweep still in flight: advance one page —
+            # the key may be in it, and the page's round trips amortize
+            # across every later hit
+            self._consume_page()
             ent = self._cache.get(kb)
         if ent is None:
             if self._fully_loaded:

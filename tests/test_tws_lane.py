@@ -502,20 +502,36 @@ def test_tws_map_preload_collapses_cold_reads():
     assert fake.get_calls == 0  # zero point round trips
 
 
-def test_tws_map_preload_overrun_falls_back_to_point_gets():
-    """A map larger than the sweep cap abandons the preload: point gets
-    stay in charge and a miss pays (and caches) exactly one getValue."""
-    n = state.TwsMapStateStore._PRELOAD_MAX + 10
+def test_tws_map_preload_pages_past_the_cap():
+    """r7 VERDICT task 6: a map larger than one page no longer abandons
+    the sweep — later misses pull further pages from the SAME iterator
+    (created once), so a large sparse map is read at most once and the
+    point-get spend is bounded by the pages still in flight, not by the
+    number of touched keys."""
+    page = state.TwsMapStateStore._PAGE
+    n = 3 * page + 7
     fake = _FakeMapState(dict(_fake_entry(f"k{i:06d}", i) for i in range(n)))
     st = state.TwsMapStateStore(fake)
     st.stream_time = 2.0
-    assert st.get("k000001") == 1  # triggers the (abandoned) sweep
+    assert st.get("k000001") == 1  # cold read: page 1
     assert fake.iter_calls == 1
     assert not st._fully_loaded
+
+    # each miss advances one page and pays at most one point get; page 4
+    # (the last 7 entries) exhausts the iterator, after which misses are
+    # KNOWN absent for free
+    for i in range(6):
+        assert st.get(f"missing-{i}") is None
+    assert st._fully_loaded
+    assert fake.iter_calls == 1          # the map was swept exactly once
+    assert fake.get_calls <= 3           # point gets only while in flight
     before = fake.get_calls
-    assert st.get("missing-key") is None
-    assert st.get("missing-key") is None  # absent cached: one trip only
-    assert fake.get_calls - before <= 1
+    # every real entry is now cached: touching ALL of them costs nothing
+    for i in range(n):
+        assert st.get(f"k{i:06d}") == i
+    assert st.get("missing-again") is None
+    assert fake.get_calls == before
+    assert fake.iter_calls == 1
 
 
 def test_tws_map_preload_overlay_wins():
