@@ -594,6 +594,25 @@ EXTENDED_NOTES = {
         "whitespace token surrogate for real tokenizer counts adds "
         "ZERO extra shuffles over the whitespace form."
     ),
+    "dedup_stream_greedy": (
+        "greedy first-arrival near-dup verdicts (batch twin of the "
+        "streaming FACT-store lane): reuses minhash_pairs' plan — "
+        "signatures persisted once, band equi-join, verify on candidate "
+        "pairs only — plus one left join of the tiny dropped-id set "
+        "(AQE broadcasts it). The STREAMING twin shuffles the same "
+        "(band, band_hash) key into bucket state holding member IDS "
+        "only, and verifies candidates against the write-once signature "
+        "topic — no stage holds shingle sets for non-candidates."
+    ),
+    "ann_ivf_drift": (
+        "incremental-IVF retrain trigger: one broadcast-join assignment "
+        "pass (centroids tiny), ONE keyed agg on cid (centroid-count "
+        "output rows, map-side partials collapse the corpus), and a "
+        "broadcast 1-row split-point scalar — residuals are integer "
+        "basis points so the means are exact at any aggregation order. "
+        "The streaming index re-scores nothing: ingest-time ccos rides "
+        "the stored inverted lists."
+    ),
 }
 
 

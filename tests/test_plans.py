@@ -173,3 +173,28 @@ def test_r7_ops_plan_shapes(spark, sf_dir):
     p = audit.executed_plan(bp_q)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "partial_count" in p or "HashAggregate" in p, p
+
+
+def test_r8_ops_plan_shapes(spark, sf_dir):
+    """r8 plan contracts: the greedy near-dup twin inherits minhash_pairs'
+    no-cartesian shape (band equi-joins + candidate-only verify), and the
+    drift report stays one broadcast-assignment pass + one keyed agg with
+    a broadcast scalar split point — no Python nodes anywhere."""
+    from responsive_pub_spark.operators import dedup, similarity
+
+    docs = read_table(spark, sf_dir, "documents")
+    g = dedup.greedy_keep(docs)
+    p = audit.executed_plan(g)
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = similarity.ivf_drift_report(emb)
+    p = audit.executed_plan(d)
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    a = audit.audit(d)
+    # assignment argmax + cid agg (+ AQE detail): centroid join and the
+    # 1-row split scalar must both BROADCAST, never shuffle the corpus
+    assert a["broadcast_joins"] >= 2, p
+    assert a["exchanges"] <= 2, p
