@@ -291,6 +291,61 @@ def bpe_encode(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
     )
 
 
+def bpe_token_ids(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
+    """The tokenizer's FULL output: every corpus token as a vocab ID —
+    (doc_id, word_idx, sub_idx, token, token_id). ``bpe_encode`` gives
+    per-doc counts; this gives the id sequences a training pipeline
+    actually feeds a model (positions are (word_idx, sub_idx) so the
+    ordering is explicit and engine-portable without a per-doc cumsum).
+
+    Vocab ids are contiguous ranks in symbol lexicographic order over the
+    learned inventory — deterministic and frequency-independent, so id
+    assignment survives incremental corpus growth that doesn't add
+    symbols. Plan shape: the segmentation map and the id table are both
+    vocab-sized broadcasts against ONE corpus explode; the only exchange
+    is the vocab-sized global rank (a one-partition window over the
+    symbol inventory — the tokenizer's vocab file, tiny by construction).
+    """
+    from pyspark.sql import Window
+
+    words = word_freqs(docs).select(
+        "word", F.expr(_spaced("word")).alias("s"), "freq"
+    )
+    seg = _apply_merges(words, k, carry=("word",)).select(
+        "word", F.expr("split(trim(s), ' ')").alias("toks")
+    )
+    vocab_ids = (
+        seg.select(F.explode("toks").alias("token"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            (F.row_number().over(Window.orderBy("token")) - 1).cast("bigint"),
+        )
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).alias("word_idx", "word"),
+    )
+    return (
+        corpus.join(F.broadcast(seg), "word")
+        .select(
+            "doc_id",
+            "word_idx",
+            F.posexplode("toks").alias("sub_idx", "token"),
+        )
+        .join(F.broadcast(vocab_ids), "token")
+        .select(
+            "doc_id",
+            F.col("word_idx").cast("bigint").alias("word_idx"),
+            F.col("sub_idx").cast("bigint").alias("sub_idx"),
+            "token",
+            "token_id",
+        )
+    )
+
+
 def pack_sequences_bpe(
     docs: DataFrame, k: int = BPE_MERGES, budget: "int | None" = None
 ) -> DataFrame:
@@ -378,6 +433,46 @@ def bpe_encode_oracle(k: int = BPE_MERGES) -> str:
                    // CAST(count(*) AS BIGINT) AS bpe_per_token_bp
         FROM corpus JOIN segmap USING (word)
         GROUP BY doc_id
+    """
+
+
+def bpe_token_ids_oracle(k: int = BPE_MERGES) -> str:
+    """Token-id twin: the carried-word chain segments each unique word;
+    a lexicographic row_number over the distinct symbol inventory assigns
+    ids; the corpus re-explode (positions preserved through
+    generate_subscripts on the FILTERED word list — same semantics as the
+    Spark side's posexplode of the filtered split) joins both."""
+    ctes, _ = _oracle_ctes(k, carry_word=True)
+    return f"""{ctes},
+        seg AS MATERIALIZED (
+            SELECT word, string_split(trim(s), ' ') AS toks FROM spaced{int(k)}
+        ),
+        vocab AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+                       AS token_id
+            FROM (SELECT DISTINCT unnest(toks) AS token FROM seg)
+        ),
+        corpus AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS word_idx,
+                   unnest(ws) AS word
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            )
+        ),
+        sub AS (
+            SELECT c.doc_id, c.word_idx,
+                   CAST(generate_subscripts(s.toks, 1) - 1 AS BIGINT)
+                       AS sub_idx,
+                   unnest(s.toks) AS token
+            FROM corpus c JOIN seg s USING (word)
+        )
+        SELECT doc_id, word_idx, sub_idx, token, token_id
+        FROM sub JOIN vocab USING (token)
     """
 
 

@@ -594,6 +594,14 @@ EXTENDED_NOTES = {
         "whitespace token surrogate for real tokenizer counts adds "
         "ZERO extra shuffles over the whitespace form."
     ),
+    "bpe_token_ids": (
+        "the tokenizer's full output (vocab-id sequences): segmentation "
+        "map AND lexicographic id table are both vocab-sized broadcasts "
+        "against ONE corpus explode — the only exchange is the "
+        "one-partition rank over the symbol inventory (the vocab file, "
+        "tiny by construction); positions are (word_idx, sub_idx) so no "
+        "per-doc cumsum window is ever needed."
+    ),
     "dedup_stream_greedy": (
         "greedy first-arrival near-dup verdicts (batch twin of the "
         "streaming FACT-store lane): reuses minhash_pairs' plan — "

@@ -2671,14 +2671,6 @@ REGISTRY: dict[str, QuerySpec] = {
         "unbiased); degenerate pooled rates are NULL-guarded; "
         "first-gates r5",
     ),
-    "group_variance": QuerySpec(
-        lambda spark, sf_dir: timeseries.group_variance(
-            _t(spark, sf_dir, "events")
-        ),
-        timeseries.group_variance_oracle(),
-        doc="one-pass parallel variance from three BIGINT sums (no "
-        "Welford state, sums merge by addition); first-gates r5",
-    ),
     "sketch_hll_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.hll_distinct_windowed(
             _t(spark, sf_dir, "events")
@@ -2753,6 +2745,18 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="sequence packing budgeted on LEARNED-BPE token counts — the "
         "encode pass composed with pack_sequences' concat-then-split "
         "integer packing; NEW gate r8",
+    ),
+    "bpe_token_ids": QuerySpec(
+        lambda spark, sf_dir: bpe.bpe_token_ids(
+            _t(spark, sf_dir, "documents")
+        ),
+        bpe.bpe_token_ids_oracle(),
+        doc="the tokenizer's FULL output: every corpus token as a vocab "
+        "id at explicit (word_idx, sub_idx) positions — broadcast "
+        "segmentation + broadcast lexicographic vocab ids over ONE "
+        "corpus explode; NEW gate r8 (OUT past 50: group_variance, "
+        "green r5-r7; analytics family keeps dq_audit_events and "
+        "ab_test_zscore in-window)",
     ),
     # --- new in r4 (driver rows required, r3 VERDICT tasks 5-6): the
     # --- streaming FK-join lane, Repartitioned co-location, and
@@ -2967,6 +2971,14 @@ REGISTRY: dict[str, QuerySpec] = {
         timeseries.cohort_retention_oracle(),
         doc="signup-week cohort retention matrix in integer basis "
         "points; first-gated r5",
+    ),
+    "group_variance": QuerySpec(
+        lambda spark, sf_dir: timeseries.group_variance(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.group_variance_oracle(),
+        doc="one-pass parallel variance from three BIGINT sums (no "
+        "Welford state, sums merge by addition); first-gates r5",
     ),
     "markov_transitions": QuerySpec(
         lambda spark, sf_dir: timeseries.markov_transitions(

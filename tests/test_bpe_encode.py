@@ -63,3 +63,32 @@ def test_pack_sequences_bpe_budgets_on_real_tokens(spark):
         1,
         1,
     )
+
+
+def test_bpe_token_ids_reassemble_and_contiguity(spark):
+    """Token-id invariants on a hand-checkable corpus: per-word token
+    concatenation reassembles the original word, ids are contiguous
+    0..V-1 in lexicographic symbol order, and every (doc, word) slot of
+    the corpus is covered exactly once."""
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "ab ba")], "doc_id BIGINT, text STRING"
+    )
+    rows = bpe.bpe_token_ids(docs, k=2).collect()
+
+    # coverage: one (doc_id, word_idx) group per corpus word
+    slots = {(r.doc_id, r.word_idx) for r in rows}
+    assert slots == {(1, 0), (1, 1), (1, 2), (2, 0), (2, 1)}
+
+    # reassembly: tokens in sub_idx order concatenate to the word
+    words = {(1, 0): "aa", (1, 1): "ab", (1, 2): "aa", (2, 0): "ab", (2, 1): "ba"}
+    by_slot: dict = {}
+    for r in rows:
+        by_slot.setdefault((r.doc_id, r.word_idx), []).append((r.sub_idx, r.token))
+    for slot, toks in by_slot.items():
+        assert "".join(t for _, t in sorted(toks)) == words[slot]
+
+    # id table: contiguous ranks of the sorted symbol inventory
+    inv = sorted({r.token for r in rows})
+    assert {(r.token, r.token_id) for r in rows} == {
+        (t, i) for i, t in enumerate(inv)
+    }
