@@ -46,6 +46,11 @@ if DOCS_MODE:
     )
     QUERIES = [
         "dedup_minhash_lsh",
+        # r8: the greedy first-arrival keep-set over the same pair plan —
+        # output is LINEAR (one verdict per doc) even though the replica
+        # groups make the underlying pair set quadratic; measures that the
+        # drop-set distinct + left join stays a cheap epilogue
+        "dedup_stream_greedy",
         "dedup_ngram_jaccard",
         # dedup_embedding runs at threshold 0.9 with 4x16 banding here, NOT
         # the registry's fixture-tuned 0.4 / 16x4: at 0.4 ~64% of ALL pairs
@@ -67,8 +72,17 @@ if DOCS_MODE:
         "sim_search_bruteforce",
         "sim_search_ivf",
         "sim_search_pq",
+        # r8: the incremental-index retrain trigger at 10x vectors — one
+        # broadcast assignment pass + a centroid-count agg; must scale
+        # like the ivf assignment it shares
+        "ann_ivf_drift",
         "curate_corpus",
         "text_quality",
+        # r8: the encode pass on a 10x-replicated corpus — the vocab (and
+        # so the merge loop and the broadcast segmentation map) is
+        # IDENTICAL to 1x (replicas add no new words); only the final
+        # corpus explode+join scales, so ~flat-per-row is the contract
+        "bpe_encode",
         # r7: the zero-shuffle repetition pre-filter must stay ~flat on the
         # dup-heavy corpus (pure per-row scan; replicas add rows, not work
         # per row)

@@ -236,10 +236,15 @@ def main() -> None:
         )
 
         nd_dir = os.path.join(work, "neardup")
-        nd = NearDupStreaming(spark, nd_dir)
+        # probe_depth=8: the bounded-candidate scale configuration — with
+        # exact-dup replicas every bucket is one giant dup cluster, and
+        # unbounded pairing would emit O(replicas^2) candidates per text
+        # (measured: soak=100 -> ~99M pairs). Replicas capped at 10 for
+        # the same reason: the lane's state-growth columns saturate there.
+        nd = NearDupStreaming(spark, nd_dir, probe_depth=8)
         docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
         n_docs = docs.count()
-        replicas = max(SOAK, 1)
+        replicas = min(max(SOAK, 1), 10)
         for i in range(replicas):
             (
                 docs.select(

@@ -22,7 +22,10 @@ RegroupStreaming internal-topic wiring:
            (band_id, band_hash) BUCKET STATE holding member (doc_id, ts)
            entries ONLY — ids, not shingle sets, so state is ~16 bytes per
            member per band regardless of document size — emitting a
-           candidate (doc_a, doc_b) pair per (earlier member, new doc).
+           candidate (doc_a, doc_b) pair per (earlier member, new doc);
+           ``probe_depth`` caps the members probed per arrival (1 = the
+           first-arrival-representative scheme, linear candidate volume
+           on dup-heavy streams; None = exact greedy parity).
   query V: candidates (stream) JOIN the STATIC signatures topic ->
            exact-Jaccard verify via the shared ``dedup._verify_pairs``
            expression -> drops changelog (doc_a, doc_b, jaccard, ts).
@@ -70,10 +73,26 @@ CAND_SCHEMA = "doc_a BIGINT, doc_b BIGINT, ts DOUBLE"
 DROPS_SCHEMA = "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, ts DOUBLE"
 
 
-def _bucket_stage(bands: DataFrame, retention: float | None) -> DataFrame:
+def _bucket_stage(
+    bands: DataFrame,
+    retention: float | None,
+    probe_depth: int | None = None,
+) -> DataFrame:
     """Per-(band_id, band_hash) first-arrival bucket state -> candidate
     pairs. State: pickled (members, max_ts) where members is a list of
-    (doc_id, ts) in arrival order."""
+    (doc_id, ts) in arrival order.
+
+    ``probe_depth`` bounds how many EARLIEST members a new doc pairs
+    with. ``None`` pairs against every member — exact greedy-twin parity,
+    but a bucket holding an m-member dup cluster emits O(m^2) candidates
+    over its lifetime. ``probe_depth=1`` is the reference-shaped
+    "first-arrival representative per bucket" scheme
+    (ResponsiveStores.java:79-96 positioning): candidate volume is linear
+    in arrivals, and the only parity loss is a doc whose bucket
+    representative hash-collided WITHOUT being similar while a deeper
+    member would have verified — on dup-cluster-shaped corpora (the
+    fixture included) the two configurations produce identical verdicts
+    (tests/test_dedup_stream.py)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -95,7 +114,10 @@ def _bucket_stage(bands: DataFrame, retention: float | None) -> DataFrame:
                 if retention is not None:
                     horizon = max_ts - retention
                     members = [m for m in members if m[1] >= horizon]
-                for m_id, _m_ts in members:
+                probes = (
+                    members if probe_depth is None else members[:probe_depth]
+                )
+                for m_id, _m_ts in probes:
                     out_a.append(m_id)
                     out_b.append(doc_id)
                     out_ts.append(ts)
@@ -138,10 +160,12 @@ class NearDupStreaming:
         *,
         threshold: float = dedup.MINHASH_JACCARD_THRESHOLD,
         retention: float | None = None,
+        probe_depth: int | None = None,
     ):
         self.spark = spark
         self.threshold = threshold
         self.retention = retention
+        self.probe_depth = probe_depth
         self.docs_dir = os.path.join(workdir, "docs")
         self.sig_dir = os.path.join(workdir, "signatures")
         self.cand_dir = os.path.join(workdir, "candidates")
@@ -176,7 +200,9 @@ class NearDupStreaming:
             F.posexplode(dedup._band_array()).alias("band_id", "band_hash"),
         )
         self._run(
-            _bucket_stage(bands, self.retention), self.cand_dir, self.ck_cand
+            _bucket_stage(bands, self.retention, self.probe_depth),
+            self.cand_dir,
+            self.ck_cand,
         )
 
         # query V: candidates (stream) x static signature topic -> verified

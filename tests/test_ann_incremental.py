@@ -104,3 +104,56 @@ def test_drift_report_flags_shifted_ingest(spark, sf_dir, tmp_path):
     # same columns, portable integers
     assert lane.drift().columns == similarity.ivf_drift_report(emb).columns
     cent.unpersist()
+
+
+def test_drift_triggered_retrain_reduces_residuals(spark, sf_dir, tmp_path):
+    """The full maintenance loop the drift metric exists for: base build ->
+    shifted ingest -> drift flags -> RETRAIN on the accumulated corpus ->
+    re-assignment residuals over the shifted cohort drop. The shifted
+    distribution negates the first half of every vector's dims — diverse
+    (unlike a constant away-vector) but systematically outside the
+    trained clusters."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb).persist()
+    lane = IvfIncremental(spark, str(tmp_path / "ivf-loop"), centroids=cent)
+
+    base = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    hi = max(v for v, _ in base) + 1
+    half = len(base[0][1]) // 2
+    shifted = [
+        (hi + i, [-x for x in v[:half]] + list(v[half:]))
+        for i, (_, v) in enumerate(base)
+    ]
+    _feed(spark, lane, base)
+    lane.advance()
+    _feed(spark, lane, shifted)
+    lane.advance()
+
+    res_bp = (
+        F.lit(1000000)
+        - F.floor(F.col("ccos") * 1000000 + F.lit(0.5)).cast("bigint")
+    )
+    before = (
+        lane.lists()
+        .filter(F.col("vec_id") >= hi)
+        .agg(F.avg(res_bp).alias("m"))
+        .collect()[0]
+        .m
+    )
+
+    # retrain on everything ingested so far (vectors live in the lists
+    # table — no side channel needed) and re-assign the shifted cohort
+    allv = lane.lists().select("vec_id", "embedding")
+    cent2 = similarity.train_centroids(allv).persist()
+    after = (
+        similarity.ivf_assign(allv.filter(F.col("vec_id") >= hi), cent2)
+        .agg(F.avg(res_bp).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert after < before, (before, after)
+    cent.unpersist()
+    cent2.unpersist()

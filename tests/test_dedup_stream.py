@@ -133,3 +133,24 @@ def test_unbounded_retention_keeps_the_full_horizon(spark, tmp_path):
     lane.advance()
     got = {r.doc_id: r.is_duplicate for r in lane.verdicts().collect()}
     assert got == {10: False, 20: True}
+
+
+def test_probe_depth_one_matches_unbounded_on_dup_cluster_corpus(spark, tmp_path):
+    """probe_depth=1 (the reference-shaped first-arrival-representative
+    scheme — linear candidate volume) produces the same verdicts as the
+    exact greedy twin on a dup-cluster-shaped corpus: the fixture's
+    planted near-dups all verify against their bucket representative."""
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = [
+        (int(r.doc_id), r.text, float(r.doc_id))
+        for r in docs.orderBy("doc_id").collect()
+    ]
+    lane = NearDupStreaming(spark, str(tmp_path / "rep"), probe_depth=1)
+    _feed(spark, lane, rows)
+    lane.advance()
+    got = {(r.doc_id, r.is_duplicate) for r in lane.verdicts().collect()}
+    want = {
+        (r.doc_id, r.is_duplicate)
+        for r in dedup.greedy_keep(docs).collect()
+    }
+    assert got == want
