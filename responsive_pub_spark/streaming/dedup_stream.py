@@ -97,6 +97,21 @@ def _bucket_stage(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def run(key_vals, pdf_iter, state_h):
+        # chaos hook — DOUBLE opt-in (the regroup stage-B pattern): both
+        # the explicit enable flag AND the workdir env var must be set;
+        # tests/test_chaos_sigkill.py arms this to SIGKILL the process
+        # group while the bucket stage is MID-BATCH, after query S
+        # committed this advance's signatures
+        chaos = (
+            os.environ.get("SPARK_GRAFT_CHAOS_STALL")
+            if os.environ.get("SPARK_GRAFT_CHAOS_ENABLE") == "1"
+            else None
+        )
+        if chaos and os.path.exists(os.path.join(chaos, "armed")):
+            open(os.path.join(chaos, "inflight"), "a").close()
+            import time as _time
+
+            _time.sleep(300)
         members: list = []
         max_ts = float("-inf")
         if state_h.exists and state_h.get[0]:

@@ -212,17 +212,28 @@ def test_sigkill_mid_stage_b_regroup_exactly_once(spark, tmp_path):
     ).parquet(retract_dir).collect()
     assert len(deltas) == 5, "stage A re-emitted committed deltas"
 
-    # snapshot == latest-per-key batch regroup of ALL input
+    # snapshot == latest-per-key batch regroup of ALL input. Read the
+    # changelog through SPARK (which honors the streaming file sink's
+    # _spark_metadata commit log) — the SIGKILL can leave a TRUNCATED
+    # orphan part file in the directory that a raw duckdb glob would
+    # choke on ("too small to be a Parquet file"); exactly-once is
+    # defined over COMMITTED files, and the orphan not being committed
+    # is the sink's crash contract working as designed.
     con = duckdb.connect()
     out_dir = os.path.join(workdir, "reagg-changelog")
     files = glob.glob(os.path.join(out_dir, "*.parquet"))
     assert files
+    chg_pdf = (
+        spark.read.schema("grp STRING, n BIGINT, total BIGINT, emit_seq BIGINT")
+        .parquet(out_dir)
+        .toPandas()
+    )
+    con.register("chg", chg_pdf)
     snap = {
         g: (n, t)
         for g, n, t in con.execute(
-            f"""
-            WITH chg AS (SELECT * FROM read_parquet('{out_dir}/*.parquet')),
-            latest AS (
+            """
+            WITH latest AS (
                 SELECT grp, max_by(n, emit_seq) AS n,
                        max_by(total, emit_seq) AS total
                 FROM chg GROUP BY grp
@@ -234,8 +245,95 @@ def test_sigkill_mid_stage_b_regroup_exactly_once(spark, tmp_path):
     assert snap == {"a": (1, 20), "b": (2, 20)}
     # emit_seq contiguous per group: no delta applied twice or dropped
     seqs = con.execute(
-        f"SELECT grp, count(*), max(emit_seq) FROM "
-        f"read_parquet('{out_dir}/*.parquet') GROUP BY grp"
+        "SELECT grp, count(*), max(emit_seq) FROM chg GROUP BY grp"
     ).fetchall()
     for _g, cnt, mx in seqs:
         assert cnt == mx
+
+
+NEARDUP_CHILD = os.path.join(REPO, "tests", "chaos_neardup_child.py")
+
+
+def _run_neardup_child(workdir, wait=True):
+    proc = subprocess.Popen(
+        [sys.executable, NEARDUP_CHILD, workdir],
+        cwd=REPO,
+        start_new_session=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    if wait:
+        assert proc.wait(timeout=300) == 0
+    return proc
+
+
+def test_sigkill_mid_bucket_stage_neardup_exactly_once(spark, tmp_path):
+    """Three-stage kill for the near-dup lane (r8): SIGKILL the whole
+    process group while query C (bucket state) is MID-BATCH — query S of
+    the same advance already COMMITTED this batch's signatures. The
+    restart must not re-append signatures (its checkpoint committed),
+    must replay the bucket batch from scratch, and the final verdicts
+    must equal the batch greedy twin over everything ingested."""
+    from responsive_pub_spark.operators import dedup
+    from responsive_pub_spark.streaming.dedup_stream import (
+        DOCS_SCHEMA,
+        SIG_SCHEMA,
+        NearDupStreaming,
+    )
+
+    workdir = str(tmp_path / "chaos_nd")
+    os.makedirs(workdir)
+    base = " ".join(f"w{i}" for i in range(25))
+    other = " ".join(f"q{i}" for i in range(25))
+    batch1 = [(1, base, 1.0), (2, other, 2.0)]
+    batch2 = [(3, base, 3.0), (4, other, 4.0)]  # near-dups of batch 1
+
+    def feed(rows):
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(workdir, "docs"))
+
+    feed(batch1)
+    _run_neardup_child(workdir)  # clean advance
+    sig_dir = os.path.join(workdir, "signatures")
+    n_sig_1 = spark.read.schema(SIG_SCHEMA).parquet(sig_dir).count()
+    assert n_sig_1 == 2
+
+    # arm: the bucket stage stalls mid-batch on the NEXT advance
+    open(os.path.join(workdir, "armed"), "w").close()
+    feed(batch2)
+    proc = _run_neardup_child(workdir, wait=False)
+    marker = os.path.join(workdir, "inflight")
+    deadline = time.monotonic() + 240
+    while not os.path.exists(marker) and time.monotonic() < deadline:
+        assert proc.poll() is None, "child exited before the stage stalled"
+        time.sleep(0.2)
+    assert os.path.exists(marker), "bucket stage never reached mid-batch"
+    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    assert proc.wait(timeout=60) != 0
+
+    # query S of the killed advance COMMITTED: all 4 signatures present,
+    # exactly once (the streaming file sink's metadata log hides any
+    # uncommitted orphans from the killed run)
+    sigs = spark.read.schema(SIG_SCHEMA).parquet(sig_dir).collect()
+    assert sorted(r.doc_id for r in sigs) == [1, 2, 3, 4]
+
+    # disarm and restart a FRESH child from the checkpoints
+    os.remove(os.path.join(workdir, "armed"))
+    _run_neardup_child(workdir)
+
+    lane = NearDupStreaming(spark, workdir)
+    got = {(r.doc_id, r.is_duplicate) for r in lane.verdicts().collect()}
+    all_docs = spark.createDataFrame(batch1 + batch2, DOCS_SCHEMA).select(
+        "doc_id", "text"
+    )
+    want = {
+        (r.doc_id, r.is_duplicate)
+        for r in dedup.greedy_keep(all_docs).collect()
+    }
+    assert got == want
+    assert got == {(1, False), (2, False), (3, True), (4, True)}
+    # signatures still exactly once after the full recovery
+    assert (
+        spark.read.schema(SIG_SCHEMA).parquet(sig_dir).count() == 4
+    )
