@@ -391,6 +391,106 @@ def pack_sequences_bpe(
     )
 
 
+def pack_token_ids(
+    docs: DataFrame, k: int = BPE_MERGES, budget: "int | None" = None
+) -> DataFrame:
+    """Packed training sequences WITH their token ids — the final
+    deliverable of the tokenizer story: one row per corpus token,
+    (lang, seq_id, pos, token_id), where ``pos`` is the token's position
+    inside its packed sequence. Composition of ``bpe_token_ids`` (id
+    streams) and ``pack_sequences_bpe`` (budgeted packing): a token's
+    position is its doc's packed ``seq_offset`` plus its within-doc rank,
+    so NO per-sequence window is ever needed — position arithmetic rides
+    the per-doc offsets, and the only window shuffles are the per-doc
+    rank (keyed on doc_id) and the per-lang packing cumsum both ops
+    already pay."""
+    from pyspark.sql import Window
+
+    ids = bpe_token_ids(docs, k)
+    rank_w = Window.partitionBy("doc_id").orderBy("word_idx", "sub_idx")
+    ranked = ids.withColumn(
+        "tok_rank", (F.row_number().over(rank_w) - 1).cast("bigint")
+    )
+    packed = pack_sequences_bpe(docs, k, budget).select(
+        "doc_id", "lang", "seq_id", "seq_offset"
+    )
+    return ranked.join(packed, "doc_id").select(
+        "lang",
+        "seq_id",
+        (F.col("seq_offset") + F.col("tok_rank")).cast("bigint").alias("pos"),
+        "token_id",
+    )
+
+
+def pack_token_ids_oracle(
+    k: int = BPE_MERGES, budget: "int | None" = None
+) -> str:
+    from responsive_pub_spark.operators.pipeline_ops import PACK_BUDGET_TOKENS
+
+    b = int(budget if budget is not None else PACK_BUDGET_TOKENS)
+    ctes, _ = _oracle_ctes(k, carry_word=True)
+    return f"""{ctes},
+        {_segmap_cte(k)},
+        seg AS MATERIALIZED (
+            SELECT word, string_split(trim(s), ' ') AS toks FROM spaced{int(k)}
+        ),
+        vocab AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+                       AS token_id
+            FROM (SELECT DISTINCT unnest(toks) AS token FROM seg)
+        ),
+        corpus AS (
+            SELECT doc_id, lang,
+                   CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS word_idx,
+                   unnest(ws) AS word
+            FROM (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            )
+        ),
+        sub AS (
+            SELECT c.doc_id, c.word_idx,
+                   CAST(generate_subscripts(s.toks, 1) - 1 AS BIGINT)
+                       AS sub_idx,
+                   unnest(s.toks) AS token
+            FROM corpus c JOIN seg s USING (word)
+        ),
+        ranked AS (
+            SELECT doc_id, token,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY word_idx, sub_idx
+                   ) - 1 AS BIGINT) AS tok_rank
+            FROM sub
+        ),
+        toks_per_doc AS (
+            SELECT doc_id, lang, CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+            FROM corpus JOIN segmap USING (word)
+            GROUP BY doc_id, lang
+        ),
+        packed AS (
+            SELECT doc_id, lang,
+                   CAST((cum_tokens - n_tokens) // {b} AS BIGINT) AS seq_id,
+                   CAST((cum_tokens - n_tokens) % {b} AS BIGINT) AS seq_offset
+            FROM (
+                SELECT doc_id, lang, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM toks_per_doc
+            )
+        )
+        SELECT p.lang, p.seq_id,
+               CAST(p.seq_offset + r.tok_rank AS BIGINT) AS pos,
+               v.token_id
+        FROM ranked r
+        JOIN packed p USING (doc_id)
+        JOIN vocab v USING (token)
+    """
+
+
 def bpe_vocab_oracle(k: int = BPE_MERGES) -> str:
     """Extends the unrolled-merge chain with the symbol-inventory select."""
     ctes, _ = _oracle_ctes(k)

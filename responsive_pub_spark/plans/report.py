@@ -602,6 +602,13 @@ EXTENDED_NOTES = {
         "tiny by construction); positions are (word_idx, sub_idx) so no "
         "per-doc cumsum window is ever needed."
     ),
+    "pack_token_ids": (
+        "the packed-id deliverable: bpe_token_ids' broadcast joins plus "
+        "TWO keyed windows that both ops already pay — per-doc token "
+        "rank (shuffle on doc_id) and the per-lang packing cumsum; a "
+        "token's sequence position is seq_offset + rank, so no "
+        "per-sequence window or global sort exists anywhere in the plan."
+    ),
     "dedup_stream_greedy": (
         "greedy first-arrival near-dup verdicts (batch twin of the "
         "streaming FACT-store lane): reuses minhash_pairs' plan — "

@@ -2653,14 +2653,6 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="column-level data-quality audit (nulls/distincts/fixed-"
         "point min-max) in ONE scan; first-gates r5",
     ),
-    "heavy_hitters": QuerySpec(
-        q_heavy_hitters,
-        ORACLE_HEAVY_HITTERS,
-        doc="theta-frequent items via CMS prefilter (no false negatives) "
-        "+ exact verify of candidates only — theta folded into the plan "
-        "as a broadcast 1-row aggregate (r4 VERDICT task 4); "
-        "first-gates r5",
-    ),
     "ab_test_zscore": QuerySpec(
         lambda spark, sf_dir: timeseries.ab_test(
             _t(spark, sf_dir, "events")
@@ -2757,6 +2749,19 @@ REGISTRY: dict[str, QuerySpec] = {
         "corpus explode; NEW gate r8 (OUT past 50: group_variance, "
         "green r5-r7; analytics family keeps dq_audit_events and "
         "ab_test_zscore in-window)",
+    ),
+    "pack_token_ids": QuerySpec(
+        lambda spark, sf_dir: bpe.pack_token_ids(
+            _t(spark, sf_dir, "documents")
+        ),
+        bpe.pack_token_ids_oracle(),
+        doc="packed training sequences WITH their token ids: one row per "
+        "corpus token at (lang, seq_id, pos) — bpe_token_ids composed "
+        "with pack_sequences_bpe; position = packed seq_offset + "
+        "within-doc rank, no per-sequence window; NEW gate r8 (OUT past "
+        "50: heavy_hitters, green r4-r7; sketches family keeps "
+        "sketch_cms / sketch_hll_windowed / sketch_cms_windowed "
+        "in-window)",
     ),
     # --- new in r4 (driver rows required, r3 VERDICT tasks 5-6): the
     # --- streaming FK-join lane, Repartitioned co-location, and
@@ -2979,6 +2984,14 @@ REGISTRY: dict[str, QuerySpec] = {
         timeseries.group_variance_oracle(),
         doc="one-pass parallel variance from three BIGINT sums (no "
         "Welford state, sums merge by addition); first-gates r5",
+    ),
+    "heavy_hitters": QuerySpec(
+        q_heavy_hitters,
+        ORACLE_HEAVY_HITTERS,
+        doc="theta-frequent items via CMS prefilter (no false negatives) "
+        "+ exact verify of candidates only — theta folded into the plan "
+        "as a broadcast 1-row aggregate (r4 VERDICT task 4); "
+        "first-gates r5",
     ),
     "markov_transitions": QuerySpec(
         lambda spark, sf_dir: timeseries.markov_transitions(
