@@ -1239,3 +1239,142 @@ def boilerplate_chunks_oracle(
                END AS boiler_bp
         FROM totals t LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+# -- balanced shard export ---------------------------------------------------
+#: target tokens per output shard (fixture-scaled; production ~100M)
+SHARD_BUDGET_TOKENS = 2048
+#: order-range buckets for the distributed prefix sum. The bucket-prefix
+#: window runs over AT MOST n_buckets+1 rows no matter the corpus size —
+#: a scale CONSTANT, so the single-partition exchange it needs is bounded.
+SHARD_BUCKETS = 1024
+#: Knuth multiplicative constant for the seed->coefficient derivation
+_SHARD_MULT = 2654435761
+
+
+def _shard_coeffs(seed: int) -> "tuple[int, int]":
+    """Seed -> affine permutation coefficients (a, b) over Z_P, a != 0.
+
+    h(doc) = (a * (doc_id % P) + b) % P is a deterministic pseudo-random
+    order key: identical integer arithmetic in Spark SQL and DuckDB, every
+    intermediate < 2^60 (a < P < 2^30 and doc_id % P < 2^30)."""
+    a = (int(seed) * _SHARD_MULT + 12821) % P or 1
+    b = (int(seed) * 97 + 7) % P
+    return a, b
+
+
+def shard_balanced(
+    docs: DataFrame,
+    budget: int = SHARD_BUDGET_TOKENS,
+    seed: int = 0,
+    n_buckets: int = SHARD_BUCKETS,
+) -> DataFrame:
+    """Deterministic balanced shard assignment for training-data export:
+    documents are placed in a seeded pseudo-random global order (the epoch
+    shuffle) and cut greedily into shards of ``budget`` tokens — the final
+    step of the tokenize -> pack -> SHARD chain that turns a curated corpus
+    into evenly-sized training files. Changing ``seed`` re-deals the
+    permutation (a new epoch order) without touching the balance contract.
+
+    Scale design — a GLOBAL running token sum without a global sort:
+    ``pack_sequences`` sidesteps global ordering by packing per language;
+    an export shard set is corpus-wide, so here the order key
+    h = (a*(doc_id%P)+b) % P is RANGE-bucketed (bucket = h DIV ceil(P/NB),
+    monotone in h) and the cumulative sum is two-pass:
+
+    1. per-bucket token totals -> prefix sums over the <= NB+1-row
+       aggregate (the only single-partition window, bounded by NB — a
+       constant — at any corpus size);
+    2. within-bucket running sum (Window partitioned BY BUCKET, one hash
+       shuffle) + broadcast-joined bucket prefix = exact global cumsum.
+
+    Integer DIV/% throughout: double arithmetic loses exactness past 2^53
+    cumulative tokens, a real number at 100 TB. Shard sizes land within
+    one document of ``budget`` (greedy contiguous cut), so every output
+    file is the same size modulo one straggler doc — the balance property
+    training loaders want.
+
+    Reference provenance: the reference sub-partitions state by hashing
+    keys into fixed token ranges (internal/db/partitioning/
+    SubPartitioner.java:29-101); same range-bucketing idea, applied to a
+    corpus-wide prefix sum instead of store placement.
+
+    Output: (doc_id, n_tokens, shard_id, shard_offset).
+    """
+    a, b = _shard_coeffs(seed)
+    width = -(-P // int(n_buckets))  # ceil(P / NB)
+    bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
+    toks = docs.select(
+        "doc_id",
+        F.expr(bpe).cast("bigint").alias("n_tokens"),
+        F.expr(f"({a} * (doc_id % {P}) + {b}) % {P}").alias("h"),
+    ).withColumn("bucket", F.expr(f"h DIV {width}"))
+
+    btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_pre = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_pre), F.lit(0)).alias(
+            "bucket_prefix"
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.join(F.broadcast(bpre), "bucket").withColumn(
+        "cum_tokens", F.col("bucket_prefix") + F.sum("n_tokens").over(w_cum)
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum_tokens - n_tokens) DIV {int(budget)}").alias("shard_id"),
+        ((F.col("cum_tokens") - F.col("n_tokens")) % int(budget))
+        .cast("bigint")
+        .alias("shard_offset"),
+    )
+
+
+def shard_balanced_oracle(
+    budget: int = SHARD_BUDGET_TOKENS, seed: int = 0
+) -> str:
+    """DuckDB twin: the same permutation hash with ONE global window —
+    correct single-node, which is exactly what makes it the referee for
+    the distributed two-pass form."""
+    a, b = _shard_coeffs(seed)
+    bpe = f"len(regexp_extract_all(text, '{T.BPE_TOKEN_REGEX}'))"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST({bpe} AS BIGINT) AS n_tokens,
+                   ({a} * (doc_id % {P}) + {b}) % {P} AS h
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST((cum_tokens - n_tokens) // {int(budget)} AS BIGINT)
+                   AS shard_id,
+               CAST((cum_tokens - n_tokens) % {int(budget)} AS BIGINT)
+                   AS shard_offset
+        FROM cum
+    """
+
+
+def shard_manifest(assignments: DataFrame) -> DataFrame:
+    """Per-shard manifest over ``shard_balanced`` output: document count
+    and token total per shard — the dataset-card row a training loader
+    reads to plan epochs. One keyed agg; output (shard_id, n_docs,
+    shard_tokens)."""
+    return assignments.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )

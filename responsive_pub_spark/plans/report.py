@@ -619,6 +619,16 @@ EXTENDED_NOTES = {
         "only, and verifies candidates against the write-once signature "
         "topic — no stage holds shingle sets for non-candidates."
     ),
+    "shard_balanced": (
+        "balanced shard export — a GLOBAL running token sum with no "
+        "global sort: the seeded permutation hash is range-bucketed "
+        "(bucket order monotone in the hash), per-bucket totals prefix-"
+        "sum on a <= n_buckets+1-row aggregate (the plan's ONLY single-"
+        "partition exchange, a scale CONSTANT), and the corpus-side "
+        "cumsum windows BY BUCKET after a broadcast join of the prefix "
+        "table — at 100 TB the corpus pays one hash shuffle, same as "
+        "any keyed window."
+    ),
     "ann_ivf_drift": (
         "incremental-IVF retrain trigger: one broadcast-join assignment "
         "pass (centroids tiny), ONE keyed agg on cid (centroid-count "

@@ -2881,15 +2881,19 @@ REGISTRY: dict[str, QuerySpec] = {
         "values with integer-bp share — the plan/salt/broadcast decision "
         "input; NEW inventory, first-gates in r6",
     ),
-    "outlier_report": QuerySpec(
-        lambda spark, sf_dir: timeseries.outlier_report(
-            _t(spark, sf_dir, "events")
+    "shard_balanced": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.shard_balanced(
+            _t(spark, sf_dir, "documents")
         ),
-        timeseries.outlier_report_oracle(),
-        doc="per-group p99 exceedance report with thresholds from the "
-        "mergeable histogram-quantile sketch broadcast onto one corpus "
-        "scan — sketch-composed DQ monitoring; NEW inventory, "
-        "first-gates in r6",
+        pipeline_ops.shard_balanced_oracle(),
+        doc="deterministic balanced shard export (seeded epoch-shuffle "
+        "order, greedy token-budget cut) — the tokenize->pack->SHARD "
+        "tail of the training chain; global running sum WITHOUT a "
+        "global sort: range-bucketed permutation hash + two-pass "
+        "prefix sum (the only single-partition window is the <=1025-row "
+        "bucket aggregate, a scale constant); NEW gate r8 (OUT past 50: "
+        "outlier_report, green r6-r7; analytics family keeps "
+        "dq_audit_events / ab_test_zscore / skew_report in-window)",
     ),
     "sketch_cms_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies_windowed(
@@ -2959,8 +2963,18 @@ REGISTRY: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # --- r8 rotation OUT (multi-round green r5-r7; families keep
     # --- in-window coverage — analytics via dq_audit_events/
-    # --- ab_test_zscore/group_variance/skew_report/outlier_report, BPE
-    # --- via the NEW bpe_encode/pack_bpe_budget gate rows) ---
+    # --- ab_test_zscore/skew_report, BPE via the NEW
+    # --- bpe_encode/pack_bpe_budget gate rows) ---
+    "outlier_report": QuerySpec(
+        lambda spark, sf_dir: timeseries.outlier_report(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.outlier_report_oracle(),
+        doc="per-group p99 exceedance report with thresholds from the "
+        "mergeable histogram-quantile sketch broadcast onto one corpus "
+        "scan — sketch-composed DQ monitoring; first-gated r6, green "
+        "r6-r7, parked for the r8 shard_balanced gate row",
+    ),
     "trend_ols": QuerySpec(
         lambda spark, sf_dir: timeseries.trend_ols(
             _t(spark, sf_dir, "events")
