@@ -93,6 +93,11 @@ if DOCS_MODE:
         # posting-list-shaped (keyed df agg + left-semi join back)
         "boilerplate_chunks",
         "decontam_overlap",
+        # r8: balanced shard export at 10x docs — the two-pass prefix sum
+        # must scale like any single keyed window (the global-ordering
+        # work is the constant-size bucket aggregate, so wall tracks the
+        # tokenize+shuffle cost, ~linear in rows)
+        "shard_balanced",
         # r5: containment on a dup-heavy corpus — every replica pair is a
         # mutual 1.0-containment, so output is quadratic in dup-group size
         # by CONTRACT (like the simhash pair form); what this measures is

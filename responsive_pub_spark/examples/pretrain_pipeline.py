@@ -128,3 +128,33 @@ def build_training_batches(
             "seq_id", "seq_offset", "weight",
         )
     )
+
+
+def export_shards(
+    docs: DataFrame,
+    manifest: DataFrame,
+    path: str | None = None,
+    budget: int = pipeline_ops.SHARD_BUDGET_TOKENS,
+    seed: int = 0,
+) -> DataFrame:
+    """Final stage: kept documents -> balanced training shards.
+
+        manifest (kept docs, redacted text)
+          -> shard_balanced   (seeded epoch-shuffle order, greedy
+                               token-budget cut — two-pass global prefix
+                               sum, no global sort)
+          -> write_shards     (one file per shard under path/shard_id=N,
+                               offset-ordered within the file)
+
+    Returns the per-doc assignment (doc_id, n_tokens, shard_id,
+    shard_offset); writes the files only when ``path`` is given. The
+    REDACTED text is what ships — sharding runs on the manifest joined
+    back to its redacted column, so raw PII never reaches an output file.
+    """
+    kept = manifest.select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    assignment = pipeline_ops.shard_balanced(kept, budget=budget, seed=seed)
+    if path is not None:
+        pipeline_ops.write_shards(kept, assignment, path)
+    return assignment

@@ -1378,3 +1378,33 @@ def shard_manifest(assignments: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
     )
+
+
+def write_shards(
+    docs: DataFrame,
+    assignments: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the shard export: joins text back onto the
+    ``shard_balanced`` assignment and writes ONE file per shard under
+    ``path/shard_id=N/``.
+
+    ``repartition("shard_id")`` hashes whole shards onto tasks (several
+    shards may share a task; ``partitionBy`` still splits them into one
+    file per shard directory), and ``sortWithinPartitions`` lays each
+    shard out in offset order so a training loader streams tokens in the
+    epoch-shuffle sequence without a sort of its own. Per-task memory is
+    bounded by (shards per task) x budget — the shard budget, not the
+    corpus, sizes the writer."""
+    out = docs.join(assignments, "doc_id").select(
+        "shard_id", "shard_offset", "doc_id", "n_tokens", "text"
+    )
+    (
+        out.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "shard_offset")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -126,3 +126,71 @@ def test_manifest_totals(spark, sf_dir):
         F.count("*").alias("d"), F.sum("n_tokens").alias("t")
     ).first()
     assert (got.d, got.t) == (exp.d, exp.t)
+
+
+def test_docs_span_shards_with_tiny_budget(spark, sf_dir, duck):
+    """budget << doc length: docs START in the shard their cut point
+    falls in and spans stay exact — the oracle agrees at token level."""
+    docs = read_table(spark, sf_dir, "documents")
+    ok, msg = compare(
+        PO.shard_balanced(docs, budget=8, seed=3),
+        duck,
+        PO.shard_balanced_oracle(budget=8, seed=3),
+    )
+    assert ok, msg
+    rows = PO.shard_balanced(docs, budget=8, seed=3).collect()
+    # with an 8-token budget nearly every doc spans; offsets stay < budget
+    assert all(0 <= r.shard_offset < 8 for r in rows)
+    assert any(r.n_tokens > 8 for r in rows)
+
+
+def test_write_shards_one_file_per_shard(spark, sf_dir, tmp_path):
+    import pathlib
+
+    docs = read_table(spark, sf_dir, "documents")
+    assignment = PO.shard_balanced(docs, budget=512)
+    out = str(tmp_path / "shards")
+    PO.write_shards(docs, assignment, out)
+    shard_dirs = sorted(
+        p for p in pathlib.Path(out).iterdir() if p.name.startswith("shard_id=")
+    )
+    n_shards = assignment.agg(F.count_distinct("shard_id")).first()[0]
+    assert len(shard_dirs) == n_shards
+    for d in shard_dirs:
+        files = [p for p in d.iterdir() if p.suffix == ".parquet"]
+        assert len(files) == 1, f"{d} must hold exactly one shard file"
+    # round trip: the written corpus is the whole corpus, offset-ordered
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    got = {
+        (r.shard_id, r.shard_tokens)
+        for r in back.groupBy("shard_id")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .collect()
+    }
+    exp = {
+        (r.shard_id, r.shard_tokens)
+        for r in PO.shard_manifest(assignment).collect()
+    }
+    assert got == exp
+
+
+def test_pipeline_export_stage(spark, sf_dir, tmp_path):
+    """build_corpus -> export_shards end-to-end: the shipped text is the
+    REDACTED column and every kept doc lands in exactly one shard."""
+    from responsive_pub_spark.examples import pretrain_pipeline
+
+    docs = read_table(spark, sf_dir, "documents")
+    manifest = pretrain_pipeline.build_corpus(docs)
+    out = str(tmp_path / "export")
+    assignment = pretrain_pipeline.export_shards(
+        docs, manifest, path=out, budget=256
+    )
+    assert assignment.count() == manifest.count()
+    back = spark.read.parquet(out)
+    assert back.count() == manifest.count()
+    # raw emails must not survive into shipped text (pii_redact contract)
+    leaked = back.filter(
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count()
+    assert leaked == 0
