@@ -1304,11 +1304,17 @@ def shard_balanced(
     a, b = _shard_coeffs(seed)
     width = -(-P // int(n_buckets))  # ceil(P / NB)
     bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
-    toks = docs.select(
-        "doc_id",
-        F.expr(bpe).cast("bigint").alias("n_tokens"),
-        F.expr(f"({a} * (doc_id % {P}) + {b}) % {P}").alias("h"),
-    ).withColumn("bucket", F.expr(f"h DIV {width}"))
+    # ONE bound tokenization: both prefix-sum passes read this 4-column
+    # projection (pooled via scoped_persist) instead of re-scanning docs
+    # and re-running the token regex per branch — the boilerplate_chunks
+    # single-materialization rule (r7 ADVICE)
+    toks = scoped_persist(
+        docs.select(
+            "doc_id",
+            F.expr(bpe).cast("bigint").alias("n_tokens"),
+            F.expr(f"({a} * (doc_id % {P}) + {b}) % {P}").alias("h"),
+        ).withColumn("bucket", F.expr(f"h DIV {width}"))
+    )
 
     btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
     w_pre = (
