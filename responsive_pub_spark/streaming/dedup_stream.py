@@ -93,8 +93,21 @@ def _bucket_stage(
     member would have verified — on dup-cluster-shaped corpora (the
     fixture included) the two configurations produce identical verdicts
     (tests/test_dedup_stream.py)."""
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _make_bucket_fn(retention, probe_depth),
+        CAND_SCHEMA,
+        "blob BINARY",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _make_bucket_fn(retention: float | None, probe_depth: int | None):
+    """Build the bucket-state processor (module-level so tests can drive
+    it directly with a fake state handle)."""
+    import pandas as pd
 
     def run(key_vals, pdf_iter, state_h):
         # chaos hook — DOUBLE opt-in (the regroup stage-B pattern): both
@@ -117,9 +130,15 @@ def _bucket_stage(
         if state_h.exists and state_h.get[0]:
             members, max_ts = pickle.loads(state_h.get[0])
         out_a, out_b, out_ts = [], [], []
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
+        # a group larger than the Arrow batch size arrives as SEVERAL
+        # chunks: arrival order must be established over the WHOLE group
+        # (a per-chunk sort would process chunk boundaries in feed order,
+        # flipping greedy pair orientation for spanning buckets)
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
             pdf = pdf.sort_values(["ts", "doc_id"], kind="mergesort")
             for doc_id, ts in zip(
                 pdf["doc_id"].astype("int64"), pdf["ts"].astype("float64")
@@ -137,7 +156,15 @@ def _bucket_stage(
                     out_b.append(doc_id)
                     out_ts.append(ts)
                 members.append((doc_id, ts))
-        if retention is not None and not members:
+        if retention is not None:
+            # final prune at the batch's closing horizon: a late straggler
+            # older than (bucket max_ts - retention) ages out IMMEDIATELY —
+            # including itself — which is what makes whole-bucket eviction
+            # reachable (the in-loop prune runs before each append, so it
+            # alone can never empty the member list)
+            horizon = max_ts - retention
+            members = [m for m in members if m[1] >= horizon]
+        if not members:
             # every member aged out: evict the whole bucket instead of
             # keeping an empty tombstone
             state_h.remove()
@@ -153,9 +180,7 @@ def _bucket_stage(
             }
         )
 
-    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
-        run, CAND_SCHEMA, "blob BINARY", "append", GroupStateTimeout.NoTimeout
-    )
+    return run
 
 
 class NearDupStreaming:

@@ -18,17 +18,14 @@ from responsive_pub_spark.streaming.dedup_stream import (
     NearDupStreaming,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
-
-
 def _feed(spark, lane, rows):
     spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(lane.docs_dir)
 
 
-def test_streaming_replay_matches_batch_greedy_across_restarts(spark, tmp_path):
-    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+def test_streaming_replay_matches_batch_greedy_across_restarts(spark, sf_dir, tmp_path):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     rows = [
         (int(r.doc_id), r.text, float(r.doc_id))
         for r in docs.orderBy("doc_id").collect()
@@ -135,12 +132,12 @@ def test_unbounded_retention_keeps_the_full_horizon(spark, tmp_path):
     assert got == {10: False, 20: True}
 
 
-def test_probe_depth_one_matches_unbounded_on_dup_cluster_corpus(spark, tmp_path):
+def test_probe_depth_one_matches_unbounded_on_dup_cluster_corpus(spark, sf_dir, tmp_path):
     """probe_depth=1 (the reference-shaped first-arrival-representative
     scheme — linear candidate volume) produces the same verdicts as the
     exact greedy twin on a dup-cluster-shaped corpus: the fixture's
     planted near-dups all verify against their bucket representative."""
-    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     rows = [
         (int(r.doc_id), r.text, float(r.doc_id))
         for r in docs.orderBy("doc_id").collect()
@@ -154,3 +151,77 @@ def test_probe_depth_one_matches_unbounded_on_dup_cluster_corpus(spark, tmp_path
         for r in dedup.greedy_keep(docs).collect()
     }
     assert got == want
+
+
+# -- bucket-processor unit tests (fake state handle, no streaming query) ----
+class _FakeState:
+    def __init__(self, blob=None):
+        self.exists = blob is not None
+        self.get = (blob,) if blob is not None else None
+        self.updated = None
+        self.removed = False
+
+    def update(self, tup):
+        self.updated = tup[0]
+
+    def remove(self):
+        self.removed = True
+
+
+def _pairs(out_pdf):
+    return list(zip(out_pdf["doc_a"].tolist(), out_pdf["doc_b"].tolist()))
+
+
+def test_bucket_fn_orders_across_arrow_chunks():
+    """A group spanning multiple Arrow chunks must be sorted as ONE
+    sequence: the earlier-ts doc is doc_a even when it arrives in the
+    LATER chunk (the per-chunk-sort regression)."""
+    import pandas as pd
+
+    from responsive_pub_spark.streaming.dedup_stream import _make_bucket_fn
+
+    run = _make_bucket_fn(retention=None, probe_depth=None)
+    chunk1 = pd.DataFrame({"doc_id": [9], "ts": [9.0]})
+    chunk2 = pd.DataFrame({"doc_id": [5], "ts": [5.0]})
+    st = _FakeState()
+    (out,) = run((0, 0), iter([chunk1, chunk2]), st)
+    # global order is ts: 5 first, 9 second -> pair (5, 9), never (9, 5)
+    assert _pairs(out) == [(5, 9)]
+    assert st.updated is not None and not st.removed
+
+
+def test_bucket_fn_eviction_is_reachable():
+    """A late straggler older than (bucket max_ts - retention) ages out
+    immediately — including itself — so a bucket whose members ALL aged
+    out removes its state entry entirely."""
+    import pickle
+
+    import pandas as pd
+
+    from responsive_pub_spark.streaming.dedup_stream import _make_bucket_fn
+
+    run = _make_bucket_fn(retention=10.0, probe_depth=None)
+    # prior state: one member at ts=50, bucket max_ts=100 (member already
+    # outside the horizon but kept because its bucket was never touched)
+    blob = pickle.dumps(([(1, 50.0)], 100.0))
+    st = _FakeState(blob)
+    (out,) = run((0, 0), iter([pd.DataFrame({"doc_id": [2], "ts": [5.0]})]), st)
+    # the stale member was pruned before probing -> no candidate pairs;
+    # the straggler itself is outside the horizon -> bucket evicts
+    assert _pairs(out) == []
+    assert st.removed and st.updated is None
+
+
+def test_bucket_fn_probe_depth_caps_candidates():
+    import pandas as pd
+
+    from responsive_pub_spark.streaming.dedup_stream import _make_bucket_fn
+
+    run = _make_bucket_fn(retention=None, probe_depth=1)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "ts": [1.0, 2.0, 3.0, 4.0]}
+    )
+    st = _FakeState()
+    (out,) = run((0, 0), iter([pdf]), st)
+    # every arrival probes ONLY the first member: linear candidate volume
+    assert _pairs(out) == [(1, 2), (1, 3), (1, 4)]
