@@ -68,10 +68,13 @@ def _session_token(spark) -> str:
         except Exception:  # noqa: BLE001 — connect/mocked sessions
             tok = f"py-session-{next(_TOKEN_SEQ)}"
         _SESSION_TOKENS[spark] = tok
-    # ALWAYS re-arm the liveness ref: clear_pool() drops refs, and a
-    # memoized token without one would read as a dead session and get
-    # its fresh entries purged (order-dependent suite flake)
-    if tok not in _SESSION_REFS:
+    # ALWAYS re-arm the liveness ref when it is missing OR dead:
+    # clear_pool() drops refs, and a GC'd WRAPPER for a still-live JVM
+    # session leaves a dead ref behind — either way a memoized token
+    # without a live ref would read as a dead session and get its fresh
+    # entries purged (order-dependent suite flake / wrapper-churn flush)
+    ref = _SESSION_REFS.get(tok)
+    if ref is None or ref() is None:
         _SESSION_REFS[tok] = weakref.ref(spark)
     return tok
 
@@ -115,21 +118,30 @@ def _same_plan(a: DataFrame, b: DataFrame) -> bool:
         return False
 
 
+def _plan_hash(df: DataFrame) -> int:
+    """32-bit semantic hash of the analyzed plan (the pool's narrow key;
+    module-level so tests can force collisions)."""
+    return df._jdf.queryExecution().analyzed().semanticHash()
+
+
 def scoped_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` with session-bounded lifetime (see module doc).
     Returns the pooled DataFrame for this plan — callers should use the
     return value so repeat calls share one wrapper."""
-    _purge_dead_sessions()
+    # token (and liveness re-arm) FIRST: if this session's previous
+    # wrapper was GC'd, purging before re-arming would flush the live
+    # session's own entries on every wrapper churn
     tok = _session_token(df.sparkSession)
-    h = df._jdf.queryExecution().analyzed().semanticHash()
+    _purge_dead_sessions()
+    h = _plan_hash(df)
     # probe disambiguation slots: same (session, hash) may hold several
-    # DISTINCT plans if the 32-bit hash collides; sameResult picks ours
-    slot = 0
-    while True:
-        k = (tok, h, slot)
-        pooled = _POOL.get(k)
-        if pooled is None:
-            break
+    # DISTINCT plans if the 32-bit hash collides; sameResult picks ours.
+    # Scan EVERY slot of this (session, hash) — LRU eviction can punch a
+    # hole at a lower slot, and stopping at the first empty slot would
+    # strand higher-slot entries (unreachable, re-persisted as dupes)
+    matches = [k for k in _POOL if k[0] == tok and k[1] == h]
+    for k in matches:
+        pooled = _POOL[k]
         if _same_plan(pooled, df):
             _POOL.move_to_end(k)
             lvl = pooled.storageLevel
@@ -140,9 +152,12 @@ def scoped_persist(df: DataFrame) -> DataFrame:
                 # reuse; re-arm it
                 pooled.persist()
             return pooled
+    used = {k[2] for k in matches}
+    slot = 0
+    while slot in used:
         slot += 1
     df.persist()
-    _POOL[k] = df
+    _POOL[(tok, h, slot)] = df
     while len(_POOL) > POOL_MAX:
         _, old = _POOL.popitem(last=False)
         try:

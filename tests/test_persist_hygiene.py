@@ -185,3 +185,63 @@ def test_new_session_never_reuses_stale_entries(spark, sf_dir):
     assert not any(k[0] == tok2 for k in cache._POOL), (
         "stale stopped-session entries must be purged, never reused"
     )
+
+
+def test_wrapper_churn_does_not_flush_live_session(spark, sf_dir):
+    """r8 review: a GC'd WRAPPER for a still-live JVM session leaves a
+    dead weakref behind; the next scoped_persist from a new wrapper of
+    the SAME session must re-arm the ref BEFORE purging — wrapper churn
+    must never flush the live session's own entries."""
+    import weakref
+
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    pooled = cache.scoped_persist(docs)
+    tok = cache._session_token(spark)
+    before = cache.pool_size()
+
+    # simulate the old wrapper dying while the JVM session lives
+    class _Gone:
+        pass
+
+    g = _Gone()
+    cache._SESSION_REFS[tok] = weakref.ref(g)
+    del g
+    again = cache.scoped_persist(docs)
+    assert again is pooled, "live session's entry was flushed on churn"
+    assert cache.pool_size() == before
+    assert cache._SESSION_REFS[tok]() is spark  # ref re-armed
+
+
+def test_probe_chain_survives_lower_slot_eviction(spark):
+    """r8 review: LRU eviction can punch a hole at a lower probe slot;
+    the lookup must scan every slot of (session, hash) — not stop at the
+    first empty one — or higher-slot entries become unreachable and get
+    re-persisted as duplicates."""
+    df_a = spark.range(32).selectExpr("id", "id * 7 AS a")
+    df_b = spark.range(32).selectExpr("id", "id * 11 AS b")
+    tok = cache._session_token(spark)
+    # force both plans onto one hash chain (organic 32-bit collisions
+    # exist at pool scale; the chain behavior is what's under test)
+    real_hash = cache._plan_hash
+    cache._plan_hash = lambda _df: 424242
+    try:
+        pa = cache.scoped_persist(df_a)
+        pb = cache.scoped_persist(df_b)
+        assert (tok, 424242, 0) in cache._POOL
+        assert (tok, 424242, 1) in cache._POOL
+        # evict the LOWER slot (what LRU popitem does to the older entry)
+        old = cache._POOL.pop((tok, 424242, 0))
+        old.unpersist(blocking=False)
+        size_after_evict = cache.pool_size()
+        # the higher-slot entry must still be found...
+        assert cache.scoped_persist(df_b) is pb
+        assert cache.pool_size() == size_after_evict, (
+            "slot-1 entry went unreachable and was re-persisted"
+        )
+        # ...and a re-insert of the evicted plan reuses the hole
+        pa2 = cache.scoped_persist(df_a)
+        assert (tok, 424242, 0) in cache._POOL
+        assert cache.scoped_persist(df_a) is pa2
+    finally:
+        cache._plan_hash = real_hash
+        del pa, pb
