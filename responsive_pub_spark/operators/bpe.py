@@ -397,28 +397,66 @@ def pack_token_ids(
     """Packed training sequences WITH their token ids — the final
     deliverable of the tokenizer story: one row per corpus token,
     (lang, seq_id, pos, token_id), where ``pos`` is the token's position
-    inside its packed sequence. Composition of ``bpe_token_ids`` (id
-    streams) and ``pack_sequences_bpe`` (budgeted packing): a token's
-    position is its doc's packed ``seq_offset`` plus its within-doc rank,
-    so NO per-sequence window is ever needed — position arithmetic rides
-    the per-doc offsets, and the only window shuffles are the per-doc
-    rank (keyed on doc_id) and the per-lang packing cumsum both ops
-    already pay."""
+    inside its packed sequence and ALWAYS lands in [0, budget): a doc
+    spanning a budget boundary rolls over into the next sequence
+    (global position = seq_id*budget + seq_offset + within-doc rank;
+    final seq/pos are its DIV/mod — so every (lang, seq_id) is a dense
+    0..budget-1 block except the lang's last partial sequence, the
+    fixed-length slices a training loader actually consumes).
+
+    Single-tokenization composition: the merge loop, corpus explode and
+    broadcast joins run ONCE (inside ``bpe_token_ids``); per-doc token
+    counts fall out of the SAME ranked stream (count over the doc_id
+    window partition the rank already shuffled on — no second corpus
+    scan, no second merge loop), and only the vocab-free (doc_id, lang)
+    projection is re-read for the per-lang packing cumsum."""
     from pyspark.sql import Window
 
+    from responsive_pub_spark.operators.pipeline_ops import PACK_BUDGET_TOKENS
+
+    from responsive_pub_spark.cache import scoped_persist
+
+    b = int(budget if budget is not None else PACK_BUDGET_TOKENS)
     ids = bpe_token_ids(docs, k)
     rank_w = Window.partitionBy("doc_id").orderBy("word_idx", "sub_idx")
-    ranked = ids.withColumn(
-        "tok_rank", (F.row_number().over(rank_w) - 1).cast("bigint")
+    # pooled: the ranked token stream feeds BOTH the per-doc counts and
+    # the final join — one tokenization/rank, not a duplicated subtree
+    ranked = scoped_persist(
+        ids.select(
+            "doc_id",
+            "token_id",
+            (F.row_number().over(rank_w) - 1).cast("bigint").alias("tok_rank"),
+            F.count("*")
+            .over(Window.partitionBy("doc_id"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
     )
-    packed = pack_sequences_bpe(docs, k, budget).select(
-        "doc_id", "lang", "seq_id", "seq_offset"
+    per_doc = (
+        ranked.select("doc_id", "n_tokens")
+        .distinct()
+        .join(docs.select("doc_id", "lang"), "doc_id")
     )
-    return ranked.join(packed, "doc_id").select(
+    pack_w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = per_doc.select(
+        "doc_id",
         "lang",
-        "seq_id",
-        (F.col("seq_offset") + F.col("tok_rank")).cast("bigint").alias("pos"),
-        "token_id",
+        (F.sum("n_tokens").over(pack_w) - F.col("n_tokens")).alias("doc_start"),
+    )
+    return (
+        ranked.join(packed, "doc_id")
+        .select(
+            "lang",
+            F.expr(f"(doc_start + tok_rank) DIV {b}").alias("seq_id"),
+            ((F.col("doc_start") + F.col("tok_rank")) % b)
+            .cast("bigint")
+            .alias("pos"),
+            "token_id",
+        )
     )
 
 
@@ -472,8 +510,7 @@ def pack_token_ids_oracle(
         ),
         packed AS (
             SELECT doc_id, lang,
-                   CAST((cum_tokens - n_tokens) // {b} AS BIGINT) AS seq_id,
-                   CAST((cum_tokens - n_tokens) % {b} AS BIGINT) AS seq_offset
+                   CAST(cum_tokens - n_tokens AS BIGINT) AS doc_start
             FROM (
                 SELECT doc_id, lang, n_tokens,
                        sum(n_tokens) OVER (
@@ -482,8 +519,9 @@ def pack_token_ids_oracle(
                 FROM toks_per_doc
             )
         )
-        SELECT p.lang, p.seq_id,
-               CAST(p.seq_offset + r.tok_rank AS BIGINT) AS pos,
+        SELECT p.lang,
+               CAST((p.doc_start + r.tok_rank) // {b} AS BIGINT) AS seq_id,
+               CAST((p.doc_start + r.tok_rank) % {b} AS BIGINT) AS pos,
                v.token_id
         FROM ranked r
         JOIN packed p USING (doc_id)

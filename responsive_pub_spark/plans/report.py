@@ -603,11 +603,12 @@ EXTENDED_NOTES = {
         "per-doc cumsum window is ever needed."
     ),
     "pack_token_ids": (
-        "the packed-id deliverable: bpe_token_ids' broadcast joins plus "
-        "TWO keyed windows that both ops already pay — per-doc token "
-        "rank (shuffle on doc_id) and the per-lang packing cumsum; a "
-        "token's sequence position is seq_offset + rank, so no "
-        "per-sequence window or global sort exists anywhere in the plan."
+        "the packed-id deliverable: ONE pooled ranked-id stream feeds "
+        "both the per-doc counts and the output join (single merge "
+        "loop, single corpus explode); positions are global-offset "
+        "DIV/mod budget so budget-spanning docs roll into the next "
+        "sequence — every sequence a dense fixed-length slice, no "
+        "per-sequence window or global sort anywhere in the plan."
     ),
     "dedup_stream_greedy": (
         "greedy first-arrival near-dup verdicts (batch twin of the "

@@ -2756,9 +2756,12 @@ REGISTRY: dict[str, QuerySpec] = {
         ),
         bpe.pack_token_ids_oracle(),
         doc="packed training sequences WITH their token ids: one row per "
-        "corpus token at (lang, seq_id, pos) — bpe_token_ids composed "
-        "with pack_sequences_bpe; position = packed seq_offset + "
-        "within-doc rank, no per-sequence window; NEW gate r8 (OUT past "
+        "corpus token at (lang, seq_id, pos), pos ALWAYS in [0, budget) — "
+        "budget-spanning docs roll over into the next sequence (global "
+        "position DIV/mod budget), so every sequence is a dense fixed-"
+        "length slice; single tokenization (the ranked id stream is "
+        "pooled and feeds both the per-doc counts and the output join), "
+        "no per-sequence window; NEW gate r8 (OUT past "
         "50: heavy_hitters, green r4-r7; sketches family keeps "
         "sketch_cms / sketch_hll_windowed / sketch_cms_windowed "
         "in-window)",

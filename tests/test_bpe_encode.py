@@ -92,3 +92,17 @@ def test_bpe_token_ids_reassemble_and_contiguity(spark):
     assert {(r.token, r.token_id) for r in rows} == {
         (t, i) for i, t in enumerate(inv)
     }
+
+
+def test_pack_token_ids_rolls_over_budget_boundaries(spark):
+    """r8 review: pos must ALWAYS land in [0, budget) — a doc spanning a
+    budget boundary rolls into the next sequence. Fixture: doc 1 emits 5
+    BPE tokens (aaab->2, aaab->2, ab->1), doc 2 emits 3 (ab->1, aaab->2);
+    budget 4 -> global positions 0..7 = seq 0 pos 0..3, seq 1 pos 0..3."""
+    rows = bpe.pack_token_ids(_docs(spark), k=2, budget=4).collect()
+    assert len(rows) == 8
+    assert all(0 <= r.pos < 4 for r in rows), rows
+    got = sorted((r.seq_id, r.pos) for r in rows)
+    assert got == [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (1, 1), (1, 2), (1, 3)]
+    # the spanning doc's 5th token IS seq 1 pos 0 (rollover, not pos 4)
+    assert (1, 0) in got
