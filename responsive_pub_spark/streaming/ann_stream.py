@@ -117,17 +117,28 @@ class IvfIncremental:
         k: int = similarity.IVF_K,
         n_queries: int = similarity.IVF_QUERY_VECS,
         n_probes: int = similarity.IVF_PROBES,
+        dedup: bool = True,
     ) -> DataFrame:
         """IVF query over the merged (base + incrementally appended)
-        lists — row-identical to a batch build over the same corpus."""
+        lists — row-identical to a batch build over the same corpus.
+
+        ``dedup=True`` (default) collapses at-least-once replay
+        duplicates on vec_id BEFORE ranking: a replayed append is
+        byte-identical (same frozen centroids, same deterministic
+        assignment expressions), but duplicate candidate rows would
+        occupy two of the k neighbor slots and evict a real neighbor.
+        Disable only when the ingest path is known exactly-once."""
         return similarity.ivf_query_lists(
-            self.lists(), self.centroids(), k=k, n_queries=n_queries,
-            n_probes=n_probes,
+            self.lists(dedup=dedup), self.centroids(), k=k,
+            n_queries=n_queries, n_probes=n_probes,
         )
 
-    def drift(self, retrain_pm: int = 1200) -> DataFrame:
+    def drift(self, retrain_pm: int = 1200, dedup: bool = True) -> DataFrame:
         """Per-centroid residual-growth report over the stored lists —
-        re-scores nothing: the ingest-time ccos is the residual source."""
+        re-scores nothing: the ingest-time ccos is the residual source.
+        ``dedup=True`` (default) keeps replayed appends from double-
+        counting a cohort's n_recent/sum_recent."""
         return similarity.drift_from_assign(
-            self.lists().select("vec_id", "cid", "ccos"), retrain_pm=retrain_pm
+            self.lists(dedup=dedup).select("vec_id", "cid", "ccos"),
+            retrain_pm=retrain_pm,
         )

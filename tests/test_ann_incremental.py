@@ -157,3 +157,37 @@ def test_drift_triggered_retrain_reduces_residuals(spark, sf_dir, tmp_path):
     assert after < before, (before, after)
     cent.unpersist()
     cent2.unpersist()
+
+
+def test_replayed_append_does_not_corrupt_topk_or_drift(spark, sf_dir, tmp_path):
+    """r8 review: foreachBatch appends are at-least-once — a SIGKILL
+    between the parquet append and the checkpoint commit replays the
+    batch, duplicating every row of it in the list table. topk() must
+    not let the duplicate occupy two neighbor slots (evicting a real
+    neighbor) and drift() must not double-count the cohort."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb).persist()
+    wd = str(tmp_path / "ivf-replay")
+    lane = IvfIncremental(spark, wd, centroids=cent)
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.limit(200).collect()
+    ]
+    _feed(spark, lane, rows)
+    lane.advance()
+
+    clean_topk = {(r.query_id, r.rank, r.neighbor_id) for r in lane.topk().collect()}
+    clean_drift = {tuple(r) for r in lane.drift().collect()}
+
+    # simulate the replay: re-append the last batch's list rows verbatim
+    dup = lane.lists().limit(60)
+    dup.write.mode("append").parquet(lane.lists_dir)
+    assert lane.lists().count() > lane.lists(dedup=True).count()
+
+    assert {
+        (r.query_id, r.rank, r.neighbor_id) for r in lane.topk().collect()
+    } == clean_topk, "replayed rows changed neighbor ranks"
+    assert {tuple(r) for r in lane.drift().collect()} == clean_drift, (
+        "replayed rows double-counted in the drift report"
+    )
+    cent.unpersist()
