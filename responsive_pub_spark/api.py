@@ -450,6 +450,70 @@ class KStream:
             .drop("__rn__")
         )
 
+    def suppress_until_time_limit(
+        self, interval_s: int, tiebreak: "str | Sequence[str]" = ()
+    ) -> DataFrame:
+        """``suppress(Suppressed.untilTimeLimit(T, unbounded()))`` analog:
+        rate-limit a changelog to AT MOST ONE update per key per
+        ``interval_s`` of stream time — the latest update wins, emitted
+        with the interval's close time (the throttle users put before
+        ``.toStream().to(topic)`` to protect downstream consumers).
+
+        Documented delta vs Kafka Streams: intervals here are FIXED
+        epoch-aligned buckets (Spark's tumbling ``window``), while KS
+        anchors each key's timer at its first buffered update. Both bound
+        the emission rate to 1/key/interval; the grid form is what makes
+        batch, streaming and the DuckDB oracle bit-identical.
+
+        Batch: one row_number pick per (key, bucket) — a single keyed
+        shuffle. Streaming: watermarked tumbling-window ``max_by`` in
+        APPEND mode (the suppression buffer is the window state itself,
+        same suppression point as ``suppress_until_window_closes``); the
+        result is tagged for :func:`output_mode_for`. ``tiebreak`` makes
+        the in-bucket order total when timestamps can tie (e.g. a unique
+        id column).
+
+        Output: key columns, ``emit_ts`` (bucket close, epoch-second
+        BIGINT), then every other input column from the winning update.
+        """
+        tb = _as_list(tiebreak) if tiebreak else []
+        val_cols = [
+            c
+            for c in self.df.columns
+            if c not in set(self.key) | {self.ts_col}
+        ]
+        win = F.window(F.col(self.ts_col), f"{int(interval_s)} seconds")
+        if self.df.isStreaming:
+            s = self.df.withWatermark(self.ts_col, f"{int(interval_s)} seconds")
+            agg = s.groupBy(win.alias("w"), *[F.col(k) for k in self.key]).agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in val_cols]),
+                    F.struct(
+                        F.col(self.ts_col), *[F.col(c) for c in tb]
+                    ),
+                ).alias("__v__")
+            )
+            out = agg.select(
+                *[F.col(k) for k in self.key],
+                _epoch(F.col("w.end")).alias("emit_ts"),
+                *[F.col(f"__v__.{c}").alias(c) for c in val_cols],
+            )
+            _EMIT_FINAL.add(out)
+            return out
+        d = self.df.withColumn("__w__", win)
+        w = Window.partitionBy(*self.key, "__w__").orderBy(
+            F.desc(self.ts_col), *[F.desc(c) for c in tb]
+        )
+        return (
+            d.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select(
+                *[F.col(k) for k in self.key],
+                _epoch(F.col("__w__.end")).alias("emit_ts"),
+                *[F.col(c) for c in val_cols],
+            )
+        )
+
     # -- sink ---------------------------------------------------------------
     def to(self, path: str, fmt: str = "parquet", mode: str = "append", **options):
         """.to(topic) analog (STJoinExample.java:94-98): write the stream."""

@@ -2978,6 +2978,33 @@ REGISTRY: dict[str, QuerySpec] = {
         "scan — sketch-composed DQ monitoring; first-gated r6, green "
         "r6-r7, parked for the r8 shard_balanced gate row",
     ),
+    # --- new inventory late-r8 (tail row, queued for the r9 rotation) ---
+    "suppress_time_limit": QuerySpec(
+        lambda spark, sf_dir: KStream(
+            _t(spark, sf_dir, "events"), key=["user_id"]
+        ).suppress_until_time_limit(3600, tiebreak="event_id"),
+        f"""
+        WITH {_EV},
+        b AS (
+            SELECT user_id, event_id, event_type, value, props,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bkt,
+                   row_number() OVER (
+                       PARTITION BY user_id, floor(epoch(ts) / 3600)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM ev
+        )
+        SELECT user_id, CAST((bkt + 1) * 3600 AS BIGINT) AS emit_ts,
+               event_id, event_type, value, props
+        FROM b WHERE rn = 1
+        """,
+        doc="suppress(untilTimeLimit) analog: rate-limit a changelog to "
+        "one update per key per interval, latest wins, emitted at the "
+        "interval close — KS-API completeness beyond the reference's own "
+        "usage (grid-aligned delta documented in api.py); one keyed "
+        "shuffle batch-side, watermarked window max_by APPEND streaming-"
+        "side; NEW inventory late-r8, queued for the r9 rotation",
+    ),
     "trend_ols": QuerySpec(
         lambda spark, sf_dir: timeseries.trend_ols(
             _t(spark, sf_dir, "events")

@@ -1088,3 +1088,78 @@ def test_regroup_vectorized_equals_processor(spark, tmp_path):
     proc = drive("processor")
     assert vec[1] == proc[1]  # retraction topic identical
     assert vec[0] == proc[0]  # re-agg changelog identical
+
+
+def test_suppress_until_time_limit_streaming_parity(spark, tmp_path):
+    """suppress(untilTimeLimit) analog: streaming (watermarked window
+    max_by, APPEND) and batch (row_number pick) agree on every CLOSED
+    interval — at most one update per key per interval, latest wins,
+    stamped with the interval close."""
+    from datetime import datetime as dt
+
+    from responsive_pub_spark.api import KStream, output_mode_for
+
+    def t(x):
+        return dt.fromisoformat(x)
+
+    def build(sdf):
+        return KStream(sdf, key=["user_id"]).suppress_until_time_limit(
+            3600, tiebreak="event_id"
+        )
+
+    batches = [
+        [
+            {"user_id": 1, "event_id": 1, "v": "a", "ts": t("2024-01-01 00:10:00")},
+            {"user_id": 1, "event_id": 2, "v": "b", "ts": t("2024-01-01 00:20:00")},
+            {"user_id": 2, "event_id": 3, "v": "c", "ts": t("2024-01-01 00:40:00")},
+        ],
+        # same-ts tie inside hour 0 for user 2: event_id breaks it
+        [
+            {"user_id": 2, "event_id": 5, "v": "e", "ts": t("2024-01-01 00:40:00")},
+        ],
+        # watermark far past hour 0 -> closes it
+        [
+            {"user_id": 1, "event_id": 9, "v": "z", "ts": t("2024-01-01 05:00:00")},
+        ],
+    ]
+    schema = "user_id LONG, event_id LONG, v STRING, ts TIMESTAMP"
+
+    # the builder's declared sink mode must be APPEND (emit-final)
+    probe = build(
+        spark.createDataFrame([], schema)
+        .sparkSession.readStream.format("rate")
+        .load()
+        .selectExpr(
+            "CAST(value AS LONG) user_id",
+            "CAST(value AS LONG) event_id",
+            "'x' v",
+            "timestamp ts",
+        )
+    )
+    assert output_mode_for(probe) == "append"
+
+    drv = TopologyTestDriver(
+        spark, schema, build, str(tmp_path / "stl"), output_mode="append"
+    )
+    got = []
+    for rows in batches:
+        drv.pipe(rows)
+        got.extend(
+            (r.user_id, r.emit_ts, r.event_id, r.v) for r in drv.advance()
+        )
+    drv.close()
+
+    HOUR0_END = 1704070800  # 2024-01-01 01:00:00 UTC
+    closed = {g for g in got if g[1] == HOUR0_END}
+    # latest wins; the user-2 same-ts tie resolves to the higher event_id
+    assert closed == {(1, HOUR0_END, 2, "b"), (2, HOUR0_END, 5, "e")}
+
+    # batch twin agrees on the closed interval
+    all_rows = [r for b in batches for r in b]
+    batch = build(spark.createDataFrame(all_rows, schema))
+    batch_closed = {
+        (r.user_id, r.emit_ts, r.event_id, r.v)
+        for r in batch.collect()
+        if r.emit_ts == HOUR0_END
+    }
+    assert batch_closed == closed
