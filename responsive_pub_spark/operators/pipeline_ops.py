@@ -628,6 +628,81 @@ def chunk_dedup_oracle(size: int = CHUNK_TOKENS) -> str:
     """
 
 
+#: order-range buckets for the packing family's distributed prefix sum —
+#: same role as SHARD_BUCKETS below: the cross-bucket window runs over at
+#: most n_buckets+1 rows PER GROUP no matter the corpus size.
+PACK_BUCKETS = 1024
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    part_cols: "list[str]",
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Distributed inclusive running sum of ``value_col`` in ``order_col``
+    order within each ``part_cols`` group — WITHOUT a per-group
+    single-reducer window. A plain
+    ``Window.partitionBy(part_cols).orderBy(order_col)`` funnels every row
+    of a group through ONE reducer; when the group key is low-cardinality
+    and skewed (``lang``: at 100 TB one reducer would sequentially scan
+    the entire English per-doc table) that is the scale-killer plan.
+
+    Two-pass range-bucket decomposition (the ``shard_balanced`` prefix-sum
+    shape, generalized to keyed groups):
+
+    1. ``order_col``'s global [min, max] span (one 1-row aggregate,
+       broadcast-equi-joined on a literal key — BroadcastHashJoin, not a
+       nested loop) splits into ``n_buckets`` ranges; bucket id is
+       monotone in ``order_col``, so bucket order == row order.
+    2. per-(group, bucket) totals -> cross-bucket exclusive prefix via a
+       window over the AGGREGATE (<= n_buckets+1 rows per group — a scale
+       CONSTANT); within-(group, bucket) running sum is one hash shuffle
+       across ``n_buckets``-way parallelism; broadcast-joined bucket
+       prefix + within-bucket sum = the exact global running sum.
+
+    Integer arithmetic throughout (DIV / +): exact at any aggregation
+    order, portable to the DuckDB oracles' single-window form. ``df`` is
+    pooled via ``scoped_persist`` — the span pass, the bucket-total pass
+    and the final join all read one materialization."""
+    d = scoped_persist(df)
+    span = d.agg(
+        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
+    ).withColumn("_one", F.lit(1))
+    width = f"((_hi - _lo) DIV {int(n_buckets)} + 1)"
+    bucketed = (
+        d.withColumn("_one", F.lit(1))
+        .join(F.broadcast(span), "_one")
+        .withColumn("_bucket", F.expr(f"({order_col} - _lo) DIV {width}"))
+        .drop("_one", "_lo", "_hi")
+    )
+    btot = bucketed.groupBy(*part_cols, "_bucket").agg(
+        F.sum(value_col).alias("_btot")
+    )
+    w_pre = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = btot.select(
+        *part_cols,
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(w_pre), F.lit(0)).alias("_bpre"),
+    )
+    w_cum = (
+        Window.partitionBy(*part_cols, "_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(bpre), [*part_cols, "_bucket"])
+        .withColumn(out_col, F.col("_bpre") + F.sum(value_col).over(w_cum))
+        .drop("_bucket", "_bpre")
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET_TOKENS) -> DataFrame:
     """Sequence packing for training-batch assembly: documents are
     concatenated in deterministic (lang, doc_id) order and cut into
@@ -636,26 +711,19 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET_TOKENS) -> DataFra
     split packing used to build pretraining batches without padding
     waste).
 
-    One window shuffle per language partition (running token sum in
-    integer arithmetic, fully deterministic); at 100 TB packing runs
-    per (lang, shard) with the same plan. Docs longer than the budget
-    simply span sequences — offset/seq arithmetic stays exact."""
-    from pyspark.sql import Window
-
+    The running token sum is the ``bucketed_running_sum`` two-pass
+    range-bucket prefix sum keyed (lang, doc_id-bucket) — NOT a per-lang
+    single-reducer window: language is low-cardinality and skewed, so at
+    100 TB the naive plan funnels the whole English corpus through one
+    task. Docs longer than the budget simply span sequences —
+    offset/seq arithmetic stays exact (integer DIV/mod: double
+    round-trips lose exactness past 2^53 cumulative tokens)."""
     bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = docs.select(
         "doc_id", "lang", F.expr(bpe).cast("bigint").alias("n_tokens")
     )
-    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    cum = bucketed_running_sum(toks, ["lang"], "doc_id", "n_tokens", "cum_tokens")
     start = F.col("cum_tokens") - F.col("n_tokens")
-    # integer DIV, not float division: double round-trips lose exactness
-    # past 2^53 cumulative tokens (a real number at 100 TB) and truncation
-    # vs floor differs from the oracle's integer `//`
     return cum.select(
         "doc_id",
         "lang",
