@@ -353,12 +353,20 @@ def pack_sequences_bpe(
     encode pass exists for: ``pipeline_ops.pack_sequences``'s concat-then-
     split packing (deterministic (lang, doc_id) order, integer cumulative
     sums, exact DIV/mod arithmetic) with ``n_tokens`` coming from the
-    learned tokenizer instead of the whitespace-regex surrogate. Same
-    single window shuffle per language partition; the only extra cost is
-    the broadcast segmentation join of the encode pass."""
-    from pyspark.sql import Window
+    learned tokenizer instead of the whitespace-regex surrogate.
 
-    from responsive_pub_spark.operators.pipeline_ops import PACK_BUDGET_TOKENS
+    The running token sum is ``pipeline_ops.bucketed_running_sum`` — the
+    same two-pass range-bucket prefix sum ``pack_sequences`` uses, NOT a
+    ``Window.partitionBy("lang")`` cumsum: language is low-cardinality
+    and skewed, so the naive per-lang window funnels the entire English
+    corpus through ONE reducer at 100 TB. The only per-group single-
+    partition exchange left is the <= n_buckets+1-row bucket aggregate
+    (a scale constant). The extra cost over ``pack_sequences`` is just
+    the broadcast segmentation join of the encode pass."""
+    from responsive_pub_spark.operators.pipeline_ops import (
+        PACK_BUDGET_TOKENS,
+        bucketed_running_sum,
+    )
 
     b = int(budget if budget is not None else PACK_BUDGET_TOKENS)
     seg = bpe_segment_map(docs, k)
@@ -374,12 +382,7 @@ def pack_sequences_bpe(
         .groupBy("doc_id", "lang")
         .agg(F.sum("n_bpe").cast("bigint").alias("n_tokens"))
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    cum = bucketed_running_sum(toks, ["lang"], "doc_id", "n_tokens", "cum_tokens")
     return cum.select(
         "doc_id",
         "lang",
@@ -409,10 +412,15 @@ def pack_token_ids(
     counts fall out of the SAME ranked stream (count over the doc_id
     window partition the rank already shuffled on — no second corpus
     scan, no second merge loop), and only the vocab-free (doc_id, lang)
-    projection is re-read for the per-lang packing cumsum."""
+    projection is re-read for the packing cumsum — which is the
+    ``bucketed_running_sum`` two-pass range-bucket prefix sum, not a
+    per-lang single-reducer window (see ``pack_sequences_bpe``)."""
     from pyspark.sql import Window
 
-    from responsive_pub_spark.operators.pipeline_ops import PACK_BUDGET_TOKENS
+    from responsive_pub_spark.operators.pipeline_ops import (
+        PACK_BUDGET_TOKENS,
+        bucketed_running_sum,
+    )
 
     from responsive_pub_spark.cache import scoped_persist
 
@@ -437,15 +445,12 @@ def pack_token_ids(
         .distinct()
         .join(docs.select("doc_id", "lang"), "doc_id")
     )
-    pack_w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = per_doc.select(
+    packed = bucketed_running_sum(
+        per_doc, ["lang"], "doc_id", "n_tokens", "cum_tokens"
+    ).select(
         "doc_id",
         "lang",
-        (F.sum("n_tokens").over(pack_w) - F.col("n_tokens")).alias("doc_start"),
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("doc_start"),
     )
     return (
         ranked.join(packed, "doc_id")

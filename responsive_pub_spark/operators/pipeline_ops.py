@@ -666,7 +666,38 @@ def bucketed_running_sum(
     Integer arithmetic throughout (DIV / +): exact at any aggregation
     order, portable to the DuckDB oracles' single-window form. ``df`` is
     pooled via ``scoped_persist`` — the span pass, the bucket-total pass
-    and the final join all read one materialization."""
+    and the final join all read one materialization.
+
+    Preconditions (validated where cheap, documented where not):
+
+    - ``order_col`` must be an INTEGRAL column (the bucket id is
+      ``(order_col - min) DIV width``); a string/timestamp order column
+      is rejected up front rather than bucketing wrongly.
+    - ``part_cols`` and ``order_col`` values must be NON-NULL: the
+      bucket/prefix equi-joins are null-UNSAFE (a NULL group key would
+      silently drop rows where the single-window form keeps them as one
+      NULL partition). All current callers key on (lang, doc_id), both
+      non-null by the documents schema.
+    - (``part_cols``, ``order_col``) should be UNIQUE per row: within a
+      bucket the running sum orders by ``order_col`` alone, so tied rows
+      get an arbitrary relative order (same caveat as any single-window
+      cumsum without a tiebreak). Callers ordering on a unique id
+      (doc_id) are deterministic.
+    """
+    reserved = {"_one", "_lo", "_hi", "_bucket", "_btot", "_bpre"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"bucketed_running_sum: input columns {sorted(clash)} collide "
+            "with the helper's internal names — rename them first"
+        )
+    order_type = df.schema[order_col].dataType.simpleString()
+    if order_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"bucketed_running_sum: order_col {order_col!r} must be an "
+            f"integral type (got {order_type}) — the range bucketing is "
+            "(order - min) DIV width"
+        )
     d = scoped_persist(df)
     span = d.agg(
         F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")

@@ -198,3 +198,26 @@ def test_r8_ops_plan_shapes(spark, sf_dir):
     # 1-row split scalar must both BROADCAST, never shuffle the corpus
     assert a["broadcast_joins"] >= 2, p
     assert a["exchanges"] <= 2, p
+
+
+def test_pack_family_no_per_lang_window(spark, sf_dir):
+    """r9 VERDICT task 1 plan gate: NO member of the pack family may
+    compute its running token sum with a window partitioned by ``lang``
+    alone and ordered by ``doc_id`` — language is low-cardinality and
+    skewed, so that plan funnels the whole English corpus through one
+    reducer at 100 TB. The sanctioned shape is ``bucketed_running_sum``:
+    the only lang-alone window left is the <= n_buckets+1-row BUCKET
+    aggregate (ordered by ``_bucket``, a scale constant)."""
+    import re
+
+    from responsive_pub_spark.operators import bpe, pipeline_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    bad = re.compile(r"windowspecdefinition\(lang#\d+L?,\s*doc_id#")
+    for name, df in (
+        ("pack_sequences", pipeline_ops.pack_sequences(docs)),
+        ("pack_sequences_bpe", bpe.pack_sequences_bpe(docs)),
+        ("pack_token_ids", bpe.pack_token_ids(docs)),
+    ):
+        p = audit.plan_str(df, "extended")
+        assert not bad.search(p), (name, p)
