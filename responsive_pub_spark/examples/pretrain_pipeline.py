@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from responsive_pub_spark.operators import dedup, pipeline_ops
+from responsive_pub_spark.operators import bpe, dedup, pipeline_ops
 
 
 def build_corpus(docs: DataFrame, contam_max: float = 0.5) -> DataFrame:
@@ -136,15 +136,28 @@ def export_shards(
     path: str | None = None,
     budget: int = pipeline_ops.SHARD_BUDGET_TOKENS,
     seed: int = 0,
+    bpe_k: int | None = bpe.BPE_MERGES,
 ) -> DataFrame:
     """Final stage: kept documents -> balanced training shards.
 
+        docs (raw corpus)     -> bpe_segment_map  (the tokenizer, fitted
+                                 ONCE on the full raw corpus — the same
+                                 artifact the pack stage encodes with)
         manifest (kept docs, redacted text)
-          -> shard_balanced   (seeded epoch-shuffle order, greedy
+          -> doc_bpe_counts   (learned-BPE token counts of the SHIPPED
+                               text against that map; redaction
+                               placeholders absent from the map fall back
+                               to their character count)
+          -> shard_balanced_counts (seeded epoch-shuffle order, greedy
                                token-budget cut — two-pass global prefix
                                sum, no global sort)
           -> write_shards     (one file per shard under path/shard_id=N,
                                offset-ordered within the file)
+
+    Token-definition unification (r9 VERDICT task 3): the shard budget is
+    measured in the SAME learned-BPE tokens ``pack_token_ids`` packs on —
+    one tokenizer, one count, end to end. ``bpe_k=None`` falls back to
+    the whitespace-regex surrogate count (``shard_balanced``).
 
     Returns the per-doc assignment (doc_id, n_tokens, shard_id,
     shard_offset); writes the files only when ``path`` is given. The
@@ -154,7 +167,14 @@ def export_shards(
     kept = manifest.select(
         "doc_id", F.col("redacted").alias("text")
     )
-    assignment = pipeline_ops.shard_balanced(kept, budget=budget, seed=seed)
+    if bpe_k is None:
+        assignment = pipeline_ops.shard_balanced(kept, budget=budget, seed=seed)
+    else:
+        seg = bpe.bpe_segment_map(docs, bpe_k)
+        counts = bpe.doc_bpe_counts(kept, seg=seg)
+        assignment = pipeline_ops.shard_balanced_counts(
+            counts, budget=budget, seed=seed
+        )
     if path is not None:
         pipeline_ops.write_shards(kept, assignment, path)
     return assignment

@@ -346,6 +346,125 @@ def bpe_token_ids(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
     )
 
 
+def doc_bpe_counts(
+    docs: DataFrame, k: int = BPE_MERGES, seg: "DataFrame | None" = None
+) -> DataFrame:
+    """Per-doc LEARNED-BPE token counts — (doc_id, n_tokens) — the single
+    token definition the whole budget chain (pack, shard, mixture caps)
+    should agree on (r9 VERDICT task 3: ``shard_balanced`` budgeted on
+    regex tokens while ``pack_token_ids`` budgeted on learned-BPE counts,
+    two definitions over one corpus).
+
+    ``seg=`` reuses an already-fitted segmentation map (e.g. the
+    tokenizer trained on the RAW corpus, applied to redacted/kept text);
+    by default the map is fitted on ``docs`` itself. Words absent from
+    the map (possible only with a foreign ``seg``) fall back to their
+    character count — the zero-merge segmentation, the upper bound BPE
+    would start from. Zero-word docs are KEPT with n_tokens = 0 so every
+    input doc receives a shard/pack slot.
+
+    Plan shape: one corpus explode + one broadcast join (vocab-sized
+    map) + per-doc agg + one doc_id equi-join to re-attach empty docs."""
+    if seg is None:
+        seg = bpe_segment_map(docs, k)
+    corpus = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).alias("word"),
+    )
+    counted = (
+        corpus.join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("n_bpe"), F.length("word")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    return docs.select("doc_id").join(counted, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens")
+    )
+
+
+def shard_bpe(
+    docs: DataFrame,
+    k: int = BPE_MERGES,
+    budget: "int | None" = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Balanced shard export budgeted on LEARNED-BPE token counts — the
+    unified tokenize -> pack -> shard chain: the same token definition
+    ``pack_token_ids`` packs on now also cuts the export shards, so a
+    shard's token budget means the same thing the training loader's
+    sequence budget does. Composition: ``doc_bpe_counts`` (one corpus
+    scan + vocab broadcast) feeding ``shard_balanced_counts`` (seeded
+    epoch-shuffle order, two-pass range-bucketed prefix sum — no global
+    sort, no per-key single reducer)."""
+    from responsive_pub_spark.operators.pipeline_ops import (
+        SHARD_BUDGET_TOKENS,
+        shard_balanced_counts,
+    )
+
+    b = int(budget if budget is not None else SHARD_BUDGET_TOKENS)
+    return shard_balanced_counts(doc_bpe_counts(docs, k), budget=b, seed=seed)
+
+
+def shard_bpe_oracle(
+    k: int = BPE_MERGES, budget: "int | None" = None, seed: int = 0
+) -> str:
+    """DuckDB twin: the unrolled-merge segmentation map feeding the exact
+    single-window form of ``shard_balanced_oracle`` — same permutation
+    hash, same integer ``//`` and ``%``."""
+    from responsive_pub_spark.operators.pipeline_ops import (
+        P,
+        SHARD_BUDGET_TOKENS,
+        _shard_coeffs,
+    )
+
+    b = int(budget if budget is not None else SHARD_BUDGET_TOKENS)
+    a, bb = _shard_coeffs(seed)
+    ctes, _ = _oracle_ctes(k, carry_word=True)
+    return f"""{ctes},
+        {_segmap_cte(k)},
+        corpus AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> '')) AS word
+            FROM documents
+        ),
+        counted AS (
+            SELECT c.doc_id,
+                   CAST(sum(coalesce(m.n_bpe, len(c.word))) AS BIGINT)
+                       AS n_tokens
+            FROM corpus c LEFT JOIN segmap m USING (word)
+            GROUP BY c.doc_id
+        ),
+        counts AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN counted t USING (doc_id)
+        ),
+        toks AS (
+            SELECT doc_id, n_tokens,
+                   ({a} * (doc_id % {P}) + {bb}) % {P} AS h
+            FROM counts
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST((cum_tokens - n_tokens) // {b} AS BIGINT) AS shard_id,
+               CAST((cum_tokens - n_tokens) % {b} AS BIGINT) AS shard_offset
+        FROM cum
+    """
+
+
 def pack_sequences_bpe(
     docs: DataFrame, k: int = BPE_MERGES, budget: "int | None" = None
 ) -> DataFrame:

@@ -1400,17 +1400,38 @@ def shard_balanced(
 
     Output: (doc_id, n_tokens, shard_id, shard_offset).
     """
+    bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
+    counts = docs.select(
+        "doc_id", F.expr(bpe).cast("bigint").alias("n_tokens")
+    )
+    return shard_balanced_counts(
+        counts, budget=budget, seed=seed, n_buckets=n_buckets
+    )
+
+
+def shard_balanced_counts(
+    counts: DataFrame,
+    budget: int = SHARD_BUDGET_TOKENS,
+    seed: int = 0,
+    n_buckets: int = SHARD_BUCKETS,
+) -> DataFrame:
+    """``shard_balanced`` over a PRECOMPUTED ``(doc_id, n_tokens)`` frame —
+    the token-definition seam (r9 VERDICT task 3): the shard chain budgets
+    on whatever token count the caller's tokenizer produced (learned-BPE
+    counts from ``bpe.doc_bpe_counts``, regex counts, byte counts), so
+    pack and shard stages of one pipeline agree on a single definition
+    instead of sharding on regex tokens while packing on BPE tokens.
+    Same two-pass range-bucketed prefix sum and balance contract as
+    ``shard_balanced`` (which delegates here)."""
     a, b = _shard_coeffs(seed)
     width = -(-P // int(n_buckets))  # ceil(P / NB)
-    bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
-    # ONE bound tokenization: both prefix-sum passes read this 4-column
-    # projection (pooled via scoped_persist) instead of re-scanning docs
-    # and re-running the token regex per branch — the boilerplate_chunks
-    # single-materialization rule (r7 ADVICE)
+    # ONE bound pass: both prefix-sum passes read this 4-column projection
+    # (pooled via scoped_persist) instead of re-computing counts per
+    # branch — the boilerplate_chunks single-materialization rule
     toks = scoped_persist(
-        docs.select(
+        counts.select(
             "doc_id",
-            F.expr(bpe).cast("bigint").alias("n_tokens"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
             F.expr(f"({a} * (doc_id % {P}) + {b}) % {P}").alias("h"),
         ).withColumn("bucket", F.expr(f"h DIV {width}"))
     )

@@ -2541,31 +2541,14 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # (multimodal_audio_chunks / multimodal_frame_sample, green r3, rotate
     # past 50 — the multimodal family stays in-window via decode_features)
-    "tpch_q3_shipping": QuerySpec(
-        q_tpch_q3,
-        ORACLE_TPCH_Q3,
-        bench=True,
-        doc="TPC-H Q3 analog: 3-way fact join, broadcast filtered dim, "
-        "integer-cent revenue, TakeOrderedAndProject top-10",
-    ),
-    "fuzzy_match_names": QuerySpec(
-        lambda spark, sf_dir: linkage.fuzzy_match_names(
-            _t(spark, sf_dir, "part")
-        ),
-        linkage.fuzzy_match_names_oracle(),
-        doc="record linkage: blocked levenshtein match over DISTINCT names "
-        "(collapse-first, cartesian-free)",
-    ),
     # --- r2-green substantial operators ---
     # --- never driver-gated until r4 (r3 VERDICT task 2): the four KS DSL
     # --- surface rows that sat at positions 53-56 move INSIDE the window;
     # --- multi-round-green veterans (window_hopping/grace, join_stream_table,
     # --- dedup_exact/fact, sim_search_lsh, bootstrap_compact) rotate out ---
-    "join_table_outer": QuerySpec(q_join_table_outer, ORACLE_JOIN_TABLE_OUTER),
     "join_stream_stream_left": QuerySpec(
         q_join_stream_stream_left, ORACLE_JOIN_STREAM_STREAM_LEFT
     ),
-    "cogroup_per_type": QuerySpec(q_cogroup, ORACLE_COGROUP),
     "join_stream_stream_outer": QuerySpec(
         q_join_stream_stream_outer, ORACLE_JOIN_STREAM_STREAM_OUTER
     ),
@@ -2766,6 +2749,32 @@ REGISTRY: dict[str, QuerySpec] = {
         "sketch_cms / sketch_hll_windowed / sketch_cms_windowed "
         "in-window)",
     ),
+    "suppress_time_limit": QuerySpec(
+        lambda spark, sf_dir: KStream(
+            _t(spark, sf_dir, "events"), key=["user_id"]
+        ).suppress_until_time_limit(3600, tiebreak="event_id"),
+        f"""
+        WITH {_EV},
+        b AS (
+            SELECT user_id, event_id, event_type, value, props,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bkt,
+                   row_number() OVER (
+                       PARTITION BY user_id, floor(epoch(ts) / 3600)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM ev
+        )
+        SELECT user_id, CAST((bkt + 1) * 3600 AS BIGINT) AS emit_ts,
+               event_id, event_type, value, props
+        FROM b WHERE rn = 1
+        """,
+        doc="suppress(untilTimeLimit) analog: rate-limit a changelog to "
+        "one update per key per interval, latest wins, emitted at the "
+        "interval close — KS-API completeness beyond the reference's own "
+        "usage (grid-aligned delta documented in api.py); one keyed "
+        "shuffle batch-side, watermarked window max_by APPEND streaming-"
+        "side; NEW inventory late-r8, queued for the r9 rotation",
+    ),
     # --- new in r4 (driver rows required, r3 VERDICT tasks 5-6): the
     # --- streaming FK-join lane, Repartitioned co-location, and
     # --- approximateNumEntries — the last §2 rows with no driver evidence
@@ -2898,6 +2907,19 @@ REGISTRY: dict[str, QuerySpec] = {
         "outlier_report, green r6-r7; analytics family keeps "
         "dq_audit_events / ab_test_zscore / skew_report in-window)",
     ),
+    "shard_bpe_budget": QuerySpec(
+        lambda spark, sf_dir: bpe.shard_bpe(_t(spark, sf_dir, "documents")),
+        bpe.shard_bpe_oracle(),
+        doc="balanced shard export budgeted on LEARNED-BPE token counts "
+        "(doc_bpe_counts -> shard_balanced_counts) — the token-definition "
+        "unification of the tokenize->pack->shard chain (r9 VERDICT task "
+        "3): the same counts pack_token_ids packs on now cut the export "
+        "shards; NEW gate r10",
+    ),
+    "pack_sequences": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
+        pipeline_ops.pack_sequences_oracle(),
+    ),
     "sketch_cms_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies_windowed(
             _t(spark, sf_dir, "events")
@@ -2979,32 +3001,6 @@ REGISTRY: dict[str, QuerySpec] = {
         "r6-r7, parked for the r8 shard_balanced gate row",
     ),
     # --- new inventory late-r8 (tail row, queued for the r9 rotation) ---
-    "suppress_time_limit": QuerySpec(
-        lambda spark, sf_dir: KStream(
-            _t(spark, sf_dir, "events"), key=["user_id"]
-        ).suppress_until_time_limit(3600, tiebreak="event_id"),
-        f"""
-        WITH {_EV},
-        b AS (
-            SELECT user_id, event_id, event_type, value, props,
-                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bkt,
-                   row_number() OVER (
-                       PARTITION BY user_id, floor(epoch(ts) / 3600)
-                       ORDER BY ts DESC, event_id DESC
-                   ) AS rn
-            FROM ev
-        )
-        SELECT user_id, CAST((bkt + 1) * 3600 AS BIGINT) AS emit_ts,
-               event_id, event_type, value, props
-        FROM b WHERE rn = 1
-        """,
-        doc="suppress(untilTimeLimit) analog: rate-limit a changelog to "
-        "one update per key per interval, latest wins, emitted at the "
-        "interval close — KS-API completeness beyond the reference's own "
-        "usage (grid-aligned delta documented in api.py); one keyed "
-        "shuffle batch-side, watermarked window max_by APPEND streaming-"
-        "side; NEW inventory late-r8, queued for the r9 rotation",
-    ),
     "trend_ols": QuerySpec(
         lambda spark, sf_dir: timeseries.trend_ols(
             _t(spark, sf_dir, "events")
@@ -3208,6 +3204,25 @@ REGISTRY: dict[str, QuerySpec] = {
     # gated by the pytest sweep, and the FK/PAPI oracles ALSO stay
     # in-window via fk_join_streaming / papi_tws_running_count):
     "fk_join_changelog": QuerySpec(q_fk_join_changelog, ORACLE_FK_JOIN_CHANGELOG, bench=True),
+    # --- r10 rotations out (multi-round green r4-r9; oracles still in the
+    # --- pytest sweep) ---
+    "tpch_q3_shipping": QuerySpec(
+        q_tpch_q3,
+        ORACLE_TPCH_Q3,
+        bench=True,
+        doc="TPC-H Q3 analog: 3-way fact join, broadcast filtered dim, "
+        "integer-cent revenue, TakeOrderedAndProject top-10",
+    ),
+    "fuzzy_match_names": QuerySpec(
+        lambda spark, sf_dir: linkage.fuzzy_match_names(
+            _t(spark, sf_dir, "part")
+        ),
+        linkage.fuzzy_match_names_oracle(),
+        doc="record linkage: blocked levenshtein match over DISTINCT names "
+        "(collapse-first, cartesian-free)",
+    ),
+    "join_table_outer": QuerySpec(q_join_table_outer, ORACLE_JOIN_TABLE_OUTER),
+    "cogroup_per_type": QuerySpec(q_cogroup, ORACLE_COGROUP),
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT),
     "dedup_simhash": QuerySpec(q_dedup_simhash, dedup.simhash_pairs_oracle()),
     "dedup_ngram_jaccard": QuerySpec(
@@ -3224,10 +3239,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "chunk_dedup": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.chunk_dedup(_t(spark, sf_dir, "documents")),
         pipeline_ops.chunk_dedup_oracle(),
-    ),
-    "pack_sequences": QuerySpec(
-        lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
-        pipeline_ops.pack_sequences_oracle(),
     ),
     "sample_stratified": QuerySpec(q_stratified_sample, pipeline_ops.stratified_sample_oracle()),
     "decontam_overlap": QuerySpec(q_decontaminate, pipeline_ops.decontaminate_oracle()),

@@ -194,3 +194,44 @@ def test_pipeline_export_stage(spark, sf_dir, tmp_path):
         F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
     ).count()
     assert leaked == 0
+
+
+def test_pack_and_shard_agree_on_bpe_token_totals(spark, sf_dir):
+    """Token-definition unification (r9 VERDICT task 3): the pack stage
+    (pack_sequences_bpe) and the shard stage (shard_bpe) run the SAME
+    learned tokenizer over the same corpus, so their total token counts
+    must be identical — one token definition end to end. (shard_bpe
+    additionally keeps zero-word docs with n_tokens=0, which add nothing
+    to the sum.)"""
+    from responsive_pub_spark.operators import bpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    pack_total = (
+        bpe.pack_sequences_bpe(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    shard_total = bpe.shard_bpe(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    assert pack_total == shard_total
+    # and pack_token_ids emits exactly that many token rows
+    assert bpe.pack_token_ids(docs).count() == pack_total
+
+
+def test_export_shards_budgets_on_learned_bpe(spark, sf_dir, tmp_path):
+    """The pretrain example's shard budget is measured in learned-BPE
+    tokens of the SHIPPED (redacted) text: the assignment totals must
+    match doc_bpe_counts over the kept frame with the raw-corpus-fitted
+    map, and differ from the regex surrogate path (bpe_k=None)."""
+    from responsive_pub_spark.examples import pretrain_pipeline
+    from responsive_pub_spark.operators import bpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    manifest = pretrain_pipeline.build_corpus(docs)
+    assignment = pretrain_pipeline.export_shards(docs, manifest, budget=256)
+    assert assignment.count() == manifest.count()
+
+    kept = manifest.select("doc_id", F.col("redacted").alias("text"))
+    seg = bpe.bpe_segment_map(docs, bpe.BPE_MERGES)
+    expect = (
+        bpe.doc_bpe_counts(kept, seg=seg).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    got = assignment.agg(F.sum("n_tokens")).collect()[0][0]
+    assert got == expect
