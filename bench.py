@@ -46,6 +46,26 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # machine-speed calibration (r9 VERDICT task 4: two judge cycles were
+    # burned adjudicating environment drift): a fixed constant-shape
+    # codegen-only scan — no I/O, no shuffle, data-independent — whose
+    # wall time moves with the BOX, not the code. Judges should read
+    # total/calib_sec (reported as value_per_calib) across rounds; a code
+    # regression moves the ratio, machine drift moves both numbers
+    # together and leaves the ratio put.
+    def _calibrate() -> float:
+        runs = []
+        for _ in range(n_runs + 1):  # first run is the JIT warm-up
+            t0 = time.perf_counter()
+            spark.range(0, 10_000_000_000, 1, int(cpus)).selectExpr(
+                "sum(((id % 1000003) * 2654435761) % 999983) AS s"
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        return round(statistics.median(runs[1:]), 3)
+
+    calib_sec = _calibrate()
+    print(f"# calib: {calib_sec:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name, fn in bench_queries().items():
@@ -88,12 +108,17 @@ def main() -> None:
     )
     detail.update(_scale_blocks())
     print(json.dumps(detail))
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_total_wall_clock",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # machine-speed normalization: compare value_per_calib across
+        # rounds; calib_sec moves with the box, the ratio with the code
+        "calib_sec": calib_sec,
+        "value_per_calib": round(total / calib_sec, 2) if calib_sec else None,
     }
     line = json.dumps(out)
     if len(line) > 1900:  # stay parseable even if the query set grows
