@@ -375,8 +375,11 @@ def drift_from_assign(
             - F.floor(F.col("ccos") * 1000000 + F.lit(0.5)).cast("bigint")
         ),
     )
+    # integer DIV end-to-end (r8 ADVICE): counts/sums/means are all
+    # non-negative bigints, so DIV == floor-division here and — unlike
+    # floor(double / double) — stays exact past 2^53 accumulated residual
     split = assign.agg(
-        F.floor(F.max("vec_id") / 2).cast("bigint").alias("split_id")
+        F.expr("max(vec_id) DIV 2").cast("bigint").alias("split_id")
     )
     a = a.join(F.broadcast(split))
     per_cid = a.groupBy("cid").agg(
@@ -390,10 +393,10 @@ def drift_from_assign(
         ).alias("sum_recent"),
     )
     mean_base = F.when(
-        F.col("n_base") > 0, F.floor(F.col("sum_base") / F.col("n_base"))
+        F.col("n_base") > 0, F.expr("sum_base DIV n_base")
     ).cast("bigint")
     mean_recent = F.when(
-        F.col("n_recent") > 0, F.floor(F.col("sum_recent") / F.col("n_recent"))
+        F.col("n_recent") > 0, F.expr("sum_recent DIV n_recent")
     ).cast("bigint")
     out = per_cid.select(
         "cid",
@@ -405,9 +408,7 @@ def drift_from_assign(
         "drift_pm",
         F.when(
             (F.col("mean_base_bp") > 0) & F.col("mean_recent_bp").isNotNull(),
-            F.floor(F.col("mean_recent_bp") * 1000 / F.col("mean_base_bp")).cast(
-                "bigint"
-            ),
+            F.expr("(mean_recent_bp * 1000) DIV mean_base_bp").cast("bigint"),
         ),
     )
     return out.withColumn(
@@ -432,7 +433,7 @@ def ivf_drift_report_oracle(
                 FROM scored_c
             ) WHERE rn = 1
         ), split AS (
-            SELECT CAST(floor(max(vec_id) / 2) AS BIGINT) AS split_id
+            SELECT CAST(max(vec_id) // 2 AS BIGINT) AS split_id
             FROM embeddings
         ), per_cid AS (
             SELECT cid,
@@ -445,18 +446,18 @@ def ivf_drift_report_oracle(
         ), stats AS (
             SELECT cid, n_base, n_recent,
                    CASE WHEN n_base > 0
-                        THEN CAST(floor(sum_base / n_base) AS BIGINT) END AS mean_base_bp,
+                        THEN CAST(sum_base // n_base AS BIGINT) END AS mean_base_bp,
                    CASE WHEN n_recent > 0
-                        THEN CAST(floor(sum_recent / n_recent) AS BIGINT) END AS mean_recent_bp
+                        THEN CAST(sum_recent // n_recent AS BIGINT) END AS mean_recent_bp
             FROM per_cid
         )
         SELECT cid, n_base, n_recent, mean_base_bp, mean_recent_bp,
                CASE WHEN mean_base_bp > 0 AND mean_recent_bp IS NOT NULL
-                    THEN CAST(floor(mean_recent_bp * 1000 / mean_base_bp) AS BIGINT)
+                    THEN CAST((mean_recent_bp * 1000) // mean_base_bp AS BIGINT)
                END AS drift_pm,
                COALESCE(
                    CASE WHEN mean_base_bp > 0 AND mean_recent_bp IS NOT NULL
-                        THEN CAST(floor(mean_recent_bp * 1000 / mean_base_bp) AS BIGINT)
+                        THEN CAST((mean_recent_bp * 1000) // mean_base_bp AS BIGINT)
                              > {retrain_pm}
                    END, FALSE) AS retrain
         FROM stats

@@ -104,27 +104,33 @@ def _bucket_stage(
     )
 
 
+def _chaos_gate() -> None:
+    """Test-only fault-injection hook, OUT of the bucket fn's body (r8
+    ADVICE): a separately patchable module function. DOUBLE opt-in (the
+    regroup stage-B pattern): both the explicit enable flag AND the
+    workdir env var must be set; tests/test_chaos_sigkill.py arms this to
+    SIGKILL the process group while the bucket stage is MID-BATCH, after
+    query S committed this advance's signatures. In production neither
+    env var exists, so the cost per GROUP batch is one getenv."""
+    chaos = (
+        os.environ.get("SPARK_GRAFT_CHAOS_STALL")
+        if os.environ.get("SPARK_GRAFT_CHAOS_ENABLE") == "1"
+        else None
+    )
+    if chaos and os.path.exists(os.path.join(chaos, "armed")):
+        open(os.path.join(chaos, "inflight"), "a").close()
+        import time as _time
+
+        _time.sleep(300)
+
+
 def _make_bucket_fn(retention: float | None, probe_depth: int | None):
     """Build the bucket-state processor (module-level so tests can drive
     it directly with a fake state handle)."""
     import pandas as pd
 
     def run(key_vals, pdf_iter, state_h):
-        # chaos hook — DOUBLE opt-in (the regroup stage-B pattern): both
-        # the explicit enable flag AND the workdir env var must be set;
-        # tests/test_chaos_sigkill.py arms this to SIGKILL the process
-        # group while the bucket stage is MID-BATCH, after query S
-        # committed this advance's signatures
-        chaos = (
-            os.environ.get("SPARK_GRAFT_CHAOS_STALL")
-            if os.environ.get("SPARK_GRAFT_CHAOS_ENABLE") == "1"
-            else None
-        )
-        if chaos and os.path.exists(os.path.join(chaos, "armed")):
-            open(os.path.join(chaos, "inflight"), "a").close()
-            import time as _time
-
-            _time.sleep(300)
+        _chaos_gate()
         members: list = []
         max_ts = float("-inf")
         if state_h.exists and state_h.get[0]:
