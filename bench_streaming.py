@@ -288,6 +288,53 @@ def main() -> None:
         }
     except Exception as e:  # noqa: BLE001
         results["dedup_neardup_stream"] = {"error": f"{type(e).__name__}: {e}"}
+    # r10: continuous-mode eviction under churn (r9 VERDICT task 5) — the
+    # same near-dup lane with continuous=True + retention: three waves of
+    # the documents fixture, each a full retention horizon later, and the
+    # ACTUAL state-store bucket count recorded after every wave. Steady
+    # state means the count plateaus at ~one wave's worth (reaped buckets
+    # leave the store) instead of growing by a wave per wave, which is
+    # what prune-on-access alone does for buckets nothing touches again.
+    try:
+        from responsive_pub_spark.streaming.dedup_stream import NearDupStreaming
+
+        nc_dir = os.path.join(work, "neardup_cont")
+        nc = NearDupStreaming(
+            spark, nc_dir, probe_depth=8, retention=100.0, continuous=True
+        )
+        docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        waves = 3
+        bucket_counts = []
+        t0 = time.perf_counter()
+        for w in range(waves):
+            (
+                docs.select(
+                    (F.col("doc_id") + F.lit((w + 1) * 10**9)).alias("doc_id"),
+                    "text",
+                    (F.col("doc_id") % 50 + F.lit(w * 1000)).cast("double").alias("ts"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(nc.docs_dir)
+            )
+            nc.advance()
+            bucket_counts.append(
+                spark.read.format("statestore").load(nc.ck_cand).count()
+            )
+        wall = time.perf_counter() - t0
+        results["dedup_neardup_continuous"] = {
+            "wall_sec": round(wall, 3),
+            "rows_in": n_docs * waves,
+            "rec_per_sec": int(n_docs * waves / wall),
+            "retention_sec": 100.0,
+            # steady state: count after wave 3 ~= count after wave 1
+            # (older waves' buckets reaped), NOT waves * wave-1 count
+            "state_buckets_per_wave": bucket_counts,
+            "checkpoint_bytes": _dir_bytes(nc.ck_cand),
+        }
+    except Exception as e:  # noqa: BLE001
+        results["dedup_neardup_continuous"] = {"error": f"{type(e).__name__}: {e}"}
     # the r4 map-state lane (per-entry delta writes) needs the RocksDB
     # provider and a protobuf runtime; record it when available, never
     # fail the whole bench over it

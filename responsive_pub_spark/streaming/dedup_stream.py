@@ -77,6 +77,7 @@ def _bucket_stage(
     bands: DataFrame,
     retention: float | None,
     probe_depth: int | None = None,
+    continuous: bool = False,
 ) -> DataFrame:
     """Per-(band_id, band_hash) first-arrival bucket state -> candidate
     pairs. State: pickled (members, max_ts) where members is a list of
@@ -92,15 +93,28 @@ def _bucket_stage(
     representative hash-collided WITHOUT being similar while a deeper
     member would have verified — on dup-cluster-shaped corpora (the
     fixture included) the two configurations produce identical verdicts
-    (tests/test_dedup_stream.py)."""
+    (tests/test_dedup_stream.py).
+
+    ``continuous=True`` (requires ``retention`` and a WATERMARKED input)
+    arms EVENT-TIME timeout eviction — the path the module docstring
+    reserves for long-running deployments: every bucket update sets a
+    timer at ``bucket_max_ts + retention``; when the stream's watermark
+    passes it, the bucket's state entry is REAPED even though the bucket
+    was never touched again — closing the prune-on-access leak where a
+    bucket that stops colliding keeps its last members forever.
+    availableNow drains remain correct: event-time timers fire on the
+    data batches that advance the watermark (only processing-time timers
+    stall the MultiBatchExecutor)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
-        _make_bucket_fn(retention, probe_depth),
+        _make_bucket_fn(retention, probe_depth, continuous),
         CAND_SCHEMA,
         "blob BINARY",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout
+        if continuous
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -124,13 +138,33 @@ def _chaos_gate() -> None:
         _time.sleep(300)
 
 
-def _make_bucket_fn(retention: float | None, probe_depth: int | None):
+def _make_bucket_fn(
+    retention: float | None,
+    probe_depth: int | None,
+    continuous: bool = False,
+):
     """Build the bucket-state processor (module-level so tests can drive
     it directly with a fake state handle)."""
     import pandas as pd
 
+    def _empty():
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="float64"),
+            }
+        )
+
     def run(key_vals, pdf_iter, state_h):
         _chaos_gate()
+        if continuous and state_h.hasTimedOut:
+            # the watermark passed (bucket_max_ts + retention) with no new
+            # arrival: reap the whole bucket — the continuous-runner twin
+            # of the prune-on-access whole-bucket eviction below
+            state_h.remove()
+            yield _empty()
+            return
         members: list = []
         max_ts = float("-inf")
         if state_h.exists and state_h.get[0]:
@@ -178,6 +212,15 @@ def _make_bucket_fn(retention: float | None, probe_depth: int | None):
             state_h.update(
                 (pickle.dumps((members, max_ts), protocol=pickle.HIGHEST_PROTOCOL),)
             )
+            if continuous and retention is not None:
+                # arm the reaper: fire when the watermark passes the last
+                # touch + retention. Spark requires the timer to sit
+                # strictly beyond the CURRENT watermark — a bucket whose
+                # horizon already passed gets the next representable
+                # instant and is reaped on the following batch.
+                timeout_ms = int((max_ts + retention) * 1000)
+                wm_ms = state_h.getCurrentWatermarkMs()
+                state_h.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         yield pd.DataFrame(
             {
                 "doc_a": pd.Series(out_a, dtype="int64"),
@@ -197,6 +240,16 @@ class NearDupStreaming:
     exercised on each call. ``retention`` (event-time seconds) bounds how
     far back a doc can be deduplicated against; ``None`` keeps the full
     horizon (the parity-with-batch configuration).
+
+    ``continuous=True`` (requires ``retention``) additionally arms the
+    event-time-timeout reaper: the bucket stage watermarks the signature
+    stream by ``retention`` seconds and removes any bucket the watermark
+    passes ``retention`` past its last touch — state stays bounded by the
+    ACTIVE dup horizon on a long-running runner, instead of leaking
+    never-again-touched buckets (which prune-on-access alone cannot
+    reach). The watermark also formalizes the late-data contract: a doc
+    arriving more than ``retention`` behind the stream is dropped by the
+    bucket stage rather than deduplicated against already-reaped state.
     """
 
     def __init__(
@@ -207,11 +260,18 @@ class NearDupStreaming:
         threshold: float = dedup.MINHASH_JACCARD_THRESHOLD,
         retention: float | None = None,
         probe_depth: int | None = None,
+        continuous: bool = False,
     ):
+        if continuous and retention is None:
+            raise ValueError(
+                "NearDupStreaming: continuous=True needs retention= "
+                "(the event-time eviction horizon)"
+            )
         self.spark = spark
         self.threshold = threshold
         self.retention = retention
         self.probe_depth = probe_depth
+        self.continuous = continuous
         self.docs_dir = os.path.join(workdir, "docs")
         self.sig_dir = os.path.join(workdir, "signatures")
         self.cand_dir = os.path.join(workdir, "candidates")
@@ -245,8 +305,18 @@ class NearDupStreaming:
             "ts",
             F.posexplode(dedup._band_array()).alias("band_id", "band_hash"),
         )
+        if self.continuous:
+            # event-time timers need a watermark; delay = retention, the
+            # same horizon the dedup semantics already promise (a doc
+            # later than that would only have matched already-reaped
+            # members anyway)
+            bands = bands.withColumn(
+                "event_ts", F.timestamp_seconds("ts")
+            ).withWatermark("event_ts", f"{int(self.retention)} seconds")
         self._run(
-            _bucket_stage(bands, self.retention, self.probe_depth),
+            _bucket_stage(
+                bands, self.retention, self.probe_depth, self.continuous
+            ),
             self.cand_dir,
             self.ck_cand,
         )

@@ -225,3 +225,58 @@ def test_bucket_fn_probe_depth_caps_candidates():
     (out,) = run((0, 0), iter([pdf]), st)
     # every arrival probes ONLY the first member: linear candidate volume
     assert _pairs(out) == [(1, 2), (1, 3), (1, 4)]
+
+
+def test_continuous_mode_reaps_untouched_buckets(spark, tmp_path):
+    """r9 VERDICT task 5: prune-on-access can never evict a bucket that is
+    never touched again — on a continuous runner those leak forever. With
+    continuous=True the bucket stage watermarks the signature stream and
+    arms an event-time timer at (last touch + retention): doc 10's buckets
+    share no vocabulary with anything later, so nothing ever touches them
+    again, yet their state entries must be GONE once the watermark passes
+    the horizon."""
+    import pickle
+
+    txt_a = " ".join(f"alpha{i}" for i in range(25))
+    txt_b = " ".join(f"beta{i}" for i in range(25))
+    txt_c = " ".join(f"gamma{i}" for i in range(25))
+    wd = str(tmp_path / "cont")
+    lane = NearDupStreaming(spark, wd, retention=10.0, continuous=True)
+    _feed(spark, lane, [(10, txt_a, 0.0)])
+    lane.advance()          # watermark after this batch: max(0 - 10, 0) = 0
+    _feed(spark, lane, [(20, txt_b, 1000.0)])
+    lane.advance()          # watermark advances to 990s
+    _feed(spark, lane, [(30, txt_c, 2000.0)])
+    lane.advance()          # batch runs at wm=990 > doc-10 timers (10s): reap
+
+    def live_doc_ids():
+        state = spark.read.format("statestore").load(lane.ck_cand)
+        ids = set()
+        for r in state.select("value").collect():
+            members, _max_ts = pickle.loads(bytes(r.value.groupState.blob))
+            ids.update(m[0] for m in members)
+        return ids
+
+    # after the drain the no-data finishing batch runs at watermark
+    # 2000-10=1990s: doc 10 (timer 10s) AND doc 20 (timer 1010s) are both
+    # past their horizon and reaped; doc 30 (timer 2010s) survives
+    live = live_doc_ids()
+    assert live == {30}, live
+
+    # semantics: all three docs are distinct texts -> all kept
+    got = {r.doc_id: r.is_duplicate for r in lane.verdicts().collect()}
+    assert got == {10: False, 20: False, 30: False}
+
+    # a dup of the reaped doc is a FIRST arrival again (state was reaped,
+    # exactly the retention contract the prune-on-access path already has)
+    _feed(spark, lane, [(40, txt_a, 2001.0)])
+    lane.advance()
+    got = {r.doc_id: r.is_duplicate for r in lane.verdicts().collect()}
+    assert got[40] is False
+
+
+def test_continuous_mode_requires_retention(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="retention"):
+        NearDupStreaming(spark, str(tmp_path / "x"), continuous=True)
