@@ -142,3 +142,47 @@ class IvfIncremental:
             self.lists(dedup=dedup).select("vec_id", "cid", "ccos"),
             retrain_pm=retrain_pm,
         )
+
+    def maybe_retrain(
+        self,
+        retrain_pm: int = 1200,
+        min_flagged: int = 1,
+        n_centroids: int = similarity.IVF_CENTROIDS,
+        iters: int = 2,
+    ) -> bool:
+        """The CLOSED maintenance loop the drift trigger exists for (r9
+        VERDICT task 6): if :meth:`drift` flags at least ``min_flagged``
+        centroids, retrain on every stored vector, freeze the NEW
+        centroids, and rebuild the inverted lists by re-assigning the
+        stored corpus — after which queries probe lists that actually
+        cover the drifted distribution. Returns True iff a retrain ran.
+
+        Scale posture: the flagged-count check is a 1-row control-plane
+        scalar (centroid-count-sized aggregate — the sanctioned driver
+        decision, like the dedup pair-volume guard); retraining runs
+        ``train_centroids`` (at 100 TB: on a corpus SAMPLE) and the
+        rebuild is ONE broadcast-assign pass over the stored vectors,
+        staged to a sibling directory and swapped in so a crash
+        mid-rebuild leaves the serving index intact."""
+        import shutil
+
+        flagged = (
+            self.drift(retrain_pm=retrain_pm).filter("retrain").count()
+        )
+        if flagged < min_flagged:
+            return False
+        vecs = self.lists(dedup=True).select("vec_id", "embedding")
+        cent = similarity.train_centroids(
+            vecs, n_centroids=n_centroids, iters=iters
+        ).localCheckpoint(eager=True)  # pin: must not re-derive from the
+        #                                dirs we are about to overwrite
+        rebuild = self.lists_dir + ".rebuild"
+        similarity.ivf_assign(vecs, cent).write.mode("overwrite").parquet(
+            rebuild
+        )
+        cent.select(
+            "cid", F.col("centv").cast("array<double>").alias("centv")
+        ).coalesce(1).write.mode("overwrite").parquet(self.cent_dir)
+        shutil.rmtree(self.lists_dir)
+        os.rename(rebuild, self.lists_dir)
+        return True
