@@ -98,6 +98,20 @@ if DOCS_MODE:
         # work is the constant-size bucket aggregate, so wall tracks the
         # tokenize+shuffle cost, ~linear in rows)
         "shard_balanced",
+        # r10: the pack family at 10x docs — the bucketed_running_sum
+        # two-pass prefix sum now carries ALL packers (r9 VERDICT task 1):
+        # the only single-partition window is the <=1025-row bucket
+        # aggregate (a scale constant), so wall must track the tokenize
+        # cost ~linearly in rows, exactly like shard_balanced above
+        "pack_sequences",
+        # the learned-BPE packer: merge loop + broadcast segmentation are
+        # vocab-sized and AMPLIFY-invariant (replicas add no new words);
+        # only the corpus explode+join and the bucketed cumsum scale
+        "pack_bpe_budget",
+        # r10: shard export budgeted on the SAME learned-BPE counts — the
+        # token-definition unification row; plan = bpe_encode's broadcast
+        # join + shard_balanced's two-pass prefix sum
+        "shard_bpe_budget",
         # r5: containment on a dup-heavy corpus — every replica pair is a
         # mutual 1.0-containment, so output is quadratic in dup-group size
         # by CONTRACT (like the simhash pair form); what this measures is

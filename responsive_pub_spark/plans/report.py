@@ -630,6 +630,28 @@ EXTENDED_NOTES = {
         "table — at 100 TB the corpus pays one hash shuffle, same as "
         "any keyed window."
     ),
+    "shard_bpe_budget": (
+        "shard export budgeted on LEARNED-BPE counts (the token-"
+        "definition unification row): one corpus explode + vocab-sized "
+        "broadcast segmentation join produce (doc_id, n_tokens), then "
+        "the SAME two-pass range-bucketed prefix sum as shard_balanced — "
+        "the only single-partition exchange is the bounded bucket "
+        "aggregate; the merge loop is vocab-sized and corpus-invariant."
+    ),
+    "multimodal_wav_decode": (
+        "real zero-dependency audio decode: planted RIFF/WAVE PCM16 "
+        "containers cross Arrow once into a mapInPandas stage that "
+        "parses the actual header+samples; (doc_id, payload) is pruned "
+        "BEFORE the Python boundary and per-doc features are computed "
+        "inside the batch — no shuffle at all until the caller "
+        "aggregates, so the stage scales with payload bytes per "
+        "partition exactly like production blob decode."
+    ),
+    "multimodal_ppm_decode": (
+        "real zero-dependency image decode (binary P6 PPM header + "
+        "RGB24 raster walk) — same pruned-projection mapInPandas shape "
+        "as the WAV row; channel sums are integer-exact."
+    ),
     "ann_ivf_drift": (
         "incremental-IVF retrain trigger: one broadcast-join assignment "
         "pass (centroids tiny), ONE keyed agg on cid (centroid-count "

@@ -2539,6 +2539,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_decode_features": QuerySpec(
         q_multimodal_decode, multimodal.decode_features_long_oracle(), bench=True
     ),
+    "multimodal_wav_decode": QuerySpec(
+        lambda spark, sf_dir: multimodal.wav_decode_features(
+            _t(spark, sf_dir, "documents")
+        ),
+        multimodal.wav_decode_features_oracle(),
+        doc="REAL audio decode with zero dependencies (r9 VERDICT task "
+        "10): plant genuine RIFF/WAVE PCM16 containers per doc, parse the "
+        "actual header+samples in the Arrow-batched stage, aggregate "
+        "integer-exact energy/peak; the oracle recomputes from the "
+        "fixtures' generative formula so a parser bug (offset, "
+        "endianness, width) hash-mismatches; NEW gate r10",
+    ),
     # (multimodal_audio_chunks / multimodal_frame_sample, green r3, rotate
     # past 50 — the multimodal family stays in-window via decode_features)
     # --- r2-green substantial operators ---
@@ -2546,9 +2558,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- surface rows that sat at positions 53-56 move INSIDE the window;
     # --- multi-round-green veterans (window_hopping/grace, join_stream_table,
     # --- dedup_exact/fact, sim_search_lsh, bootstrap_compact) rotate out ---
-    "join_stream_stream_left": QuerySpec(
-        q_join_stream_stream_left, ORACLE_JOIN_STREAM_STREAM_LEFT
-    ),
     "join_stream_stream_outer": QuerySpec(
         q_join_stream_stream_outer, ORACLE_JOIN_STREAM_STREAM_OUTER
     ),
@@ -3223,6 +3232,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "join_table_outer": QuerySpec(q_join_table_outer, ORACLE_JOIN_TABLE_OUTER),
     "cogroup_per_type": QuerySpec(q_cogroup, ORACLE_COGROUP),
+    "join_stream_stream_left": QuerySpec(
+        q_join_stream_stream_left, ORACLE_JOIN_STREAM_STREAM_LEFT
+    ),
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT),
     "dedup_simhash": QuerySpec(q_dedup_simhash, dedup.simhash_pairs_oracle()),
     "dedup_ngram_jaccard": QuerySpec(
@@ -3252,6 +3264,16 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frames, multimodal.sample_frames_oracle()
+    ),
+    "multimodal_ppm_decode": QuerySpec(
+        lambda spark, sf_dir: multimodal.ppm_decode_features(
+            _t(spark, sf_dir, "documents")
+        ),
+        multimodal.ppm_decode_features_oracle(),
+        doc="REAL image decode with zero dependencies: genuine binary P6 "
+        "PPM containers parsed (ASCII dims + RGB24 raster walk) to "
+        "integer channel sums; same planted-fixture referee scheme as "
+        "multimodal_wav_decode; NEW r10 (pytest-oracled tail row)",
     ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),

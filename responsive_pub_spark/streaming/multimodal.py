@@ -154,6 +154,238 @@ def chunk_audio(media: DataFrame, chunk_bytes: int = 256, fake: bool = True) -> 
     )
 
 
+# -- dependency-free REAL codecs (r9 VERDICT task 10) ------------------------
+# The fake paths above stand in for pillow/librosa, which this container
+# lacks. WAV (RIFF PCM16) and PPM (P6) need NO library — stdlib struct and
+# byte slicing parse them — so these two formats get a REAL decode floor:
+# planted fixtures are synthesized as honest container bytes, the decode
+# stage parses the actual container (header fields AND samples/pixels),
+# and the oracle recomputes the expected features from the fixtures'
+# generative integer formula — a wrong parser (endianness, header offset,
+# stride) hash-mismatches immediately.
+
+#: planted-fixture geometry (shared by synth, decode asserts, and oracles)
+WAV_SAMPLES = 480
+WAV_RATE = 8000
+PPM_W = 8
+PPM_H = 8
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    # deterministic int16 PCM sample in [-1024, 1023]
+    return ((doc_id * 7 + i * 13) % 2048) - 1024
+
+
+def _synth_wav_bytes(doc_id: int) -> bytes:
+    """A real RIFF/WAVE container: 44-byte canonical header + PCM16LE
+    mono samples from the generative formula."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", _wav_sample(doc_id, i)) for i in range(WAV_SAMPLES)
+    )
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,          # PCM fmt chunk size
+        1,           # audio format = PCM
+        1,           # channels
+        WAV_RATE,
+        WAV_RATE * 2,  # byte rate (mono int16)
+        2,           # block align
+        16,          # bits per sample
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def _ppm_pixel(doc_id: int, idx: int, c: int) -> int:
+    return (doc_id + 3 * idx + 31 * c) % 256
+
+
+def _synth_ppm_bytes(doc_id: int) -> bytes:
+    """A real binary P6 PPM: ASCII header + raw RGB24 raster."""
+    raster = bytes(
+        _ppm_pixel(doc_id, y * PPM_W + x, c)
+        for y in range(PPM_H)
+        for x in range(PPM_W)
+        for c in range(3)
+    )
+    return f"P6\n{PPM_W} {PPM_H}\n255\n".encode() + raster
+
+
+def synth_media(docs: DataFrame, kind: str = "wav") -> DataFrame:
+    """Plant the fixtures: one real WAV/PPM payload per doc_id, emitted
+    through the same mapInPandas boundary production ingestion uses (the
+    bytes cross Arrow exactly like scanned blobs would)."""
+    synth = _synth_wav_bytes if kind == "wav" else _synth_ppm_bytes
+    fmt = kind
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = [synth(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out = docs.select(F.col("doc_id").cast("bigint").alias("doc_id")).mapInPandas(
+        run, "doc_id BIGINT, payload BINARY"
+    )
+    return out.select(
+        "doc_id",
+        F.lit("audio" if kind == "wav" else "image").alias("modality"),
+        "payload",
+        F.struct(
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+            F.lit(fmt).alias("format"),
+            F.lit(1).cast("bigint").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode, zero dependencies: parse the RIFF/WAVE header
+    (struct), decode the PCM16LE samples (stdlib array), and aggregate
+    integer-exact per-doc features — (doc_id, sample_rate, n_samples,
+    energy = sum of squared samples, peak = max |sample|). A real
+    pipeline swaps the feature math, not the plumbing: the same
+    mapInPandas stage, the same pruned (doc_id, payload) projection."""
+    import array
+    import struct
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, rates, counts, energies, peaks = [], [], [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"doc {d}: not a RIFF/WAVE payload")
+                (fmt_tag, n_ch, rate) = struct.unpack("<HHI", b[20:28])
+                bits = struct.unpack("<H", b[34:36])[0]
+                if (fmt_tag, n_ch, bits) != (1, 1, 16):
+                    raise ValueError(f"doc {d}: not mono PCM16")
+                data_len = struct.unpack("<I", b[40:44])[0]
+                samples = array.array("h")
+                samples.frombytes(b[44 : 44 + data_len])
+                ids.append(int(d))
+                rates.append(int(rate))
+                counts.append(len(samples))
+                energies.append(sum(int(s) * int(s) for s in samples))
+                peaks.append(max(abs(int(s)) for s in samples) if samples else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id BIGINT, sample_rate BIGINT, n_samples BIGINT, "
+        "energy BIGINT, peak BIGINT",
+    )
+
+
+def ppm_features(media: DataFrame) -> DataFrame:
+    """REAL image decode, zero dependencies: parse the P6 header (ASCII
+    dims + maxval), walk the RGB24 raster, and aggregate integer-exact
+    per-doc features — (doc_id, width, height, r_sum, g_sum, b_sum)."""
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {k: [] for k in ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                if not b.startswith(b"P6"):
+                    raise ValueError(f"doc {d}: not a P6 PPM payload")
+                # header = magic, whitespace-separated width/height/maxval,
+                # single whitespace, then the raster
+                parts = b.split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                raster = parts[3]
+                sums = [0, 0, 0]
+                for i in range(w * h):
+                    for c in range(3):
+                        sums[c] += raster[3 * i + c]
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["r_sum"].append(sums[0])
+                rows["g_sum"].append(sums[1])
+                rows["b_sum"].append(sums[2])
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id BIGINT, width BIGINT, height BIGINT, "
+        "r_sum BIGINT, g_sum BIGINT, b_sum BIGINT",
+    )
+
+
+def wav_decode_features(docs: DataFrame) -> DataFrame:
+    """The gated composition: plant real WAV containers for every doc_id,
+    then REALLY decode them (synth -> RIFF parse -> PCM16 aggregate).
+    The oracle recomputes the features from the generative formula, so a
+    parser bug (header offset, endianness, sample width) hash-mismatches."""
+    return wav_features(synth_media(docs, kind="wav"))
+
+
+def wav_decode_features_oracle() -> str:
+    return f"""
+        WITH s AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   unnest(range(0, {WAV_SAMPLES})) AS i
+            FROM documents
+        ),
+        v AS (
+            SELECT doc_id,
+                   ((doc_id * 7 + i * 13) % 2048) - 1024 AS x
+            FROM s
+        )
+        SELECT doc_id,
+               CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+               CAST({WAV_SAMPLES} AS BIGINT) AS n_samples,
+               CAST(sum(x * x) AS BIGINT) AS energy,
+               CAST(max(abs(x)) AS BIGINT) AS peak
+        FROM v
+        GROUP BY doc_id
+    """
+
+
+def ppm_decode_features(docs: DataFrame) -> DataFrame:
+    return ppm_features(synth_media(docs, kind="ppm"))
+
+
+def ppm_decode_features_oracle() -> str:
+    n = PPM_W * PPM_H
+    return f"""
+        WITH px AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   unnest(range(0, {n})) AS i
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({PPM_W} AS BIGINT) AS width,
+               CAST({PPM_H} AS BIGINT) AS height,
+               CAST(sum((doc_id + 3 * i) % 256) AS BIGINT) AS r_sum,
+               CAST(sum((doc_id + 3 * i + 31) % 256) AS BIGINT) AS g_sum,
+               CAST(sum((doc_id + 3 * i + 62) % 256) AS BIGINT) AS b_sum
+        FROM px
+        GROUP BY doc_id
+    """
+
+
 # -- DuckDB oracles (identical arithmetic) ----------------------------------
 
 def decode_features_oracle() -> str:
