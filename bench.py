@@ -104,7 +104,9 @@ def main() -> None:
         "r8: machine ~1.35x slower than at the r7 recording (r7 tree "
         "re-benched 12.4-12.7s vs its 9.395s record; same-code runs "
         "spread +-0.85s). HEAD totals are within the same-code noise "
-        "envelope of the r7 tree on this box."
+        "envelope of the r7 tree on this box. Since r10 the headline "
+        "JSON carries calib_sec/value_per_calib — compare the RATIO "
+        "across rounds, not raw totals."
     )
     detail.update(_scale_blocks())
     print(json.dumps(detail))

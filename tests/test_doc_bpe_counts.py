@@ -1,0 +1,55 @@
+"""doc_bpe_counts edge cases: the OOV char-count fallback (a foreign
+fitted map applied to text with unseen words — the export_shards shape,
+where the tokenizer is fitted on the raw corpus but counts the REDACTED
+text) and the zero-word-doc retention contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.operators import bpe
+
+
+def test_oov_words_fall_back_to_char_count(spark):
+    fit = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "aa bb cc")], "doc_id BIGINT, text STRING"
+    )
+    seg = bpe.bpe_segment_map(fit, k=1)
+    # the map knows aa/bb/cc; 'zzzz' (4 chars) and 'qq' (2 chars) do not
+    # appear in the fitted corpus and must cost their character length
+    apply_to = spark.createDataFrame(
+        [(10, "aa zzzz qq"), (11, "zzzz")], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r.doc_id: r.n_tokens
+        for r in bpe.doc_bpe_counts(apply_to, seg=seg).collect()
+    }
+    n_aa = {
+        r.word: r.n_bpe for r in seg.collect()
+    }["aa"]
+    assert got == {10: n_aa + 4 + 2, 11: 4}
+
+
+def test_zero_word_docs_are_kept_with_zero_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "   "), (3, "")], "doc_id BIGINT, text STRING"
+    )
+    got = {r.doc_id: r.n_tokens for r in bpe.doc_bpe_counts(docs, k=1).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == 0 and got[3] == 0 and got[1] > 0
+
+
+def test_self_fitted_counts_match_pack_counts(spark, sf_dir):
+    """With the map fitted on the same frame, doc_bpe_counts must agree
+    with the per-doc counts pack_sequences_bpe computes internally (the
+    inner-join form) on every doc that has words."""
+    from responsive_pub_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    a = {r.doc_id: r.n_tokens for r in bpe.doc_bpe_counts(docs).collect()}
+    b = {
+        r.doc_id: r.n_tokens
+        for r in bpe.pack_sequences_bpe(docs).select("doc_id", "n_tokens").collect()
+    }
+    for doc_id, n in b.items():
+        assert a[doc_id] == n
