@@ -346,6 +346,78 @@ def bpe_token_ids(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
     )
 
 
+def save_tokenizer(docs: DataFrame, path: str, k: int = BPE_MERGES) -> None:
+    """Freeze the tokenizer: fit ``k`` merges on ``docs`` and write the
+    merge table (step, left, right, pair_count) to ``path`` — the same
+    frozen-model pattern as the incremental IVF index's centroids
+    (streaming/ann_stream.py): train ONCE on the big corpus, apply
+    everywhere. The artifact is k rows — the tokenizer file, not data."""
+    bpe_merges(docs, k).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_tokenizer(spark, path: str) -> DataFrame:
+    return spark.read.schema(
+        "step BIGINT, left STRING, right STRING, pair_count BIGINT"
+    ).parquet(path)
+
+
+def segment_with_merges(words: DataFrame, merges) -> DataFrame:
+    """Segment an ARBITRARY word set with a FROZEN merge table — the
+    apply path a production pipeline runs: the tokenizer was fitted once
+    (possibly on a different, bigger corpus); new words — including words
+    never seen at fit time — are segmented by replaying the learned
+    merges in step order, exactly what a real BPE tokenizer does with
+    OOV words (start from characters, apply every applicable merge).
+
+    ``merges`` is the merge-table DataFrame (or a [(left, right), ...]
+    list in step order). The table is the tokenizer ARTIFACT — k rows,
+    control-plane-sized by construction — so collecting it to the driver
+    is the sanctioned scalar-decision pattern, not a data collect. The
+    replay itself is corpus-side: k x REPLACE_PASSES chained ``replace``
+    column ops over the UNIQUE-word table (vocab-sized, never the
+    corpus), checkpointed every few steps to bound expression depth.
+    Returns (word, n_bpe).
+
+    Reference provenance: tokenizer-artifact reuse is the async-enrich
+    posture (api/async/AsyncProcessorSupplier.java:34-115) applied to the
+    encode pass — the model is data to the stream, not refit per query."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r.left, r.right) for r in merges.orderBy("step").collect()
+        ]
+    d = words.select("word").distinct().withColumn(
+        "s", F.expr(_spaced("word"))
+    )
+    for i in range(0, len(merges), 8):
+        col = F.col("s")
+        for left, right in merges[i : i + 8]:
+            pat = F.lit(f" {left} {right} ")
+            rep = F.lit(f" {left}{right} ")
+            for _ in range(REPLACE_PASSES):
+                col = F.replace(col, pat, rep)
+        d = d.select("word", col.alias("s")).localCheckpoint(eager=True)
+    return d.select(
+        "word",
+        F.expr("size(split(trim(s), ' '))").cast("bigint").alias("n_bpe"),
+    )
+
+
+def apply_tokenizer_counts(docs: DataFrame, merges) -> DataFrame:
+    """Per-doc token counts of ``docs`` under a FROZEN tokenizer:
+    ``segment_with_merges`` over the corpus's own unique words (so every
+    word — seen or unseen at fit time — gets its true learned-BPE
+    segmentation; the char-count fallback of ``doc_bpe_counts`` never
+    fires) feeding the same broadcast-join count. Output
+    (doc_id, n_tokens); zero-word docs kept at 0."""
+    vocab = docs.select(
+        F.explode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).alias("word")
+    )
+    seg = segment_with_merges(vocab, merges)
+    return doc_bpe_counts(docs, seg=seg)
+
+
 def doc_bpe_counts(
     docs: DataFrame, k: int = BPE_MERGES, seg: "DataFrame | None" = None
 ) -> DataFrame:
@@ -772,4 +844,30 @@ def pack_sequences_bpe_oracle(
                CAST((cum_tokens - n_tokens) // {b} AS BIGINT) AS seq_id,
                CAST((cum_tokens - n_tokens) % {b} AS BIGINT) AS seq_offset
         FROM cum
+    """
+
+
+def apply_tokenizer_counts_oracle(k: int = BPE_MERGES) -> str:
+    """Self-fit twin of ``apply_tokenizer_counts``: replaying the merges
+    fitted on the SAME corpus reproduces the fit-time segmentation map
+    exactly (pinned in tests/test_tokenizer_artifact.py), so the oracle
+    is the segmap CTE aggregated per doc, zero-word docs kept at 0."""
+    ctes, _ = _oracle_ctes(k, carry_word=True)
+    return f"""{ctes},
+        {_segmap_cte(k)},
+        corpus AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> '')) AS word
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+            FROM corpus JOIN segmap USING (word)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        LEFT JOIN counted t USING (doc_id)
     """

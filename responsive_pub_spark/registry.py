@@ -3275,6 +3275,19 @@ REGISTRY: dict[str, QuerySpec] = {
         "integer channel sums; same planted-fixture referee scheme as "
         "multimodal_wav_decode; NEW r10 (pytest-oracled tail row)",
     ),
+    "bpe_apply_frozen": QuerySpec(
+        lambda spark, sf_dir: bpe.apply_tokenizer_counts(
+            _t(spark, sf_dir, "documents"),
+            bpe.bpe_merges(_t(spark, sf_dir, "documents")),
+        ),
+        bpe.apply_tokenizer_counts_oracle(),
+        doc="per-doc counts under a FROZEN tokenizer: the k-row merge "
+        "artifact (control-plane-sized) replayed over the target "
+        "corpus's own unique-word table — real OOV segmentation by "
+        "merge replay, zero-word docs kept at 0; save/load + replay "
+        "parity pinned in tests/test_tokenizer_artifact.py; NEW r10 "
+        "(pytest-oracled tail row)",
+    ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "dedup_clusters": QuerySpec(
