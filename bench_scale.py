@@ -112,6 +112,12 @@ if DOCS_MODE:
         # token-definition unification row; plan = bpe_encode's broadcast
         # join + shard_balanced's two-pass prefix sum
         "shard_bpe_budget",
+        # r10: substring-level span dedup on the dup-heavy corpus — ITS
+        # target shape: every replica makes every gram duplicated, so the
+        # covered-position explode is maximal (w x positions); measures
+        # that the gram agg + equi-join + union-of-spans stays linear in
+        # the duplicated volume (no per-gram window, no cartesian)
+        "dup_span_report",
         # r5: containment on a dup-heavy corpus — every replica pair is a
         # mutual 1.0-containment, so output is quadratic in dup-group size
         # by CONTRACT (like the simhash pair form); what this measures is

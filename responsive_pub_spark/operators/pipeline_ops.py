@@ -1340,6 +1340,129 @@ def boilerplate_chunks_oracle(
     """
 
 
+# -- duplicated-span report (substring-level dedup) ---------------------------
+#: window width (tokens) for cross-document duplicated-span detection
+DUP_SPAN_W = 8
+
+
+def dup_span_report(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """Cross-document DUPLICATED-SPAN detection — the substring-level
+    dedup signal of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022): a STRIDE-1 sliding window of ``w`` tokens
+    over every doc; a window text occurring more than once ANYWHERE in
+    the corpus (another doc or the same one) marks all ``w`` of its
+    positions duplicated; per doc the union of marked spans yields the
+    duplicated-token fraction. Catches boilerplate and quotation overlap
+    that document-level (minhash) and chunk-level (chunk_dedup,
+    non-overlapping) dedup both miss — a span straddling a chunk
+    boundary still hits here.
+
+    Plan shape at 100 TB: ONE bound tokenization (pooled) feeds the gram
+    explode (output rows = token positions, linear); occurrence counting
+    is a keyed agg on the gram (map-side partial combine collapses the
+    hot grams' traffic); the dup marking is a shuffle EQUI-join on gram
+    (never a window partitioned by gram — a mega-gram would serialize
+    through one reducer's window state; the join form lets AQE split the
+    hot key); span union is an explode of w covered positions PER DUP
+    START + a distinct — cost linear in the duplicated volume, the
+    output the operator exists to measure. Grams join on their text
+    here (exact, oracle-portable); at production scale hash them first
+    (xxhash64) — one projection change, same plan shape.
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_bp) — dup_bp in integer
+    basis points (DIV), docs shorter than ``w`` report 0."""
+    w = int(w)
+    toks = T.tokens_sql("text")
+    tks = scoped_persist(docs.select("doc_id", F.expr(toks).alias("toks")))
+    base = tks.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    starts = (
+        f"CASE WHEN size(toks) < {w} THEN "
+        f"array() "
+        f"ELSE transform(sequence(1, size(toks) - {w} + 1), "
+        f"i -> struct(i AS pos, array_join(slice(toks, i, {w}), ' ') AS gram)) "
+        f"END"
+    )
+    grams = tks.select(
+        "doc_id", F.explode(F.expr(starts)).alias("g")
+    ).select(
+        "doc_id",
+        F.col("g.pos").cast("bigint").alias("pos"),
+        F.col("g.gram").alias("gram"),
+    )
+    grams = scoped_persist(grams)
+    occ = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("gram")
+    )
+    covered = (
+        grams.join(occ, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("cov"),
+        )
+        .distinct()
+    )
+    dup_cnt = covered.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dup_tokens")
+    )
+    return base.join(dup_cnt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (10000 * coalesce(dup_tokens, 0)) DIV n_tokens END"
+        ).alias("dup_bp"),
+    )
+
+
+def dup_span_report_oracle(w: int = DUP_SPAN_W) -> str:
+    w = int(w)
+    return f"""
+        WITH tk AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {T.tokens_duck('text')} AS toks
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk
+        ),
+        grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(toks[i : i + {w} - 1], ' ') AS gram
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {w} + 2)) AS i
+                FROM tk WHERE len(toks) >= {w}
+            )
+        ),
+        occ AS (
+            SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos + j AS cov
+            FROM (
+                SELECT g.doc_id, g.pos, unnest(range(0, {w})) AS j
+                FROM grams g JOIN occ USING (gram)
+            )
+        ),
+        cnt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+            FROM covered GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CASE WHEN b.n_tokens = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (10000 * coalesce(c.dup_tokens, 0)) // b.n_tokens
+               END AS dup_bp
+        FROM base b LEFT JOIN cnt c USING (doc_id)
+    """
+
+
 # -- balanced shard export ---------------------------------------------------
 #: target tokens per output shard (fixture-scaled; production ~100M)
 SHARD_BUDGET_TOKENS = 2048

@@ -3288,6 +3288,19 @@ REGISTRY: dict[str, QuerySpec] = {
         "parity pinned in tests/test_tokenizer_artifact.py; NEW r10 "
         "(pytest-oracled tail row)",
     ),
+    "dup_span_report": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.dup_span_report(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.dup_span_report_oracle(),
+        doc="substring-level dedup signal (Lee et al. 2022 shape): "
+        "stride-1 w-token windows, corpus-wide occurrence counts via "
+        "keyed agg + equi-join (NEVER a per-gram window — AQE splits hot "
+        "grams), per-doc union-of-spans duplicated-token fraction in "
+        "integer bp; catches boilerplate spans that doc-level minhash "
+        "and non-overlapping chunk_dedup both miss; NEW r10 "
+        "(pytest-oracled tail row)",
+    ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "dedup_clusters": QuerySpec(

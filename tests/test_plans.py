@@ -221,3 +221,22 @@ def test_pack_family_no_per_lang_window(spark, sf_dir):
     ):
         p = audit.plan_str(df, "extended")
         assert not bad.search(p), (name, p)
+
+
+def test_dup_span_report_plan_shape(spark, sf_dir):
+    """Substring-level dedup: occurrence counting must be a keyed agg
+    (map-side partials) + shuffle EQUI-join — never a window partitioned
+    by the gram (a mega-gram would serialize one reducer) and never a
+    cartesian; no Python anywhere."""
+    from responsive_pub_spark.operators import pipeline_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = pipeline_ops.dup_span_report(docs)
+    p = audit.executed_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    import re
+
+    ext = audit.plan_str(df, "extended")
+    assert not re.search(r"windowspecdefinition\(gram#", ext), ext
+    assert "partial_count" in p or "HashAggregate" in p, p
