@@ -1463,6 +1463,166 @@ def dup_span_report_oracle(w: int = DUP_SPAN_W) -> str:
     """
 
 
+#: packing base for the canonical-occurrence argmin: doc positions are
+#: packed as doc_id * 2^20 + pos so "first occurrence" is a plain integer
+#: MIN (no per-gram window — a mega-gram would serialize one reducer).
+#: Bounds docs at 2^20 tokens; a real corpus chunks long docs far below
+#: that (chunk_text), and the guard below fails loudly, not wrongly.
+_SPAN_POS_BITS = 20
+
+
+def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """The ACTION to ``dup_span_report``'s signal: remove all-but-one
+    copy of every duplicated ``w``-token span (Lee et al. 2022 strip
+    semantics, made deterministic and engine-portable): for each
+    duplicated gram the CANONICAL occurrence is the globally first by
+    (doc_id, pos); a token position is dropped iff some non-canonical
+    duplicated occurrence covers it and NO canonical occurrence does —
+    the first copy of each span survives verbatim, later copies are cut.
+
+    Plan shape: the canonical pick is an integer MIN over the packed
+    (doc_id << 20 | pos) key — one keyed agg with map-side partials, NO
+    per-gram window (hot boilerplate grams would serialize a reducer);
+    coverage sets are explodes of the duplicated volume; the final text
+    rebuild is a per-DOC sorted aggregation (state bounded by one doc,
+    the same contract as every per-doc aggregate here).
+
+    Output: (doc_id, n_tokens, kept_tokens, kept_text) — zero-token docs
+    keep an empty string; kept_text is the surviving tokens joined by a
+    single space (tokens are the lowercase alnum stream, the same
+    normalization every token-level op here uses)."""
+    w = int(w)
+    shift = 1 << _SPAN_POS_BITS
+    toks = T.tokens_sql("text")
+    tks = scoped_persist(docs.select("doc_id", F.expr(toks).alias("toks")))
+    base = tks.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    starts = (
+        f"CASE WHEN size(toks) < {w} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {w} + 1), "
+        f"i -> struct(i AS pos, array_join(slice(toks, i, {w}), ' ') AS gram)) "
+        f"END"
+    )
+    grams = scoped_persist(
+        tks.select("doc_id", F.explode(F.expr(starts)).alias("g")).select(
+            "doc_id",
+            F.col("g.pos").cast("bigint").alias("pos"),
+            F.col("g.gram").alias("gram"),
+        )
+    )
+    occ = (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.col("doc_id") * shift + F.col("pos")).alias("c_packed"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select("gram", "c_packed")
+    )
+    dup_occ = grams.join(occ, "gram").withColumn(
+        "is_canon",
+        F.col("doc_id") * shift + F.col("pos") == F.col("c_packed"),
+    )
+    cov = F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("cov")
+    noncanon = (
+        dup_occ.filter(~F.col("is_canon")).select("doc_id", cov).distinct()
+    )
+    canon = (
+        dup_occ.filter(F.col("is_canon")).select("doc_id", cov).distinct()
+    )
+    dropped = noncanon.join(canon, ["doc_id", "cov"], "left_anti")
+    positions = tks.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")
+    kept = positions.join(
+        dropped.withColumnRenamed("cov", "pos"), ["doc_id", "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
+def strip_dup_spans_oracle(w: int = DUP_SPAN_W) -> str:
+    w = int(w)
+    shift = 1 << _SPAN_POS_BITS
+    return f"""
+        WITH tk AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {T.tokens_duck('text')} AS toks
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk
+        ),
+        grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(toks[i : i + {w} - 1], ' ') AS gram
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {w} + 2)) AS i
+                FROM tk WHERE len(toks) >= {w}
+            )
+        ),
+        occ AS (
+            SELECT gram, min(doc_id * {shift} + pos) AS c_packed
+            FROM grams GROUP BY gram HAVING count(*) > 1
+        ),
+        dup_occ AS (
+            SELECT g.doc_id, g.pos,
+                   (g.doc_id * {shift} + g.pos = o.c_packed) AS is_canon
+            FROM grams g JOIN occ o USING (gram)
+        ),
+        noncanon AS (
+            SELECT DISTINCT doc_id, pos + j AS cov
+            FROM (SELECT doc_id, pos, unnest(range(0, {w})) AS j
+                  FROM dup_occ WHERE NOT is_canon)
+        ),
+        canon AS (
+            SELECT DISTINCT doc_id, pos + j AS cov
+            FROM (SELECT doc_id, pos, unnest(range(0, {w})) AS j
+                  FROM dup_occ WHERE is_canon)
+        ),
+        dropped AS (
+            SELECT n.doc_id, n.cov FROM noncanon n
+            ANTI JOIN canon c ON n.doc_id = c.doc_id AND n.cov = c.cov
+        ),
+        positions AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+                   unnest(toks) AS tok
+            FROM tk
+        ),
+        kept AS (
+            SELECT p.doc_id, p.pos, p.tok FROM positions p
+            ANTI JOIN dropped d ON p.doc_id = d.doc_id AND p.pos = d.cov
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS kept_tokens,
+                   string_agg(tok, ' ' ORDER BY pos) AS kept_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               coalesce(r.kept_text, '') AS kept_text
+        FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
 # -- balanced shard export ---------------------------------------------------
 #: target tokens per output shard (fixture-scaled; production ~100M)
 SHARD_BUDGET_TOKENS = 2048

@@ -3301,6 +3301,18 @@ REGISTRY: dict[str, QuerySpec] = {
         "and non-overlapping chunk_dedup both miss; NEW r10 "
         "(pytest-oracled tail row)",
     ),
+    "dedup_strip_spans": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.strip_dup_spans(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.strip_dup_spans_oracle(),
+        doc="the ACTION to dup_span_report: remove all-but-first copies "
+        "of every duplicated w-token span (canonical = globally first by "
+        "(doc_id, pos), picked by integer MIN over a packed key — one "
+        "keyed agg, no per-gram window); first copies survive verbatim, "
+        "later copies are cut, rebuilt text per doc; NEW r10 "
+        "(pytest-oracled tail row)",
+    ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "dedup_clusters": QuerySpec(

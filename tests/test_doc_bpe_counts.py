@@ -53,3 +53,31 @@ def test_self_fitted_counts_match_pack_counts(spark, sf_dir):
     }
     for doc_id, n in b.items():
         assert a[doc_id] == n
+
+
+def test_strip_dup_spans_semantics(spark):
+    """Deterministic strip contract: the globally-first copy of a
+    duplicated span survives verbatim, later copies are cut, and
+    non-duplicated text is untouched."""
+    from responsive_pub_spark.operators import pipeline_ops
+
+    span = " ".join(f"w{i}" for i in range(8))   # exactly one w=8 gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha {span} tail1"),    # first copy of the span
+            (2, f"other beta {span} tail2"),      # later copy -> cut
+            (3, "totally fresh text here"),        # untouched
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in pipeline_ops.strip_dup_spans(docs).collect()}
+    assert got[1].kept_text == f"unique alpha {span} tail1"
+    assert got[2].kept_text == "other beta tail2"
+    assert got[3].kept_text == "totally fresh text here"
+    assert got[2].kept_tokens == got[2].n_tokens - 8
+
+    # and the report agrees: both occurrences are flagged, so dup_tokens
+    # counts the span in BOTH docs while strip only cuts the second
+    rep = {r.doc_id: r for r in pipeline_ops.dup_span_report(docs).collect()}
+    assert rep[1].dup_tokens == 8 and rep[2].dup_tokens == 8
+    assert rep[3].dup_tokens == 0
