@@ -118,6 +118,10 @@ if DOCS_MODE:
         # that the gram agg + equi-join + union-of-spans stays linear in
         # the duplicated volume (no per-gram window, no cartesian)
         "dup_span_report",
+        # the strip ACTION at 10x: canonical-pick agg + coverage anti-joins
+        # + per-doc rebuild — all linear in the (here maximal) duplicated
+        # volume; wall tracks dup_span_report plus the rebuild
+        "dedup_strip_spans",
         # r5: containment on a dup-heavy corpus — every replica pair is a
         # mutual 1.0-containment, so output is quadratic in dup-group size
         # by CONTRACT (like the simhash pair form); what this measures is

@@ -1463,14 +1463,6 @@ def dup_span_report_oracle(w: int = DUP_SPAN_W) -> str:
     """
 
 
-#: packing base for the canonical-occurrence argmin: doc positions are
-#: packed as doc_id * 2^20 + pos so "first occurrence" is a plain integer
-#: MIN (no per-gram window — a mega-gram would serialize one reducer).
-#: Bounds docs at 2^20 tokens; a real corpus chunks long docs far below
-#: that (chunk_text), and the guard below fails loudly, not wrongly.
-_SPAN_POS_BITS = 20
-
-
 def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     """The ACTION to ``dup_span_report``'s signal: remove all-but-one
     copy of every duplicated ``w``-token span (Lee et al. 2022 strip
@@ -1480,19 +1472,21 @@ def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     duplicated occurrence covers it and NO canonical occurrence does —
     the first copy of each span survives verbatim, later copies are cut.
 
-    Plan shape: the canonical pick is an integer MIN over the packed
-    (doc_id << 20 | pos) key — one keyed agg with map-side partials, NO
-    per-gram window (hot boilerplate grams would serialize a reducer);
-    coverage sets are explodes of the duplicated volume; the final text
-    rebuild is a per-DOC sorted aggregation (state bounded by one doc,
-    the same contract as every per-doc aggregate here).
+    Plan shape: the canonical pick is a TWO-STAGE integer MIN — per gram
+    min(doc_id), then min(pos) within that doc — plain keyed aggs with
+    map-side partials, NO per-gram window (a hot boilerplate gram would
+    serialize one reducer's window state) and no packed-key arithmetic
+    (doc_id * 2^k overflows int64 on wide id spaces — hit at the 10x
+    amplified fixture's shifted ids); coverage sets are explodes of the
+    duplicated volume; the final text rebuild is a per-DOC sorted
+    aggregation (state bounded by one doc, the same contract as every
+    per-doc aggregate here).
 
     Output: (doc_id, n_tokens, kept_tokens, kept_text) — zero-token docs
     keep an empty string; kept_text is the surviving tokens joined by a
     single space (tokens are the lowercase alnum stream, the same
     normalization every token-level op here uses)."""
     w = int(w)
-    shift = 1 << _SPAN_POS_BITS
     toks = T.tokens_sql("text")
     tks = scoped_persist(docs.select("doc_id", F.expr(toks).alias("toks")))
     base = tks.select(
@@ -1511,18 +1505,26 @@ def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
             F.col("g.gram").alias("gram"),
         )
     )
-    occ = (
+    occ1 = (
         grams.groupBy("gram")
         .agg(
             F.count("*").alias("n_occ"),
-            F.min(F.col("doc_id") * shift + F.col("pos")).alias("c_packed"),
+            F.min("doc_id").alias("c_doc"),
         )
         .filter(F.col("n_occ") > 1)
-        .select("gram", "c_packed")
+        .select(F.col("gram").alias("g2"), "c_doc")
+    )
+    occ = (
+        grams.join(
+            occ1,
+            (F.col("gram") == F.col("g2")) & (F.col("doc_id") == F.col("c_doc")),
+        )
+        .groupBy("gram", "c_doc")
+        .agg(F.min("pos").alias("c_pos"))
     )
     dup_occ = grams.join(occ, "gram").withColumn(
         "is_canon",
-        F.col("doc_id") * shift + F.col("pos") == F.col("c_packed"),
+        (F.col("doc_id") == F.col("c_doc")) & (F.col("pos") == F.col("c_pos")),
     )
     cov = F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("cov")
     noncanon = (
@@ -1558,7 +1560,6 @@ def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
 
 def strip_dup_spans_oracle(w: int = DUP_SPAN_W) -> str:
     w = int(w)
-    shift = 1 << _SPAN_POS_BITS
     return f"""
         WITH tk AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1577,13 +1578,19 @@ def strip_dup_spans_oracle(w: int = DUP_SPAN_W) -> str:
                 FROM tk WHERE len(toks) >= {w}
             )
         ),
-        occ AS (
-            SELECT gram, min(doc_id * {shift} + pos) AS c_packed
+        occ1 AS (
+            SELECT gram, min(doc_id) AS c_doc
             FROM grams GROUP BY gram HAVING count(*) > 1
+        ),
+        occ AS (
+            SELECT g.gram, o.c_doc, min(g.pos) AS c_pos
+            FROM grams g JOIN occ1 o
+              ON g.gram = o.gram AND g.doc_id = o.c_doc
+            GROUP BY g.gram, o.c_doc
         ),
         dup_occ AS (
             SELECT g.doc_id, g.pos,
-                   (g.doc_id * {shift} + g.pos = o.c_packed) AS is_canon
+                   (g.doc_id = o.c_doc AND g.pos = o.c_pos) AS is_canon
             FROM grams g JOIN occ o USING (gram)
         ),
         noncanon AS (

@@ -99,3 +99,31 @@ def test_non_integral_order_col_raises(spark):
     df = spark.createDataFrame([("g", "a", 1)], "g STRING, i STRING, v BIGINT")
     with pytest.raises(TypeError, match="integral"):
         bucketed_running_sum(df, ["g"], "i", "v", "cum")
+
+
+# -- property: arbitrary groups/orders/values vs the single-window form ------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr", "zh"]),
+        st.integers(min_value=-(10**9), max_value=10**9),
+        st.integers(min_value=-(10**6), max_value=10**6),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_rows, n_buckets=st.sampled_from([1, 2, 7, 1024]))
+def test_property_matches_single_window(spark, rows, n_buckets):
+    # dedupe (g, i) — the documented uniqueness precondition
+    seen, uniq = set(), []
+    for g, i, v in rows:
+        if (g, i) not in seen:
+            seen.add((g, i))
+            uniq.append((g, i, v))
+    df = spark.createDataFrame(uniq, "g STRING, i BIGINT, v BIGINT")
+    _check(df, n_buckets=n_buckets)
