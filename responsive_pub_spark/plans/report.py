@@ -652,6 +652,31 @@ EXTENDED_NOTES = {
         "RGB24 raster walk) — same pruned-projection mapInPandas shape "
         "as the WAV row; channel sums are integer-exact."
     ),
+    "dup_span_report": (
+        "substring-level dedup signal: stride-1 w-gram explode (rows = "
+        "token positions, linear), occurrence counts as ONE keyed agg "
+        "with map-side partials, dup marking as a shuffle equi-join on "
+        "the gram — never a per-gram window, so a mega boilerplate gram "
+        "cannot serialize one reducer and AQE splits hot keys; the "
+        "union-of-spans explode is linear in the duplicated volume. At "
+        "production scale hash the gram (xxhash64) before the shuffle — "
+        "one projection change, same plan."
+    ),
+    "dedup_strip_spans": (
+        "the strip action: canonical first-occurrence picked by a "
+        "TWO-STAGE integer min (per-gram min doc_id, then min pos within "
+        "it) — plain keyed aggs, overflow-safe for 63-bit ids, no packed "
+        "keys, no windows; drops are two coverage explodes + anti-joins "
+        "(linear in duplicated volume) and the text rebuild is a per-DOC "
+        "sorted aggregate (state bounded by one doc)."
+    ),
+    "bpe_apply_frozen": (
+        "frozen-tokenizer apply: the k-row merge artifact (control-plane "
+        "sized) replays as chained replace columns over the target "
+        "corpus's unique-word table (vocab-sized, checkpointed every 8 "
+        "merges), then one broadcast join + per-doc agg — unseen words "
+        "get true merge-replay segmentation, the corpus is scanned once."
+    ),
     "ann_ivf_drift": (
         "incremental-IVF retrain trigger: one broadcast-join assignment "
         "pass (centroids tiny), ONE keyed agg on cid (centroid-count "
