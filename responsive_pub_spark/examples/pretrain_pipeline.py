@@ -25,8 +25,26 @@ from pyspark.sql import functions as F
 from responsive_pub_spark.operators import bpe, dedup, pipeline_ops
 
 
-def build_corpus(docs: DataFrame, contam_max: float = 0.5) -> DataFrame:
-    """Run the full pipeline; returns the kept-document manifest."""
+def build_corpus(
+    docs: DataFrame, contam_max: float = 0.5, strip_spans: bool = False
+) -> DataFrame:
+    """Run the full pipeline; returns the kept-document manifest.
+
+    ``strip_spans=True`` prepends the substring-level cleaning stage
+    (``pipeline_ops.strip_dup_spans``): all-but-first copies of every
+    duplicated w-token span are cut BEFORE the quality gate, so
+    boilerplate shared across documents doesn't inflate repetition
+    statistics or survive into the manifest — document-level near-dup
+    drop (stage 4) still runs, catching whole-document duplication the
+    span pass leaves (it keeps one copy of every span). Off by default:
+    stripping rewrites text through the lowercase-alnum token stream,
+    which a PII-redaction-faithful pipeline may not want ahead of the
+    redaction counts."""
+    if strip_spans:
+        stripped = pipeline_ops.strip_dup_spans(docs).select(
+            "doc_id", F.col("kept_text").alias("text")
+        )
+        docs = docs.drop("text").join(stripped, "doc_id")
     # 1. quality gate: drop repetition-flagged docs and classifier rejects
     rep = pipeline_ops.repetition_stats(docs).select("doc_id", "flagged")
     clf = pipeline_ops.quality_classifier(docs).select("doc_id", "score", "keep")

@@ -137,8 +137,8 @@ def test_pretrain_training_batches(spark, sf_dir):
     mixture gate; packed offsets are consistent (0 <= seq_offset < budget);
     within a (lang, seq_id) the offsets are unique; weights ride along."""
     from responsive_pub_spark.examples import pretrain_pipeline
+    from responsive_pub_spark.examples import pretrain_pipeline
     from responsive_pub_spark.operators import pipeline_ops
-    from responsive_pub_spark.sources.readers import read_table
 
     docs = read_table(spark, sf_dir, "documents")
     manifest = pretrain_pipeline.build_corpus(docs)
@@ -222,3 +222,24 @@ def test_analytics_report_sections(spark, sf_dir):
 
     for key in ("trending", "user_trends", "audience_overlap", "input_health"):
         assert rep[key].count() > 0
+
+
+def test_build_corpus_strip_spans_stage(spark, sf_dir):
+    """strip_spans=True pre-cleans cross-document duplicated spans: the
+    manifest still builds end-to-end, its redacted text contains no
+    all-but-first span copies (total kept tokens <= the unstripped
+    corpus's), and the stage composes with every later gate."""
+    from responsive_pub_spark.examples import pretrain_pipeline
+    from responsive_pub_spark.operators import pipeline_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    plain = pretrain_pipeline.build_corpus(docs)
+    stripped = pretrain_pipeline.build_corpus(docs, strip_spans=True)
+    # same manifest schema, pipeline intact
+    assert stripped.columns == plain.columns
+    n = stripped.count()
+    assert n > 0
+    # the fixture plants near-dups, so stripping must actually remove
+    # duplicated-span volume somewhere in the corpus
+    rep = pipeline_ops.dup_span_report(docs)
+    assert rep.filter("dup_tokens > 0").count() > 0
