@@ -2565,13 +2565,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- r4/r5 — rotate past 50 in r6 per the documented plan;
     # --- agg_pricing_summary, window_tumbling, join_global rotated in
     # --- r5; bench membership is unaffected by rotation)
-    "embed_sq8": QuerySpec(
-        lambda spark, sf_dir: quantize.sq8_table(
-            _t(spark, sf_dir, "embeddings"), max_dim=quantize.SQ8_REGISTRY_DIMS
-        ),
-        quantize.sq8_oracle(),
-        doc="SQ8 scalar quantization codes + per-element reconstruction error",
-    ),
     # (corpus_stats, text_entropy, bpe_merges — green through r5 —
     # rotate past 50 in r6; the text family keeps unigram_ppl, novelty
     # and the r6-new bm25 row in-window; bpe_vocab keeps the BPE family
@@ -2579,24 +2572,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- new in r4-final: iterative + OLAP + collocation surfaces
     # --- (dedup_simhash/dedup_ngram_jaccard/sim_search_pq, multi-round
     # --- green, rotate past 50; their bench flags travel with them)
-    "graph_pagerank": QuerySpec(
-        lambda spark, sf_dir: graph.pagerank(_t(spark, sf_dir, "lineitem")),
-        graph.pagerank_oracle(),
-        doc="3-iteration fixed-point-integer PageRank over the "
-        "part<->supplier bipartite graph; oracle = unrolled SQL rounds",
-    ),
     # (text_collocations, olap_cube_pricing — green r4+r5 — rotate past
     # 50 in r6 per the documented plan)
     # (sketch_quantile_hist rotates past 50 in r7 — parked in the r7
     # rotation-OUT block; sketch family keeps cms, cms_windowed,
     # hll_windowed, heavy_hitters in-window)
-    "sketch_cms": QuerySpec(
-        q_sketch_cms,
-        ORACLE_SKETCH_CMS,
-        doc="Count-Min sketch over (user, event_type) items — the item "
-        "space overflows the 4x256 counters, so collisions and the "
-        "one-sided overestimate are part of the hashed contract",
-    ),
     # (sketch_lc_distinct — green r4+r5 — rotates past 50 in r6; the
     # sketch family keeps quantile_hist, cms, cms_windowed, hll,
     # hll_windowed and heavy_hitters in-window)
@@ -2925,9 +2905,47 @@ REGISTRY: dict[str, QuerySpec] = {
         "3): the same counts pack_token_ids packs on now cut the export "
         "shards; NEW gate r10",
     ),
+    "dup_span_report": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.dup_span_report(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.dup_span_report_oracle(),
+        doc="substring-level dedup signal (Lee et al. 2022 shape): "
+        "stride-1 w-token windows, corpus-wide occurrence counts via "
+        "keyed agg + equi-join (NEVER a per-gram window — AQE splits hot "
+        "grams), per-doc union-of-spans duplicated-token fraction in "
+        "integer bp; catches boilerplate spans that doc-level minhash "
+        "and non-overlapping chunk_dedup both miss; NEW r10 "
+        "(pytest-oracled tail row)",
+    ),
+    "dedup_strip_spans": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.strip_dup_spans(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.strip_dup_spans_oracle(),
+        doc="the ACTION to dup_span_report: remove all-but-first copies "
+        "of every duplicated w-token span (canonical = globally first by "
+        "(doc_id, pos), picked by integer MIN over a packed key — one "
+        "keyed agg, no per-gram window); first copies survive verbatim, "
+        "later copies are cut, rebuilt text per doc; NEW r10 "
+        "(pytest-oracled tail row)",
+    ),
     "pack_sequences": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
         pipeline_ops.pack_sequences_oracle(),
+    ),
+    "bpe_apply_frozen": QuerySpec(
+        lambda spark, sf_dir: bpe.apply_tokenizer_counts(
+            _t(spark, sf_dir, "documents"),
+            bpe.bpe_merges(_t(spark, sf_dir, "documents")),
+        ),
+        bpe.apply_tokenizer_counts_oracle(),
+        doc="per-doc counts under a FROZEN tokenizer: the k-row merge "
+        "artifact (control-plane-sized) replayed over the target "
+        "corpus's own unique-word table — real OOV segmentation by "
+        "merge replay, zero-word docs kept at 0; save/load + replay "
+        "parity pinned in tests/test_tokenizer_artifact.py; NEW r10 "
+        "(pytest-oracled tail row)",
     ),
     "sketch_cms_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies_windowed(
@@ -3235,6 +3253,26 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_stream_stream_left": QuerySpec(
         q_join_stream_stream_left, ORACLE_JOIN_STREAM_STREAM_LEFT
     ),
+    "embed_sq8": QuerySpec(
+        lambda spark, sf_dir: quantize.sq8_table(
+            _t(spark, sf_dir, "embeddings"), max_dim=quantize.SQ8_REGISTRY_DIMS
+        ),
+        quantize.sq8_oracle(),
+        doc="SQ8 scalar quantization codes + per-element reconstruction error",
+    ),
+    "graph_pagerank": QuerySpec(
+        lambda spark, sf_dir: graph.pagerank(_t(spark, sf_dir, "lineitem")),
+        graph.pagerank_oracle(),
+        doc="3-iteration fixed-point-integer PageRank over the "
+        "part<->supplier bipartite graph; oracle = unrolled SQL rounds",
+    ),
+    "sketch_cms": QuerySpec(
+        q_sketch_cms,
+        ORACLE_SKETCH_CMS,
+        doc="Count-Min sketch over (user, event_type) items — the item "
+        "space overflows the 4x256 counters, so collisions and the "
+        "one-sided overestimate are part of the hashed contract",
+    ),
     "papi_running_count": QuerySpec(q_papi_running_count, ORACLE_PAPI_RUNNING_COUNT),
     "dedup_simhash": QuerySpec(q_dedup_simhash, dedup.simhash_pairs_oracle()),
     "dedup_ngram_jaccard": QuerySpec(
@@ -3274,44 +3312,6 @@ REGISTRY: dict[str, QuerySpec] = {
         "PPM containers parsed (ASCII dims + RGB24 raster walk) to "
         "integer channel sums; same planted-fixture referee scheme as "
         "multimodal_wav_decode; NEW r10 (pytest-oracled tail row)",
-    ),
-    "bpe_apply_frozen": QuerySpec(
-        lambda spark, sf_dir: bpe.apply_tokenizer_counts(
-            _t(spark, sf_dir, "documents"),
-            bpe.bpe_merges(_t(spark, sf_dir, "documents")),
-        ),
-        bpe.apply_tokenizer_counts_oracle(),
-        doc="per-doc counts under a FROZEN tokenizer: the k-row merge "
-        "artifact (control-plane-sized) replayed over the target "
-        "corpus's own unique-word table — real OOV segmentation by "
-        "merge replay, zero-word docs kept at 0; save/load + replay "
-        "parity pinned in tests/test_tokenizer_artifact.py; NEW r10 "
-        "(pytest-oracled tail row)",
-    ),
-    "dup_span_report": QuerySpec(
-        lambda spark, sf_dir: pipeline_ops.dup_span_report(
-            _t(spark, sf_dir, "documents")
-        ),
-        pipeline_ops.dup_span_report_oracle(),
-        doc="substring-level dedup signal (Lee et al. 2022 shape): "
-        "stride-1 w-token windows, corpus-wide occurrence counts via "
-        "keyed agg + equi-join (NEVER a per-gram window — AQE splits hot "
-        "grams), per-doc union-of-spans duplicated-token fraction in "
-        "integer bp; catches boilerplate spans that doc-level minhash "
-        "and non-overlapping chunk_dedup both miss; NEW r10 "
-        "(pytest-oracled tail row)",
-    ),
-    "dedup_strip_spans": QuerySpec(
-        lambda spark, sf_dir: pipeline_ops.strip_dup_spans(
-            _t(spark, sf_dir, "documents")
-        ),
-        pipeline_ops.strip_dup_spans_oracle(),
-        doc="the ACTION to dup_span_report: remove all-but-first copies "
-        "of every duplicated w-token span (canonical = globally first by "
-        "(doc_id, pos), picked by integer MIN over a packed key — one "
-        "keyed agg, no per-gram window); first copies survive verbatim, "
-        "later copies are cut, rebuilt text per doc; NEW r10 "
-        "(pytest-oracled tail row)",
     ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
