@@ -929,6 +929,101 @@ def mixture_resample_oracle(weights_bp: "dict[str, int] | None" = None) -> str:
     """
 
 
+def mixture_resample_tokens(
+    docs: DataFrame,
+    weights_bp: "dict[str, int] | None" = None,
+    counts: "DataFrame | None" = None,
+) -> DataFrame:
+    """``mixture_resample`` with the blend measured in TOKEN MASS instead
+    of document count — what a pretraining recipe actually specifies
+    ("30% English tokens"), and the final leg of the round's token-
+    definition unification: pass ``counts=`` a precomputed
+    ``(doc_id, n_tokens)`` frame (e.g. ``bpe.doc_bpe_counts`` under the
+    frozen tokenizer) and the mixture, packing, and sharding stages all
+    budget in the SAME learned-BPE tokens; the default is the whitespace-
+    regex surrogate count (oracle-portable without the merge-chain CTEs).
+
+    Same integer recipe as the doc-count form, over token masses:
+    K = min_d(mass_d * 10000 DIV w_d) is the largest target-shaped token
+    budget the data supports; per-lang accept rates keep EXPECTED kept
+    token mass proportional to the target weights (acceptance stays a
+    deterministic per-doc hash — doc-level Bernoulli, so realized mass
+    fluctuates by one doc's tokens, the same granularity packing cuts
+    at). Languages with zero token mass are dropped (a rate over an
+    empty mass is undefined). Plan: one keyed agg to the per-lang mass
+    table -> 1-row min -> broadcast rate join; the corpus never shuffles.
+
+    Output: (doc_id, lang, n_tokens, accept_bp)."""
+    wbp = weights_bp or MIXTURE_WEIGHTS_BP
+    w_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {int(bp)}" for d, bp in wbp.items()
+    ) + " ELSE 0 END"
+    if counts is None:
+        bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
+        toks = docs.select(
+            "doc_id", "lang", F.expr(bpe).cast("bigint").alias("n_tokens")
+        )
+    else:
+        toks = docs.select("doc_id", "lang").join(
+            counts.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")),
+            "doc_id",
+        )
+    toks = scoped_persist(toks)
+    masses = toks.groupBy("lang").agg(F.sum("n_tokens").alias("n_d"))
+    masses = (
+        masses.withColumn("w_bp", F.expr(w_case))
+        .filter((F.col("w_bp") > 0) & (F.col("n_d") > 0))
+    )
+    k = masses.select(F.min(F.expr("n_d * 10000 DIV w_bp")).alias("k_sup"))
+    rates = masses.crossJoin(F.broadcast(k)).select(
+        "lang",
+        F.expr("(k_sup * w_bp * 10000) DIV (n_d * 10000)").alias("accept_bp"),
+    )
+    u = f"(((doc_id % {P}) * {MIX_HASH_A} + {MIX_HASH_B}) % {P}) % 10000"
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .filter(F.expr(u) < F.col("accept_bp"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.col("accept_bp").cast("bigint").alias("accept_bp"),
+        )
+    )
+
+
+def mixture_resample_tokens_oracle(
+    weights_bp: "dict[str, int] | None" = None,
+) -> str:
+    wbp = weights_bp or MIXTURE_WEIGHTS_BP
+    w_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {int(bp)}" for d, bp in wbp.items()
+    ) + " ELSE 0 END"
+    bpe = f"len(regexp_extract_all(text, '{T.BPE_TOKEN_REGEX}'))"
+    u = f"(((doc_id % {P}) * {MIX_HASH_A} + {MIX_HASH_B}) % {P}) % 10000"
+    return f"""
+        WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST({bpe} AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        masses AS (
+            SELECT lang, sum(n_tokens) AS n_d, {w_case} AS w_bp
+            FROM toks GROUP BY lang
+        ),
+        live AS (SELECT * FROM masses WHERE w_bp > 0 AND n_d > 0),
+        k AS (SELECT min(n_d * 10000 // w_bp) AS k_sup FROM live),
+        rates AS (
+            SELECT lang, (k_sup * w_bp * 10000) // (n_d * 10000) AS accept_bp
+            FROM live CROSS JOIN k
+        )
+        SELECT t.doc_id, t.lang, t.n_tokens,
+               CAST(r.accept_bp AS BIGINT) AS accept_bp
+        FROM toks t JOIN rates r USING (lang)
+        WHERE {u} < r.accept_bp
+    """
+
+
 # -- fuzzy decontamination ----------------------------------------------------
 FUZZY_DECONTAM_THRESHOLD = 0.8
 

@@ -3313,6 +3313,18 @@ REGISTRY: dict[str, QuerySpec] = {
         "integer channel sums; same planted-fixture referee scheme as "
         "multimodal_wav_decode; NEW r10 (pytest-oracled tail row)",
     ),
+    "mixture_resample_tokens": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.mixture_resample_tokens(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.mixture_resample_tokens_oracle(),
+        doc="the data-mixing step budgeted in TOKEN MASS (what recipes "
+        "actually specify) — same integer downsample-only formula as "
+        "mixture_resample over per-lang token sums; counts= takes a "
+        "precomputed (doc_id, n_tokens) frame so mixture, packing, and "
+        "sharding all budget in one learned-BPE token definition; NEW "
+        "r10 (pytest-oracled tail row)",
+    ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "dedup_clusters": QuerySpec(

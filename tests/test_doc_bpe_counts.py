@@ -81,3 +81,39 @@ def test_strip_dup_spans_semantics(spark):
     rep = {r.doc_id: r for r in pipeline_ops.dup_span_report(docs).collect()}
     assert rep[1].dup_tokens == 8 and rep[2].dup_tokens == 8
     assert rep[3].dup_tokens == 0
+
+
+def test_mixture_tokens_respects_target_shares_and_bpe_counts(spark, sf_dir):
+    """Token-budgeted mixture: (a) kept token masses track the target
+    weights (each lang's kept mass is within one doc's tokens of K*w_d,
+    the doc-level Bernoulli granularity — here checked as shares within
+    25% relative: the sf0.001 fixture's per-lang masses are small enough
+    that the deterministic-hash Bernoulli leaves visible variance; exact
+    values are pinned by the hash oracle, this asserts the SHAPE); (b) with counts= from the frozen tokenizer, the SAME
+    learned-BPE definition drives the blend."""
+    from pyspark.sql import functions as F
+
+    from responsive_pub_spark.operators import bpe, pipeline_ops
+    from responsive_pub_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = pipeline_ops.mixture_resample_tokens(docs)
+    shares = {
+        r.lang: r.mass
+        for r in kept.groupBy("lang").agg(F.sum("n_tokens").alias("mass")).collect()
+    }
+    wbp = pipeline_ops.MIXTURE_WEIGHTS_BP
+    total = sum(shares.values())
+    for lang, mass in shares.items():
+        want = wbp[lang] / sum(wbp[d] for d in shares)
+        got = mass / total
+        assert abs(got - want) / want < 0.25, (lang, got, want)
+
+    counts = bpe.doc_bpe_counts(docs)
+    kept_bpe = pipeline_ops.mixture_resample_tokens(docs, counts=counts)
+    # the BPE-count variant budgets on the exact doc_bpe_counts numbers
+    joined = kept_bpe.join(
+        counts.withColumnRenamed("n_tokens", "expect"), "doc_id"
+    )
+    assert joined.filter("n_tokens != expect").count() == 0
+    assert kept_bpe.count() > 0
