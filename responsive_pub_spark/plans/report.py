@@ -677,6 +677,14 @@ EXTENDED_NOTES = {
         "merges), then one broadcast join + per-doc agg — unseen words "
         "get true merge-replay segmentation, the corpus is scanned once."
     ),
+    "mixture_resample_tokens": (
+        "token-mass data mixing: one keyed agg to the per-lang token "
+        "masses, a 1-row min for the supportable budget, and a broadcast "
+        "rate join — the corpus itself never shuffles; acceptance is a "
+        "deterministic per-doc hash, so retries and replays keep the "
+        "same sample. counts= plugs in learned-BPE masses, unifying the "
+        "mixture stage with pack/shard token budgets."
+    ),
     "ann_ivf_drift": (
         "incremental-IVF retrain trigger: one broadcast-join assignment "
         "pass (centroids tiny), ONE keyed agg on cid (centroid-count "
