@@ -796,3 +796,102 @@ def pq_topk_oracle(
             FROM rer
         ) WHERE rank <= {k}
     """
+
+
+# -- hybrid retrieval: lexical candidates -> vector re-rank -------------------
+HYBRID_CANDIDATES = 20
+HYBRID_K = 5
+
+
+def hybrid_rerank(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: "int | None" = None,
+    n_cand: int = HYBRID_CANDIDATES,
+    k: int = HYBRID_K,
+) -> DataFrame:
+    """Two-stage retrieval — the standard production stack: a cheap
+    LEXICAL pass (BM25) nominates ``n_cand`` candidates per query term,
+    then a VECTOR pass re-ranks them by embedding cosine. The query
+    vector is the rank-1 BM25 doc's embedding (pseudo-relevance
+    feedback: the best lexical match anchors the semantic neighborhood),
+    so the composition needs no external query embeddings — it runs on
+    the corpus's own (documents, embeddings) pair, joined doc_id=vec_id.
+
+    Scale shape: stage 1 is ``textops.bm25_topk``'s plan (corpus explodes
+    once; query terms broadcast; WindowGroupLimit top-n_cand); stage 2
+    touches ONLY the candidate rows — n_queries * n_cand of them — so the
+    embedding table is probed by an equi-join on doc_id and the per-term
+    anchor table (n_queries rows) broadcasts; the corpus-sized sides
+    never shuffle for the re-rank. A rank-1 doc without an embedding row
+    drops its term (inner join — the anchor is undefined).
+
+    Output: (term, rk, doc_id, cosine) — re-ranked candidates 2..n_cand,
+    top ``k`` per term by (rounded cosine DESC, doc_id ASC)."""
+    from responsive_pub_spark.operators.textops import BM25_N_QUERIES, bm25_topk
+
+    nq = int(n_queries if n_queries is not None else BM25_N_QUERIES)
+    cands = bm25_topk(docs, n_queries=nq, top=int(n_cand)).select(
+        "term", "rk", "doc_id"
+    )
+    withv = cands.join(
+        emb.select(
+            F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")
+        ),
+        "doc_id",
+    )
+    anchors = withv.filter(F.col("rk") == 1).select(
+        F.col("term").alias("a_term"), F.col("cv").alias("qv")
+    )
+    rescored = (
+        withv.filter(F.col("rk") > 1)
+        .join(F.broadcast(anchors), F.col("term") == F.col("a_term"))
+        .withColumn("cosine", pround(F.expr(cosine_sql("qv", "cv")), 6))
+        .select("term", "doc_id", "cosine")
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= int(k))
+        .select("term", "rk", "doc_id", "cosine")
+    )
+
+
+def hybrid_rerank_oracle(
+    n_queries: "int | None" = None,
+    n_cand: int = HYBRID_CANDIDATES,
+    k: int = HYBRID_K,
+) -> str:
+    from responsive_pub_spark.operators.textops import (
+        BM25_N_QUERIES,
+        bm25_topk_oracle,
+    )
+
+    nq = int(n_queries if n_queries is not None else BM25_N_QUERIES)
+    cos = dround(cosine_duck("a.qv", "c.cv"), 6)
+    return f"""
+        WITH cands AS (
+            SELECT term, rk, doc_id
+            FROM ({bm25_topk_oracle(nq, int(n_cand))})
+        ),
+        withv AS (
+            SELECT c.term, c.rk, c.doc_id, e.embedding AS cv
+            FROM cands c JOIN embeddings e ON c.doc_id = e.vec_id
+        ),
+        anchors AS (
+            SELECT term AS a_term, cv AS qv FROM withv WHERE rk = 1
+        ),
+        rescored AS (
+            SELECT c.term, c.doc_id, {cos} AS cosine
+            FROM withv c JOIN anchors a ON c.term = a.a_term
+            WHERE c.rk > 1
+        ),
+        ranked AS (
+            SELECT term, doc_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY term
+                       ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rk
+            FROM rescored
+        )
+        SELECT term, rk, doc_id, cosine FROM ranked WHERE rk <= {int(k)}
+    """

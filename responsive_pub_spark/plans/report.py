@@ -685,6 +685,14 @@ EXTENDED_NOTES = {
         "same sample. counts= plugs in learned-BPE masses, unifying the "
         "mixture stage with pack/shard token budgets."
     ),
+    "hybrid_rerank": (
+        "two-stage retrieval: stage 1 is bm25_topk's plan (corpus "
+        "explodes once, query terms broadcast, WindowGroupLimit "
+        "candidates); stage 2 re-ranks ONLY the n_queries*n_cand "
+        "candidate rows — the embedding probe is a doc_id equi-join and "
+        "the per-term anchor vectors (n_queries rows) broadcast, so the "
+        "corpus-sized sides never shuffle for the re-rank."
+    ),
     "ann_ivf_drift": (
         "incremental-IVF retrain trigger: one broadcast-join assignment "
         "pass (centroids tiny), ONE keyed agg on cid (centroid-count "

@@ -3325,6 +3325,17 @@ REGISTRY: dict[str, QuerySpec] = {
         "sharding all budget in one learned-BPE token definition; NEW "
         "r10 (pytest-oracled tail row)",
     ),
+    "hybrid_rerank": QuerySpec(
+        lambda spark, sf_dir: similarity.hybrid_rerank(
+            _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+        ),
+        similarity.hybrid_rerank_oracle(),
+        doc="two-stage retrieval (the production stack): BM25 lexical "
+        "candidates -> embedding-cosine re-rank anchored on the rank-1 "
+        "doc's vector (pseudo-relevance feedback); stage 2 touches only "
+        "n_queries*n_cand candidate rows — corpus sides never shuffle "
+        "for the re-rank; NEW r10 (pytest-oracled tail row)",
+    ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),
     "dedup_clusters": QuerySpec(
