@@ -33,7 +33,14 @@ def main() -> None:
 
     from responsive_pub_spark.streaming.dedup_stream import NearDupStreaming
 
-    NearDupStreaming(spark, workdir).advance()
+    # optional argv[2]: a retention horizon -> continuous (event-time
+    # timeout eviction) mode; default lane otherwise
+    if len(sys.argv) > 2:
+        NearDupStreaming(
+            spark, workdir, retention=float(sys.argv[2]), continuous=True
+        ).advance()
+    else:
+        NearDupStreaming(spark, workdir).advance()
     spark.stop()
 
 

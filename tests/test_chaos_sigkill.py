@@ -337,3 +337,101 @@ def test_sigkill_mid_bucket_stage_neardup_exactly_once(spark, tmp_path):
     assert (
         spark.read.schema(SIG_SCHEMA).parquet(sig_dir).count() == 4
     )
+
+
+def test_sigkill_mid_bucket_stage_continuous_mode(spark, tmp_path):
+    """The r10 continuous lane under the same three-stage kill: SIGKILL
+    while the EventTimeTimeout bucket stage is mid-batch, restart from
+    the checkpoints, and (a) verdicts still equal the batch greedy twin
+    — replay is exactly-once with timers armed; (b) the timers SURVIVE
+    the kill+restart: a later advance past the horizon still reaps every
+    old bucket."""
+    import pickle
+
+    from responsive_pub_spark.operators import dedup
+    from responsive_pub_spark.streaming.dedup_stream import (
+        DOCS_SCHEMA,
+        NearDupStreaming,
+    )
+
+    workdir = str(tmp_path / "chaos_cont")
+    os.makedirs(workdir)
+    base = " ".join(f"w{i}" for i in range(25))
+    other = " ".join(f"q{i}" for i in range(25))
+    batch1 = [(1, base, 1.0), (2, other, 2.0)]
+    batch2 = [(3, base, 3.0), (4, other, 4.0)]
+
+    def feed(rows):
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(workdir, "docs"))
+
+    def child(wait=True):
+        proc = subprocess.Popen(
+            [sys.executable, NEARDUP_CHILD, workdir, "100.0"],
+            cwd=REPO,
+            start_new_session=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        if wait:
+            assert proc.wait(timeout=300) == 0
+        return proc
+
+    feed(batch1)
+    child()  # clean continuous advance
+
+    open(os.path.join(workdir, "armed"), "w").close()
+    feed(batch2)
+    proc = child(wait=False)
+    marker = os.path.join(workdir, "inflight")
+    deadline = time.monotonic() + 240
+    while not os.path.exists(marker) and time.monotonic() < deadline:
+        assert proc.poll() is None, "child exited before the stage stalled"
+        time.sleep(0.2)
+    assert os.path.exists(marker), "bucket stage never reached mid-batch"
+    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    assert proc.wait(timeout=60) != 0
+
+    os.remove(os.path.join(workdir, "armed"))
+    child()  # restart from checkpoints
+
+    lane = NearDupStreaming(spark, workdir, retention=100.0, continuous=True)
+    got = {(r.doc_id, r.is_duplicate) for r in lane.verdicts().collect()}
+    all_docs = spark.createDataFrame(batch1 + batch2, DOCS_SCHEMA).select(
+        "doc_id", "text"
+    )
+    want = {
+        (r.doc_id, r.is_duplicate)
+        for r in dedup.greedy_keep(all_docs).collect()
+    }
+    assert got == want
+    assert sum(1 for _, d in got if d) == 2  # 3 dups 1, 4 dups 2
+
+    # (b) timers survived: one more advance far past the horizon reaps
+    # every bucket last touched at ts<=4 (timeout <= 104 << watermark
+    # 4900); only the fresh doc's buckets remain
+    fresh = " ".join(f"z{i}" for i in range(25))
+    feed([(9, fresh, 5000.0)])
+    child()
+    # the state READER needs the session's StateStoreCoordinator, which
+    # only exists once the streaming manager is instantiated — this
+    # parent session never ran a stream itself (the children did), so
+    # touch it first (RpcEndpointNotFoundException otherwise)
+    assert spark.streams.active == []
+    # and pin the reader to the last COMMITTED batch: the SIGKILLed run
+    # left partial state deltas for its in-flight version
+    ck = os.path.join(workdir, "ck-cand")
+    commits = sorted(
+        int(f) for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()
+    )
+    state = (
+        spark.read.format("statestore")
+        .option("batchId", commits[-1])
+        .load(ck)
+    )
+    live = set()
+    for r in state.select("value").collect():
+        members, _ = pickle.loads(bytes(r.value.groupState.blob))
+        live.update(m[0] for m in members)
+    assert live == {9}, live
