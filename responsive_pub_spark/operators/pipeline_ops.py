@@ -1460,9 +1460,14 @@ def dup_span_report(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     through one reducer's window state; the join form lets AQE split the
     hot key); span union is an explode of w covered positions PER DUP
     START + a distinct — cost linear in the duplicated volume, the
-    output the operator exists to measure. Grams join on their text
-    here (exact, oracle-portable); at production scale hash them first
-    (xxhash64) — one projection change, same plan shape.
+    output the operator exists to measure. The gram NEVER shuffles as
+    text: ``xxhash64`` runs inside the projection lambda, so every
+    Exchange carries an 8-byte BIGINT key instead of the ~50-80-byte
+    w-token string (~10x shuffle-volume cut at 100 TB). The DuckDB
+    oracle groups on the gram string — identical semantics up to 64-bit
+    hash collisions, absent at fixture scale and an accepted
+    rare-false-dup tradeoff at corpus scale (the same contract as every
+    hash-fingerprint dedup here).
 
     Output: (doc_id, n_tokens, dup_tokens, dup_bp) — dup_bp in integer
     basis points (DIV), docs shorter than ``w`` report 0."""
@@ -1476,7 +1481,8 @@ def dup_span_report(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
         f"CASE WHEN size(toks) < {w} THEN "
         f"array() "
         f"ELSE transform(sequence(1, size(toks) - {w} + 1), "
-        f"i -> struct(i AS pos, array_join(slice(toks, i, {w}), ' ') AS gram)) "
+        f"i -> struct(i AS pos, "
+        f"xxhash64(array_join(slice(toks, i, {w}), ' ')) AS gh)) "
         f"END"
     )
     grams = tks.select(
@@ -1484,17 +1490,17 @@ def dup_span_report(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     ).select(
         "doc_id",
         F.col("g.pos").cast("bigint").alias("pos"),
-        F.col("g.gram").alias("gram"),
+        F.col("g.gh").alias("gh"),
     )
     grams = scoped_persist(grams)
     occ = (
-        grams.groupBy("gram")
+        grams.groupBy("gh")
         .agg(F.count("*").alias("n_occ"))
         .filter(F.col("n_occ") > 1)
-        .select("gram")
+        .select("gh")
     )
     covered = (
-        grams.join(occ, "gram")
+        grams.join(occ, "gh")
         .select(
             "doc_id",
             F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("cov"),
@@ -1572,7 +1578,11 @@ def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     map-side partials, NO per-gram window (a hot boilerplate gram would
     serialize one reducer's window state) and no packed-key arithmetic
     (doc_id * 2^k overflows int64 on wide id spaces — hit at the 10x
-    amplified fixture's shifted ids); coverage sets are explodes of the
+    amplified fixture's shifted ids); the gram NEVER shuffles as text —
+    ``xxhash64`` runs inside the projection lambda so every Exchange in
+    the election/marking chain carries an 8-byte BIGINT key (the DuckDB
+    oracle groups on the string: identical up to 64-bit collisions,
+    absent at fixture scale); coverage sets are explodes of the
     duplicated volume; the final text rebuild is a per-DOC sorted
     aggregation (state bounded by one doc, the same contract as every
     per-doc aggregate here).
@@ -1590,34 +1600,35 @@ def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     starts = (
         f"CASE WHEN size(toks) < {w} THEN array() "
         f"ELSE transform(sequence(1, size(toks) - {w} + 1), "
-        f"i -> struct(i AS pos, array_join(slice(toks, i, {w}), ' ') AS gram)) "
+        f"i -> struct(i AS pos, "
+        f"xxhash64(array_join(slice(toks, i, {w}), ' ')) AS gh)) "
         f"END"
     )
     grams = scoped_persist(
         tks.select("doc_id", F.explode(F.expr(starts)).alias("g")).select(
             "doc_id",
             F.col("g.pos").cast("bigint").alias("pos"),
-            F.col("g.gram").alias("gram"),
+            F.col("g.gh").alias("gh"),
         )
     )
     occ1 = (
-        grams.groupBy("gram")
+        grams.groupBy("gh")
         .agg(
             F.count("*").alias("n_occ"),
             F.min("doc_id").alias("c_doc"),
         )
         .filter(F.col("n_occ") > 1)
-        .select(F.col("gram").alias("g2"), "c_doc")
+        .select(F.col("gh").alias("g2"), "c_doc")
     )
     occ = (
         grams.join(
             occ1,
-            (F.col("gram") == F.col("g2")) & (F.col("doc_id") == F.col("c_doc")),
+            (F.col("gh") == F.col("g2")) & (F.col("doc_id") == F.col("c_doc")),
         )
-        .groupBy("gram", "c_doc")
+        .groupBy("gh", "c_doc")
         .agg(F.min("pos").alias("c_pos"))
     )
-    dup_occ = grams.join(occ, "gram").withColumn(
+    dup_occ = grams.join(occ, "gh").withColumn(
         "is_canon",
         (F.col("doc_id") == F.col("c_doc")) & (F.col("pos") == F.col("c_pos")),
     )

@@ -2914,9 +2914,9 @@ REGISTRY: dict[str, QuerySpec] = {
         "stride-1 w-token windows, corpus-wide occurrence counts via "
         "keyed agg + equi-join (NEVER a per-gram window — AQE splits hot "
         "grams), per-doc union-of-spans duplicated-token fraction in "
-        "integer bp; catches boilerplate spans that doc-level minhash "
-        "and non-overlapping chunk_dedup both miss; NEW r10 "
-        "(pytest-oracled tail row)",
+        "integer bp; grams shuffle as xxhash64 BIGINTs, never as text "
+        "(r11); catches boilerplate spans that doc-level minhash "
+        "and non-overlapping chunk_dedup both miss",
     ),
     "dedup_strip_spans": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.strip_dup_spans(
@@ -2925,10 +2925,11 @@ REGISTRY: dict[str, QuerySpec] = {
         pipeline_ops.strip_dup_spans_oracle(),
         doc="the ACTION to dup_span_report: remove all-but-first copies "
         "of every duplicated w-token span (canonical = globally first by "
-        "(doc_id, pos), picked by integer MIN over a packed key — one "
-        "keyed agg, no per-gram window); first copies survive verbatim, "
-        "later copies are cut, rebuilt text per doc; NEW r10 "
-        "(pytest-oracled tail row)",
+        "(doc_id, pos), picked by a TWO-STAGE integer MIN — per-gram min "
+        "doc_id, then min pos within that doc; plain keyed aggs, no "
+        "per-gram window, no packed-key arithmetic); grams shuffle as "
+        "xxhash64 BIGINTs, never as text (r11); first copies survive "
+        "verbatim, later copies are cut, rebuilt text per doc",
     ),
     "pack_sequences": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),

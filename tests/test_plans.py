@@ -238,5 +238,35 @@ def test_dup_span_report_plan_shape(spark, sf_dir):
     import re
 
     ext = audit.plan_str(df, "extended")
-    assert not re.search(r"windowspecdefinition\(gram#", ext), ext
+    assert not re.search(r"windowspecdefinition\(g(?:ram|h)#", ext), ext
     assert "partial_count" in p or "HashAggregate" in p, p
+
+
+def test_span_dedup_grams_shuffle_as_bigint(spark, sf_dir):
+    """r10 VERDICT task 1 plan gate: the w-token gram must NEVER travel
+    through an Exchange as its ~50-80-byte STRING — xxhash64 runs inside
+    the projection lambda, so every shuffle in the occurrence agg /
+    canonical election / dup-marking chain keys on an 8-byte BIGINT
+    (``gh#NNNL`` — the L suffix is Catalyst's LongType marker). At 100 TB
+    the gram explode is the engine's biggest shuffle; hashing first cuts
+    its payload ~10x."""
+    import re
+
+    from responsive_pub_spark.operators import pipeline_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    for name, df in (
+        ("dup_span_report", pipeline_ops.dup_span_report(docs)),
+        ("dedup_strip_spans", pipeline_ops.strip_dup_spans(docs)),
+    ):
+        ext = audit.plan_str(df, "extended")
+        # the string gram column must not exist anywhere in the plan —
+        # it lives only inside the xxhash64(array_join(...)) expression
+        assert not re.search(r"\bgram#\d+", ext), (name, ext)
+        # every hashpartitioning that keys on the gram keys on gh as LONG
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", ext)
+        gh_parts = [s for s in parts if "gh#" in s]
+        assert gh_parts, (name, "no gh-keyed exchange found", parts)
+        for s in gh_parts:
+            for m in re.finditer(r"gh#(\d+)(L?)", s):
+                assert m.group(2) == "L", (name, s)
