@@ -676,15 +676,20 @@ def bucketed_running_sum(
     - ``part_cols`` and ``order_col`` values must be NON-NULL: the
       bucket/prefix equi-joins are null-UNSAFE (a NULL group key would
       silently drop rows where the single-window form keeps them as one
-      NULL partition). All current callers key on (lang, doc_id), both
-      non-null by the documents schema.
+      NULL partition). ENFORCED: the span aggregate (the one pass that
+      sees every input row — a per-row guard in the bucket projection
+      would be pruned by Catalyst's isnotnull inference from the
+      downstream equi-joins) counts NULL keys and poisons ``_lo`` with
+      ``raise_error``, so a NULL key fails the job loudly instead of
+      silently dropping rows vs the oracle. All current callers key on
+      (lang, doc_id), both non-null by the documents schema.
     - (``part_cols``, ``order_col``) should be UNIQUE per row: within a
       bucket the running sum orders by ``order_col`` alone, so tied rows
       get an arbitrary relative order (same caveat as any single-window
       cumsum without a tiebreak). Callers ordering on a unique id
       (doc_id) are deterministic.
     """
-    reserved = {"_one", "_lo", "_hi", "_bucket", "_btot", "_bpre"}
+    reserved = {"_one", "_lo", "_lo0", "_hi", "_nbad", "_bucket", "_btot", "_bpre"}
     clash = reserved.intersection(df.columns)
     if clash:
         raise ValueError(
@@ -699,9 +704,33 @@ def bucketed_running_sum(
             "(order - min) DIV width"
         )
     d = scoped_persist(df)
-    span = d.agg(
-        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
-    ).withColumn("_one", F.lit(1))
+    # NULL-key guard lives in the SPAN aggregate — the one pass guaranteed
+    # to see every input row: a guard in the bucket projection is dead code
+    # (Catalyst infers isnotnull(key) from the downstream equi-joins and
+    # prunes NULL rows below the projection before the CASE can fire)
+    null_chk = " OR ".join(
+        f"{c} IS NULL" for c in [*part_cols, order_col]
+    )
+    span = (
+        d.agg(
+            F.min(order_col).alias("_lo0"),
+            F.max(order_col).alias("_hi"),
+            F.sum(
+                F.expr(f"CASE WHEN {null_chk} THEN 1 ELSE 0 END")
+            ).alias("_nbad"),
+        )
+        .select(
+            F.expr(
+                "CASE WHEN _nbad > 0 THEN CAST(raise_error("
+                "'bucketed_running_sum: NULL in group/order key "
+                f"({', '.join([*part_cols, order_col])}) — the bucket "
+                "equi-joins are null-unsafe and would silently drop rows') "
+                "AS BIGINT) ELSE _lo0 END"
+            ).alias("_lo"),
+            "_hi",
+        )
+        .withColumn("_one", F.lit(1))
+    )
     width = f"((_hi - _lo) DIV {int(n_buckets)} + 1)"
     bucketed = (
         d.withColumn("_one", F.lit(1))
@@ -894,7 +923,7 @@ def mixture_resample(
     )
     rates = counts.crossJoin(F.broadcast(k)).select(
         "lang",
-        F.expr("(k_sup * w_bp * 10000) DIV (n_d * 10000)").alias("accept_bp"),
+        F.expr("(k_sup * w_bp) DIV n_d").alias("accept_bp"),
     )
     u = f"(((doc_id % {P}) * {MIX_HASH_A} + {MIX_HASH_B}) % {P}) % 10000"
     return (
@@ -920,7 +949,7 @@ def mixture_resample_oracle(weights_bp: "dict[str, int] | None" = None) -> str:
         live AS (SELECT * FROM counts WHERE w_bp > 0),
         k AS (SELECT min(n_d * 10000 // w_bp) AS k_sup FROM live),
         rates AS (
-            SELECT lang, (k_sup * w_bp * 10000) // (n_d * 10000) AS accept_bp
+            SELECT lang, (k_sup * w_bp) // n_d AS accept_bp
             FROM live CROSS JOIN k
         )
         SELECT d.doc_id, d.lang, CAST(r.accept_bp AS BIGINT) AS accept_bp
@@ -942,6 +971,11 @@ def mixture_resample_tokens(
     frozen tokenizer) and the mixture, packing, and sharding stages all
     budget in the SAME learned-BPE tokens; the default is the whitespace-
     regex surrogate count (oracle-portable without the merge-chain CTEs).
+    Docs absent from a supplied ``counts=`` frame are KEPT at zero token
+    mass (doc_bpe_counts' kept-at-0 contract), never dropped. Rates are
+    ``(k_sup * w_bp) DIV n_d`` — floor((A*c)/(B*c)) == floor(A/B), so the
+    cancelled x10000 buys 1e4 more int64 headroom: safe past ~9e14 tokens
+    per language (vs ~9e10 with the redundant factor).
 
     Same integer recipe as the doc-count form, over token masses:
     K = min_d(mass_d * 10000 DIV w_d) is the largest target-shaped token
@@ -964,9 +998,20 @@ def mixture_resample_tokens(
             "doc_id", "lang", F.expr(bpe).cast("bigint").alias("n_tokens")
         )
     else:
+        # LEFT join, kept at 0: a doc absent from the counts frame stays in
+        # the mixture with zero token mass (the same contract as
+        # doc_bpe_counts' kept-at-0 rows) — an inner join here would
+        # silently drop it from the corpus, diverging from the regex path
         toks = docs.select("doc_id", "lang").join(
-            counts.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")),
+            counts.select(
+                "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+            ),
             "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
         )
     toks = scoped_persist(toks)
     masses = toks.groupBy("lang").agg(F.sum("n_tokens").alias("n_d"))
@@ -977,7 +1022,7 @@ def mixture_resample_tokens(
     k = masses.select(F.min(F.expr("n_d * 10000 DIV w_bp")).alias("k_sup"))
     rates = masses.crossJoin(F.broadcast(k)).select(
         "lang",
-        F.expr("(k_sup * w_bp * 10000) DIV (n_d * 10000)").alias("accept_bp"),
+        F.expr("(k_sup * w_bp) DIV n_d").alias("accept_bp"),
     )
     u = f"(((doc_id % {P}) * {MIX_HASH_A} + {MIX_HASH_B}) % {P}) % 10000"
     return (
@@ -1014,7 +1059,7 @@ def mixture_resample_tokens_oracle(
         live AS (SELECT * FROM masses WHERE w_bp > 0 AND n_d > 0),
         k AS (SELECT min(n_d * 10000 // w_bp) AS k_sup FROM live),
         rates AS (
-            SELECT lang, (k_sup * w_bp * 10000) // (n_d * 10000) AS accept_bp
+            SELECT lang, (k_sup * w_bp) // n_d AS accept_bp
             FROM live CROSS JOIN k
         )
         SELECT t.doc_id, t.lang, t.n_tokens,

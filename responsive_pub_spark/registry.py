@@ -2536,8 +2536,18 @@ REGISTRY: dict[str, QuerySpec] = {
     # r7 rotation-OUT block below; papi_session_concat, green r3, rotated
     # past 50 earlier — PAPI-store family keeps 4 in-window rows)
     "async_enrich": QuerySpec(q_async_enrich, ORACLE_ASYNC_ENRICH),
-    "multimodal_decode_features": QuerySpec(
-        q_multimodal_decode, multimodal.decode_features_long_oracle(), bench=True
+    # (multimodal_decode_features — green r1-r10, bench row stays in the
+    # frozen set — rotates past 50; the decode family gates in-window via
+    # the REAL wav + ppm codec rows below)
+    "multimodal_ppm_decode": QuerySpec(
+        lambda spark, sf_dir: multimodal.ppm_decode_features(
+            _t(spark, sf_dir, "documents")
+        ),
+        multimodal.ppm_decode_features_oracle(),
+        doc="REAL image decode with zero dependencies: genuine binary P6 "
+        "PPM containers parsed (ASCII dims + RGB24 raster walk) to "
+        "integer channel sums; same planted-fixture referee scheme as "
+        "multimodal_wav_decode; first gate r11",
     ),
     "multimodal_wav_decode": QuerySpec(
         lambda spark, sf_dir: multimodal.wav_decode_features(
@@ -2784,17 +2794,31 @@ REGISTRY: dict[str, QuerySpec] = {
         ),
         pipeline_ops.chunk_text_oracle(),
     ),
-    "mixture_resample": QuerySpec(
-        lambda spark, sf_dir: pipeline_ops.mixture_resample(
+    # (mixture_resample / dedup_semantic — green r2-r10 — rotate past 50;
+    # the mixture family upgrades to the token-mass variant below, the
+    # dedup family keeps keep_best/stream_greedy/containment/strip in-window)
+    "mixture_resample_tokens": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.mixture_resample_tokens(
             _t(spark, sf_dir, "documents")
         ),
-        pipeline_ops.mixture_resample_oracle(),
+        pipeline_ops.mixture_resample_tokens_oracle(),
+        doc="the data-mixing step budgeted in TOKEN MASS (what recipes "
+        "actually specify) — same integer downsample-only formula as "
+        "mixture_resample over per-lang token sums; counts= takes a "
+        "precomputed (doc_id, n_tokens) frame so mixture, packing, and "
+        "sharding all budget in one learned-BPE token definition; first "
+        "gate r11",
     ),
-    "dedup_semantic": QuerySpec(
-        lambda spark, sf_dir: dedup.semantic_dedup(
-            _t(spark, sf_dir, "embeddings")
+    "hybrid_rerank": QuerySpec(
+        lambda spark, sf_dir: similarity.hybrid_rerank(
+            _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
         ),
-        dedup.semantic_dedup_oracle(),
+        similarity.hybrid_rerank_oracle(),
+        doc="two-stage retrieval (the production stack): BM25 lexical "
+        "candidates -> embedding-cosine re-rank anchored on the rank-1 "
+        "doc's vector (pseudo-relevance feedback); stage 2 touches only "
+        "n_queries*n_cand candidate rows — corpus sides never shuffle "
+        "for the re-rank; first gate r11",
     ),
     "papi_partition_stream_time": QuerySpec(
         q_papi_partition_stream_time, ORACLE_PAPI_PARTITION_STREAM_TIME
@@ -3304,38 +3328,21 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frames, multimodal.sample_frames_oracle()
     ),
-    "multimodal_ppm_decode": QuerySpec(
-        lambda spark, sf_dir: multimodal.ppm_decode_features(
+    # (rotated out of the gate window r11, all multi-round green:)
+    "multimodal_decode_features": QuerySpec(
+        q_multimodal_decode, multimodal.decode_features_long_oracle(), bench=True
+    ),
+    "mixture_resample": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.mixture_resample(
             _t(spark, sf_dir, "documents")
         ),
-        multimodal.ppm_decode_features_oracle(),
-        doc="REAL image decode with zero dependencies: genuine binary P6 "
-        "PPM containers parsed (ASCII dims + RGB24 raster walk) to "
-        "integer channel sums; same planted-fixture referee scheme as "
-        "multimodal_wav_decode; NEW r10 (pytest-oracled tail row)",
+        pipeline_ops.mixture_resample_oracle(),
     ),
-    "mixture_resample_tokens": QuerySpec(
-        lambda spark, sf_dir: pipeline_ops.mixture_resample_tokens(
-            _t(spark, sf_dir, "documents")
+    "dedup_semantic": QuerySpec(
+        lambda spark, sf_dir: dedup.semantic_dedup(
+            _t(spark, sf_dir, "embeddings")
         ),
-        pipeline_ops.mixture_resample_tokens_oracle(),
-        doc="the data-mixing step budgeted in TOKEN MASS (what recipes "
-        "actually specify) — same integer downsample-only formula as "
-        "mixture_resample over per-lang token sums; counts= takes a "
-        "precomputed (doc_id, n_tokens) frame so mixture, packing, and "
-        "sharding all budget in one learned-BPE token definition; NEW "
-        "r10 (pytest-oracled tail row)",
-    ),
-    "hybrid_rerank": QuerySpec(
-        lambda spark, sf_dir: similarity.hybrid_rerank(
-            _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
-        ),
-        similarity.hybrid_rerank_oracle(),
-        doc="two-stage retrieval (the production stack): BM25 lexical "
-        "candidates -> embedding-cosine re-rank anchored on the rank-1 "
-        "doc's vector (pseudo-relevance feedback); stage 2 touches only "
-        "n_queries*n_cand candidate rows — corpus sides never shuffle "
-        "for the re-rank; NEW r10 (pytest-oracled tail row)",
+        dedup.semantic_dedup_oracle(),
     ),
     "timeseries_rollup_gapfill": QuerySpec(q_timeseries_rollup, timeseries.rollup_gapfill_oracle(), bench=True),
     "join_asof": QuerySpec(q_asof_join, asof.asof_join_events_oracle(), bench=True),

@@ -127,3 +127,33 @@ def test_property_matches_single_window(spark, rows, n_buckets):
             uniq.append((g, i, v))
     df = spark.createDataFrame(uniq, "g STRING, i BIGINT, v BIGINT")
     _check(df, n_buckets=n_buckets)
+
+
+def test_null_group_key_fails_loudly(spark):
+    """r10 ADVICE carry-over: the bucket equi-joins are null-unsafe, so a
+    NULL group key must FAIL the job (raise_error folded into the bucket
+    projection), never silently drop rows vs the single-window oracle."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from responsive_pub_spark.operators.pipeline_ops import bucketed_running_sum
+
+    df = spark.createDataFrame(
+        [("en", 1, 5), (None, 2, 7)], "g STRING, i BIGINT, v BIGINT"
+    )
+    out = bucketed_running_sum(df, ["g"], "i", "v", "cum")
+    with pytest.raises(Exception, match="NULL in group/order key"):
+        out.collect()
+
+
+def test_null_order_key_fails_loudly(spark):
+    import pytest
+
+    from responsive_pub_spark.operators.pipeline_ops import bucketed_running_sum
+
+    df = spark.createDataFrame(
+        [("en", 1, 5), ("en", None, 7)], "g STRING, i BIGINT, v BIGINT"
+    )
+    out = bucketed_running_sum(df, ["g"], "i", "v", "cum")
+    with pytest.raises(Exception, match="NULL in group/order key"):
+        out.collect()

@@ -117,3 +117,26 @@ def test_mixture_tokens_respects_target_shares_and_bpe_counts(spark, sf_dir):
     )
     assert joined.filter("n_tokens != expect").count() == 0
     assert kept_bpe.count() > 0
+
+
+def test_mixture_tokens_counts_missing_docs_kept_at_zero(spark, sf_dir):
+    """A doc absent from the supplied counts= frame must stay in the
+    mixture with ZERO token mass (doc_bpe_counts' kept-at-0 contract) —
+    an inner join would silently drop it from the corpus, diverging from
+    the default regex path which keeps every doc (r10 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from responsive_pub_spark.operators import pipeline_ops
+    from responsive_pub_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    # counts frame covering only EVEN doc_ids
+    partial = docs.filter("doc_id % 2 = 0").select(
+        "doc_id", F.lit(7).cast("bigint").alias("n_tokens")
+    )
+    kept = pipeline_ops.mixture_resample_tokens(docs, counts=partial)
+    odd = kept.filter("doc_id % 2 = 1")
+    # odd docs survive the join (their lang's rate still applies) ...
+    assert odd.count() > 0
+    # ... and carry exactly zero token mass, never NULL
+    assert odd.filter("n_tokens IS NULL OR n_tokens != 0").count() == 0
