@@ -36,6 +36,7 @@ exact-once matters (``lists(dedup=True)``).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,13 +48,41 @@ CENT_SCHEMA = "cid BIGINT, centv ARRAY<DOUBLE>"
 LISTS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, cid BIGINT, ccos DOUBLE"
 
 
+def _chaos_kill(label: str) -> None:
+    """SIGKILL self at a named retrain stage — DOUBLE opt-in (the
+    dedup_stream._chaos_gate contract): requires BOTH
+    SPARK_GRAFT_CHAOS_ENABLE=1 and SPARK_GRAFT_ANN_KILL=<label>, so a
+    leftover env var alone can never kill a production run. Used by
+    tests/test_chaos_sigkill.py to land a crash inside every window of
+    the retrain publish protocol."""
+    if (
+        os.environ.get("SPARK_GRAFT_CHAOS_ENABLE") == "1"
+        and os.environ.get("SPARK_GRAFT_ANN_KILL") == label
+    ):
+        import signal
+
+        os.kill(os.getpid(), signal.SIGKILL)
+
+
 class IvfIncremental:
     """Checkpointed incremental IVF index (see module docstring).
 
     ``centroids`` is only required (and only used) on first construction
     for a given ``workdir`` — it is frozen into the index directory;
     later instances (restarts) read the frozen copy.
-    """
+
+    Crash-safety: the serving index {centroids, lists} lives in a
+    VERSIONED directory (``index/v000000``, ``v000001``, ...) selected by
+    a one-line ``CURRENT`` pointer file. A retrain stages the complete
+    next version (lists AND centroids) in its own directory, then
+    publishes with a single atomic ``os.replace`` of the pointer — a
+    crash at ANY point serves a self-consistent pair: before the flip the
+    old version (old centroids + old lists, the staged dir is invisible),
+    after it the new one. Orphaned stage dirs from crashed retrains are
+    garbage-collected on the next construction. The maintenance calls
+    (:meth:`maybe_retrain`) must not run concurrently with
+    :meth:`advance` — appends land in the CURRENT version's lists, so an
+    append racing the publish window could miss the rebuild."""
 
     def __init__(
         self,
@@ -63,23 +92,69 @@ class IvfIncremental:
     ):
         self.spark = spark
         self.vecs_dir = os.path.join(workdir, "vectors")
-        self.cent_dir = os.path.join(workdir, "centroids")
-        self.lists_dir = os.path.join(workdir, "lists")
+        self.index_root = os.path.join(workdir, "index")
+        self.pointer = os.path.join(workdir, "CURRENT")
         self.ck = os.path.join(workdir, "ck-assign")
-        for d in (self.vecs_dir, self.lists_dir):
-            os.makedirs(d, exist_ok=True)
-        frozen = os.path.isdir(self.cent_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.cent_dir)
-        )
-        if not frozen:
+        os.makedirs(self.vecs_dir, exist_ok=True)
+        os.makedirs(self.index_root, exist_ok=True)
+        self._gc_unpublished()
+        if self._current() is None:
             if centroids is None:
                 raise ValueError(
                     "IvfIncremental: first build needs centroids= "
                     "(e.g. similarity.train_centroids(corpus_sample))"
                 )
+            v0 = os.path.join(self.index_root, "v000000")
+            os.makedirs(os.path.join(v0, "lists"), exist_ok=True)
             centroids.select(
                 "cid", F.col("centv").cast("array<double>").alias("centv")
-            ).coalesce(1).write.mode("overwrite").parquet(self.cent_dir)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(v0, "centroids")
+            )
+            self._publish("v000000")
+
+    # -- versioned-pointer protocol ------------------------------------
+    def _current(self) -> "str | None":
+        try:
+            with open(self.pointer) as f:
+                v = f.read().strip()
+            return v or None
+        except FileNotFoundError:
+            return None
+
+    def _publish(self, version: str) -> None:
+        """Atomically flip the serving pointer: write-temp + fsync +
+        os.replace (atomic on POSIX) — readers see either the old or the
+        new version string, never a partial write."""
+        tmp = self.pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.pointer)
+
+    def _gc_unpublished(self) -> None:
+        """Remove version dirs the pointer does not reference — staged
+        next-versions from a crash before the flip, and superseded old
+        versions from a crash after it. Safe by construction: the
+        pointed-to version is never touched."""
+        cur = self._current()
+        for name in os.listdir(self.index_root):
+            if name != cur:
+                shutil.rmtree(
+                    os.path.join(self.index_root, name), ignore_errors=True
+                )
+        tmp = self.pointer + ".tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+    @property
+    def cent_dir(self) -> str:
+        return os.path.join(self.index_root, self._current(), "centroids")
+
+    @property
+    def lists_dir(self) -> str:
+        return os.path.join(self.index_root, self._current(), "lists")
 
     def centroids(self) -> DataFrame:
         return self.spark.read.schema(CENT_SCHEMA).parquet(self.cent_dir)
@@ -161,28 +236,44 @@ class IvfIncremental:
         scalar (centroid-count-sized aggregate — the sanctioned driver
         decision, like the dedup pair-volume guard); retraining runs
         ``train_centroids`` (at 100 TB: on a corpus SAMPLE) and the
-        rebuild is ONE broadcast-assign pass over the stored vectors,
-        staged to a sibling directory and swapped in so a crash
-        mid-rebuild leaves the serving index intact."""
-        import shutil
+        rebuild is ONE broadcast-assign pass over the stored vectors.
 
+        Crash-atomic publish (r10 VERDICT task 4): the COMPLETE next
+        version — rebuilt lists AND the centroids that produced them —
+        is staged in its own ``index/vNNNNNN`` directory while the
+        pointer still serves the old pair; the flip is one atomic
+        ``os.replace`` of the pointer file. A crash anywhere leaves a
+        self-consistent index: old+old before the flip, new+new after;
+        never new centroids over old lists. The superseded version is
+        removed AFTER the flip (a crash between flip and cleanup just
+        leaves an orphan for the next construction's GC). Verified by a
+        SIGKILL-at-every-stage chaos e2e (tests/test_chaos_sigkill.py)."""
         flagged = (
             self.drift(retrain_pm=retrain_pm).filter("retrain").count()
         )
         if flagged < min_flagged:
             return False
+        cur = self._current()
+        nxt = f"v{int(cur[1:]) + 1:06d}"
+        stage = os.path.join(self.index_root, nxt)
+        if os.path.isdir(stage):  # leftover from a crashed attempt
+            shutil.rmtree(stage)
         vecs = self.lists(dedup=True).select("vec_id", "embedding")
         cent = similarity.train_centroids(
             vecs, n_centroids=n_centroids, iters=iters
-        ).localCheckpoint(eager=True)  # pin: must not re-derive from the
-        #                                dirs we are about to overwrite
-        rebuild = self.lists_dir + ".rebuild"
+        ).localCheckpoint(eager=True)  # pin: must not lazily re-derive
+        #                                from the version we retire below
         similarity.ivf_assign(vecs, cent).write.mode("overwrite").parquet(
-            rebuild
+            os.path.join(stage, "lists")
         )
+        _chaos_kill("staged-lists")
         cent.select(
             "cid", F.col("centv").cast("array<double>").alias("centv")
-        ).coalesce(1).write.mode("overwrite").parquet(self.cent_dir)
-        shutil.rmtree(self.lists_dir)
-        os.rename(rebuild, self.lists_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "centroids")
+        )
+        _chaos_kill("staged-all")
+        self._publish(nxt)
+        _chaos_kill("post-flip")
+        shutil.rmtree(os.path.join(self.index_root, cur), ignore_errors=True)
         return True

@@ -309,10 +309,16 @@ class NearDupStreaming:
             # event-time timers need a watermark; delay = retention, the
             # same horizon the dedup semantics already promise (a doc
             # later than that would only have matched already-reaped
-            # members anyway)
+            # members anyway). Millisecond units: int(retention) SECONDS
+            # would truncate a sub-second retention to '0 seconds' (every
+            # bucket instantly reapable) and make any fractional retention
+            # tighter than the float horizon the prune-on-access path and
+            # the timer arithmetic (max_ts + retention) use (r10 ADVICE)
             bands = bands.withColumn(
                 "event_ts", F.timestamp_seconds("ts")
-            ).withWatermark("event_ts", f"{int(self.retention)} seconds")
+            ).withWatermark(
+                "event_ts", f"{int(self.retention * 1000)} milliseconds"
+            )
         self._run(
             _bucket_stage(
                 bands, self.retention, self.probe_depth, self.continuous

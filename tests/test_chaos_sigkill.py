@@ -435,3 +435,95 @@ def test_sigkill_mid_bucket_stage_continuous_mode(spark, tmp_path):
         members, _ = pickle.loads(bytes(r.value.groupState.blob))
         live.update(m[0] for m in members)
     assert live == {9}, live
+
+
+# -- SIGKILL mid-retrain: the IVF versioned-publish protocol ------------------
+ANN_CHILD = os.path.join(REPO, "tests", "chaos_ann_child.py")
+
+
+def _run_ann_child(workdir, mode, kill=None, timeout=420):
+    env = dict(os.environ)
+    if kill:
+        env["SPARK_GRAFT_CHAOS_ENABLE"] = "1"
+        env["SPARK_GRAFT_ANN_KILL"] = kill
+    else:
+        env.pop("SPARK_GRAFT_CHAOS_ENABLE", None)
+        env.pop("SPARK_GRAFT_ANN_KILL", None)
+    proc = subprocess.Popen(
+        [sys.executable, ANN_CHILD, workdir, mode],
+        cwd=REPO,
+        env=env,
+        start_new_session=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    out, _ = proc.communicate(timeout=timeout)
+    return proc.returncode, out
+
+
+def _assert_index_self_consistent(spark, workdir, want_version, want_rows):
+    """The serving {centroids, lists} pair must come from ONE version:
+    re-assigning every stored vector against the SERVING centroids must
+    reproduce the stored cid exactly — new centroids over old lists (the
+    pre-r11 crash window) mismatches en masse."""
+    from responsive_pub_spark.operators import similarity
+    from responsive_pub_spark.streaming.ann_stream import IvfIncremental
+
+    lane = IvfIncremental(spark, workdir)
+    with open(lane.pointer) as f:
+        assert f.read().strip() == want_version
+    stored = lane.lists(dedup=True)
+    assert stored.count() == want_rows
+    re_assigned = similarity.ivf_assign(
+        stored.select("vec_id", "embedding"), lane.centroids()
+    ).select("vec_id", "cid")
+    mismatches = (
+        stored.select("vec_id", "cid")
+        .join(
+            re_assigned.withColumnRenamed("cid", "cid2"), "vec_id"
+        )
+        .filter("cid != cid2")
+        .count()
+    )
+    assert mismatches == 0, f"{mismatches} rows serve a mixed index"
+    # no partial pointer write survives
+    assert not os.path.exists(lane.pointer + ".tmp")
+
+
+def test_sigkill_mid_retrain_index_never_mixed(spark, tmp_path):
+    """r10 VERDICT task 4: SIGKILL the whole driver process inside EVERY
+    window of maybe_retrain's versioned publish protocol; after each
+    crash the serving index must be self-consistent — old centroids with
+    old lists before the pointer flip, new with new after it, never a
+    mix — and the crashed attempt's staged dir must be garbage-collected
+    on the next construction."""
+    workdir = str(tmp_path / "ann-chaos")
+    os.makedirs(workdir)
+    rc, out = _run_ann_child(workdir, "setup")
+    assert rc == 0 and "SETUP-DONE" in out
+
+    from responsive_pub_spark.streaming.ann_stream import IvfIncremental
+
+    n_rows = IvfIncremental(spark, workdir).lists(dedup=True).count()
+    assert n_rows > 0
+
+    # crash BEFORE the flip (after staging lists; after staging all):
+    # the old version keeps serving, staged next-version is invisible
+    for label in ("staged-lists", "staged-all"):
+        rc, _ = _run_ann_child(workdir, "retrain", kill=label)
+        assert rc == -signal.SIGKILL, (label, rc)
+        _assert_index_self_consistent(spark, workdir, "v000000", n_rows)
+
+    # crash AFTER the flip (before old-version cleanup): the NEW version
+    # serves, complete and self-consistent
+    rc, _ = _run_ann_child(workdir, "retrain", kill="post-flip")
+    assert rc == -signal.SIGKILL, rc
+    _assert_index_self_consistent(spark, workdir, "v000001", n_rows)
+
+    # a clean run converges: the rebuilt index shows no drift breach,
+    # and the orphaned v000000 was GC'd by construction
+    rc, out = _run_ann_child(workdir, "retrain")
+    assert rc == 0 and "RETRAIN False" in out, out
+    versions = os.listdir(os.path.join(workdir, "index"))
+    assert versions == ["v000001"], versions
