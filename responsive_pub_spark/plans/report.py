@@ -148,9 +148,15 @@ EXTENDED_NOTES = {
         "corpus scale."
     ),
     "pack_sequences": (
-        "concat-then-split packing: running integer token sum per (lang) "
-        "partition — one window shuffle, deterministic; at 100 TB pack per "
-        "(lang, shard) with the identical plan."
+        "concat-then-split packing: the running token sum is "
+        "bucketed_running_sum's two-pass range-bucket prefix sum — "
+        "per-(lang, bucket) totals, a cross-bucket prefix window over the "
+        "<= n_buckets+1-row AGGREGATE (a scale constant, the only "
+        "single-partition window), and a broadcast-joined within-bucket "
+        "cumsum at full n_buckets-way parallelism. NO per-lang window "
+        "anywhere (plan-gated, tests/test_plans.py): language is "
+        "low-cardinality and skewed, so that plan would funnel the whole "
+        "English corpus through one reducer at 100 TB."
     ),
     "funnel_sequence": (
         "three chained conditional aggs all keyed on user_id (partitioning "
@@ -473,11 +479,14 @@ EXTENDED_NOTES = {
     ),
     "join_versioned_stream": (
         "temporal join via the union trick (same plan family as "
-        "join_asof): both sides tagged, ONE hash shuffle on the key, one "
-        "ordered window pass carries the active version forward — no "
-        "range-join candidate blow-up. The version travels as ONE struct "
-        "through last(ignorenulls), so per-column NULLs cannot mix "
-        "versions; version tie at equal ts resolves version-first."
+        "join_asof): the tagged union pays one key shuffle into the "
+        "single ordered window pass that carries the active version "
+        "forward — no range-join candidate blow-up; the versioned side "
+        "additionally pays its own keyed agg (same-instant version "
+        "collapse) before the union, so the plan totals two exchanges. "
+        "The version travels as ONE struct through last(ignorenulls), "
+        "so per-column NULLs cannot mix versions; version tie at equal "
+        "ts resolves version-first."
     ),
     "dedup_stream_first": (
         "first-arrival-wins per id: one window shuffle on the id cols, "
@@ -589,10 +598,12 @@ EXTENDED_NOTES = {
     ),
     "pack_bpe_budget": (
         "sequence packing budgeted on LEARNED-BPE tokens: bpe_encode's "
-        "broadcast segmentation join feeds the same single ordered "
-        "window (cumsum DIV budget) as pack_sequences — swapping the "
-        "whitespace token surrogate for real tokenizer counts adds "
-        "ZERO extra shuffles over the whitespace form."
+        "broadcast segmentation join feeds the SAME bucketed_running_sum "
+        "two-pass prefix sum as pack_sequences (per-(lang, bucket) "
+        "totals, bounded bucket-aggregate prefix window, broadcast-joined "
+        "within-bucket cumsum — no per-lang window, plan-gated); swapping "
+        "the whitespace token surrogate for real tokenizer counts leaves "
+        "the packing stage's plan shape unchanged."
     ),
     "bpe_token_ids": (
         "the tokenizer's full output (vocab-id sequences): segmentation "
@@ -658,17 +669,21 @@ EXTENDED_NOTES = {
         "with map-side partials, dup marking as a shuffle equi-join on "
         "the gram — never a per-gram window, so a mega boilerplate gram "
         "cannot serialize one reducer and AQE splits hot keys; the "
-        "union-of-spans explode is linear in the duplicated volume. At "
-        "production scale hash the gram (xxhash64) before the shuffle — "
-        "one projection change, same plan."
+        "union-of-spans explode is linear in the duplicated volume. The "
+        "gram never shuffles as text: xxhash64 runs inside the projection "
+        "lambda, so every exchange carries an 8-byte BIGINT key instead "
+        "of the ~50-80-byte w-token string (plan-gated: no string gram "
+        "in any plan node)."
     ),
     "dedup_strip_spans": (
         "the strip action: canonical first-occurrence picked by a "
         "TWO-STAGE integer min (per-gram min doc_id, then min pos within "
         "it) — plain keyed aggs, overflow-safe for 63-bit ids, no packed "
-        "keys, no windows; drops are two coverage explodes + anti-joins "
-        "(linear in duplicated volume) and the text rebuild is a per-DOC "
-        "sorted aggregate (state bounded by one doc)."
+        "keys, no windows; grams travel as xxhash64 BIGINTs through the "
+        "election and marking exchanges (plan-gated — never the string); "
+        "drops are two coverage explodes + anti-joins (linear in "
+        "duplicated volume) and the text rebuild is a per-DOC sorted "
+        "aggregate (state bounded by one doc)."
     ),
     "bpe_apply_frozen": (
         "frozen-tokenizer apply: the k-row merge artifact (control-plane "
@@ -734,7 +749,9 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         a = audit.audit(df)
         pushed = "; ".join(a["pushed_filters"][:3]) or "—"
-        note = SCALE_NOTES.get(name, "")
+        # a bench query's note may live in either dict — never print an
+        # empty cell when a note exists (r10 VERDICT: text_bm25_topk)
+        note = SCALE_NOTES.get(name) or EXTENDED_NOTES.get(name, "")
         out.write(
             f"| {name} | {a['exchanges']} | {a['broadcast_joins']} | "
             f"{a['sortmerge_joins']} | {pushed} | {note} |\n"
@@ -745,6 +762,8 @@ def main() -> None:
         "|---|---|---|---|---|---|\n"
     )
     for name, note in EXTENDED_NOTES.items():
+        if registry.REGISTRY[name].bench:
+            continue  # already rowed in the bench table above
         df = registry.REGISTRY[name].fn(spark, sf_dir)
         a = audit.audit(df)
         pushed = "; ".join(a["pushed_filters"][:3]) or "—"

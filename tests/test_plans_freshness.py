@@ -55,3 +55,71 @@ def test_every_plans_row_still_exists_in_the_registry():
     # zombie audit row claiming coverage.
     stale = sorted(_plan_rows() - set(registry.REGISTRY))
     assert not stale, f"PLANS.md has rows for unknown queries: {stale}"
+
+
+def _rows_with_cells() -> dict[str, dict]:
+    """name -> {shuffles, bcast, smj, note} parsed from the committed
+    PLANS.md table rows."""
+    out = {}
+    for line in PLANS.read_text().splitlines():
+        m = re.match(
+            r"\|\s*([a-z0-9_]+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|"
+            r"[^|]*\|(.*)\|\s*$",
+            line,
+        )
+        if m and m.group(1) != "query":
+            out[m.group(1)] = {
+                "shuffles": int(m.group(2)),
+                "bcast": int(m.group(3)),
+                "smj": int(m.group(4)),
+                "note": m.group(5).strip(),
+            }
+    return out
+
+
+def test_no_noted_query_has_an_empty_note_cell():
+    """r10 VERDICT task 5: a bench query whose note lives in
+    EXTENDED_NOTES used to print an empty bench-table cell
+    (text_bm25_topk) — every name noted in EITHER dict must carry its
+    note text in the committed row."""
+    rows = _rows_with_cells()
+    noted = {**report.EXTENDED_NOTES, **report.SCALE_NOTES}
+    empty = sorted(
+        n for n in noted if n in rows and not rows[n]["note"]
+    )
+    assert not empty, (
+        f"PLANS.md rows {empty} have empty note cells but notes exist in "
+        "plans/report.py. Regenerate PLANS.md."
+    )
+
+
+# whole-plan shuffle-count claims a note can make; anything vaguer
+# ("the only corpus shuffle", "one hash shuffle, same as any keyed
+# window") describes a sub-stage and is deliberately not parsed
+_CLAIMS = [
+    (re.compile(r"\bzero shuffles\b", re.I), 0),
+    (re.compile(r"\bno shuffle at all\b", re.I), 0),
+    (re.compile(r"\bone window shuffle\b", re.I), 1),
+    (re.compile(r"\bone shuffle on\b", re.I), 1),
+    (re.compile(r"\bONE hash shuffle on\b"), 1),
+    (re.compile(r"\bONE shuffle \("), 1),
+]
+
+
+def test_note_shuffle_claims_match_committed_counts():
+    """r10 VERDICT task 5 (the stronger gate): when a scale note states
+    an explicit whole-plan shuffle count, the committed numeric cell must
+    agree — the class of drift the r10 judge caught on pack_sequences
+    ('one window shuffle' beside a 3-exchange plan)."""
+    contradictions = []
+    for name, row in _rows_with_cells().items():
+        for pat, want in _CLAIMS:
+            if pat.search(row["note"]) and row["shuffles"] != want:
+                contradictions.append(
+                    (name, pat.pattern, want, row["shuffles"])
+                )
+    assert not contradictions, (
+        "scale notes contradict the audited plans (claim vs committed "
+        f"shuffle count): {contradictions}. Fix the note in "
+        "plans/report.py and regenerate PLANS.md."
+    )
