@@ -388,6 +388,18 @@ def main() -> None:
                 "unit": "records_per_sec",
                 "rows_in": n_rows,
                 "soak": SOAK or None,
+                # --soak N drives the EVENTS lanes (jvm_window, jvm_stjoin,
+                # papi_python, regroup_retract, papi_tws_map) to N x the
+                # fixture; the dup-heavy near-dup lanes are bounded BY
+                # DESIGN (replicas<=10, waves=3): exact-dup replication
+                # makes candidate volume quadratic in replica count
+                # (soak=100 -> ~99M pairs), which measures the blow-up,
+                # not the plan. Per-lane rows_in is authoritative.
+                "soak_note": (
+                    "events lanes at soak x fixture; near-dup lanes "
+                    "bounded (replicas<=10, waves=3) - see per-lane "
+                    "rows_in"
+                ),
                 "lanes": results,
                 "sf": SF_DIR,
             }

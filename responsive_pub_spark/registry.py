@@ -2475,6 +2475,46 @@ ORACLE_TABLE_REGROUP_STREAMING = f"""
 """
 
 
+def q_bm25_stream_stats(spark, sf_dir):
+    """Incrementally-maintained BM25 statistics (streaming/bm25_stream.py,
+    r10 VERDICT task 8): the corpus streams in as TWO waves; per-term df
+    accumulates in a stateful streaming agg (KV-table upsert), corpus
+    scalars in a 1-row complete-mode agg, postings tokenize once at
+    ingest — then topk() scores from the MAINTAINED tables with the
+    identical integer expression as textops.bm25_topk, so the oracle is
+    the batch BM25 oracle verbatim. The materialized-view posture of
+    KTable aggregations (kafka-client KGroupedStream.count) applied to
+    retrieval statistics."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.streaming.bm25_stream import Bm25Streaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    wd = tempfile.mkdtemp(prefix="bm25_gate_")
+    try:
+        lane = Bm25Streaming(spark, wd)
+        for wave in (rows[:half], rows[half:]):
+            lane.ingest(
+                spark.createDataFrame(
+                    [(int(r.doc_id), r.text) for r in wave],
+                    "doc_id BIGINT, text STRING",
+                )
+            )
+            lane.advance()
+        # materialize before the workdir vanishes
+        out = lane.topk().collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "term STRING, rk BIGINT, doc_id BIGINT, tf BIGINT, "
+        "score_fp BIGINT, bm25 DOUBLE",
+    )
+
+
 # NOTE on ordering: the driver's CORRECTNESS gate checks the FIRST 50 dict
 # entries only (observed r1/r2: row set == registry positions 1-50).  The
 # window below therefore front-loads (a) the flagship, (b) every query that
@@ -3327,6 +3367,16 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frames, multimodal.sample_frames_oracle()
+    ),
+    "bm25_stream_stats": QuerySpec(
+        q_bm25_stream_stats,
+        textops.bm25_topk_oracle(),
+        doc="incrementally-maintained BM25 statistics: postings tokenized "
+        "once at ingest (stateless), df via a stateful streaming agg into "
+        "a KV table, corpus scalars via a 1-row complete-mode agg; topk "
+        "scores from the maintained tables with the identical integer "
+        "expression as text_bm25_topk (batch oracle verbatim); NEW r11 "
+        "(pytest-oracled tail row, queued for the r12 window)",
     ),
     # (rotated out of the gate window r11, all multi-round green:)
     "multimodal_decode_features": QuerySpec(

@@ -1,0 +1,222 @@
+"""Incremental BM25 corpus statistics: streaming df/dl maintenance.
+
+``textops.bm25_topk`` recomputes corpus statistics (per-term document
+frequency, per-doc length, global token totals) from scratch on every
+run. This lane maintains them INCREMENTALLY as documents stream in, so
+the hybrid retrieval stack (examples/retrieval_stream.py) can serve
+BM25-scored candidates from live state without a corpus-wide
+recomputation per query — the same batch/streaming parity contract as
+the CMS/HLL sketch lanes (tests/test_streaming.py).
+
+Three checkpointed availableNow queries over file topics:
+
+1. **postings** (stateless, append): each arriving doc is tokenized ONCE
+   into (doc_id, w, tf, dl) rows — term frequency and doc length are
+   per-ROW array expressions (distinct-token fold), so the query holds
+   zero state and a doc is never re-tokenized.
+2. **term df** (STATEFUL streaming aggregation, update mode):
+   ``groupBy(w).count()`` over the posting rows, upserted into a
+   KeyValueTableSink — state is vocab-sized, the same bound as the batch
+   df table.
+3. **corpus stats** (STATEFUL streaming aggregation, complete mode):
+   n_docs / total_dl — a 1-row aggregate, overwritten per batch.
+
+:meth:`topk` feeds the MAINTAINED tables into the IDENTICAL integer
+scoring expression ``bm25_topk`` uses (k1=1.2, b=0.75 as exact
+rationals) — query time does joins only, no df/len aggregation anywhere.
+Batch parity is exact and asserted in tests/test_streaming.py: after any
+sequence of ingest waves, ``topk()`` row-equals ``bm25_topk`` over the
+union of the waves.
+
+Reference anchor: the materialized-view posture of KTable aggregations
+(kafka-client KGroupedStream.count/aggregate) applied to retrieval
+statistics; delivery is exactly-once end to end (transactional file
+sinks + per-query checkpoints).
+
+Scale posture: the ingest query shuffles nothing (per-row exprs, append
+sink); the df aggregation shuffles posting rows by term with map-side
+partials into vocab-sized state; the stats aggregation is one scalar.
+Query-time joins broadcast the n_queries-row term table and the 1-row
+stats table against the postings scan — the corpus-sized side never
+aggregates at query time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from responsive_pub_spark.functions.portable import pround
+from responsive_pub_spark.operators.textops import (
+    BM25_MIN_TERM_LEN,
+    BM25_N_QUERIES,
+    BM25_SCALE,
+    BM25_TOP,
+)
+from responsive_pub_spark.streaming.kv_sink import KeyValueTableSink
+from responsive_pub_spark.streaming.runtime import run_to_sink
+
+DOCS_SCHEMA = "doc_id BIGINT, text STRING"
+POSTINGS_SCHEMA = "doc_id BIGINT, w STRING, tf BIGINT, dl BIGINT"
+
+#: the same whitespace tokenization as textops.bm25_topk
+_ARR = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+
+class Bm25Streaming:
+    """Incrementally-maintained BM25 statistics over a docs file topic
+    (see module docstring). All state is under ``workdir``; a fresh
+    instance resumes from the checkpoints (cold restart)."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.docs_dir = os.path.join(workdir, "docs")
+        self.postings_dir = os.path.join(workdir, "postings")
+        self.stats_dir = os.path.join(workdir, "stats")
+        self.ck_post = os.path.join(workdir, "ck-postings")
+        self.ck_df = os.path.join(workdir, "ck-df")
+        self.ck_stats = os.path.join(workdir, "ck-stats")
+        os.makedirs(self.docs_dir, exist_ok=True)
+        os.makedirs(self.postings_dir, exist_ok=True)
+        self.df_sink = KeyValueTableSink(
+            os.path.join(workdir, "term_df"), ["w"], ["df"]
+        )
+
+    def ingest(self, docs: DataFrame) -> None:
+        """Append a wave of (doc_id, text) docs to the topic."""
+        docs.select("doc_id", "text").write.mode("append").parquet(
+            self.docs_dir
+        )
+
+    def advance(self) -> None:
+        """Drain pending docs through all three maintenance queries."""
+        # 1) stateless tokenize-once -> postings topic. tf per term is a
+        # per-row fold over the doc's own token array (distinct x len per
+        # doc), so NO streaming aggregation state exists here
+        docs = self.spark.readStream.schema(DOCS_SCHEMA).parquet(
+            self.docs_dir
+        )
+        entries = (
+            f"transform(array_distinct({_ARR}), "
+            f"w -> struct(w AS w, "
+            f"CAST(size(filter({_ARR}, y -> y = w)) AS BIGINT) AS tf))"
+        )
+        postings = docs.select(
+            "doc_id",
+            F.explode(F.expr(entries)).alias("e"),
+            F.expr(f"CAST(size({_ARR}) AS BIGINT)").alias("dl"),
+        ).select("doc_id", F.col("e.w").alias("w"), F.col("e.tf").alias("tf"), "dl")
+        run_to_sink(postings, self.postings_dir, self.ck_post)
+
+        # 2) stateful df: one streaming agg over posting rows, update-mode
+        # upsert into the KV table (vocab-sized state)
+        post_stream = self.spark.readStream.schema(POSTINGS_SCHEMA).parquet(
+            self.postings_dir
+        )
+        dfreq = post_stream.groupBy("w").agg(
+            F.count("*").cast("bigint").alias("df")
+        )
+        q = (
+            dfreq.writeStream.foreachBatch(self.df_sink)
+            .outputMode("update")
+            .option("checkpointLocation", self.ck_df)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # 3) stateful corpus scalars: 1-row complete-mode aggregate
+        doc_stream = self.spark.readStream.schema(DOCS_SCHEMA).parquet(
+            self.docs_dir
+        )
+        stats = doc_stream.select(
+            F.expr(f"CAST(size({_ARR}) AS BIGINT)").alias("dl")
+        ).agg(
+            F.sum("dl").cast("bigint").alias("total_dl"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        stats_out = self.stats_dir
+
+        def write_stats(bdf: DataFrame, _bid: int) -> None:
+            bdf.coalesce(1).write.mode("overwrite").parquet(stats_out)
+
+        q = (
+            stats.writeStream.foreachBatch(write_stats)
+            .outputMode("complete")
+            .option("checkpointLocation", self.ck_stats)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- maintained state readers ----------------------------------------
+    def postings(self) -> DataFrame:
+        return self.spark.read.schema(POSTINGS_SCHEMA).parquet(
+            self.postings_dir
+        )
+
+    def term_df(self) -> DataFrame:
+        return self.df_sink.read(self.spark)
+
+    def stats(self) -> DataFrame:
+        return self.spark.read.schema(
+            "total_dl BIGINT, n_docs BIGINT"
+        ).parquet(self.stats_dir)
+
+    def topk(
+        self, n_queries: int = BM25_N_QUERIES, top: int = BM25_TOP
+    ) -> DataFrame:
+        """Top-k docs per query term from the MAINTAINED statistics —
+        the identical integer scoring expression as
+        ``textops.bm25_topk`` (row-equal to the batch computation over
+        the same corpus), with zero query-time aggregation over the
+        corpus: df and the corpus scalars come from the incrementally
+        maintained tables."""
+        dfreq = self.term_df()
+        qterms = (
+            dfreq.filter(F.length("w") >= BM25_MIN_TERM_LEN)
+            .orderBy(F.desc("df"), F.asc("w"))
+            .limit(int(n_queries))
+        )
+        scored = (
+            self.postings()
+            .join(F.broadcast(qterms), "w")
+            .crossJoin(F.broadcast(self.stats()))
+            .withColumn(
+                "score_fp",
+                F.expr(
+                    f"110 * tf * total_dl * {BM25_SCALE} DIV "
+                    f"(5 * (10 * tf * total_dl + 3 * total_dl + "
+                    f"9 * dl * n_docs))"
+                ),
+            )
+        )
+        w_ = Window.partitionBy("w").orderBy(
+            F.desc("score_fp"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w_))
+            .filter(F.col("rk") <= int(top))
+            .select(
+                F.col("w").alias("term"),
+                F.col("rk").cast("bigint").alias("rk"),
+                "doc_id",
+                F.col("tf").cast("bigint").alias("tf"),
+                F.col("score_fp").cast("bigint").alias("score_fp"),
+                pround(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                        + F.lit(1.0)
+                    )
+                    * (
+                        F.col("score_fp").cast("double")
+                        / F.lit(float(BM25_SCALE))
+                    ),
+                    6,
+                ).alias("bm25"),
+            )
+        )
