@@ -871,3 +871,90 @@ def apply_tokenizer_counts_oracle(k: int = BPE_MERGES) -> str:
         FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
         LEFT JOIN counted t USING (doc_id)
     """
+
+
+def bpe_fertility(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
+    """Per-language TOKENIZER-EFFICIENCY report under the learned BPE —
+    the standard tokenizer-eval metrics a multilingual pretraining run
+    tracks before committing to a vocabulary:
+
+    - ``fertility_bp``: BPE tokens per whitespace word (x10000, integer
+      DIV) — high fertility means the tokenizer fragments that language,
+      inflating its effective sequence length and training cost;
+    - ``compress_bp``: BPE tokens per CHARACTER (x10000) — the learned
+      tokenizer's compression against the zero-merge character
+      segmentation it started from (always <= 10000; lower = the merges
+      captured more of that language's structure).
+
+    Words the segmentation map lacks cannot exist here (the map is fitted
+    on ``docs`` itself — the self-fit contract of ``doc_bpe_counts``);
+    zero-word docs count toward ``n_docs`` only. Output:
+    (lang, n_docs, n_words, n_bpe, n_chars, fertility_bp, compress_bp).
+
+    Plan shape: the merge loop is vocab-sized (corpus-invariant); the
+    corpus explodes ONCE and joins the broadcast segmentation map; the
+    report is one per-lang keyed agg with map-side partials plus the
+    n_docs agg — nothing corpus-sized shuffles except the one (lang)
+    agg of exploded words, which partial-aggregates to |langs| rows
+    map-side."""
+    seg = bpe_segment_map(docs, k)
+    corpus = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).alias("word"),
+    )
+    per_lang = (
+        corpus.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+    )
+    n_docs = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return n_docs.join(per_lang, "lang").select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe",
+        "n_chars",
+        F.expr("(10000 * n_bpe) DIV n_words").alias("fertility_bp"),
+        F.expr("(10000 * n_bpe) DIV n_chars").alias("compress_bp"),
+    )
+
+
+def bpe_fertility_oracle(k: int = BPE_MERGES) -> str:
+    """Fertility twin: the carried-word merge chain's segmentation map
+    joined back onto a (lang-carrying) corpus explode, aggregated per
+    language with the identical integer DIV metrics."""
+    ctes, _ = _oracle_ctes(k, carry_word=True)
+    return f"""{ctes},
+        {_segmap_cte(k)},
+        corpus AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> '')) AS word
+            FROM documents
+        ),
+        per_lang AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+                   CAST(sum(length(word)) AS BIGINT) AS n_chars
+            FROM corpus JOIN segmap USING (word)
+            GROUP BY lang
+        ),
+        nd AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        )
+        SELECT n.lang, n.n_docs, p.n_words, p.n_bpe, p.n_chars,
+               (10000 * p.n_bpe) // p.n_words AS fertility_bp,
+               (10000 * p.n_bpe) // p.n_chars AS compress_bp
+        FROM nd n JOIN per_lang p USING (lang)
+    """

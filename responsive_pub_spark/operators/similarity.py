@@ -295,20 +295,17 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def ivf_query_lists(
+def ivf_probes(
     assign: DataFrame,
     cent: DataFrame,
-    k: int = IVF_K,
     n_queries: int = IVF_QUERY_VECS,
     n_probes: int = IVF_PROBES,
 ) -> DataFrame:
-    """IVF query over a PREBUILT inverted-list table — the read path of the
-    incremental index. ``assign`` is (vec_id, embedding, cid, ...) as built
-    by :func:`ivf_assign` (possibly accumulated across many streaming
-    micro-batches); probes score query vectors against the broadcast
-    centroids, candidates come from the probe equi-join on cid. Same
-    output contract as ``ivf_topk`` (query_id, neighbor_id, rank, cosine);
-    with the same centroids and corpus the two are row-identical."""
+    """The probe-selection stage of :func:`ivf_query_lists`, exposed so a
+    caller can resolve the probed cid set up front (it is control-plane
+    sized: <= n_queries * n_probes rows) and turn the candidate scan into
+    a static partition filter on a cid-partitioned list table. Output:
+    (query_id, qv, cid), deterministic — rounded cosine DESC, cid ASC."""
     queries = assign.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -316,12 +313,38 @@ def ivf_query_lists(
         "ccos", pround(F.expr(cosine_sql("qv", "centv")), 6)
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    probes = (
+    return (
         qscored.withColumn("prank", F.row_number().over(wq))
         .filter(F.col("prank") <= n_probes)
         .select("query_id", "qv", "cid")
     )
-    cand = assign.join(F.broadcast(probes), "cid").filter(
+
+
+def ivf_query_lists(
+    assign: DataFrame,
+    cent: DataFrame,
+    k: int = IVF_K,
+    n_queries: int = IVF_QUERY_VECS,
+    n_probes: int = IVF_PROBES,
+    cand_source: "DataFrame | None" = None,
+) -> DataFrame:
+    """IVF query over a PREBUILT inverted-list table — the read path of the
+    incremental index. ``assign`` is (vec_id, embedding, cid, ...) as built
+    by :func:`ivf_assign` (possibly accumulated across many streaming
+    micro-batches); probes score query vectors against the broadcast
+    centroids, candidates come from the probe equi-join on cid. Same
+    output contract as ``ivf_topk`` (query_id, neighbor_id, rank, cosine);
+    with the same centroids and corpus the two are row-identical.
+
+    ``cand_source``: optional candidate-side frame (default: ``assign``
+    itself). The incremental index passes its cid-partition-PRUNED list
+    table here (probed cids resolved up front via :func:`ivf_probes`) so
+    the candidate scan touches only the probed partitions — queries must
+    still derive from the FULL table (a query vector may live in a
+    non-probed cell)."""
+    probes = ivf_probes(assign, cent, n_queries=n_queries, n_probes=n_probes)
+    src = cand_source if cand_source is not None else assign
+    cand = src.join(F.broadcast(probes), "cid").filter(
         F.col("query_id") != F.col("vec_id")
     )
     scored = cand.withColumn(

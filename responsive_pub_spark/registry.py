@@ -3368,6 +3368,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frames, multimodal.sample_frames_oracle()
     ),
+    "bpe_fertility": QuerySpec(
+        lambda spark, sf_dir: bpe.bpe_fertility(_t(spark, sf_dir, "documents")),
+        bpe.bpe_fertility_oracle(),
+        doc="per-language tokenizer-efficiency report under the learned "
+        "BPE: fertility (tokens/word) and compression vs the zero-merge "
+        "character bound, integer bp; the vocabulary-commit eval a "
+        "multilingual pretraining run tracks; NEW r11 (pytest-oracled "
+        "tail row, queued for the r12 window)",
+    ),
     "bm25_stream_stats": QuerySpec(
         q_bm25_stream_stats,
         textops.bm25_topk_oracle(),

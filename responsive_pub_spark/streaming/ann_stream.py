@@ -26,11 +26,15 @@ is extension surface, so the design is Spark-first: one checkpointed
 stateless-per-batch query, no driver-side vector handling.
 
 Scale posture: ingest cost per batch is one broadcast join (centroids)
-over the new rows only; the list table is append-only parquet (at scale:
-partition by cid so probes prune); queries shuffle nothing but the
-candidate rows of the probed lists. foreachBatch appends are
-at-least-once across a mid-batch crash — dedup on vec_id at read time if
-exact-once matters (``lists(dedup=True)``).
+over the new rows only; the list table is append-only parquet
+PARTITIONED BY cid, and ``topk`` resolves the probed cids up front into
+a static partition filter — the candidate scan reads n_probes cells,
+never the whole index; queries shuffle nothing but the candidate rows of
+the probed lists. ``compact()`` collapses replay duplicates and
+micro-batch small files through the same crash-atomic version publish as
+retrain. foreachBatch appends are at-least-once across a mid-batch
+crash — dedup on vec_id at read time if exact-once matters
+(``lists(dedup=True)``).
 """
 
 from __future__ import annotations
@@ -167,9 +171,12 @@ class IvfIncremental:
         lists_dir = self.lists_dir
 
         def assign_batch(batch_df: DataFrame, _epoch: int) -> None:
-            similarity.ivf_assign(batch_df, cent).write.mode("append").parquet(
-                lists_dir
-            )
+            # cid-PARTITIONED layout from the first append: the probed
+            # cids become a static partition filter at query time, so a
+            # topk scan reads n_probes cells, not the whole index
+            similarity.ivf_assign(batch_df, cent).write.mode(
+                "append"
+            ).partitionBy("cid").parquet(lists_dir)
 
         q = (
             self.spark.readStream.schema(VECS_SCHEMA)
@@ -193,6 +200,7 @@ class IvfIncremental:
         n_queries: int = similarity.IVF_QUERY_VECS,
         n_probes: int = similarity.IVF_PROBES,
         dedup: bool = True,
+        prune: bool = True,
     ) -> DataFrame:
         """IVF query over the merged (base + incrementally appended)
         lists — row-identical to a batch build over the same corpus.
@@ -202,11 +210,60 @@ class IvfIncremental:
         byte-identical (same frozen centroids, same deterministic
         assignment expressions), but duplicate candidate rows would
         occupy two of the k neighbor slots and evict a real neighbor.
-        Disable only when the ingest path is known exactly-once."""
+        Disable only when the ingest path is known exactly-once.
+
+        ``prune=True`` (default) resolves the probed cid set up front
+        (``similarity.ivf_probes`` — control-plane sized, <=
+        n_queries * n_probes rows, the same sanctioned-collect class as
+        the dedup pair-volume guard) and applies it as a static IN
+        filter on the cid-PARTITIONED list table, so the candidate scan
+        reads only the probed partitions — at 100 TB that is n_probes
+        cells instead of the whole index. Results are identical either
+        way (the probe selection is deterministic)."""
+        full = self.lists(dedup=dedup)
+        cand_source = None
+        if prune:
+            cids = sorted(
+                r.cid
+                for r in similarity.ivf_probes(
+                    full, self.centroids(),
+                    n_queries=n_queries, n_probes=n_probes,
+                )
+                .select("cid")
+                .distinct()
+                .collect()
+            )
+            cand_source = full.filter(F.col("cid").isin(cids))
         return similarity.ivf_query_lists(
-            self.lists(dedup=dedup), self.centroids(), k=k,
+            full, self.centroids(), k=k,
             n_queries=n_queries, n_probes=n_probes,
+            cand_source=cand_source,
         )
+
+    def compact(self) -> int:
+        """Collapse at-least-once replay duplicates and micro-batch small
+        files by rewriting the list table (still cid-partitioned) as a
+        NEW index version — published with the same crash-atomic pointer
+        flip as :meth:`maybe_retrain` (centroids copied unchanged, so the
+        serving pair stays self-consistent at every instant). Run it on
+        the maintenance cadence of any LSM-ish store's compaction (the
+        reference's analog: changelog compaction). Returns the compacted
+        row count."""
+        cur = self._current()
+        nxt = f"v{int(cur[1:]) + 1:06d}"
+        stage = os.path.join(self.index_root, nxt)
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+        compacted = self.lists(dedup=True)
+        compacted.write.mode("overwrite").partitionBy("cid").parquet(
+            os.path.join(stage, "lists")
+        )
+        self.centroids().coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "centroids")
+        )
+        self._publish(nxt)
+        shutil.rmtree(os.path.join(self.index_root, cur), ignore_errors=True)
+        return self.lists().count()
 
     def drift(self, retrain_pm: int = 1200, dedup: bool = True) -> DataFrame:
         """Per-centroid residual-growth report over the stored lists —
@@ -263,9 +320,9 @@ class IvfIncremental:
             vecs, n_centroids=n_centroids, iters=iters
         ).localCheckpoint(eager=True)  # pin: must not lazily re-derive
         #                                from the version we retire below
-        similarity.ivf_assign(vecs, cent).write.mode("overwrite").parquet(
-            os.path.join(stage, "lists")
-        )
+        similarity.ivf_assign(vecs, cent).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(os.path.join(stage, "lists"))
         _chaos_kill("staged-lists")
         cent.select(
             "cid", F.col("centv").cast("array<double>").alias("centv")

@@ -180,8 +180,9 @@ def test_replayed_append_does_not_corrupt_topk_or_drift(spark, sf_dir, tmp_path)
     clean_drift = {tuple(r) for r in lane.drift().collect()}
 
     # simulate the replay: re-append the last batch's list rows verbatim
+    # (through the same cid-partitioned layout assign_batch writes)
     dup = lane.lists().limit(60)
-    dup.write.mode("append").parquet(lane.lists_dir)
+    dup.write.mode("append").partitionBy("cid").parquet(lane.lists_dir)
     assert lane.lists().count() > lane.lists(dedup=True).count()
 
     assert {
@@ -239,4 +240,81 @@ def test_maybe_retrain_closes_the_loop(spark, sf_dir, tmp_path):
     # the tightened threshold
     assert lane2.maybe_retrain(retrain_pm=1050) is False
     full.unpersist()
+    cent.unpersist()
+
+
+def test_topk_partition_pruning_and_prune_parity(spark, sf_dir, tmp_path):
+    """The list table is cid-PARTITIONED from the first append and topk
+    resolves probed cids into a static IN filter: (a) prune=True and
+    prune=False return identical rows (probe selection is
+    deterministic); (b) a cid-filtered scan of the layout touches
+    strictly fewer files than the full table (partition pruning is real,
+    not cosmetic)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb).persist()
+    lane = IvfIncremental(spark, str(tmp_path / "ivf-prune"), centroids=cent)
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.collect()
+    ]
+    _feed(spark, lane, rows)
+    lane.advance()
+
+    pruned = {tuple(r) for r in lane.topk(prune=True).collect()}
+    full = {tuple(r) for r in lane.topk(prune=False).collect()}
+    assert pruned == full and len(full) > 0
+
+    # pruning evidence at the PLAN level (inputFiles() reports the
+    # relation pre-pruning, so it cannot witness this): the cid filter
+    # must land in PartitionFilters on the scan, not PushedFilters —
+    # partition-dir elimination, zero data files opened for other cells
+    import re
+
+    from responsive_pub_spark.plans import audit
+
+    one_cid = lane.lists().select("cid").first().cid
+    p = audit.executed_plan(
+        lane.lists().filter(F.col("cid") == int(one_cid))
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and f"cid" in m.group(1), p
+    cent.unpersist()
+
+
+def test_compact_collapses_replays_atomically(spark, sf_dir, tmp_path):
+    """compact() rewrites the list table dedup'd and cid-partitioned as a
+    NEW index version through the same crash-atomic pointer flip as
+    retrain: after a simulated at-least-once replay (duplicate append),
+    compaction collapses the physical duplicates, the version pointer
+    advances, the old version is gone, and topk is byte-identical."""
+    import os
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb).persist()
+    wd = str(tmp_path / "ivf-compact")
+    lane = IvfIncremental(spark, wd, centroids=cent)
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.limit(300).collect()
+    ]
+    _feed(spark, lane, rows)
+    lane.advance()
+
+    # simulate a replayed append: physical duplicates in the list table
+    dup = lane.lists().limit(50)
+    dup.write.mode("append").partitionBy("cid").parquet(lane.lists_dir)
+    assert lane.lists().count() == len(rows) + 50
+
+    before = {tuple(r) for r in lane.topk().collect()}
+    n = lane.compact()
+    assert n == len(rows), n
+    assert lane.lists().count() == len(rows)
+    with open(lane.pointer) as f:
+        assert f.read().strip() == "v000001"
+    assert os.listdir(os.path.join(wd, "index")) == ["v000001"]
+    assert {tuple(r) for r in lane.topk().collect()} == before
+
+    # a restart serves the compacted version
+    lane2 = IvfIncremental(spark, wd)
+    assert {tuple(r) for r in lane2.topk().collect()} == before
     cent.unpersist()
