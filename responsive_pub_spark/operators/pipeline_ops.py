@@ -1618,19 +1618,26 @@ def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     duplicated occurrence covers it and NO canonical occurrence does —
     the first copy of each span survives verbatim, later copies are cut.
 
-    Plan shape: the canonical pick is a TWO-STAGE integer MIN — per gram
-    min(doc_id), then min(pos) within that doc — plain keyed aggs with
-    map-side partials, NO per-gram window (a hot boilerplate gram would
-    serialize one reducer's window state) and no packed-key arithmetic
-    (doc_id * 2^k overflows int64 on wide id spaces — hit at the 10x
-    amplified fixture's shifted ids); the gram NEVER shuffles as text —
-    ``xxhash64`` runs inside the projection lambda so every Exchange in
-    the election/marking chain carries an 8-byte BIGINT key (the DuckDB
+    Plan shape: the canonical pick is ONE keyed agg — per gram
+    ``min(struct(doc_id, pos))``, whose lexicographic struct ordering IS
+    the (min doc_id, then min pos within it) election — with map-side
+    partials, NO per-gram window (a hot boilerplate gram would serialize
+    one reducer's window state), no packed-key arithmetic (doc_id * 2^k
+    overflows int64 on wide id spaces — hit at the 10x amplified
+    fixture's shifted ids), and no second pass over the gram table (the
+    r10 two-stage form re-shuffled all grams through a self-join just to
+    find min pos); the gram NEVER shuffles as text — ``xxhash64`` runs
+    inside the projection lambda so every Exchange in the
+    election/marking chain carries an 8-byte BIGINT key (the DuckDB
     oracle groups on the string: identical up to 64-bit collisions,
-    absent at fixture scale); coverage sets are explodes of the
-    duplicated volume; the final text rebuild is a per-DOC sorted
-    aggregation (state bounded by one doc, the same contract as every
-    per-doc aggregate here).
+    absent at fixture scale); the drop set is ONE coverage explode +
+    (doc, pos) agg taking ``max(is_canon)`` — a position survives iff
+    any canonical occurrence covers it — replacing the r10 pair of
+    DISTINCTs plus an anti-join (three exchanges, with the gram join
+    recomputed per branch) with a single shuffle over the duplicated
+    volume; the final text rebuild is a per-DOC sorted aggregation
+    (state bounded by one doc, the same contract as every per-doc
+    aggregate here).
 
     Output: (doc_id, n_tokens, kept_tokens, kept_text) — zero-token docs
     keep an empty string; kept_text is the surviving tokens joined by a
@@ -1656,35 +1663,31 @@ def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
             F.col("g.gh").alias("gh"),
         )
     )
-    occ1 = (
+    occ = (
         grams.groupBy("gh")
         .agg(
             F.count("*").alias("n_occ"),
-            F.min("doc_id").alias("c_doc"),
+            F.min(F.struct("doc_id", "pos")).alias("c"),
         )
         .filter(F.col("n_occ") > 1)
-        .select(F.col("gh").alias("g2"), "c_doc")
-    )
-    occ = (
-        grams.join(
-            occ1,
-            (F.col("gh") == F.col("g2")) & (F.col("doc_id") == F.col("c_doc")),
+        .select(
+            "gh",
+            F.col("c.doc_id").alias("c_doc"),
+            F.col("c.pos").alias("c_pos"),
         )
-        .groupBy("gh", "c_doc")
-        .agg(F.min("pos").alias("c_pos"))
     )
     dup_occ = grams.join(occ, "gh").withColumn(
         "is_canon",
         (F.col("doc_id") == F.col("c_doc")) & (F.col("pos") == F.col("c_pos")),
     )
     cov = F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("cov")
-    noncanon = (
-        dup_occ.filter(~F.col("is_canon")).select("doc_id", cov).distinct()
+    dropped = (
+        dup_occ.select("doc_id", cov, "is_canon")
+        .groupBy("doc_id", "cov")
+        .agg(F.max("is_canon").alias("any_canon"))
+        .filter(~F.col("any_canon"))
+        .select("doc_id", "cov")
     )
-    canon = (
-        dup_occ.filter(F.col("is_canon")).select("doc_id", cov).distinct()
-    )
-    dropped = noncanon.join(canon, ["doc_id", "cov"], "left_anti")
     positions = tks.select(
         "doc_id", F.posexplode("toks").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")

@@ -676,13 +676,16 @@ EXTENDED_NOTES = {
         "in any plan node)."
     ),
     "dedup_strip_spans": (
-        "the strip action: canonical first-occurrence picked by a "
-        "TWO-STAGE integer min (per-gram min doc_id, then min pos within "
-        "it) — plain keyed aggs, overflow-safe for 63-bit ids, no packed "
-        "keys, no windows; grams travel as xxhash64 BIGINTs through the "
-        "election and marking exchanges (plan-gated — never the string); "
-        "drops are two coverage explodes + anti-joins (linear in "
-        "duplicated volume) and the text rebuild is a per-DOC sorted "
+        "the strip action: canonical first-occurrence picked by ONE "
+        "keyed min(struct(doc_id, pos)) agg — lexicographic struct order "
+        "IS the (min doc, then min pos) election; overflow-safe for "
+        "63-bit ids, no packed keys, no windows, no second gram pass "
+        "(the r10 two-stage form re-shuffled all grams via a self-join); "
+        "grams travel as xxhash64 BIGINTs through the election and "
+        "marking exchanges (plan-gated — never the string); the drop set "
+        "is ONE coverage explode + (doc, pos) max(is_canon) agg — "
+        "replacing r10's two DISTINCTs + anti-join — linear in "
+        "duplicated volume; the text rebuild is a per-DOC sorted "
         "aggregate (state bounded by one doc)."
     ),
     "bpe_apply_frozen": (

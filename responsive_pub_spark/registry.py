@@ -2989,10 +2989,11 @@ REGISTRY: dict[str, QuerySpec] = {
         pipeline_ops.strip_dup_spans_oracle(),
         doc="the ACTION to dup_span_report: remove all-but-first copies "
         "of every duplicated w-token span (canonical = globally first by "
-        "(doc_id, pos), picked by a TWO-STAGE integer MIN — per-gram min "
-        "doc_id, then min pos within that doc; plain keyed aggs, no "
-        "per-gram window, no packed-key arithmetic); grams shuffle as "
-        "xxhash64 BIGINTs, never as text (r11); first copies survive "
+        "(doc_id, pos), picked by ONE keyed min(struct(doc_id, pos)) agg "
+        "— lexicographic struct order IS the election, no per-gram "
+        "window, no packed-key arithmetic, no second gram pass); grams "
+        "shuffle as xxhash64 BIGINTs, never as text (r11); drop set is "
+        "one (doc, pos) max(is_canon) agg; first copies survive "
         "verbatim, later copies are cut, rebuilt text per doc",
     ),
     "pack_sequences": QuerySpec(
