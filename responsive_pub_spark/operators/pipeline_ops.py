@@ -1069,6 +1069,128 @@ def mixture_resample_tokens_oracle(
     """
 
 
+#: fixed-point scale for the temperature rate table: s_d = isqrt(n_d * 10^4)
+#: keeps ~5 significant digits of sqrt precision while holding int64
+#: headroom to n_d <= 9.2e14 tokens PER LANGUAGE (~3 PB of text) before
+#: n_d * SCALE overflows.
+MIX_TEMP_SCALE = 10_000
+
+
+#: isqrt(2^63 - 1): clamping the correction probes here keeps every
+#: squaring inside int64 for ANY non-negative bigint input (DuckDB throws
+#: on int64 overflow; non-ANSI Spark would silently wrap — both wrong)
+_ISQRT_MAX = 3_037_000_499
+
+
+def _isqrt_sql(x: str) -> str:
+    """Exact integer floor-sqrt as portable SQL over any non-negative
+    BIGINT: the IEEE double sqrt is identical in Spark and DuckDB (and a
+    rounded vs truncated double->BIGINT cast differs by at most 1), so a
+    one-step correction pins the result to the exact integer floor —
+    bit-deterministic in both engines with no pow() in sight (pow's
+    floor boundaries are NOT portable: pow(10000, 0.5) may land either
+    side of 100.0). Probes are clamped to _ISQRT_MAX so the squarings
+    can never overflow int64; the clamp is semantics-free because the
+    true floor-sqrt of any int64 is <= _ISQRT_MAX."""
+    s0 = f"LEAST(CAST(sqrt(CAST(({x}) AS DOUBLE)) AS BIGINT), {_ISQRT_MAX})"
+    p1 = f"LEAST({s0} + 1, {_ISQRT_MAX})"
+    return (
+        f"(CASE WHEN {p1} * {p1} <= ({x}) THEN {p1} "
+        f"WHEN {s0} * {s0} > ({x}) THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+def mixture_temperature(docs: DataFrame) -> DataFrame:
+    """TEMPERATURE-based mixture sampling (the mT5/XLM-R multilingual
+    standard): sample language d with probability proportional to
+    ``mass_d ** alpha`` so low-resource languages are up-weighted
+    relative to their raw share. Downsample-only form: per-lang accept
+    rate r_d proportional to ``mass_d ** (alpha - 1)``, normalized so the
+    SMALLEST-mass language keeps everything — kept token mass is then
+    proportional to ``mass_d ** alpha`` with no duplication anywhere
+    (the complement of ``mixture_resample``'s explicit-target form; here
+    the target is derived from the empirical masses themselves).
+
+    alpha is pinned to 0.5: r_d = s_min / sqrt(mass_d) evaluates through
+    an EXACT integer floor-sqrt (``_isqrt_sql`` — IEEE double sqrt plus a
+    one-step integer correction), so Spark and DuckDB agree bit-for-bit;
+    a general float alpha would route through pow(), whose floor
+    boundaries are not engine-portable (pow(n, .5) of a perfect square
+    may land either side of the integer). Acceptance is the same
+    deterministic doc_id hash as the other mixture ops — retry- and
+    replay-safe, no RNG state.
+
+    Plan: one keyed agg to the per-lang token-mass table (map-side
+    partials), a 1-row broadcast min for s_min, and a broadcast rate
+    join back onto the corpus — the corpus itself NEVER shuffles, the
+    same shape as ``mixture_resample_tokens``. Masses ride int64 with
+    MIX_TEMP_SCALE headroom to ~9.2e14 tokens per language.
+
+    Output: (doc_id, lang, n_tokens, accept_bp). Languages with zero
+    token mass are dropped (a rate over an empty mass is undefined).
+
+    Reference anchor: the data-mixing stage of the curation pipeline the
+    FACT-store dedup feeds (api/stores/ResponsiveStores.java:79-96);
+    sampling law per Xue et al. 2021 (mT5), Conneau et al. 2020 (XLM-R).
+    """
+    bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
+    toks = scoped_persist(
+        docs.select(
+            "doc_id", "lang", F.expr(bpe).cast("bigint").alias("n_tokens")
+        )
+    )
+    masses = (
+        toks.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("n_d"))
+        .filter(F.col("n_d") > 0)
+        .withColumn(
+            "s_d", F.expr(_isqrt_sql(f"n_d * {MIX_TEMP_SCALE}"))
+        )
+    )
+    smin = masses.select(F.min("s_d").alias("s_min"))
+    rates = masses.crossJoin(F.broadcast(smin)).select(
+        "lang", F.expr("(10000 * s_min) DIV s_d").alias("accept_bp")
+    )
+    u = f"(((doc_id % {P}) * {MIX_HASH_A} + {MIX_HASH_B}) % {P}) % 10000"
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .filter(F.expr(u) < F.col("accept_bp"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.col("accept_bp").cast("bigint").alias("accept_bp"),
+        )
+    )
+
+
+def mixture_temperature_oracle() -> str:
+    bpe = f"len(regexp_extract_all(text, '{T.BPE_TOKEN_REGEX}'))"
+    isq = _isqrt_sql(f"n_d * {MIX_TEMP_SCALE}")
+    u = f"(((doc_id % {P}) * {MIX_HASH_A} + {MIX_HASH_B}) % {P}) % 10000"
+    return f"""
+        WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST({bpe} AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        masses AS (
+            SELECT lang, sum(n_tokens) AS n_d
+            FROM toks GROUP BY lang HAVING sum(n_tokens) > 0
+        ),
+        scaled AS (SELECT lang, {isq} AS s_d FROM masses),
+        smin AS (SELECT min(s_d) AS s_min FROM scaled),
+        rates AS (
+            SELECT lang, (10000 * s_min) // s_d AS accept_bp
+            FROM scaled CROSS JOIN smin
+        )
+        SELECT t.doc_id, t.lang, t.n_tokens,
+               CAST(r.accept_bp AS BIGINT) AS accept_bp
+        FROM toks t JOIN rates r USING (lang)
+        WHERE {u} < r.accept_bp
+    """
+
+
 # -- fuzzy decontamination ----------------------------------------------------
 FUZZY_DECONTAM_THRESHOLD = 0.8
 

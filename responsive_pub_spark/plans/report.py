@@ -703,6 +703,15 @@ EXTENDED_NOTES = {
         "same sample. counts= plugs in learned-BPE masses, unifying the "
         "mixture stage with pack/shard token budgets."
     ),
+    "mixture_temperature": (
+        "temperature sampling (mT5/XLM-R, alpha=0.5): per-lang mass agg "
+        "-> tiny rate table via an EXACT integer floor-sqrt (one-step-"
+        "corrected IEEE sqrt, probes clamped to isqrt(int64 max) so no "
+        "squaring overflows — pow()'s floor boundaries are not engine-"
+        "portable) -> broadcast rate join; the corpus never shuffles, "
+        "acceptance is the deterministic per-doc hash, downsample-only "
+        "with the smallest language kept whole."
+    ),
     "hybrid_rerank": (
         "two-stage retrieval: stage 1 is bm25_topk's plan (corpus "
         "explodes once, query terms broadcast, WindowGroupLimit "

@@ -2849,6 +2849,20 @@ REGISTRY: dict[str, QuerySpec] = {
         "sharding all budget in one learned-BPE token definition; first "
         "gate r11",
     ),
+    "mixture_temperature": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.mixture_temperature(
+            _t(spark, sf_dir, "documents")
+        ),
+        pipeline_ops.mixture_temperature_oracle(),
+        doc="temperature-based mixture sampling (mT5/XLM-R): kept token "
+        "mass proportional to mass^alpha, alpha=0.5 pinned through an "
+        "EXACT integer floor-sqrt (one-step-corrected IEEE sqrt — "
+        "engine-portable where pow()'s floor boundaries are not); "
+        "downsample-only, smallest language keeps everything, corpus "
+        "never shuffles; NEW r11 (sketch_cms_windowed, green r6-r10, "
+        "rotates past 50 — sketch family keeps sketch_hll_windowed "
+        "in-window)",
+    ),
     "hybrid_rerank": QuerySpec(
         lambda spark, sf_dir: similarity.hybrid_rerank(
             _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
@@ -3013,16 +3027,6 @@ REGISTRY: dict[str, QuerySpec] = {
         "parity pinned in tests/test_tokenizer_artifact.py; NEW r10 "
         "(pytest-oracled tail row)",
     ),
-    "sketch_cms_windowed": QuerySpec(
-        lambda spark, sf_dir: sketches.cms_frequencies_windowed(
-            _t(spark, sf_dir, "events")
-        ),
-        sketches.cms_frequencies_windowed_oracle(),
-        doc="Count-Min composed with event-time windows (per-window "
-        "frequency estimates; fixed D x W counters per window, one-sided "
-        "bound inherited — the sketch-window composition rule, like "
-        "sketch_hll_windowed); NEW inventory, first-gates in r6",
-    ),
     "embed_pca_power": QuerySpec(
         lambda spark, sf_dir: quantize.pca_power_top(
             _t(spark, sf_dir, "embeddings")
@@ -3092,6 +3096,20 @@ REGISTRY: dict[str, QuerySpec] = {
         "mergeable histogram-quantile sketch broadcast onto one corpus "
         "scan — sketch-composed DQ monitoring; first-gated r6, green "
         "r6-r7, parked for the r8 shard_balanced gate row",
+    ),
+    # --- r11 rotation-OUT: green r6-r10, parked past 50 for the
+    # --- mixture_temperature gate row (sketch family keeps
+    # --- sketch_hll_windowed in-window) ---
+    "sketch_cms_windowed": QuerySpec(
+        lambda spark, sf_dir: sketches.cms_frequencies_windowed(
+            _t(spark, sf_dir, "events")
+        ),
+        sketches.cms_frequencies_windowed_oracle(),
+        doc="Count-Min composed with event-time windows (per-window "
+        "frequency estimates; fixed D x W counters per window, one-sided "
+        "bound inherited — the sketch-window composition rule, like "
+        "sketch_hll_windowed); first-gated r6, green r6-r10, parked for "
+        "the r11 mixture_temperature gate row",
     ),
     # --- new inventory late-r8 (tail row, queued for the r9 rotation) ---
     "trend_ols": QuerySpec(
