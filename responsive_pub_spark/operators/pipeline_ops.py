@@ -1980,6 +1980,7 @@ def shard_balanced_counts(
     budget: int = SHARD_BUDGET_TOKENS,
     seed: int = 0,
     n_buckets: int = SHARD_BUCKETS,
+    base: int = 0,
 ) -> DataFrame:
     """``shard_balanced`` over a PRECOMPUTED ``(doc_id, n_tokens)`` frame —
     the token-definition seam (r9 VERDICT task 3): the shard chain budgets
@@ -1988,7 +1989,12 @@ def shard_balanced_counts(
     pack and shard stages of one pipeline agree on a single definition
     instead of sharding on regex tokens while packing on BPE tokens.
     Same two-pass range-bucketed prefix sum and balance contract as
-    ``shard_balanced`` (which delegates here)."""
+    ``shard_balanced`` (which delegates here).
+
+    ``base`` offsets the global cumulative sum — the seam the streaming
+    incremental exporter (streaming/shard_stream.py) rides: a micro-batch
+    continues the open shard exactly where the carried corpus total left
+    it, with the default 0 keeping the batch semantics untouched."""
     a, b = _shard_coeffs(seed)
     width = -(-P // int(n_buckets))  # ceil(P / NB)
     # ONE bound pass: both prefix-sum passes read this 4-column projection
@@ -2019,7 +2025,10 @@ def shard_balanced_counts(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = toks.join(F.broadcast(bpre), "bucket").withColumn(
-        "cum_tokens", F.col("bucket_prefix") + F.sum("n_tokens").over(w_cum)
+        "cum_tokens",
+        F.lit(int(base))
+        + F.col("bucket_prefix")
+        + F.sum("n_tokens").over(w_cum),
     )
     return cum.select(
         "doc_id",

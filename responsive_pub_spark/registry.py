@@ -2475,6 +2475,75 @@ ORACLE_TABLE_REGROUP_STREAMING = f"""
 """
 
 
+def q_shard_stream(spark, sf_dir):
+    """Incremental balanced shard export (streaming/shard_stream.py):
+    the corpus streams in as TWO waves (doc_id parity); each micro-batch
+    continues the open shard from a carried corpus-total scalar through
+    the batch exporter's own audited two-pass prefix sum, committing
+    delta + marker per batch (the CommitBuffer offset-fencing posture).
+    The oracle is shard_balanced's single-window twin with wave-major
+    ordering (ORDER BY doc_id % 2, h, doc_id) — the streaming lane IS
+    the batch op under arrival order."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.streaming.shard_stream import ShardStreaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    wd = tempfile.mkdtemp(prefix="shard_gate_")
+    try:
+        lane = ShardStreaming(spark, wd)
+        for parity in (0, 1):
+            wave = [
+                (int(r.doc_id), r.text) for r in rows if r.doc_id % 2 == parity
+            ]
+            lane.ingest(
+                spark.createDataFrame(wave, "doc_id BIGINT, text STRING")
+            )
+            lane.advance()
+        out = lane.assignments().collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "doc_id BIGINT, n_tokens BIGINT, shard_id BIGINT, shard_offset BIGINT",
+    )
+
+
+def _oracle_shard_stream() -> str:
+    from responsive_pub_spark.functions import text as TT
+    from responsive_pub_spark.functions.hashing import P as _P
+    from responsive_pub_spark.operators.pipeline_ops import (
+        SHARD_BUDGET_TOKENS,
+        _shard_coeffs,
+    )
+
+    a, b = _shard_coeffs(0)
+    bpe = f"len(regexp_extract_all(text, '{TT.BPE_TOKEN_REGEX}'))"
+    budget = int(SHARD_BUDGET_TOKENS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST({bpe} AS BIGINT) AS n_tokens,
+                   ({a} * (doc_id % {_P}) + {b}) % {_P} AS h
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY doc_id % 2, h, doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST((cum_tokens - n_tokens) // {budget} AS BIGINT)
+                   AS shard_id,
+               CAST((cum_tokens - n_tokens) % {budget} AS BIGINT)
+                   AS shard_offset
+        FROM cum
+    """
+
+
 def q_bm25_stream_stats(spark, sf_dir):
     """Incrementally-maintained BM25 statistics (streaming/bm25_stream.py,
     r10 VERDICT task 8): the corpus streams in as TWO waves; per-term df
@@ -3039,24 +3108,17 @@ REGISTRY: dict[str, QuerySpec] = {
         "centering/whitening primitive of an embedding pipeline; NEW "
         "inventory, first-gates in r6",
     ),
-    "stateless_peek": QuerySpec(
-        lambda spark, sf_dir: (
-            KStream(_t(spark, sf_dir, "events"), key=["user_id"])
-            .peek(lambda df: df.sparkSession)  # observation-only callback
-            .df.filter(F.col("event_type") == "click")
-            .select(
-                "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
-            )
-        ),
-        f"""
-        WITH {_EV}
-        SELECT event_id, user_id, epoch_us(ts) AS ts_us
-        FROM ev WHERE event_type = 'click'
-        """,
-        doc="peek is observation-only (STJoinExample.java:81-88): the "
-        "gated contract is stream IDENTITY through the peek — rows equal "
-        "the un-peeked plan's; the last §2 row with no driver evidence; "
-        "NEW inventory, first-gates in r6",
+    "shard_stream": QuerySpec(
+        q_shard_stream,
+        _oracle_shard_stream(),
+        doc="INCREMENTAL balanced shard export: two ingest waves through "
+        "a checkpointed commit log (delta + marker per micro-batch, "
+        "carried corpus-total scalar, the CommitBuffer offset-fencing "
+        "posture); each batch continues the open shard through the batch "
+        "exporter's audited two-pass prefix sum; oracle = shard_balanced "
+        "single-window twin under wave-major order; NEW r11 "
+        "(stateless_peek, green r6-r10, rotates past 50 — identity-"
+        "through-peek stays pinned by the suite)",
     ),
     # ------------------------------------------------------------------
     # position 51+ — outside the driver's 50-row window.  Everything
@@ -3098,8 +3160,28 @@ REGISTRY: dict[str, QuerySpec] = {
         "r6-r7, parked for the r8 shard_balanced gate row",
     ),
     # --- r11 rotation-OUT: green r6-r10, parked past 50 for the
-    # --- mixture_temperature gate row (sketch family keeps
-    # --- sketch_hll_windowed in-window) ---
+    # --- mixture_temperature and shard_stream gate rows (sketch family
+    # --- keeps sketch_hll_windowed in-window; peek identity stays pinned
+    # --- by the suite) ---
+    "stateless_peek": QuerySpec(
+        lambda spark, sf_dir: (
+            KStream(_t(spark, sf_dir, "events"), key=["user_id"])
+            .peek(lambda df: df.sparkSession)  # observation-only callback
+            .df.filter(F.col("event_type") == "click")
+            .select(
+                "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+            )
+        ),
+        f"""
+        WITH {_EV}
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM ev WHERE event_type = 'click'
+        """,
+        doc="peek is observation-only (STJoinExample.java:81-88): the "
+        "gated contract is stream IDENTITY through the peek — rows equal "
+        "the un-peeked plan's; first-gated r6, green r6-r10, parked for "
+        "the r11 shard_stream gate row",
+    ),
     "sketch_cms_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies_windowed(
             _t(spark, sf_dir, "events")
