@@ -60,6 +60,22 @@ ASSIGN_SCHEMA = (
 )
 
 
+def _chaos_kill(label: str) -> None:
+    """SIGKILL self at a named commit-protocol stage — DOUBLE opt-in
+    (the ann_stream._chaos_kill contract): requires BOTH
+    SPARK_GRAFT_CHAOS_ENABLE=1 and SPARK_GRAFT_SHARD_KILL=<label>, so a
+    leftover env var alone can never kill a production run. Used by
+    tests/test_chaos_sigkill.py to land a crash inside every window of
+    the delta+marker protocol."""
+    if (
+        os.environ.get("SPARK_GRAFT_CHAOS_ENABLE") == "1"
+        and os.environ.get("SPARK_GRAFT_SHARD_KILL") == label
+    ):
+        import signal
+
+        os.kill(os.getpid(), signal.SIGKILL)
+
+
 class ShardStreaming:
     """Incremental shard exporter over a docs file topic (see module
     docstring). All state lives under ``workdir``; a fresh instance
@@ -123,6 +139,7 @@ class ShardStreaming:
     def _apply(self, bdf: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._marker(batch_id)):
             return  # redelivered, already committed — the offset check
+        _chaos_kill("pre-delta")
         base = self._base_total(batch_id)
         bpe = (
             f"size(regexp_extract_all(text, "
@@ -141,6 +158,7 @@ class ShardStreaming:
         delta = self._delta(batch_id)
         shutil.rmtree(delta, ignore_errors=True)  # torn replay
         assign.write.mode("overwrite").parquet(delta)
+        _chaos_kill("post-delta")
         # post-total from the WRITTEN delta (one tiny re-scan) so the
         # marker commits exactly what readers will see
         written = self.spark.read.schema(ASSIGN_SCHEMA).parquet(delta)

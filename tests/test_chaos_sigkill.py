@@ -527,3 +527,119 @@ def test_sigkill_mid_retrain_index_never_mixed(spark, tmp_path):
     assert rc == 0 and "RETRAIN False" in out, out
     versions = os.listdir(os.path.join(workdir, "index"))
     assert versions == ["v000001"], versions
+
+
+# -- SIGKILL mid-commit: the shard-stream delta+marker protocol ---------------
+SHARD_CHILD = os.path.join(REPO, "tests", "chaos_shard_child.py")
+
+
+def _run_shard_child(workdir, mode, kill=None, timeout=420):
+    env = dict(os.environ)
+    if kill:
+        env["SPARK_GRAFT_CHAOS_ENABLE"] = "1"
+        env["SPARK_GRAFT_SHARD_KILL"] = kill
+    else:
+        env.pop("SPARK_GRAFT_CHAOS_ENABLE", None)
+        env.pop("SPARK_GRAFT_SHARD_KILL", None)
+    proc = subprocess.Popen(
+        [sys.executable, SHARD_CHILD, workdir, mode],
+        cwd=REPO,
+        env=env,
+        start_new_session=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    out, _ = proc.communicate(timeout=timeout)
+    return proc.returncode, out
+
+
+def _shard_referee(spark):
+    """Wave-major batch referee over the child's synthetic waves (even
+    doc_ids arrive first) at the child's budget."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import chaos_shard_child as child
+    from responsive_pub_spark.functions import text as T
+    from responsive_pub_spark.functions.hashing import P
+    from responsive_pub_spark.operators.pipeline_ops import _shard_coeffs
+
+    union = (
+        child._wave(spark, 0)
+        .withColumn("wave", F.lit(0))
+        .unionByName(child._wave(spark, 1).withColumn("wave", F.lit(1)))
+    )
+    a, b = _shard_coeffs(0)
+    bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
+    w = Window.orderBy("wave", "h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    budget = child.BUDGET
+    return {
+        tuple(r)
+        for r in union.select(
+            "wave",
+            "doc_id",
+            F.expr(bpe).cast("bigint").alias("n_tokens"),
+            F.expr(f"({a} * (doc_id % {P}) + {b}) % {P}").alias("h"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) DIV {budget}").alias("shard_id"),
+            ((F.col("cum") - F.col("n_tokens")) % budget)
+            .cast("bigint")
+            .alias("shard_offset"),
+        )
+        .collect()
+    }
+
+
+def _dump_rows(workdir):
+    rc, out = _run_shard_child(workdir, "dump")
+    assert rc == 0, out
+    rows = set()
+    total = None
+    for line in out.splitlines():
+        if line.startswith("ROW "):
+            rows.add(tuple(int(x) for x in line.split()[1:]))
+        elif line.startswith("TOTAL "):
+            total = int(line.split()[1])
+    return rows, total
+
+
+def test_sigkill_mid_shard_commit_exactly_once(spark, tmp_path):
+    """SIGKILL the driver process group inside BOTH windows of the
+    shard-stream commit protocol (before the delta write; after the
+    delta, before the marker). After each crash the committed log must
+    read exactly the wave-1 assignments (a torn delta is invisible), and
+    the checkpointed replay must converge to the wave-major batch
+    referee with no duplicate or dropped rows — the CommitBuffer
+    offset-fencing posture under real process death."""
+    referee = _shard_referee(spark)
+    wave1_only = {r for r in referee if r[0] % 2 == 0}
+
+    for label in ("pre-delta", "post-delta"):
+        workdir = str(tmp_path / f"shard-chaos-{label}")
+        os.makedirs(workdir)
+        rc, out = _run_shard_child(workdir, "setup")
+        assert rc == 0 and "SETUP-DONE" in out, out
+        rows, total = _dump_rows(workdir)
+        assert rows == wave1_only
+
+        rc, _ = _run_shard_child(workdir, "wave2", kill=label)
+        assert rc == -signal.SIGKILL, (label, rc)
+
+        # post-crash: only committed rows visible — never a torn delta
+        rows, total = _dump_rows(workdir)
+        assert rows == wave1_only, (label, len(rows))
+        assert total == sum(r[1] for r in wave1_only)
+
+        # checkpointed replay converges to the batch referee exactly
+        rc, out = _run_shard_child(workdir, "resume")
+        assert rc == 0 and "RESUME-DONE" in out, out
+        rows, total = _dump_rows(workdir)
+        assert rows == referee, (label, len(rows), len(referee))
+        assert total == sum(r[1] for r in referee)
