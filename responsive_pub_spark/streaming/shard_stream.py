@@ -98,7 +98,13 @@ class ShardStreaming:
         self.ck = os.path.join(workdir, "ck-assign")
         os.makedirs(self.docs_dir, exist_ok=True)
         os.makedirs(self.log_dir, exist_ok=True)
-        self._pipe_n = 0
+        # resume the mtime stamp sequence past any waves already in the
+        # topic, so a restarted instance's next wave sorts AFTER them —
+        # without this, two unseen files could tie on mtime and replay
+        # in either order
+        self._pipe_n = sum(
+            1 for n in os.listdir(self.docs_dir) if n.startswith("part-")
+        )
 
     # -- ingest ------------------------------------------------------------
     def ingest(self, docs: DataFrame) -> None:

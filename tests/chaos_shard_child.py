@@ -57,7 +57,6 @@ def main() -> None:
         lane.advance()
         print("SETUP-DONE", lane.total_tokens(), flush=True)
     elif mode == "wave2":
-        lane._pipe_n = 1  # continue the mtime stamp sequence
         lane.ingest(_wave(spark, 1))
         lane.advance()  # dies here when armed
         print("WAVE2-DONE", flush=True)

@@ -329,3 +329,105 @@ def test_retrieval_stream_restart_matches_batch_rebuild(spark, sf_dir, tmp_path)
     )
     assert {tuple(r) for r in hyb_rebuilt.collect()} == hyb_before
     cent.unpersist()
+
+
+def test_pretrain_stream_shards_survivors_across_restart(
+    spark, sf_dir, tmp_path
+):
+    """The streaming pretrain-export chain end-to-end: ingest ->
+    continuous near-dup drop -> incremental shard export, driven across
+    THREE waves (the second planting exact-dup copies) with a COLD
+    RESTART before the third. Contracts: (a) exactly the survivor set is
+    sharded — planted dups never reach a shard, no survivor is missed or
+    double-assigned; (b) assignments equal the batch wave-major referee
+    over the PER-DELTA export sets (each committed delta continues the
+    carried total exactly); (c) the manifest's shard totals sum to the
+    survivor token total."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from responsive_pub_spark.examples.pretrain_stream import PretrainStream
+    from responsive_pub_spark.functions import text as T
+    from responsive_pub_spark.functions.hashing import P
+    from responsive_pub_spark.operators.pipeline_ops import _shard_coeffs
+    from responsive_pub_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    third = len(rows) // 3
+    wave1 = [(int(r.doc_id), r.text, float(i)) for i, r in enumerate(rows[:third])]
+    # wave 2: next third PLUS exact-dup copies of 8 wave-1 docs
+    wave2 = [
+        (int(r.doc_id), r.text, 100.0 + i)
+        for i, r in enumerate(rows[third : 2 * third])
+    ] + [
+        (int(r.doc_id) + 10**6, r.text, 200.0 + i)
+        for i, r in enumerate(rows[:8])
+    ]
+    wave3 = [
+        (int(r.doc_id), r.text, 300.0 + i)
+        for i, r in enumerate(rows[2 * third :])
+    ]
+    schema = "doc_id BIGINT, text STRING, ts DOUBLE"
+
+    wd = str(tmp_path / "pretrain-stream")
+    lane = PretrainStream(spark, wd, budget=512)
+    for wave in (wave1, wave2):
+        lane.ingest(spark.createDataFrame(wave, schema))
+        lane.advance()
+
+    # COLD RESTART before wave 3
+    lane = PretrainStream(spark, wd, budget=512)
+    lane.ingest(spark.createDataFrame(wave3, schema))
+    lane.advance()
+
+    # (a) sharded set == survivor set, each exactly once
+    verd = lane.nd.verdicts()
+    assert verd.filter("is_duplicate AND doc_id >= 1000000").count() == 8
+    survivors = {
+        int(r.doc_id) for r in verd.filter("NOT is_duplicate").collect()
+    }
+    assign = lane.assignments().collect()
+    assert {int(r.doc_id) for r in assign} == survivors
+    assert len(assign) == len(survivors)
+
+    # (b) batch referee over the per-delta export sets: doc -> the
+    # committed delta (wave) that exported it, then one global window
+    delta_of = {}
+    for i in lane.shards._committed_ids():
+        for r in spark.read.parquet(lane.shards._delta(i)).collect():
+            delta_of[int(r.doc_id)] = i
+    a, b = _shard_coeffs(0)
+    bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
+    surv_docs = lane.surviving_docs().withColumn(
+        "wave",
+        F.udf(lambda d: delta_of[int(d)], "int")("doc_id"),
+    )
+    w = Window.orderBy("wave", "h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    referee = {
+        tuple(r)
+        for r in surv_docs.select(
+            "wave",
+            "doc_id",
+            F.expr(bpe).cast("bigint").alias("n_tokens"),
+            F.expr(f"({a} * (doc_id % {P}) + {b}) % {P}").alias("h"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(cum - n_tokens) DIV 512").alias("shard_id"),
+            ((F.col("cum") - F.col("n_tokens")) % 512)
+            .cast("bigint")
+            .alias("shard_offset"),
+        )
+        .collect()
+    }
+    assert {tuple(r) for r in assign} == referee
+
+    # (c) manifest totals
+    man = lane.manifest().collect()
+    assert sum(r.shard_tokens for r in man) == sum(r[1] for r in referee)
+    assert lane.shards.total_tokens() == sum(r[1] for r in referee)

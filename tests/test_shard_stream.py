@@ -110,7 +110,7 @@ def test_cold_restart_serves_identical_log_and_continues(spark, sf_dir, workdir)
     # third wave continues the open shard exactly
     lane2 = ShardStreaming(spark, workdir)
     assert {tuple(r) for r in lane2.assignments().collect()} == before
-    lane2._pipe_n = 2  # resume the mtime stamp sequence past wave 2
+    assert lane2._pipe_n == 2  # stamp sequence resumed from the topic
     lane2.ingest(waves[2])
     lane2.advance()
 
