@@ -918,3 +918,98 @@ def hybrid_rerank_oracle(
         )
         SELECT term, rk, doc_id, cosine FROM ranked WHERE rk <= {int(k)}
     """
+
+
+# -- kNN label agreement (embedding-quality probe) ----------------------------
+PURITY_K = 10       # neighbors scored per probe
+PURITY_QMOD = 10    # probe set = vec_id % QMOD == 0 (deterministic sample)
+
+
+def knn_label_purity(
+    emb: DataFrame, k: int = PURITY_K, qmod: int = PURITY_QMOD
+) -> DataFrame:
+    """kNN LABEL-AGREEMENT report — the standard embedding-quality probe
+    of a training pipeline (SemDeDup/DataComp-style audits, kNN-probe
+    evals): for a deterministic sample of query vectors, how many of the
+    ``k`` exact-cosine nearest neighbors carry the query's own ``label``?
+    High agreement = the embedding space clusters the labels; a collapsed
+    or shuffled space scores at the label base rate.
+
+    Probe set: ``vec_id % qmod == 0`` — deterministic (retry/replay-safe,
+    no RNG) and tunable so the probe side stays broadcast-small at any
+    corpus size (at 100 TB pick qmod so corpus/qmod is a few thousand
+    probes; the probe set is the BROADCAST side, the corpus is scanned
+    ONCE and never shuffled — the brute_force_topk posture). Ranking is
+    the family's deterministic (rounded cosine DESC, neighbor id ASC);
+    ties and rounding are identical to the DuckDB twin by construction.
+
+    Output: (query_id, label, n_match, purity_bp), purity_bp =
+    integer basis points of label-agreeing neighbors among exactly k.
+    """
+    q = emb.filter(F.col("vec_id") % int(qmod) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", pround(F.expr(cosine_sql("qv", "cv")), 6))
+        .select("query_id", "qlabel", "neighbor_id", "clabel", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= int(k)
+    )
+    return (
+        topk.groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_match")
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").cast("bigint").alias("label"),
+            "n_match",
+            F.expr(f"(10000 * n_match) DIV {int(k)}").alias("purity_bp"),
+        )
+    )
+
+
+def knn_label_purity_oracle(
+    k: int = PURITY_K, qmod: int = PURITY_QMOD
+) -> str:
+    cos = cosine_duck("q.embedding", "c.embedding")
+    return f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, q.label AS qlabel,
+                   c.vec_id AS neighbor_id, c.label AS clabel,
+                   (floor(({cos}) * 1000000 + 0.5) / 1000000) AS cosine
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {int(qmod)} = 0
+        ), ranked AS (
+            SELECT query_id, qlabel, clabel,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ), agg AS (
+            SELECT query_id, qlabel,
+                   CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_match
+            FROM ranked WHERE rank <= {int(k)}
+            GROUP BY query_id, qlabel
+        )
+        SELECT query_id, CAST(qlabel AS BIGINT) AS label, n_match,
+               (10000 * n_match) // {int(k)} AS purity_bp
+        FROM agg
+    """

@@ -3096,17 +3096,18 @@ REGISTRY: dict[str, QuerySpec] = {
         "parity pinned in tests/test_tokenizer_artifact.py; NEW r10 "
         "(pytest-oracled tail row)",
     ),
-    "embed_pca_power": QuerySpec(
-        lambda spark, sf_dir: quantize.pca_power_top(
+    "knn_label_purity": QuerySpec(
+        lambda spark, sf_dir: similarity.knn_label_purity(
             _t(spark, sf_dir, "embeddings")
         ),
-        quantize.pca_power_top_oracle(),
-        doc="fixed-point integer power iteration toward the top "
-        "principal direction (3 unrolled rounds, L-inf renormalized; "
-        "bit-identical across engines — the gated contract is the "
-        "fixed-round iterate, like graph_pagerank) — the "
-        "centering/whitening primitive of an embedding pipeline; NEW "
-        "inventory, first-gates in r6",
+        similarity.knn_label_purity_oracle(),
+        doc="kNN LABEL-AGREEMENT probe (embedding-quality audit): for a "
+        "deterministic vec_id%10 probe sample, the share of the 10 "
+        "exact-cosine nearest neighbors carrying the query's own label, "
+        "in integer basis points; probes broadcast, corpus scanned once "
+        "and never shuffled (brute_force_topk posture); NEW r11 "
+        "(embed_pca_power, green r6-r10, rotates past 50 — the embedding "
+        "family keeps ann_ivf_drift in-window)",
     ),
     "shard_stream": QuerySpec(
         q_shard_stream,
@@ -3181,6 +3182,19 @@ REGISTRY: dict[str, QuerySpec] = {
         "gated contract is stream IDENTITY through the peek — rows equal "
         "the un-peeked plan's; first-gated r6, green r6-r10, parked for "
         "the r11 shard_stream gate row",
+    ),
+    "embed_pca_power": QuerySpec(
+        lambda spark, sf_dir: quantize.pca_power_top(
+            _t(spark, sf_dir, "embeddings")
+        ),
+        quantize.pca_power_top_oracle(),
+        doc="fixed-point integer power iteration toward the top "
+        "principal direction (3 unrolled rounds, L-inf renormalized; "
+        "bit-identical across engines — the gated contract is the "
+        "fixed-round iterate, like graph_pagerank) — the "
+        "centering/whitening primitive of an embedding pipeline; "
+        "first-gated r6, green r6-r10, parked for the r11 "
+        "knn_label_purity gate row",
     ),
     "sketch_cms_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies_windowed(
