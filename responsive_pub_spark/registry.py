@@ -2707,13 +2707,16 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="minhash-banded near-dup contamination vs the eval split "
         "(eval bands broadcast; corpus never self-joins)",
     ),
-    "text_unigram_ppl": QuerySpec(
-        lambda spark, sf_dir: textops.unigram_logppl(
-            _t(spark, sf_dir, "documents")
-        ),
-        textops.unigram_logppl_oracle(),
-        doc="unigram-LM perplexity quality score: broadcast log-probs, "
-        "position-sorted fold for bit-stable float sums",
+    "bpe_fertility": QuerySpec(
+        lambda spark, sf_dir: bpe.bpe_fertility(_t(spark, sf_dir, "documents")),
+        bpe.bpe_fertility_oracle(),
+        doc="per-language tokenizer-efficiency report under the learned "
+        "BPE: fertility (tokens/word) and compression vs the zero-merge "
+        "character bound, integer bp; the vocabulary-commit eval a "
+        "multilingual pretraining run tracks; NEW r11, rotated into the "
+        "window same round (text_unigram_ppl, green r5-r10, parks past "
+        "50 — text family keeps text_repetition + text_bm25_topk "
+        "in-window)",
     ),
     "sample_weighted_topk": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.weighted_sample_topk(
@@ -2744,15 +2747,17 @@ REGISTRY: dict[str, QuerySpec] = {
         doc="column-level data-quality audit (nulls/distincts/fixed-"
         "point min-max) in ONE scan; first-gates r5",
     ),
-    "ab_test_zscore": QuerySpec(
-        lambda spark, sf_dir: timeseries.ab_test(
-            _t(spark, sf_dir, "events")
-        ),
-        timeseries.ab_test_oracle(),
-        doc="two-proportion z-test per metric under a deterministic "
-        "50/50 user-hash A/A assignment (|z| small = the harness is "
-        "unbiased); degenerate pooled rates are NULL-guarded; "
-        "first-gates r5",
+    "bm25_stream_stats": QuerySpec(
+        q_bm25_stream_stats,
+        textops.bm25_topk_oracle(),
+        doc="incrementally-maintained BM25 statistics: postings tokenized "
+        "once at ingest (stateless), df via a stateful streaming agg into "
+        "a KV table, corpus scalars via a 1-row complete-mode agg; topk "
+        "scores from the maintained tables with the identical integer "
+        "expression as text_bm25_topk (batch oracle verbatim); NEW r11, "
+        "rotated into the window same round (ab_test_zscore, green "
+        "r5-r10, parks past 50 — timeseries family keeps dq_audit_events "
+        "+ outlier_report in-window)",
     ),
     "sketch_hll_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.hll_distinct_windowed(
@@ -3196,6 +3201,26 @@ REGISTRY: dict[str, QuerySpec] = {
         "first-gated r6, green r6-r10, parked for the r11 "
         "knn_label_purity gate row",
     ),
+    "text_unigram_ppl": QuerySpec(
+        lambda spark, sf_dir: textops.unigram_logppl(
+            _t(spark, sf_dir, "documents")
+        ),
+        textops.unigram_logppl_oracle(),
+        doc="unigram-LM perplexity quality score: broadcast log-probs, "
+        "position-sorted fold for bit-stable float sums; first-gated r5, "
+        "green r5-r10, parked for the r11 bpe_fertility gate row",
+    ),
+    "ab_test_zscore": QuerySpec(
+        lambda spark, sf_dir: timeseries.ab_test(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.ab_test_oracle(),
+        doc="two-proportion z-test per metric under a deterministic "
+        "50/50 user-hash A/A assignment (|z| small = the harness is "
+        "unbiased); degenerate pooled rates are NULL-guarded; "
+        "first-gated r5, green r5-r10, parked for the r11 "
+        "bm25_stream_stats gate row",
+    ),
     "sketch_cms_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies_windowed(
             _t(spark, sf_dir, "events")
@@ -3483,25 +3508,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frames, multimodal.sample_frames_oracle()
     ),
-    "bpe_fertility": QuerySpec(
-        lambda spark, sf_dir: bpe.bpe_fertility(_t(spark, sf_dir, "documents")),
-        bpe.bpe_fertility_oracle(),
-        doc="per-language tokenizer-efficiency report under the learned "
-        "BPE: fertility (tokens/word) and compression vs the zero-merge "
-        "character bound, integer bp; the vocabulary-commit eval a "
-        "multilingual pretraining run tracks; NEW r11 (pytest-oracled "
-        "tail row, queued for the r12 window)",
-    ),
-    "bm25_stream_stats": QuerySpec(
-        q_bm25_stream_stats,
-        textops.bm25_topk_oracle(),
-        doc="incrementally-maintained BM25 statistics: postings tokenized "
-        "once at ingest (stateless), df via a stateful streaming agg into "
-        "a KV table, corpus scalars via a 1-row complete-mode agg; topk "
-        "scores from the maintained tables with the identical integer "
-        "expression as text_bm25_topk (batch oracle verbatim); NEW r11 "
-        "(pytest-oracled tail row, queued for the r12 window)",
-    ),
+    # (bpe_fertility and bm25_stream_stats — NEW r11 — were rotated INTO
+    # the 50-row window the same round rather than waiting as never-gated
+    # tail rows; their entries live in the window block above)
     # (rotated out of the gate window r11, all multi-round green:)
     "multimodal_decode_features": QuerySpec(
         q_multimodal_decode, multimodal.decode_features_long_oracle(), bench=True
