@@ -380,6 +380,43 @@ def main() -> None:
                     spark.conf.set(key, prev_provider)
     except Exception as e:  # noqa: BLE001
         results["papi_tws_map"] = {"error": f"{type(e).__name__}: {e}"}
+    # r11: incremental shard export — the documents fixture streamed in
+    # 3 waves through ShardStreaming (delta+marker commit log, carried
+    # corpus-total scalar). Bounded volume like the near-dup lanes: the
+    # lane measures per-wave commit overhead + the two-pass prefix sum,
+    # both of which scale with wave size, not corpus history.
+    try:
+        from responsive_pub_spark.streaming.shard_stream import ShardStreaming
+
+        sh_dir = os.path.join(work, "shard_export")
+        lane = ShardStreaming(spark, sh_dir)
+        docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        waves = 3
+        t0 = time.perf_counter()
+        for i in range(waves):
+            lane.ingest(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
+                    "text",
+                )
+            )
+            lane.advance()
+        wall = time.perf_counter() - t0
+        man = lane.manifest().agg(
+            F.count("*").alias("shards"), F.sum("shard_tokens").alias("toks")
+        ).collect()[0]
+        results["shard_export"] = {
+            "wall_sec": round(wall, 3),
+            "rows_in": n_docs * waves,
+            "rec_per_sec": int(n_docs * waves / wall),
+            "waves": waves,
+            "shards": int(man.shards),
+            "tokens": int(man.toks),
+            "checkpoint_bytes": _dir_bytes(lane.ck),
+        }
+    except Exception as e:  # noqa: BLE001
+        results["shard_export"] = {"error": f"{type(e).__name__}: {e}"}
     shutil.rmtree(work, ignore_errors=True)
     print(
         json.dumps(
