@@ -820,3 +820,56 @@ def outlier_report_oracle() -> str:
           USING (event_type)
         GROUP BY 1, 2
     """
+
+
+def json_props_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured rollup: parse the ``props`` JSON payload column
+    (the record-envelope pattern of event pipelines — an opaque JSON
+    blob beside the typed columns) and aggregate its ``k`` field per
+    event_type. The JSON path runs through ``get_json_object`` — a
+    per-row JVM expression inside whole-stage codegen, no Python — and
+    the rollup is ONE keyed agg with map-side partials; at 100 TB the
+    plan is scan -> partial agg -> one event_type-keyed exchange.
+
+    Missing/malformed payloads degrade to NULL and are COUNTED
+    (``k_nulls``), never dropped or errored — the DLQ-adjacent contract:
+    an event with a bad envelope still ships its typed columns.
+
+    Output: (event_type, n_events, k_nulls, k_sum, k_min, k_max,
+    k_distinct) — all BIGINT, exact (distinct is exact here; the
+    sketched alternative for high-cardinality fields is sketch_hll)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("k_nulls"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("k_sum"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+            F.count_distinct("k").cast("bigint").alias("k_distinct"),
+        )
+    )
+
+
+def json_props_rollup_oracle() -> str:
+    return """
+        WITH parsed AS (
+            SELECT event_type,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k_nulls,
+               CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum,
+               CAST(min(k) AS BIGINT) AS k_min,
+               CAST(max(k) AS BIGINT) AS k_max,
+               CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+        FROM parsed
+        GROUP BY event_type
+    """

@@ -2768,14 +2768,18 @@ REGISTRY: dict[str, QuerySpec] = {
         "per group) — the register key gains a window column, all "
         "sketch properties inherited; first-gates r5",
     ),
-    "dedup_keep_best": QuerySpec(
-        lambda spark, sf_dir: dedup.keep_best(
-            _t(spark, sf_dir, "documents")
+    "json_props_rollup": QuerySpec(
+        lambda spark, sf_dir: timeseries.json_props_rollup(
+            _t(spark, sf_dir, "events")
         ),
-        dedup.keep_best_oracle(),
-        doc="quality-aware dedup: clusters elect the LONGEST member as "
-        "keeper (rank-1 WindowGroupLimit per cluster), not the lowest "
-        "id; first-gates r5",
+        timeseries.json_props_rollup_oracle(),
+        doc="semi-structured surface: the props JSON envelope parsed "
+        "with get_json_object (JVM codegen, no Python) into a per-"
+        "event_type integer rollup — one keyed agg with map-side "
+        "partials; malformed payloads degrade to counted NULLs, never "
+        "errors; NEW r11 (dedup_keep_best, green r5-r10, rotates past "
+        "50 — the dedup family keeps containment/span/stream rows "
+        "in-window)",
     ),
     # --- NEW in r8 (r7 VERDICT task 2): greedy first-arrival near-dup
     # --- verdicts — the batch twin of the STREAMING near-dup lane
@@ -3220,6 +3224,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "unbiased); degenerate pooled rates are NULL-guarded; "
         "first-gated r5, green r5-r10, parked for the r11 "
         "bm25_stream_stats gate row",
+    ),
+    "dedup_keep_best": QuerySpec(
+        lambda spark, sf_dir: dedup.keep_best(
+            _t(spark, sf_dir, "documents")
+        ),
+        dedup.keep_best_oracle(),
+        doc="quality-aware dedup: clusters elect the LONGEST member as "
+        "keeper (rank-1 WindowGroupLimit per cluster), not the lowest "
+        "id; first-gated r5, green r5-r10, parked for the r11 "
+        "json_props_rollup gate row",
     ),
     "sketch_cms_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies_windowed(
