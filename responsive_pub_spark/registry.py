@@ -2544,6 +2544,72 @@ def _oracle_shard_stream() -> str:
     """
 
 
+def q_pack_stream(spark, sf_dir):
+    """Incremental sequence packing (streaming/pack_stream.py): the
+    corpus streams in as TWO waves (doc_id parity); each micro-batch
+    continues every language's open sequence from a carried per-lang
+    total table through the batch packer's own bucketed prefix sum,
+    committing delta + marker per batch. Oracle is pack_sequences'
+    single-window twin with wave-major order inside each language."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.streaming.pack_stream import PackStreaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    rows = docs.orderBy("doc_id").collect()
+    wd = tempfile.mkdtemp(prefix="pack_gate_")
+    try:
+        lane = PackStreaming(spark, wd)
+        for parity in (0, 1):
+            wave = [
+                (int(r.doc_id), r.lang, r.text)
+                for r in rows
+                if r.doc_id % 2 == parity
+            ]
+            lane.ingest(
+                spark.createDataFrame(
+                    wave, "doc_id BIGINT, lang STRING, text STRING"
+                )
+            )
+            lane.advance()
+        out = lane.assignments().collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "doc_id BIGINT, lang STRING, n_tokens BIGINT, "
+        "seq_id BIGINT, seq_offset BIGINT",
+    )
+
+
+def _oracle_pack_stream() -> str:
+    from responsive_pub_spark.functions import text as TT
+    from responsive_pub_spark.operators.pipeline_ops import PACK_BUDGET_TOKENS
+
+    bpe = f"len(regexp_extract_all(text, '{TT.BPE_TOKEN_REGEX}'))"
+    budget = int(PACK_BUDGET_TOKENS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, CAST({bpe} AS BIGINT) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY doc_id % 2, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST((cum_tokens - n_tokens) // {budget} AS BIGINT)
+                   AS seq_id,
+               CAST((cum_tokens - n_tokens) % {budget} AS BIGINT)
+                   AS seq_offset
+        FROM cum
+    """
+
+
 def q_bm25_stream_stats(spark, sf_dir):
     """Incrementally-maintained BM25 statistics (streaming/bm25_stream.py,
     r10 VERDICT task 8): the corpus streams in as TWO waves; per-term df
@@ -2739,13 +2805,17 @@ REGISTRY: dict[str, QuerySpec] = {
     # rotate past 50 in r8; the analytics family keeps dq_audit_events,
     # ab_test_zscore, group_variance, skew_report, outlier_report
     # in-window)
-    "dq_audit_events": QuerySpec(
-        lambda spark, sf_dir: timeseries.dq_audit(
-            _t(spark, sf_dir, "events")
-        ),
-        timeseries.dq_audit_oracle(),
-        doc="column-level data-quality audit (nulls/distincts/fixed-"
-        "point min-max) in ONE scan; first-gates r5",
+    "pack_stream": QuerySpec(
+        q_pack_stream,
+        _oracle_pack_stream(),
+        doc="INCREMENTAL sequence packing: two ingest waves through the "
+        "delta+marker commit log with a carried PER-LANG total table "
+        "(the keyed generalization of shard_stream's scalar); each batch "
+        "continues every language's open sequence through the batch "
+        "packer's bucketed prefix sum; oracle = pack_sequences' "
+        "single-window twin under wave-major order per language; NEW "
+        "r11 (dq_audit_events, green r5-r10, rotates past 50 — "
+        "timeseries family keeps outlier_report in-window)",
     ),
     "bm25_stream_stats": QuerySpec(
         q_bm25_stream_stats,
@@ -3234,6 +3304,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "keeper (rank-1 WindowGroupLimit per cluster), not the lowest "
         "id; first-gated r5, green r5-r10, parked for the r11 "
         "json_props_rollup gate row",
+    ),
+    "dq_audit_events": QuerySpec(
+        lambda spark, sf_dir: timeseries.dq_audit(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.dq_audit_oracle(),
+        doc="column-level data-quality audit (nulls/distincts/fixed-"
+        "point min-max) in ONE scan; first-gated r5, green r5-r10, "
+        "parked for the r11 pack_stream gate row",
     ),
     "sketch_cms_windowed": QuerySpec(
         lambda spark, sf_dir: sketches.cms_frequencies_windowed(
