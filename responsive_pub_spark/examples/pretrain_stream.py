@@ -1,5 +1,5 @@
 """Streaming pretrain export: continuous ingest -> near-dup drop ->
-incremental balanced shard export.
+incremental balanced shard export + incremental sequence packing.
 
 The STREAMING twin of ``examples/pretrain_pipeline.py``'s curate->shard
 tail, and the export-side sibling of ``examples/retrieval_stream.py``:
@@ -41,6 +41,7 @@ from responsive_pub_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
     NearDupStreaming,
 )
+from responsive_pub_spark.streaming.pack_stream import PackStreaming
 from responsive_pub_spark.streaming.shard_stream import ShardStreaming
 
 
@@ -71,13 +72,28 @@ class PretrainStream:
         self.shards = ShardStreaming(
             spark, os.path.join(workdir, "shards"), **kw
         )
+        # the packing leg runs beside the shard leg over the SAME
+        # survivor handoff: shards are the export files, sequences are
+        # the training batches — both continue their open tail from
+        # carried totals (one scalar / one per-lang table)
+        self.packs = PackStreaming(
+            spark, os.path.join(workdir, "packs"), **kw
+        )
+        self.lang_dir = os.path.join(workdir, "doc_lang")
+        os.makedirs(self.lang_dir, exist_ok=True)
 
     # -- ingest ------------------------------------------------------------
     def ingest(self, docs: DataFrame) -> None:
-        """Append a wave of (doc_id, text, ts) docs to the dedup topic."""
+        """Append a wave of (doc_id, lang, text, ts) docs: text goes to
+        the dedup topic; lang is STAGED beside it (the retrieval_stream
+        pending-column pattern) until the doc survives the verdict and
+        the packing leg needs its language key."""
         docs.select("doc_id", "text", F.col("ts").cast("double")).write.mode(
             "append"
         ).parquet(self.nd.docs_dir)
+        docs.select("doc_id", "lang").write.mode("append").parquet(
+            self.lang_dir
+        )
 
     def advance(self) -> None:
         """Drain both stages: dedup verdicts over everything ingested,
@@ -103,6 +119,24 @@ class PretrainStream:
         if new.limit(1).count() > 0:
             self.shards.ingest(new)
         self.shards.advance()
+        # packing leg: the same exactly-once handoff against the pack
+        # lane's own pending topic, with the staged language re-attached
+        pack_pending = (
+            self.spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+            .parquet(self.packs.docs_dir)
+            .select("doc_id")
+            if os.listdir(self.packs.docs_dir)
+            else self.spark.createDataFrame([], "doc_id BIGINT")
+        )
+        langs = self.spark.read.schema("doc_id BIGINT, lang STRING").parquet(
+            self.lang_dir
+        )
+        pack_new = survivors.join(pack_pending, "doc_id", "left_anti").join(
+            langs, "doc_id"
+        )
+        if pack_new.limit(1).count() > 0:
+            self.packs.ingest(pack_new)
+        self.packs.advance()
 
     # -- readers -----------------------------------------------------------
     def assignments(self) -> DataFrame:
@@ -111,6 +145,10 @@ class PretrainStream:
 
     def manifest(self) -> DataFrame:
         return self.shards.manifest()
+
+    def pack_assignments(self) -> DataFrame:
+        """Committed (doc_id, lang, n_tokens, seq_id, seq_offset) rows."""
+        return self.packs.assignments()
 
     def surviving_docs(self) -> DataFrame:
         docs = self.spark.read.schema(DOCS_SCHEMA).parquet(self.nd.docs_dir)

@@ -352,23 +352,28 @@ def test_pretrain_stream_shards_survivors_across_restart(
     from responsive_pub_spark.operators.pipeline_ops import _shard_coeffs
     from responsive_pub_spark.sources.readers import read_table
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
     rows = docs.orderBy("doc_id").collect()
     third = len(rows) // 3
-    wave1 = [(int(r.doc_id), r.text, float(i)) for i, r in enumerate(rows[:third])]
+    wave1 = [
+        (int(r.doc_id), r.lang, r.text, float(i))
+        for i, r in enumerate(rows[:third])
+    ]
     # wave 2: next third PLUS exact-dup copies of 8 wave-1 docs
     wave2 = [
-        (int(r.doc_id), r.text, 100.0 + i)
+        (int(r.doc_id), r.lang, r.text, 100.0 + i)
         for i, r in enumerate(rows[third : 2 * third])
     ] + [
-        (int(r.doc_id) + 10**6, r.text, 200.0 + i)
+        (int(r.doc_id) + 10**6, r.lang, r.text, 200.0 + i)
         for i, r in enumerate(rows[:8])
     ]
     wave3 = [
-        (int(r.doc_id), r.text, 300.0 + i)
+        (int(r.doc_id), r.lang, r.text, 300.0 + i)
         for i, r in enumerate(rows[2 * third :])
     ]
-    schema = "doc_id BIGINT, text STRING, ts DOUBLE"
+    schema = "doc_id BIGINT, lang STRING, text STRING, ts DOUBLE"
 
     wd = str(tmp_path / "pretrain-stream")
     lane = PretrainStream(spark, wd, budget=512)
@@ -431,3 +436,31 @@ def test_pretrain_stream_shards_survivors_across_restart(
     man = lane.manifest().collect()
     assert sum(r.shard_tokens for r in man) == sum(r[1] for r in referee)
     assert lane.shards.total_tokens() == sum(r[1] for r in referee)
+
+    # (d) the PACKING leg over the same handoff: exactly the survivor
+    # set is packed, and the carried per-lang totals reconcile with the
+    # survivors' token masses
+    pack = lane.pack_assignments().collect()
+    assert {int(r.doc_id) for r in pack} == survivors
+    assert len(pack) == len(survivors)
+    surv_lang_tot = {
+        (r.lang, r.t)
+        for r in lane.surviving_docs()
+        .join(
+            spark.createDataFrame(
+                [(d, l) for d, l in {
+                    int(r.doc_id): r.lang
+                    for w in (wave1, wave2, wave3)
+                    for r in spark.createDataFrame(w, schema).collect()
+                }.items()],
+                "doc_id BIGINT, lang STRING",
+            ),
+            "doc_id",
+        )
+        .groupBy("lang")
+        .agg(F.sum(F.expr(bpe).cast("bigint")).alias("t"))
+        .collect()
+    }
+    assert {
+        (r.lang, r.post_total) for r in lane.packs.totals().collect()
+    } == surv_lang_tot
