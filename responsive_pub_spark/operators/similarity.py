@@ -827,11 +827,12 @@ HYBRID_K = 5
 
 
 def hybrid_rerank(
-    docs: DataFrame,
+    docs: "DataFrame | None",
     emb: DataFrame,
     n_queries: "int | None" = None,
     n_cand: int = HYBRID_CANDIDATES,
     k: int = HYBRID_K,
+    cands: "DataFrame | None" = None,
 ) -> DataFrame:
     """Two-stage retrieval — the standard production stack: a cheap
     LEXICAL pass (BM25) nominates ``n_cand`` candidates per query term,
@@ -850,13 +851,21 @@ def hybrid_rerank(
     drops its term (inner join — the anchor is undefined).
 
     Output: (term, rk, doc_id, cosine) — re-ranked candidates 2..n_cand,
-    top ``k`` per term by (rounded cosine DESC, doc_id ASC)."""
+    top ``k`` per term by (rounded cosine DESC, doc_id ASC).
+
+    ``cands=`` is the stage-1 INJECTION point (r11 VERDICT task 2): pass
+    a precomputed (term, rk, doc_id) candidate frame — e.g.
+    ``Bm25Streaming.topk`` served from incrementally-maintained
+    statistics — and stage 1's corpus-wide df/dl aggregation is skipped
+    entirely; ``docs`` is then unused (may be None). Stage 2 is
+    identical either way, so parity with the recompute form follows
+    from stage-1 parity."""
     from responsive_pub_spark.operators.textops import BM25_N_QUERIES, bm25_topk
 
     nq = int(n_queries if n_queries is not None else BM25_N_QUERIES)
-    cands = bm25_topk(docs, n_queries=nq, top=int(n_cand)).select(
-        "term", "rk", "doc_id"
-    )
+    if cands is None:
+        cands = bm25_topk(docs, n_queries=nq, top=int(n_cand))
+    cands = cands.select("term", "rk", "doc_id")
     withv = cands.join(
         emb.select(
             F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")

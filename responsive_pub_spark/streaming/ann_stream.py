@@ -83,10 +83,13 @@ class IvfIncremental:
     crash at ANY point serves a self-consistent pair: before the flip the
     old version (old centroids + old lists, the staged dir is invisible),
     after it the new one. Orphaned stage dirs from crashed retrains are
-    garbage-collected on the next construction. The maintenance calls
-    (:meth:`maybe_retrain`) must not run concurrently with
-    :meth:`advance` — appends land in the CURRENT version's lists, so an
-    append racing the publish window could miss the rebuild."""
+    garbage-collected on the next construction. Appends are EPOCH-FENCED
+    against the maintenance publishes (:meth:`maybe_retrain` /
+    :meth:`compact`): each append batch re-checks the version pointer
+    after its write and fails loudly (pre-checkpoint-commit, so the
+    batch replays) if the pointer moved mid-batch — a concurrent publish
+    can therefore never silently strand appended rows in a retired
+    version (see :meth:`advance`)."""
 
     def __init__(
         self,
@@ -163,20 +166,53 @@ class IvfIncremental:
     def centroids(self) -> DataFrame:
         return self.spark.read.schema(CENT_SCHEMA).parquet(self.cent_dir)
 
+    #: test seam for the publish-fence e2e: called between an append's
+    #: list write and its version re-check, so a test can flip the
+    #: pointer (retrain/compact) exactly inside the race window
+    _mid_append_hook = None
+
     def advance(self) -> None:
         """Drain pending vectors: assign against the frozen centroids and
         append to the inverted-list table. Cold start from the checkpoint
-        on every call (availableNow)."""
-        cent = self.centroids()
-        lists_dir = self.lists_dir
+        on every call (availableNow).
+
+        EPOCH-FENCED against a concurrent retrain/compact publish (the
+        r11 VERDICT task-4 single-writer gap; the reference's posture is
+        LWT epoch fencing — internal/db/LwtWriter.java:29-95): each
+        batch reads the CURRENT version at entry, writes into that
+        version's lists with that version's centroids, and re-checks the
+        pointer after the write. If the pointer moved mid-batch the rows
+        may sit in a version about to be (or already) retired — the
+        batch FAILS LOUDLY before its checkpoint commits, so the next
+        advance() replays it into the new version; nothing is ever
+        silently lost. The benign race (publish snapshotted lists AFTER
+        our write, then we replay anyway) produces at-least-once
+        duplicates, collapsed by the documented ``lists(dedup=True)``
+        read contract."""
 
         def assign_batch(batch_df: DataFrame, _epoch: int) -> None:
+            v0 = self._current()
+            vdir = os.path.join(self.index_root, v0)
+            cent = self.spark.read.schema(CENT_SCHEMA).parquet(
+                os.path.join(vdir, "centroids")
+            )
             # cid-PARTITIONED layout from the first append: the probed
             # cids become a static partition filter at query time, so a
             # topk scan reads n_probes cells, not the whole index
             similarity.ivf_assign(batch_df, cent).write.mode(
                 "append"
-            ).partitionBy("cid").parquet(lists_dir)
+            ).partitionBy("cid").parquet(os.path.join(vdir, "lists"))
+            if IvfIncremental._mid_append_hook is not None:
+                IvfIncremental._mid_append_hook(self)
+            v1 = self._current()
+            if v1 != v0:
+                raise RuntimeError(
+                    f"IvfIncremental: index version flipped {v0}->{v1} "
+                    "during an append — the batch's rows target a retired "
+                    "version and would be lost; failing before the "
+                    "checkpoint commit so the batch replays into the new "
+                    "version (epoch-fence, LwtWriter posture)"
+                )
 
         q = (
             self.spark.readStream.schema(VECS_SCHEMA)

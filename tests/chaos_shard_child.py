@@ -8,6 +8,10 @@ Modes (argv[2]):
   process SIGKILLs itself inside the commit protocol of batch 1.
 - ``resume``: advance only (wave 2 is already in the topic) — the
   checkpointed replay that must converge after any crash.
+- ``compact``: roll the committed tail into the versioned base segment
+  — with the chaos env armed the process SIGKILLs itself inside the
+  compaction publish protocol (labels compact-staged-rows /
+  compact-staged-all / compact-post-flip).
 - ``dump``: print the committed assignment rows + total.
 
 Waves are synthesized deterministically (no fixture dependency): 120
@@ -63,6 +67,9 @@ def main() -> None:
     elif mode == "resume":
         lane.advance()
         print("RESUME-DONE", flush=True)
+    elif mode == "compact":
+        n = lane.compact()  # dies inside when armed
+        print("COMPACT-DONE", n, flush=True)
     elif mode == "dump":
         rows = sorted(tuple(r) for r in lane.assignments().collect())
         print("TOTAL", lane.total_tokens(), flush=True)

@@ -318,3 +318,57 @@ def test_compact_collapses_replays_atomically(spark, sf_dir, tmp_path):
     lane2 = IvfIncremental(spark, wd)
     assert {tuple(r) for r in lane2.topk().collect()} == before
     cent.unpersist()
+
+
+def test_append_fenced_against_concurrent_publish(spark, sf_dir, tmp_path):
+    """Epoch fence (r11 VERDICT task 4, LwtWriter.java:29-95 posture):
+    a compact() that publishes WHILE an append batch is mid-flight must
+    never silently strand the appended rows in the retired version —
+    the batch fails loudly before its checkpoint commits, and the next
+    advance() replays it into the new version; every appended vector is
+    preserved exactly once at read time."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb).persist()
+    wd = str(tmp_path / "ivf-fence")
+    lane = IvfIncremental(spark, wd, centroids=cent)
+
+    rows = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    half = len(rows) // 2
+    _feed(spark, lane, rows[:half])
+    lane.advance()
+    v_before = lane._current()
+    want_first = {r[0] for r in rows[:half]}
+    assert {
+        r.vec_id for r in lane.lists(dedup=True).collect()
+    } == want_first
+
+    # arm the race: a publish flips the pointer exactly inside the
+    # append's write->recheck window
+    fired = []
+
+    def flip(inner):
+        fired.append(inner.compact())
+        IvfIncremental._mid_append_hook = None  # fire once
+
+    _feed(spark, lane, rows[half:])
+    IvfIncremental._mid_append_hook = staticmethod(flip).__func__
+    try:
+        with pytest.raises(Exception, match="version flipped"):
+            lane.advance()
+    finally:
+        IvfIncremental._mid_append_hook = None
+    assert fired and fired[0] >= 0
+    assert lane._current() != v_before  # the publish won the race
+
+    # nothing lost: the failed batch replays into the NEW version
+    lane.advance()
+    assert {r.vec_id for r in lane.lists(dedup=True).collect()} == {
+        r[0] for r in rows
+    }
+    # and the serving pair is self-consistent (topk runs on the merged
+    # lists without error)
+    assert lane.topk().count() > 0
+    cent.unpersist()

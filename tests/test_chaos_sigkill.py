@@ -611,17 +611,22 @@ def _dump_rows(workdir):
 
 
 def test_sigkill_mid_shard_commit_exactly_once(spark, tmp_path):
-    """SIGKILL the driver process group inside BOTH windows of the
+    """SIGKILL the driver process group inside EVERY window of the
     shard-stream commit protocol (before the delta write; after the
-    delta, before the marker). After each crash the committed log must
-    read exactly the wave-1 assignments (a torn delta is invisible), and
-    the checkpointed replay must converge to the wave-major batch
-    referee with no duplicate or dropped rows — the CommitBuffer
-    offset-fencing posture under real process death."""
+    delta, before the marker; and MID-MARKER — after the totals frame is
+    staged under ``.tmp`` but before the atomic rename that commits it).
+    After each crash the committed log must read exactly the wave-1
+    assignments (a torn delta or staged marker is invisible), and the
+    checkpointed replay must converge to the wave-major batch referee
+    with no duplicate or dropped rows — the CommitBuffer offset-fencing
+    posture under real process death. The mid-marker window is the
+    ADVICE-flagged hazard: Spark creates the output dir before job
+    commit, so a bare-existence commit test counted a half-written
+    marker as committed (wedging the lane on the schemaless read)."""
     referee = _shard_referee(spark)
     wave1_only = {r for r in referee if r[0] % 2 == 0}
 
-    for label in ("pre-delta", "post-delta"):
+    for label in ("pre-delta", "post-delta", "mid-marker"):
         workdir = str(tmp_path / f"shard-chaos-{label}")
         os.makedirs(workdir)
         rc, out = _run_shard_child(workdir, "setup")
@@ -643,3 +648,255 @@ def test_sigkill_mid_shard_commit_exactly_once(spark, tmp_path):
         rows, total = _dump_rows(workdir)
         assert rows == referee, (label, len(rows), len(referee))
         assert total == sum(r[1] for r in referee)
+
+
+def test_sigkill_mid_shard_compact_serves_identical_log(spark, tmp_path):
+    """SIGKILL the driver inside every window of the commit-log
+    COMPACTION publish (rows staged; rows+totals staged; after the
+    pointer flip, before GC). At every instant the committed log must
+    read row-identically — before the flip the old base+tail serves
+    (the staged version is unreferenced), after it the new base — and a
+    clean compaction afterwards converges with the file count bounded.
+    The IvfIncremental versioned-publish posture applied to the
+    exporters' durability log (r11 VERDICT task 1)."""
+    referee = _shard_referee(spark)
+    workdir = str(tmp_path / "shard-compact-chaos")
+    os.makedirs(workdir)
+    rc, out = _run_shard_child(workdir, "setup")
+    assert rc == 0 and "SETUP-DONE" in out, out
+    rc, out = _run_shard_child(workdir, "wave2")
+    assert rc == 0 and "WAVE2-DONE" in out, out
+    rows, total = _dump_rows(workdir)
+    assert rows == referee
+    want_total = sum(r[1] for r in referee)
+
+    for label in ("compact-staged-rows", "compact-staged-all",
+                  "compact-post-flip"):
+        rc, _ = _run_shard_child(workdir, "compact", kill=label)
+        assert rc == -signal.SIGKILL, (label, rc)
+        rows, total = _dump_rows(workdir)
+        assert rows == referee, (label, len(rows), len(referee))
+        assert total == want_total, (label, total)
+
+    # the post-flip crash left the fold published: a clean compact has
+    # nothing left to do, and the log is down to base + pointer
+    rc, out = _run_shard_child(workdir, "compact")
+    assert rc == 0 and "COMPACT-DONE 0" in out, out
+    rows, total = _dump_rows(workdir)
+    assert rows == referee and total == want_total
+    log_dir = os.path.join(workdir, "assign")
+    assert len(os.listdir(log_dir)) <= 2, os.listdir(log_dir)
+
+
+# -- SIGKILL mid-commit: the pack-stream lane (own chaos env label) -----------
+PACK_CHILD = os.path.join(REPO, "tests", "chaos_pack_child.py")
+
+
+def _run_pack_child(workdir, mode, kill=None, timeout=420):
+    env = dict(os.environ)
+    if kill:
+        env["SPARK_GRAFT_CHAOS_ENABLE"] = "1"
+        env["SPARK_GRAFT_PACK_KILL"] = kill
+    else:
+        env.pop("SPARK_GRAFT_CHAOS_ENABLE", None)
+        env.pop("SPARK_GRAFT_PACK_KILL", None)
+    proc = subprocess.Popen(
+        [sys.executable, PACK_CHILD, workdir, mode],
+        cwd=REPO,
+        env=env,
+        start_new_session=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    out, _ = proc.communicate(timeout=timeout)
+    return proc.returncode, out
+
+
+def _pack_referee(spark):
+    """Wave-major per-lang batch referee over the pack child's waves."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import chaos_pack_child as child
+    from responsive_pub_spark.functions import text as T
+
+    union = (
+        child._wave(spark, 0)
+        .withColumn("wave", F.lit(0))
+        .unionByName(child._wave(spark, 1).withColumn("wave", F.lit(1)))
+    )
+    bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("wave", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = (
+        union.select(
+            "wave", "doc_id", "lang",
+            F.expr(bpe).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) DIV {child.BUDGET}").alias("seq_id"),
+            ((F.col("cum") - F.col("n_tokens")) % child.BUDGET)
+            .cast("bigint")
+            .alias("seq_offset"),
+        )
+        .collect()
+    )
+    return {
+        (int(r.doc_id), r.lang, int(r.n_tokens), int(r.seq_id),
+         int(r.seq_offset))
+        for r in rows
+    }
+
+
+def _dump_pack(workdir):
+    rc, out = _run_pack_child(workdir, "dump")
+    assert rc == 0, out
+    rows, totals = set(), {}
+    for line in out.splitlines():
+        if line.startswith("ROW "):
+            p = line.split()
+            rows.add((int(p[1]), p[2], int(p[3]), int(p[4]), int(p[5])))
+        elif line.startswith("TOTAL "):
+            p = line.split()
+            totals[p[1]] = int(p[2])
+    return rows, totals
+
+
+def test_sigkill_mid_pack_commit_exactly_once(spark, tmp_path):
+    """The pack lane's own SIGKILL e2e (ADVICE r11): kill inside every
+    window of its delta+marker commit — including MID-MARKER, where a
+    torn (empty) marker counted as committed would silently reset every
+    language's carried total to zero and corrupt all later assignments.
+    Arms via SPARK_GRAFT_PACK_KILL so the shard lane in a composed
+    pipeline is untouched."""
+    referee = _pack_referee(spark)
+    wave1_only = {r for r in referee if r[0] % 2 == 0}
+    wave1_totals = {}
+    for r in wave1_only:
+        wave1_totals[r[1]] = wave1_totals.get(r[1], 0) + r[2]
+    full_totals = {}
+    for r in referee:
+        full_totals[r[1]] = full_totals.get(r[1], 0) + r[2]
+
+    for label in ("pre-delta", "post-delta", "mid-marker"):
+        workdir = str(tmp_path / f"pack-chaos-{label}")
+        os.makedirs(workdir)
+        rc, out = _run_pack_child(workdir, "setup")
+        assert rc == 0 and "SETUP-DONE" in out, out
+
+        rc, _ = _run_pack_child(workdir, "wave2", kill=label)
+        assert rc == -signal.SIGKILL, (label, rc)
+
+        # post-crash: only wave-1 rows committed; per-lang carried
+        # totals intact (NEVER reset to zero by a torn marker)
+        rows, totals = _dump_pack(workdir)
+        assert rows == wave1_only, (label, len(rows))
+        assert totals == wave1_totals, (label, totals)
+
+        rc, out = _run_pack_child(workdir, "resume")
+        assert rc == 0 and "RESUME-DONE" in out, out
+        rows, totals = _dump_pack(workdir)
+        assert rows == referee, (label, len(rows), len(referee))
+        assert totals == full_totals, (label, totals)
+
+
+# -- SIGKILL mid-publish: the BM25 corpus-stats versioned pointer -------------
+BM25_CHILD = os.path.join(REPO, "tests", "chaos_bm25_child.py")
+
+
+def _run_bm25_child(workdir, mode, kill=None, timeout=420):
+    env = dict(os.environ)
+    if kill:
+        env["SPARK_GRAFT_CHAOS_ENABLE"] = "1"
+        env["SPARK_GRAFT_BM25_KILL"] = kill
+    else:
+        env.pop("SPARK_GRAFT_CHAOS_ENABLE", None)
+        env.pop("SPARK_GRAFT_BM25_KILL", None)
+    proc = subprocess.Popen(
+        [sys.executable, BM25_CHILD, workdir, mode],
+        cwd=REPO,
+        env=env,
+        start_new_session=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    out, _ = proc.communicate(timeout=timeout)
+    return proc.returncode, out
+
+
+def _dump_bm25(workdir):
+    rc, out = _run_bm25_child(workdir, "dump")
+    assert rc == 0, f"dump errored — stats pair not servable:\n{out}"
+    stats, topk = None, set()
+    for line in out.splitlines():
+        if line.startswith("STATS "):
+            p = line.split()
+            stats = (int(p[1]), int(p[2]))
+        elif line.startswith("TOPK "):
+            p = line.split()
+            topk.add((p[1], int(p[2]), int(p[3]), int(p[4]), int(p[5])))
+    return stats, topk
+
+
+def _bm25_wave_stats(spark, waves):
+    """(total_dl, n_docs) referee over the given child waves."""
+    from pyspark.sql import functions as F
+
+    import chaos_bm25_child as child
+
+    union = None
+    for w in waves:
+        part = child._wave(spark, w)
+        union = part if union is None else union.unionByName(part)
+    arr = "filter(split(text, '\\\\s+'), x -> x != '')"
+    r = union.select(
+        F.expr(f"CAST(size({arr}) AS BIGINT)").alias("dl")
+    ).agg(F.sum("dl").alias("t"), F.count("*").alias("n")).collect()[0]
+    return int(r.t), int(r.n)
+
+
+def test_sigkill_mid_bm25_stats_publish_serves_pair(spark, tmp_path):
+    """SIGKILL the driver inside every window of the BM25 corpus-stats
+    publish (before any stats work; after the new version is staged,
+    before the pointer flip; after the flip, before GC). The served
+    {postings, df, stats} set must stay SERVABLE at every instant —
+    ``dump`` (stats + a full topk) must never error, and stats must read
+    either the previous complete snapshot or the new one, never torn —
+    and the checkpointed resume must converge stats to the full corpus.
+    This was the r11 VERDICT task-3 torn-write window (an in-place
+    overwrite of the serving directory)."""
+    wave1_stats = _bm25_wave_stats(spark, [0])
+    both_stats = _bm25_wave_stats(spark, [0, 1])
+
+    for label in ("pre-stats", "staged-stats", "post-flip"):
+        workdir = str(tmp_path / f"bm25-chaos-{label}")
+        os.makedirs(workdir)
+        rc, out = _run_bm25_child(workdir, "setup")
+        assert rc == 0 and "SETUP-DONE" in out, out
+        stats, _ = _dump_bm25(workdir)
+        assert stats == wave1_stats
+
+        rc, _ = _run_bm25_child(workdir, "wave2", kill=label)
+        assert rc == -signal.SIGKILL, (label, rc)
+
+        # post-crash: servable, and NEVER torn — old snapshot before
+        # the flip, new one after
+        stats, topk = _dump_bm25(workdir)
+        want = both_stats if label == "post-flip" else wave1_stats
+        assert stats == want, (label, stats)
+        assert topk, (label, "topk must serve rows")
+
+        rc, out = _run_bm25_child(workdir, "resume")
+        assert rc == 0 and "RESUME-DONE" in out, out
+        stats, topk = _dump_bm25(workdir)
+        assert stats == both_stats, (label, stats)
+        assert topk, label

@@ -399,8 +399,8 @@ def test_pretrain_stream_shards_survivors_across_restart(
     # (b) batch referee over the per-delta export sets: doc -> the
     # committed delta (wave) that exported it, then one global window
     delta_of = {}
-    for i in lane.shards._committed_ids():
-        for r in spark.read.parquet(lane.shards._delta(i)).collect():
+    for i in lane.shards.log.tail_ids():
+        for r in spark.read.parquet(lane.shards.log.delta_path(i)).collect():
             delta_of[int(r.doc_id)] = i
     a, b = _shard_coeffs(0)
     bpe = f"size(regexp_extract_all(text, '{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"

@@ -153,7 +153,7 @@ def test_redelivered_batch_is_skipped_and_torn_delta_replays(
         "shard_offset", F.lit(0)
     ).write.mode(
         "overwrite"
-    ).parquet(lane._delta(1))
+    ).parquet(lane.log.delta_path(1))
     assert {tuple(r) for r in lane.assignments().collect()} == once
     lane._apply(sub, 1)
     after = {tuple(r) for r in lane.assignments().collect()}
