@@ -41,6 +41,7 @@ from responsive_pub_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
     NearDupStreaming,
 )
+from responsive_pub_spark.streaming.pack_ids_stream import PackIdsStreaming
 from responsive_pub_spark.streaming.pack_stream import PackStreaming
 from responsive_pub_spark.streaming.shard_stream import ShardStreaming
 
@@ -59,6 +60,7 @@ class PretrainStream:
         budget: int | None = None,
         retention: float = 3600.0,
         probe_depth: int = 8,
+        tokenizer_fit: DataFrame | None = None,
     ):
         self.spark = spark
         self.nd = NearDupStreaming(
@@ -79,6 +81,20 @@ class PretrainStream:
         self.packs = PackStreaming(
             spark, os.path.join(workdir, "packs"), **kw
         )
+        # the ID-EMISSION leg (r11 VERDICT task 6): the frozen-tokenizer
+        # twin of the pack leg, shipping the (lang, seq_id, pos,
+        # token_id) rows a training loader consumes. Enabled by passing
+        # ``tokenizer_fit`` ONCE (the corpus the tokenizer freezes on);
+        # restarts over the same workdir find the frozen artifact.
+        ids_dir = os.path.join(workdir, "pack_ids")
+        have_artifact = os.path.exists(
+            os.path.join(ids_dir, "tokenizer", "vocab")
+        )
+        self.pack_ids: PackIdsStreaming | None = None
+        if tokenizer_fit is not None or have_artifact:
+            self.pack_ids = PackIdsStreaming(
+                spark, ids_dir, fit_docs=tokenizer_fit, **kw
+            )
         self.lang_dir = os.path.join(workdir, "doc_lang")
         os.makedirs(self.lang_dir, exist_ok=True)
 
@@ -137,6 +153,23 @@ class PretrainStream:
         if pack_new.limit(1).count() > 0:
             self.packs.ingest(pack_new)
         self.packs.advance()
+        # id-emission leg: same exactly-once handoff discipline
+        if self.pack_ids is not None:
+            ids_pending = (
+                self.spark.read.schema(
+                    "doc_id BIGINT, lang STRING, text STRING"
+                )
+                .parquet(self.pack_ids.docs_dir)
+                .select("doc_id")
+                if os.listdir(self.pack_ids.docs_dir)
+                else self.spark.createDataFrame([], "doc_id BIGINT")
+            )
+            ids_new = survivors.join(ids_pending, "doc_id", "left_anti").join(
+                langs, "doc_id"
+            )
+            if ids_new.limit(1).count() > 0:
+                self.pack_ids.ingest(ids_new)
+            self.pack_ids.advance()
 
     # -- readers -----------------------------------------------------------
     def assignments(self) -> DataFrame:
@@ -149,6 +182,27 @@ class PretrainStream:
     def pack_assignments(self) -> DataFrame:
         """Committed (doc_id, lang, n_tokens, seq_id, seq_offset) rows."""
         return self.packs.assignments()
+
+    def token_ids(self) -> DataFrame:
+        """Committed (lang, seq_id, pos, token_id) rows — the streamed
+        ``pack_token_ids`` deliverable (requires the id leg)."""
+        if self.pack_ids is None:
+            raise ValueError(
+                "PretrainStream: the id leg was never enabled — pass "
+                "tokenizer_fit= on first construction"
+            )
+        return self.pack_ids.ids()
+
+    def token_sequences(self, lang: str, closed_only: bool = True):
+        """Training-batch reader over the streamed ids: (seq_id, toks)
+        fixed-length arrays per language (see
+        PackIdsStreaming.sequences)."""
+        if self.pack_ids is None:
+            raise ValueError(
+                "PretrainStream: the id leg was never enabled — pass "
+                "tokenizer_fit= on first construction"
+            )
+        return self.pack_ids.sequences(lang, closed_only=closed_only)
 
     def surviving_docs(self) -> DataFrame:
         docs = self.spark.read.schema(DOCS_SCHEMA).parquet(self.nd.docs_dir)

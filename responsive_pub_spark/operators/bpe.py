@@ -381,6 +381,18 @@ def segment_with_merges(words: DataFrame, merges) -> DataFrame:
     Reference provenance: tokenizer-artifact reuse is the async-enrich
     posture (api/async/AsyncProcessorSupplier.java:34-115) applied to the
     encode pass — the model is data to the stream, not refit per query."""
+    return segment_spaced_with_merges(words, merges).select(
+        "word",
+        F.expr("size(split(trim(s), ' '))").cast("bigint").alias("n_bpe"),
+    )
+
+
+def segment_spaced_with_merges(words: DataFrame, merges) -> DataFrame:
+    """Frozen-merge replay returning the RAW spaced segmentation —
+    (word, s) with ``s`` the space-joined token string — the shared core
+    of :func:`segment_with_merges` (counts) and the token-id emitters
+    (:func:`segment_tokens_with_merges`). See segment_with_merges for
+    the replay contract."""
     if isinstance(merges, DataFrame):
         merges = [
             (r.left, r.right) for r in merges.orderBy("step").collect()
@@ -396,9 +408,15 @@ def segment_with_merges(words: DataFrame, merges) -> DataFrame:
             for _ in range(REPLACE_PASSES):
                 col = F.replace(col, pat, rep)
         d = d.select("word", col.alias("s")).localCheckpoint(eager=True)
-    return d.select(
-        "word",
-        F.expr("size(split(trim(s), ' '))").cast("bigint").alias("n_bpe"),
+    return d
+
+
+def segment_tokens_with_merges(words: DataFrame, merges) -> DataFrame:
+    """Frozen-merge replay returning the token ARRAY per word —
+    (word, toks) — the id-emission form of :func:`segment_with_merges`
+    (same replay, the split instead of its size)."""
+    return segment_spaced_with_merges(words, merges).select(
+        "word", F.expr("split(trim(s), ' ')").alias("toks")
     )
 
 

@@ -833,7 +833,13 @@ def json_props_rollup(events: DataFrame) -> DataFrame:
 
     Missing/malformed payloads degrade to NULL and are COUNTED
     (``k_nulls``), never dropped or errored — the DLQ-adjacent contract:
-    an event with a bad envelope still ships its typed columns.
+    an event with a bad envelope still ships its typed columns. The
+    numeric contract is pinned to INTEGER-valued ``k`` (the fixture's
+    shape): fractional values are outside cross-engine parity (DuckDB's
+    TRY_CAST rounds where Spark's cast truncates) — normalize upstream
+    if an envelope carries floats. For the schema-on-read inventory
+    that DISCOVERS what an envelope carries (all keys, null counts,
+    type histogram), see :func:`json_envelope_audit`.
 
     Output: (event_type, n_events, k_nulls, k_sum, k_min, k_max,
     k_distinct) — all BIGINT, exact (distinct is exact here; the
@@ -856,10 +862,19 @@ def json_props_rollup(events: DataFrame) -> DataFrame:
 
 
 def json_props_rollup_oracle() -> str:
+    # parity guards (r11 ADVICE): DuckDB json_extract_string RAISES on a
+    # malformed props string where Spark get_json_object yields NULL, so
+    # the oracle gates on json_valid; numeric parity is pinned to
+    # INTEGER-valued k (fractional k is outside the contract — DuckDB
+    # TRY_CAST('1.5' AS BIGINT) rounds to 2 where Spark's cast
+    # truncates; a float-bearing envelope must normalize upstream)
     return """
         WITH parsed AS (
             SELECT event_type,
-                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   CASE WHEN props IS NOT NULL AND json_valid(props)
+                        THEN TRY_CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT)
+                        ELSE NULL END AS k
             FROM events
         )
         SELECT event_type,
@@ -872,4 +887,122 @@ def json_props_rollup_oracle() -> str:
                CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
         FROM parsed
         GROUP BY event_type
+    """
+
+
+def json_envelope_audit(events: DataFrame) -> DataFrame:
+    """Schema-on-read envelope AUDIT — the key inventory a real event
+    pipeline runs over an opaque JSON ``props`` column BEFORE promoting
+    fields to typed columns (the generalization of the single fixed
+    ``$.k`` path that :func:`json_props_rollup` aggregates): for every
+    (event_type, key) that occurs anywhere in the corpus, how often is
+    the key present, how often is its value JSON null, and what is its
+    type histogram (number / string / boolean / nested)?
+
+    Spark-first shape: ``try_parse_json`` parses each payload ONCE into
+    a VARIANT (Spark 4's binary semi-structured type — no Python, no
+    second parse per key); ``json_object_keys`` + ``explode`` yield the
+    key rows; the per-key type comes from
+    ``schema_of_variant(variant_get(pv, '$.<key>'))`` — all JVM-side
+    expressions — and the report is ONE (event_type, key)-keyed
+    aggregation with map-side partials. At 100 TB: scan -> explode
+    (output is rows x keys-per-envelope, the same fan-out any posting
+    list pays) -> partial agg -> one exchange on the (event_type, key)
+    pair; nothing driver-side, no per-row Python.
+
+    Contract notes: a malformed or NULL payload contributes NO key rows
+    (it has no readable keys — count such envelopes with
+    ``json_props_rollup``'s null accounting); keys are top-level only
+    (nested objects histogram as ``nested`` — audit a nested level by
+    pointing the op at an extracted sub-document); key names must not
+    contain JSON-path metacharacters (true of machine-generated
+    envelopes; quoting arbitrary keys portably across engines is not
+    worth the parity risk). Type buckets, not engine type names, cross
+    the oracle boundary: Spark's BIGINT/DECIMAL/DOUBLE and DuckDB's
+    BIGINT/UBIGINT/DOUBLE all classify as ``n_num``, so integer-vs-
+    unsigned-vs-decimal lattice differences cannot hash-mismatch.
+
+    Output: (event_type, key, n_present, n_null, n_num, n_str, n_bool,
+    n_nested), all counts BIGINT.
+    """
+    typed = (
+        events.select(
+            "event_type",
+            F.try_parse_json("props").alias("pv"),
+            F.explode(F.json_object_keys("props")).alias("key"),
+        )
+        .select(
+            "event_type",
+            "key",
+            F.expr(
+                "schema_of_variant(variant_get(pv, concat('$.', key)))"
+            ).alias("t"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CASE WHEN t = 'VOID' THEN 'null' "
+                "WHEN t IN ('BIGINT', 'DOUBLE', 'FLOAT') "
+                "  OR t LIKE 'DECIMAL%' THEN 'num' "
+                "WHEN t = 'STRING' THEN 'str' "
+                "WHEN t = 'BOOLEAN' THEN 'bool' "
+                "ELSE 'nested' END"
+            ),
+        )
+    )
+
+    def n(bucket: str, name: str):
+        return (
+            F.sum(F.when(F.col("bucket") == bucket, 1).otherwise(0))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return typed.groupBy("event_type", "key").agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        n("null", "n_null"),
+        n("num", "n_num"),
+        n("str", "n_str"),
+        n("bool", "n_bool"),
+        n("nested", "n_nested"),
+    )
+
+
+def json_envelope_audit_oracle(table: str = "events") -> str:
+    # DuckDB has no json_each table function in this build; the key rows
+    # come from unnest(json_keys(..)) with the malformed/NULL guard
+    # INSIDE the unnest argument (a WHERE clause does not guard FROM-
+    # clause table functions), and the per-key type from json_type(),
+    # which returns SQL NULL for a JSON null value.
+    return f"""
+        WITH keyed AS (
+            SELECT event_type, k.key,
+                   json_type(props, '$.' || k.key) AS t
+            FROM {table},
+                 unnest(CASE WHEN props IS NOT NULL AND json_valid(props)
+                             THEN json_keys(props) ELSE [] END) AS k(key)
+        ), bucketed AS (
+            SELECT event_type, key,
+                   CASE WHEN t IS NULL THEN 'null'
+                        WHEN t IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+                             THEN 'num'
+                        WHEN t = 'VARCHAR' THEN 'str'
+                        WHEN t = 'BOOLEAN' THEN 'bool'
+                        ELSE 'nested' END AS bucket
+            FROM keyed
+        )
+        SELECT event_type, key,
+               CAST(count(*) AS BIGINT) AS n_present,
+               CAST(sum(CASE WHEN bucket = 'null' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(sum(CASE WHEN bucket = 'num' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_num,
+               CAST(sum(CASE WHEN bucket = 'str' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_str,
+               CAST(sum(CASE WHEN bucket = 'bool' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bool,
+               CAST(sum(CASE WHEN bucket = 'nested' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nested
+        FROM bucketed
+        GROUP BY event_type, key
     """
