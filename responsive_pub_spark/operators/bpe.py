@@ -675,8 +675,14 @@ def pack_token_ids(
 
 
 def pack_token_ids_oracle(
-    k: int = BPE_MERGES, budget: "int | None" = None
+    k: int = BPE_MERGES,
+    budget: "int | None" = None,
+    order_sql: str = "doc_id",
 ) -> str:
+    """``order_sql`` is the per-lang packing order of the cumsum —
+    "doc_id" for the batch op; the streaming gate passes
+    "doc_id % 2, doc_id" (wave-major arrival order, the
+    streaming/pack_ids_stream parity contract)."""
     from responsive_pub_spark.operators.pipeline_ops import PACK_BUDGET_TOKENS
 
     b = int(budget if budget is not None else PACK_BUDGET_TOKENS)
@@ -728,7 +734,7 @@ def pack_token_ids_oracle(
             FROM (
                 SELECT doc_id, lang, n_tokens,
                        sum(n_tokens) OVER (
-                           PARTITION BY lang ORDER BY doc_id
+                           PARTITION BY lang ORDER BY {order_sql}
                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
                 FROM toks_per_doc
             )

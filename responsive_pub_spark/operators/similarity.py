@@ -1022,3 +1022,146 @@ def knn_label_purity_oracle(
                (10000 * n_match) // {int(k)} AS purity_bp
         FROM agg
     """
+
+
+#: IVF probes for the index-backed purity audit — one more than the
+#: search default: the audit queries EVERY probe-set vector, so the
+#: recall bar (referee >= 0.95) wants the extra cell
+PURITY_IVF_PROBES = 3
+
+
+def knn_label_purity_ivf(
+    emb: DataFrame,
+    k: int = PURITY_K,
+    qmod: int = PURITY_QMOD,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = PURITY_IVF_PROBES,
+) -> DataFrame:
+    """IVF-probed kNN label-agreement — :func:`knn_label_purity` run on
+    the INDEX instead of the corpus (the r11 VERDICT stretch): the audit
+    is the highest-query-volume consumer of the embedding table (every
+    qmod-th vector is a query), so at 100 TB it must probe inverted
+    lists like every other ANN surface, not broadcast-scan the corpus
+    per probe. Same index shape as ``ivf_topk``: pinned centroids, one
+    broadcast assignment pass over the corpus, probes restricted to
+    their ``n_probes`` nearest cells — each probe scores
+    ~corpus/n_centroids*n_probes candidates instead of the corpus.
+
+    Approximation contract: neighbors outside the probed cells are
+    MISSED; ``purity_bp`` keeps the exact form's denominator ``k``, so a
+    probe with fewer than ``k`` recalled neighbors reads as lower
+    agreement (never inflated). The referee test
+    (tests/test_embedding_recall.py) holds mean top-k recall vs the
+    exact audit >= 0.95 on the fixture — the same accuracy-guardrail
+    scheme as ``sim_search_ivf``.
+
+    Output: (query_id, label, n_match, purity_bp) — the exact op's
+    schema, computed from the probed candidate set."""
+    cent = emb.filter(F.col("vec_id") < int(n_centroids)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
+    )
+    scored_c = emb.join(F.broadcast(cent)).withColumn(
+        "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+    )
+    assign = scored_c.groupBy("vec_id", "embedding", "label").agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))
+        ).alias("cid")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        scored_c.filter(F.col("vec_id") % int(qmod) == 0)
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= int(n_probes))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+            "cid",
+        )
+    )
+    cand = assign.join(F.broadcast(probes), "cid").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.withColumn(
+        "cosine", pround(F.expr(cosine_sql("qv", "embedding")), 6)
+    ).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        "cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= int(k)
+    )
+    return (
+        topk.groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_match")
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").cast("bigint").alias("label"),
+            "n_match",
+            F.expr(f"(10000 * n_match) DIV {int(k)}").alias("purity_bp"),
+        )
+    )
+
+
+def knn_label_purity_ivf_oracle(
+    k: int = PURITY_K,
+    qmod: int = PURITY_QMOD,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = PURITY_IVF_PROBES,
+) -> str:
+    ccos = cosine_duck("e.embedding", "c.embedding")
+    qcos = cosine_duck("p.qv", "a.embedding")
+    return f"""
+        WITH scored_c AS (
+            SELECT e.vec_id, e.embedding, e.label, c.vec_id AS cid,
+                   (floor(({ccos}) * 1000000 + 0.5) / 1000000) AS ccos
+            FROM embeddings e JOIN embeddings c ON c.vec_id < {int(n_centroids)}
+        ), assign AS (
+            SELECT vec_id, embedding, label, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM scored_c
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, embedding AS qv, label AS qlabel, cid
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS prank
+                FROM scored_c WHERE vec_id % {int(qmod)} = 0
+            ) WHERE prank <= {int(n_probes)}
+        ), scored AS (
+            SELECT p.query_id, p.qlabel, a.vec_id AS neighbor_id,
+                   a.label AS clabel,
+                   (floor(({qcos}) * 1000000 + 0.5) / 1000000) AS cosine
+            FROM assign a JOIN probes p USING (cid)
+            WHERE p.query_id <> a.vec_id
+        ), ranked AS (
+            SELECT query_id, qlabel, clabel,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ), agg AS (
+            SELECT query_id, qlabel,
+                   CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_match
+            FROM ranked WHERE rank <= {int(k)}
+            GROUP BY query_id, qlabel
+        )
+        SELECT query_id, CAST(qlabel AS BIGINT) AS label, n_match,
+               (10000 * n_match) // {int(k)} AS purity_bp
+        FROM agg
+    """

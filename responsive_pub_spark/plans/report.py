@@ -729,6 +729,26 @@ EXTENDED_NOTES = {
         "The streaming index re-scores nothing: ingest-time ccos rides "
         "the stored inverted lists."
     ),
+    "json_envelope_audit": (
+        "schema-on-read envelope inventory: one variant parse per row "
+        "(try_parse_json), key explode, per-key type via variant_get/"
+        "schema_of_variant — all JVM expressions, no Python anywhere — "
+        "then ONE (event_type, key)-keyed agg with map-side partials. "
+        "At 100 TB: scan -> explode (rows x keys-per-envelope, the "
+        "posting-list fan-out) -> partial agg -> one pair-keyed "
+        "exchange; the plan gate (tests/test_json_envelope.py) pins "
+        "exactly 1 Exchange and zero Python eval nodes."
+    ),
+    "knn_label_purity_ivf": (
+        "the purity audit on the INDEX: broadcast centroid assignment "
+        "(inverted lists), probes restricted to their 3 nearest of 8 "
+        "cells, candidates = probe-cell rows only (~3/8 of the corpus "
+        "per probe instead of the corpus), then the exact op's "
+        "WindowGroupLimit top-k + purity agg. Missed neighbors read as "
+        "mismatches (denominator stays k); recall referee >= 0.95 on a "
+        "clustered corpus, 0.5 floor on the near-random fixture "
+        "(tests/test_embedding_recall.py)."
+    ),
 }
 
 

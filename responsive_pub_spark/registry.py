@@ -2610,6 +2610,83 @@ def _oracle_pack_stream() -> str:
     """
 
 
+def q_pack_stream_ids(spark, sf_dir):
+    """Incremental packed-token-id emission (streaming/pack_ids_stream.py,
+    r11 VERDICT task 6): the tokenizer is FROZEN on the full corpus
+    (merges + segmentation map + lexicographic vocab ids — the artifact-
+    once contract), then the corpus streams in as TWO waves (doc_id
+    parity); each micro-batch tokenizes only the arriving docs against
+    the frozen artifact and continues every language's open sequence
+    from the carried per-lang totals. Oracle = pack_token_ids's
+    unrolled-merge DuckDB twin with wave-major packing order."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.streaming.pack_ids_stream import (
+        IDS_SCHEMA,
+        PackIdsStreaming,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    rows = docs.orderBy("doc_id").collect()
+    wd = tempfile.mkdtemp(prefix="packids_gate_")
+    try:
+        lane = PackIdsStreaming(spark, wd, fit_docs=docs)
+        for parity in (0, 1):
+            wave = [
+                (int(r.doc_id), r.lang, r.text)
+                for r in rows
+                if r.doc_id % 2 == parity
+            ]
+            lane.ingest(
+                spark.createDataFrame(
+                    wave, "doc_id BIGINT, lang STRING, text STRING"
+                )
+            )
+            lane.advance()
+        out = lane.ids().collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(out, IDS_SCHEMA)
+
+
+def q_bm25_stream_hybrid(spark, sf_dir):
+    """Hybrid retrieval served from INCREMENTALLY MAINTAINED BM25
+    statistics (r11 VERDICT task 2): the docs stream in as TWO waves
+    into the Bm25Streaming lane; hybrid_topk() then runs stage 1 from
+    the maintained postings/df/stats tables (query time is joins only —
+    no corpus df/dl re-aggregation) and stage 2 re-ranks by embedding
+    cosine through hybrid_rerank's cands= injection point. Oracle = the
+    batch hybrid_rerank oracle verbatim — the maintained-stats stack
+    must be row-identical to the recompute."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.streaming.bm25_stream import Bm25Streaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = docs.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    wd = tempfile.mkdtemp(prefix="bm25hyb_gate_")
+    try:
+        lane = Bm25Streaming(spark, wd)
+        for wave in (rows[:half], rows[half:]):
+            lane.ingest(
+                spark.createDataFrame(
+                    [(int(r.doc_id), r.text) for r in wave],
+                    "doc_id BIGINT, text STRING",
+                )
+            )
+            lane.advance()
+        out = lane.hybrid_topk(emb).collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "term STRING, rk BIGINT, doc_id BIGINT, cosine DOUBLE"
+    )
+
+
 def q_bm25_stream_stats(spark, sf_dir):
     """Incrementally-maintained BM25 statistics (streaming/bm25_stream.py,
     r10 VERDICT task 8): the corpus streams in as TWO waves; per-term df
@@ -2743,9 +2820,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- surface rows that sat at positions 53-56 move INSIDE the window;
     # --- multi-round-green veterans (window_hopping/grace, join_stream_table,
     # --- dedup_exact/fact, sim_search_lsh, bootstrap_compact) rotate out ---
-    "join_stream_stream_outer": QuerySpec(
-        q_join_stream_stream_outer, ORACLE_JOIN_STREAM_STREAM_OUTER
-    ),
     # --- new in r5: SQ8 quantization (join_range, corpus_stats — green
     # --- r4/r5 — rotate past 50 in r6 per the documented plan;
     # --- agg_pricing_summary, window_tumbling, join_global rotated in
@@ -2805,6 +2879,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # rotate past 50 in r8; the analytics family keeps dq_audit_events,
     # ab_test_zscore, group_variance, skew_report, outlier_report
     # in-window)
+    "pack_stream_ids": QuerySpec(
+        q_pack_stream_ids,
+        bpe.pack_token_ids_oracle(order_sql="doc_id % 2, doc_id"),
+        doc="STREAMED pack_token_ids: frozen-tokenizer artifact + "
+        "per-batch tokenize of arriving docs only + carried per-lang "
+        "totals through the compacting delta+marker commit log; oracle "
+        "is the batch unrolled-merge twin under wave-major order; NEW "
+        "gate r12 (r11 VERDICT task 6)",
+    ),
     "pack_stream": QuerySpec(
         q_pack_stream,
         _oracle_pack_stream(),
@@ -2816,6 +2899,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "single-window twin under wave-major order per language; NEW "
         "r11 (dq_audit_events, green r5-r10, rotates past 50 — "
         "timeseries family keeps outlier_report in-window)",
+    ),
+    "bm25_stream_hybrid": QuerySpec(
+        q_bm25_stream_hybrid,
+        similarity.hybrid_rerank_oracle(),
+        doc="hybrid retrieval from MAINTAINED BM25 statistics: stage-1 "
+        "candidates from the incrementally-kept postings/df/stats "
+        "tables via hybrid_rerank's cands= injection, stage-2 cosine "
+        "re-rank unchanged — row-identical to the batch recompute by "
+        "construction; NEW gate r12 (r11 VERDICT task 2)",
     ),
     "bm25_stream_stats": QuerySpec(
         q_bm25_stream_stats,
@@ -2850,6 +2942,19 @@ REGISTRY: dict[str, QuerySpec] = {
         "errors; NEW r11 (dedup_keep_best, green r5-r10, rotates past "
         "50 — the dedup family keeps containment/span/stream rows "
         "in-window)",
+    ),
+    "json_envelope_audit": QuerySpec(
+        lambda spark, sf_dir: timeseries.json_envelope_audit(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.json_envelope_audit_oracle(),
+        doc="schema-on-read envelope AUDIT (r11 VERDICT task 5 — the "
+        "generalization past json_props_rollup's fixed $.k path): per "
+        "(event_type, key) presence, JSON-null count, and type "
+        "histogram via Spark 4 VARIANT expressions (try_parse_json + "
+        "json_object_keys + variant_get/schema_of_variant, all "
+        "JVM-side, one keyed agg); DuckDB oracle via json_keys/"
+        "json_type behind a json_valid guard; NEW gate r12",
     ),
     # --- NEW in r8 (r7 VERDICT task 2): greedy first-arrival near-dup
     # --- verdicts — the batch twin of the STREAMING near-dup lane
@@ -2936,32 +3041,6 @@ REGISTRY: dict[str, QuerySpec] = {
         "sketch_cms / sketch_hll_windowed / sketch_cms_windowed "
         "in-window)",
     ),
-    "suppress_time_limit": QuerySpec(
-        lambda spark, sf_dir: KStream(
-            _t(spark, sf_dir, "events"), key=["user_id"]
-        ).suppress_until_time_limit(3600, tiebreak="event_id"),
-        f"""
-        WITH {_EV},
-        b AS (
-            SELECT user_id, event_id, event_type, value, props,
-                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bkt,
-                   row_number() OVER (
-                       PARTITION BY user_id, floor(epoch(ts) / 3600)
-                       ORDER BY ts DESC, event_id DESC
-                   ) AS rn
-            FROM ev
-        )
-        SELECT user_id, CAST((bkt + 1) * 3600 AS BIGINT) AS emit_ts,
-               event_id, event_type, value, props
-        FROM b WHERE rn = 1
-        """,
-        doc="suppress(untilTimeLimit) analog: rate-limit a changelog to "
-        "one update per key per interval, latest wins, emitted at the "
-        "interval close — KS-API completeness beyond the reference's own "
-        "usage (grid-aligned delta documented in api.py); one keyed "
-        "shuffle batch-side, watermarked window max_by APPEND streaming-"
-        "side; NEW inventory late-r8, queued for the r9 rotation",
-    ),
     # --- new in r4 (driver rows required, r3 VERDICT tasks 5-6): the
     # --- streaming FK-join lane, Repartitioned co-location, and
     # --- approximateNumEntries — the last §2 rows with no driver evidence
@@ -3022,9 +3101,6 @@ REGISTRY: dict[str, QuerySpec] = {
         "n_queries*n_cand candidate rows — corpus sides never shuffle "
         "for the re-rank; first gate r11",
     ),
-    "papi_partition_stream_time": QuerySpec(
-        q_papi_partition_stream_time, ORACLE_PAPI_PARTITION_STREAM_TIME
-    ),
     # --- r7 rotation IN (r6 VERDICT tasks 1 + 2): the two NEW-surface
     # --- rows — Kafka record headers end-to-end and the window-store
     # --- key-range fetch.  OUT (parked below position 50): sketch_hll
@@ -3075,16 +3151,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- in the r5 session, pytest-oracle green at sf0.001 AND sf0.01,
     # --- most also at sf0.1.  Once these gate green, all 132 registry
     # --- queries carry a driver-green CORRECTNESS row at least once. ---
-    "dedup_containment": QuerySpec(
-        lambda spark, sf_dir: dedup.containment_pairs(
-            _t(spark, sf_dir, "documents")
-        ),
-        dedup.containment_pairs_oracle(),
-        doc="directed near-containment pairs (|A∩B|/|A| >= 0.9) via "
-        "rare-shingle prefix-filter blocking — the quote-expansion case "
-        "Jaccard misses; recall EXACT at containment 1.0; NEW inventory, "
-        "first-gates in r6",
-    ),
     "text_bm25_topk": QuerySpec(
         lambda spark, sf_dir: textops.bm25_topk(
             _t(spark, sf_dir, "documents")
@@ -3188,6 +3254,19 @@ REGISTRY: dict[str, QuerySpec] = {
         "(embed_pca_power, green r6-r10, rotates past 50 — the embedding "
         "family keeps ann_ivf_drift in-window)",
     ),
+    "knn_label_purity_ivf": QuerySpec(
+        lambda spark, sf_dir: similarity.knn_label_purity_ivf(
+            _t(spark, sf_dir, "embeddings")
+        ),
+        similarity.knn_label_purity_ivf_oracle(),
+        doc="IVF-probed label-purity audit (r11 VERDICT stretch): the "
+        "same audit run on inverted lists — probes restricted to their "
+        "3 nearest of 8 pinned-centroid cells, so each probe scores "
+        "~corpus*3/8 candidates instead of the corpus; missed "
+        "neighbors read as mismatches (denominator stays k, never "
+        "inflated); recall referee >= 0.95 on a clustered corpus in "
+        "tests/test_embedding_recall.py; NEW gate r12",
+    ),
     "shard_stream": QuerySpec(
         q_shard_stream,
         _oracle_shard_stream(),
@@ -3225,6 +3304,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # text_tfidf_top).  async_enrich and multimodal_decode_features stay
     # — sole rows of their families.
     # ------------------------------------------------------------------
+    # --- r12 rotation OUT (multi-round green; families keep in-window
+    # --- coverage — joins via join_versioned_stream/fk_join_streaming,
+    # --- suppress via suppress_emit_final, PAPI via papi_tws_running_
+    # --- count/papi_window_key_range/approx_num_entries, dedup via the
+    # --- stream/span rows). IN: json_envelope_audit, pack_stream_ids,
+    # --- bm25_stream_hybrid, knn_label_purity_ivf (all first-gating). ---
     # --- r8 rotation OUT (multi-round green r5-r7; families keep
     # --- in-window coverage — analytics via dq_audit_events/
     # --- ab_test_zscore/skew_report, BPE via the NEW
@@ -3238,6 +3323,48 @@ REGISTRY: dict[str, QuerySpec] = {
         "mergeable histogram-quantile sketch broadcast onto one corpus "
         "scan — sketch-composed DQ monitoring; first-gated r6, green "
         "r6-r7, parked for the r8 shard_balanced gate row",
+    ),
+    "join_stream_stream_outer": QuerySpec(
+        q_join_stream_stream_outer, ORACLE_JOIN_STREAM_STREAM_OUTER
+    ),
+    "suppress_time_limit": QuerySpec(
+        lambda spark, sf_dir: KStream(
+            _t(spark, sf_dir, "events"), key=["user_id"]
+        ).suppress_until_time_limit(3600, tiebreak="event_id"),
+        f"""
+        WITH {_EV},
+        b AS (
+            SELECT user_id, event_id, event_type, value, props,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bkt,
+                   row_number() OVER (
+                       PARTITION BY user_id, floor(epoch(ts) / 3600)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM ev
+        )
+        SELECT user_id, CAST((bkt + 1) * 3600 AS BIGINT) AS emit_ts,
+               event_id, event_type, value, props
+        FROM b WHERE rn = 1
+        """,
+        doc="suppress(untilTimeLimit) analog: rate-limit a changelog to "
+        "one update per key per interval, latest wins, emitted at the "
+        "interval close — KS-API completeness beyond the reference's own "
+        "usage (grid-aligned delta documented in api.py); one keyed "
+        "shuffle batch-side, watermarked window max_by APPEND streaming-"
+        "side; NEW inventory late-r8, queued for the r9 rotation",
+    ),
+    "papi_partition_stream_time": QuerySpec(
+        q_papi_partition_stream_time, ORACLE_PAPI_PARTITION_STREAM_TIME
+    ),
+    "dedup_containment": QuerySpec(
+        lambda spark, sf_dir: dedup.containment_pairs(
+            _t(spark, sf_dir, "documents")
+        ),
+        dedup.containment_pairs_oracle(),
+        doc="directed near-containment pairs (|A∩B|/|A| >= 0.9) via "
+        "rare-shingle prefix-filter blocking — the quote-expansion case "
+        "Jaccard misses; recall EXACT at containment 1.0; NEW inventory, "
+        "first-gates in r6",
     ),
     # --- r11 rotation-OUT: green r6-r10, parked past 50 for the
     # --- mixture_temperature and shard_stream gate rows (sketch family

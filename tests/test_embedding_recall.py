@@ -97,3 +97,164 @@ def test_threshold_matched_banding_finds_all_exact_replicas(spark, sf_dir):
     assert expected <= found
     assert all(r.cosine >= 0.999999 for r in pairs)
     assert n > 0
+
+def _clustered_emb(spark, n_clusters=8, per=25, dim=16):
+    """Deterministic clustered corpus: ``n_clusters`` well-separated
+    centers (one-hot-ish blocks), members = center + small arithmetic
+    perturbation, label == cluster. vec_ids are laid out cluster-major
+    so vec_id < n_clusters picks ONE SEED PER CLUSTER (ids 0, per,
+    2*per, ... remapped to 0..n-1 first) — the pinned-centroid IVF then
+    has one cell per true cluster."""
+    rows = []
+    vid = 0
+    for cl in range(n_clusters):
+        for i in range(per):
+            base = [0.0] * dim
+            for d in range(dim):
+                if d % n_clusters == cl:
+                    base[d] = 1.0
+                base[d] += ((vid * 31 + d * 7) % 13 - 6) * 0.01
+            rows.append((vid, [float(x) for x in base], cl))
+            vid += 1
+    # remap so ids 0..n_clusters-1 are one per cluster (the pinned
+    # centroid seeds), rest keep cluster-major order after them
+    seeds = {cl * per: cl for cl in range(n_clusters)}
+    remap = {}
+    nxt = n_clusters
+    for old_id, _, _ in rows:
+        if old_id in seeds:
+            remap[old_id] = seeds[old_id]
+        else:
+            remap[old_id] = nxt
+            nxt += 1
+    rows = [(remap[v], e, c) for v, e, c in rows]
+    return spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label BIGINT"
+    )
+
+
+def test_ivf_label_purity_recall_referee(spark, sf_dir):
+    """Recall referee for the IVF-probed label-purity audit (r11 VERDICT
+    stretch), the sim_search_ivf guardrail scheme applied to the audit:
+
+    - on a CLUSTERED corpus — the regime the audit exists to detect
+      (labels align with embedding neighborhoods) — the probed variant
+      must recall >= 0.95 of the exact audit's true top-k neighbors and
+      reproduce its purity scores almost exactly;
+    - on the fixture's near-random vectors (where NO ivf layout
+      concentrates neighbors — the repo's other IVF referees accept
+      0.3-0.5 here) the probed audit must clear the same 0.5 floor as
+      IVF-PQ, cover the identical probe set, and keep the MEAN purity
+      within 500bp of exact — approximation never shifts the corpus-
+      level reading of embedding quality."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from responsive_pub_spark.functions.portable import pround
+    from responsive_pub_spark.functions.vectors import cosine_sql
+    from responsive_pub_spark.operators import similarity
+
+    def _purity_maps(emb):
+        exact = {
+            int(r.query_id): int(r.purity_bp)
+            for r in similarity.knn_label_purity(emb).collect()
+        }
+        ivf = {
+            int(r.query_id): int(r.purity_bp)
+            for r in similarity.knn_label_purity_ivf(emb).collect()
+        }
+        return exact, ivf
+
+    def _recall(emb):
+        """Top-k neighbor-set recall of the probed audit vs the exact
+        audit, re-deriving each op's internals up to the rank filter."""
+        k = similarity.PURITY_K
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+
+        def _sets(df_topk):
+            out = {}
+            for r in df_topk.collect():
+                out.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+            return out
+
+        q = emb.filter(
+            F.col("vec_id") % similarity.PURITY_QMOD == 0
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        )
+        exact = _sets(
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine", pround(F.expr(cosine_sql("qv", "cv")), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        assert exact, "no probes — vacuous"
+        cent = emb.filter(
+            F.col("vec_id") < similarity.IVF_CENTROIDS
+        ).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
+        )
+        scored_c = emb.join(F.broadcast(cent)).withColumn(
+            "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+        )
+        assign = scored_c.groupBy("vec_id", "embedding").agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))
+            ).alias("cid")
+        )
+        wq = Window.partitionBy("vec_id").orderBy(
+            F.desc("ccos"), F.asc("cid")
+        )
+        probes = (
+            scored_c.filter(F.col("vec_id") % similarity.PURITY_QMOD == 0)
+            .withColumn("prank", F.row_number().over(wq))
+            .filter(F.col("prank") <= similarity.PURITY_IVF_PROBES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                "cid",
+            )
+        )
+        got = _sets(
+            assign.join(F.broadcast(probes), "cid")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .withColumn(
+                "cosine", pround(F.expr(cosine_sql("qv", "embedding")), 6)
+            )
+            .select(
+                "query_id", F.col("vec_id").alias("neighbor_id"), "cosine"
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        hits = sum(len(exact[qid] & got.get(qid, set())) for qid in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    # 1) clustered corpus: the audit's home regime
+    emb_cl = _clustered_emb(spark)
+    r_cl = _recall(emb_cl)
+    assert r_cl >= 0.95, f"clustered IVF purity recall {r_cl:.3f} < 0.95"
+    exact_p, ivf_p = _purity_maps(emb_cl)
+    assert set(ivf_p) == set(exact_p)
+    mean_d = sum(
+        abs(exact_p[q] - ivf_p[q]) for q in exact_p
+    ) / len(exact_p)
+    assert mean_d <= 100, f"clustered purity drifted {mean_d:.0f}bp"
+
+    # 2) fixture (near-random vectors): same floor as the PQ referee,
+    # identical probe coverage, corpus-level purity within 500bp
+    emb_fx = read_table(spark, sf_dir, "embeddings")
+    r_fx = _recall(emb_fx)
+    assert r_fx >= 0.5, f"fixture IVF purity recall {r_fx:.3f} < 0.5"
+    exact_p, ivf_p = _purity_maps(emb_fx)
+    assert set(ivf_p) == set(exact_p)
+    mean_exact = sum(exact_p.values()) / len(exact_p)
+    mean_ivf = sum(ivf_p.values()) / len(ivf_p)
+    assert abs(mean_exact - mean_ivf) <= 500, (mean_exact, mean_ivf)
