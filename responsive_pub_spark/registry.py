@@ -2687,6 +2687,44 @@ def q_bm25_stream_hybrid(spark, sf_dir):
     )
 
 
+def q_envelope_audit_stream(spark, sf_dir):
+    """Incrementally-maintained envelope inventory
+    (streaming/envelope_stream.py): the events fixture streams in as
+    TWO waves; the batch audit's variant expressions run per-row at
+    ingest and the counts accumulate in one update-mode streaming agg
+    upserted into a KV table. Counts are order-independent sums, so the
+    oracle is the batch json_envelope_audit oracle VERBATIM."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.streaming.envelope_stream import (
+        EnvelopeAuditStreaming,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    rows = ev.collect()
+    half = len(rows) // 2
+    wd = tempfile.mkdtemp(prefix="envaudit_gate_")
+    try:
+        lane = EnvelopeAuditStreaming(spark, wd)
+        for wave in (rows[:half], rows[half:]):
+            lane.ingest(
+                spark.createDataFrame(
+                    [(r.event_type, r.props) for r in wave],
+                    "event_type STRING, props STRING",
+                )
+            )
+            lane.advance()
+        out = lane.audit().collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "event_type STRING, key STRING, n_present BIGINT, n_null BIGINT, "
+        "n_num BIGINT, n_str BIGINT, n_bool BIGINT, n_nested BIGINT",
+    )
+
+
 def q_bm25_stream_stats(spark, sf_dir):
     """Incrementally-maintained BM25 statistics (streaming/bm25_stream.py,
     r10 VERDICT task 8): the corpus streams in as TWO waves; per-term df
@@ -2770,11 +2808,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # zorder_layout, bloom_semi_join — green r4 — rotate past 50; ANN,
     # sketch and split/layout families keep in-window coverage via
     # sketch_hll/sketch_hll_windowed/heavy_hitters and the dedup rows)
-    "table_history_scd2": QuerySpec(
-        q_scd2_history,
-        asof.scd2_history_events_oracle(),
-        doc="SCD2 changelog history: versioned [valid_from, valid_to) rows",
-    ),
     # --- new in r4-final (first gating required; fk_join_changelog and
     # --- papi_running_count rotate past 50 — fk_join_streaming and
     # --- papi_tws_running_count gate the IDENTICAL oracles in-window)
@@ -2942,6 +2975,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "errors; NEW r11 (dedup_keep_best, green r5-r10, rotates past "
         "50 — the dedup family keeps containment/span/stream rows "
         "in-window)",
+    ),
+    "envelope_audit_stream": QuerySpec(
+        q_envelope_audit_stream,
+        timeseries.json_envelope_audit_oracle(),
+        doc="STREAMING twin of json_envelope_audit: per-row variant "
+        "expressions at ingest + ONE update-mode (event_type, key)-"
+        "keyed streaming agg upserted into the KV table sink — the "
+        "inventory stays current without re-scanning history; state is "
+        "schema-sized; oracle = the batch audit oracle verbatim "
+        "(order-independent sums); NEW gate r12",
     ),
     "json_envelope_audit": QuerySpec(
         lambda spark, sf_dir: timeseries.json_envelope_audit(
@@ -3323,6 +3366,14 @@ REGISTRY: dict[str, QuerySpec] = {
         "mergeable histogram-quantile sketch broadcast onto one corpus "
         "scan — sketch-composed DQ monitoring; first-gated r6, green "
         "r6-r7, parked for the r8 shard_balanced gate row",
+    ),
+    # (table_history_scd2 — green r5-r11 — parked in the r12 second
+    # rotation for the envelope_audit_stream gate row; the asof/history
+    # family keeps versioned_kv_asof in-window)
+    "table_history_scd2": QuerySpec(
+        q_scd2_history,
+        asof.scd2_history_events_oracle(),
+        doc="SCD2 changelog history: versioned [valid_from, valid_to) rows",
     ),
     "join_stream_stream_outer": QuerySpec(
         q_join_stream_stream_outer, ORACLE_JOIN_STREAM_STREAM_OUTER

@@ -1216,3 +1216,53 @@ def test_bm25_streaming_stats_equal_batch_and_survive_restart(
     # maintained state, with no new input
     lane2 = Bm25Streaming(spark, workdir)
     assert {tuple(r) for r in lane2.topk().collect()} == batch
+
+
+def test_envelope_audit_streaming_equals_batch_and_survives_restart(
+    spark, sf_dir, workdir
+):
+    """Incrementally-maintained envelope inventory (the streaming twin
+    of timeseries.json_envelope_audit): after any sequence of ingest
+    waves — including one with adversarial payloads (mixed types,
+    malformed, NULL, nested) — audit() must row-equal the batch audit
+    over the union, and a cold restart must serve identical results
+    from the maintained state."""
+    from responsive_pub_spark.operators.timeseries import json_envelope_audit
+    from responsive_pub_spark.sources.readers import read_table
+    from responsive_pub_spark.streaming.envelope_stream import (
+        EnvelopeAuditStreaming,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "props")
+    rows = ev.collect()
+    half = len(rows) // 2
+    extra = [
+        ("drifted", '{"k": "now-a-string", "fresh": [1, 2]}'),
+        ("drifted", '{"k": 5, "fresh": null}'),
+        ("drifted", "not json"),
+        ("drifted", None),
+    ]
+    waves = [
+        [(r.event_type, r.props) for r in rows[:half]],
+        [(r.event_type, r.props) for r in rows[half:]] + extra,
+    ]
+
+    lane = EnvelopeAuditStreaming(spark, workdir)
+    union = None
+    for wave in waves:
+        wdf = spark.createDataFrame(wave, "event_type STRING, props STRING")
+        union = wdf if union is None else union.unionByName(wdf)
+        lane.ingest(wdf)
+        lane.advance()
+
+    batch = {tuple(r) for r in json_envelope_audit(union).collect()}
+    streamed = {tuple(r) for r in lane.audit().collect()}
+    assert streamed == batch and len(batch) > 0
+    # the drifted key's type histogram split across waves correctly
+    by = {(r[0], r[1]): r for r in streamed}
+    assert by[("drifted", "k")][4] == 1 and by[("drifted", "k")][5] == 1
+    assert by[("drifted", "fresh")][2:] == (2, 1, 0, 0, 0, 1)
+
+    # cold restart serves the same inventory with no new input
+    lane2 = EnvelopeAuditStreaming(spark, workdir)
+    assert {tuple(r) for r in lane2.audit().collect()} == batch
