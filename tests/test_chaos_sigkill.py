@@ -900,3 +900,160 @@ def test_sigkill_mid_bm25_stats_publish_serves_pair(spark, tmp_path):
         stats, topk = _dump_bm25(workdir)
         assert stats == both_stats, (label, stats)
         assert topk, label
+
+
+# -- SIGKILL mid-commit: the pack-ids lane (frozen tokenizer + id log) --------
+PACKIDS_CHILD = os.path.join(REPO, "tests", "chaos_packids_child.py")
+
+
+def _run_packids_child(workdir, mode, kill=None, timeout=420):
+    env = dict(os.environ)
+    if kill:
+        env["SPARK_GRAFT_CHAOS_ENABLE"] = "1"
+        env["SPARK_GRAFT_PACKIDS_KILL"] = kill
+    else:
+        env.pop("SPARK_GRAFT_CHAOS_ENABLE", None)
+        env.pop("SPARK_GRAFT_PACKIDS_KILL", None)
+    proc = subprocess.Popen(
+        [sys.executable, PACKIDS_CHILD, workdir, mode],
+        cwd=REPO,
+        env=env,
+        start_new_session=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    out, _ = proc.communicate(timeout=timeout)
+    return proc.returncode, out
+
+
+def _packids_referee(spark, waves_present):
+    """Wave-major packed-id referee over the child's corpus: tokenize
+    with the SAME fit (both waves — the frozen artifact), pack only the
+    waves present in ``waves_present`` order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import chaos_packids_child as child
+    from responsive_pub_spark.operators import bpe as bpe_mod
+
+    fit = child._wave(spark, 0).unionByName(child._wave(spark, 1))
+    merges = bpe_mod.bpe_merges(fit, child.K)
+    seg = bpe_mod.segment_tokens_with_merges(
+        fit.select(F.explode(F.expr(
+            "filter(split(text, '\\\\s+'), x -> x != '')"
+        )).alias("word")),
+        merges,
+    )
+    vocab = (
+        seg.select(F.explode("toks").alias("token"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            (F.row_number().over(Window.orderBy("token")) - 1)
+            .cast("bigint"),
+        )
+    )
+    union = None
+    for i, w in enumerate(waves_present):
+        part = child._wave(spark, w).withColumn("wave", F.lit(i))
+        union = part if union is None else union.unionByName(part)
+    sub = (
+        union.select(
+            "doc_id", "lang", "wave",
+            F.posexplode(F.expr(
+                "filter(split(text, '\\\\s+'), x -> x != '')"
+            )).alias("word_idx", "word"),
+        )
+        .join(F.broadcast(seg), "word")
+        .select(
+            "doc_id", "lang", "wave", "word_idx",
+            F.posexplode("toks").alias("sub_idx", "token"),
+        )
+        .join(F.broadcast(vocab), "token")
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy("word_idx", "sub_idx")
+    ranked = sub.select(
+        "doc_id", "lang", "wave", "token_id",
+        (F.row_number().over(rank_w) - 1).cast("bigint").alias("tok_rank"),
+        F.count("*").over(Window.partitionBy("doc_id"))
+        .cast("bigint").alias("n_tokens"),
+    )
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy("wave", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        ranked.select("doc_id", "lang", "wave", "n_tokens").distinct()
+        .withColumn(
+            "doc_start", F.sum("n_tokens").over(cum_w) - F.col("n_tokens")
+        )
+        .select("doc_id", "doc_start")
+    )
+    rows = (
+        ranked.join(packed, "doc_id")
+        .select(
+            "lang",
+            F.expr(f"(doc_start + tok_rank) DIV {child.BUDGET}")
+            .alias("seq_id"),
+            ((F.col("doc_start") + F.col("tok_rank")) % child.BUDGET)
+            .cast("bigint").alias("pos"),
+            "token_id",
+        )
+        .collect()
+    )
+    return {
+        (r.lang, int(r.seq_id), int(r.pos), int(r.token_id)) for r in rows
+    }
+
+
+def _dump_packids(workdir):
+    rc, out = _run_packids_child(workdir, "dump")
+    assert rc == 0, out
+    rows, totals = set(), {}
+    for line in out.splitlines():
+        if line.startswith("ROW "):
+            p = line.split()
+            rows.add((p[1], int(p[2]), int(p[3]), int(p[4])))
+        elif line.startswith("TOTAL "):
+            p = line.split()
+            totals[p[1]] = int(p[2])
+    return rows, totals
+
+
+def test_sigkill_mid_packids_commit_exactly_once(spark, tmp_path):
+    """SIGKILL inside every window of the token-id lane's commit
+    protocol (pre-delta / post-delta / MID-MARKER). A torn marker here
+    would silently zero every language's carried total and shift every
+    later (seq_id, pos) slot; the atomic staged-rename must leave the
+    crashed batch invisible, and the checkpointed replay must converge
+    to the wave-major frozen-tokenizer referee exactly."""
+    referee_w1 = _packids_referee(spark, [0])
+    referee_all = _packids_referee(spark, [0, 1])
+    tot_w1, tot_all = {}, {}
+    for lang, *_ in referee_w1:
+        tot_w1[lang] = tot_w1.get(lang, 0) + 1
+    for lang, *_ in referee_all:
+        tot_all[lang] = tot_all.get(lang, 0) + 1
+
+    for label in ("pre-delta", "post-delta", "mid-marker"):
+        workdir = str(tmp_path / f"packids-chaos-{label}")
+        os.makedirs(workdir)
+        rc, out = _run_packids_child(workdir, "setup")
+        assert rc == 0 and "SETUP-DONE" in out, out
+        rows, totals = _dump_packids(workdir)
+        assert rows == referee_w1 and totals == tot_w1
+
+        rc, _ = _run_packids_child(workdir, "wave2", kill=label)
+        assert rc == -signal.SIGKILL, (label, rc)
+
+        rows, totals = _dump_packids(workdir)
+        assert rows == referee_w1, (label, len(rows))
+        assert totals == tot_w1, (label, totals)
+
+        rc, out = _run_packids_child(workdir, "resume")
+        assert rc == 0 and "RESUME-DONE" in out, out
+        rows, totals = _dump_packids(workdir)
+        assert rows == referee_all, (label, len(rows), len(referee_all))
+        assert totals == tot_all, (label, totals)
