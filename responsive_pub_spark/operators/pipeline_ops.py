@@ -962,6 +962,7 @@ def mixture_resample_tokens(
     docs: DataFrame,
     weights_bp: "dict[str, int] | None" = None,
     counts: "DataFrame | None" = None,
+    masses: "DataFrame | None" = None,
 ) -> DataFrame:
     """``mixture_resample`` with the blend measured in TOKEN MASS instead
     of document count — what a pretraining recipe actually specifies
@@ -986,6 +987,15 @@ def mixture_resample_tokens(
     at). Languages with zero token mass are dropped (a rate over an
     empty mass is undefined). Plan: one keyed agg to the per-lang mass
     table -> 1-row min -> broadcast rate join; the corpus never shuffles.
+
+    ``masses=`` is the per-lang mass INJECTION point (the hybrid_rerank
+    ``cands=`` pattern applied to the mixture stage): pass a maintained
+    (lang, n_d) table — e.g. ``streaming.mixture_stream``'s
+    incrementally-kept masses — and the corpus-wide mass aggregation is
+    skipped entirely; rates derive from the supplied table (rows with
+    non-positive mass or zero weight drop, as in the recompute path).
+    Per-doc token counts still come from ``counts=``/the regex
+    surrogate — only the AGGREGATE is injected.
 
     Output: (doc_id, lang, n_tokens, accept_bp)."""
     wbp = weights_bp or MIXTURE_WEIGHTS_BP
@@ -1014,7 +1024,12 @@ def mixture_resample_tokens(
             F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
         )
     toks = scoped_persist(toks)
-    masses = toks.groupBy("lang").agg(F.sum("n_tokens").alias("n_d"))
+    if masses is None:
+        masses = toks.groupBy("lang").agg(F.sum("n_tokens").alias("n_d"))
+    else:
+        masses = masses.select(
+            "lang", F.col("n_d").cast("bigint").alias("n_d")
+        )
     masses = (
         masses.withColumn("w_bp", F.expr(w_case))
         .filter((F.col("w_bp") > 0) & (F.col("n_d") > 0))

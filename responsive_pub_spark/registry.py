@@ -2725,6 +2725,42 @@ def q_envelope_audit_stream(spark, sf_dir):
     )
 
 
+def q_mixture_stream(spark, sf_dir):
+    """Incrementally-maintained mixture statistics
+    (streaming/mixture_stream.py): the corpus streams in as TWO waves;
+    per-lang token masses accumulate in one update-mode streaming agg
+    (KV-table upsert), then resample() applies the mixture decision to
+    the full corpus through mixture_resample_tokens' masses= injection.
+    Masses are order-independent sums, so the oracle is the batch
+    mixture_resample_tokens oracle VERBATIM."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.streaming.mixture_stream import MixtureStreaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    rows = docs.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    wd = tempfile.mkdtemp(prefix="mixture_gate_")
+    try:
+        lane = MixtureStreaming(spark, wd)
+        for wave in (rows[:half], rows[half:]):
+            lane.ingest(
+                spark.createDataFrame(
+                    [(int(r.doc_id), r.lang, r.text) for r in wave],
+                    "doc_id BIGINT, lang STRING, text STRING",
+                )
+            )
+            lane.advance()
+        out = lane.resample(docs).collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "doc_id BIGINT, lang STRING, n_tokens BIGINT, accept_bp BIGINT",
+    )
+
+
 def q_bm25_stream_stats(spark, sf_dir):
     """Incrementally-maintained BM25 statistics (streaming/bm25_stream.py,
     r10 VERDICT task 8): the corpus streams in as TWO waves; per-term df
@@ -2811,12 +2847,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- new in r4-final (first gating required; fk_join_changelog and
     # --- papi_running_count rotate past 50 — fk_join_streaming and
     # --- papi_tws_running_count gate the IDENTICAL oracles in-window)
-    "versioned_kv_asof": QuerySpec(
-        q_versioned_kv_asof,
-        ORACLE_VERSIONED_KV_ASOF,
-        doc="KS 3.5 VersionedKeyValueStore: timestamped puts/tombstones, "
-        "get(key, asOfTimestamp) probes at now/-1h/-1d per key",
-    ),
     # (sketch_hll and trending_decay rotate past 50 in r7 — parked in the
     # r7 rotation-OUT block below; papi_session_concat, green r3, rotated
     # past 50 earlier — PAPI-store family keeps 4 in-window rows)
@@ -2941,6 +2971,17 @@ REGISTRY: dict[str, QuerySpec] = {
         "tables via hybrid_rerank's cands= injection, stage-2 cosine "
         "re-rank unchanged — row-identical to the batch recompute by "
         "construction; NEW gate r12 (r11 VERDICT task 2)",
+    ),
+    "mixture_stream": QuerySpec(
+        q_mixture_stream,
+        pipeline_ops.mixture_resample_tokens_oracle(),
+        doc="STREAMING mixture statistics: per-lang token masses kept "
+        "current by one update-mode keyed agg (KV-table upsert, "
+        "lang-cardinality state); resample() serves the decision from "
+        "the maintained table via mixture_resample_tokens' masses= "
+        "injection — no corpus-wide re-aggregation at decision time; "
+        "oracle = the batch oracle verbatim (order-independent sums); "
+        "NEW gate r12",
     ),
     "bm25_stream_stats": QuerySpec(
         q_bm25_stream_stats,
@@ -3366,6 +3407,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "mergeable histogram-quantile sketch broadcast onto one corpus "
         "scan — sketch-composed DQ monitoring; first-gated r6, green "
         "r6-r7, parked for the r8 shard_balanced gate row",
+    ),
+    # (versioned_kv_asof — green r4-r11 — parked in the r12 third
+    # rotation for the mixture_stream gate row; the versioned-store
+    # family keeps join_versioned_stream in-window)
+    "versioned_kv_asof": QuerySpec(
+        q_versioned_kv_asof,
+        ORACLE_VERSIONED_KV_ASOF,
+        doc="KS 3.5 VersionedKeyValueStore: timestamped puts/tombstones, "
+        "get(key, asOfTimestamp) probes at now/-1h/-1d per key",
     ),
     # (table_history_scd2 — green r5-r11 — parked in the r12 second
     # rotation for the envelope_audit_stream gate row; the asof/history

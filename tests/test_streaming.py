@@ -1266,3 +1266,62 @@ def test_envelope_audit_streaming_equals_batch_and_survives_restart(
     # cold restart serves the same inventory with no new input
     lane2 = EnvelopeAuditStreaming(spark, workdir)
     assert {tuple(r) for r in lane2.audit().collect()} == batch
+
+
+def test_mixture_streaming_masses_equal_batch_and_survive_restart(
+    spark, sf_dir, workdir
+):
+    """Incrementally-maintained mixture statistics (the Bm25Streaming
+    posture applied to the data-mixing stage): after any sequence of
+    ingest waves the maintained per-lang token masses must equal the
+    batch aggregation over the union, resample() through the masses=
+    injection must row-equal the batch mixture_resample_tokens, and a
+    cold restart must serve identical decisions from the checkpoint."""
+    from responsive_pub_spark.functions import text as T
+    from responsive_pub_spark.operators import pipeline_ops
+    from responsive_pub_spark.sources.readers import read_table
+    from responsive_pub_spark.streaming.mixture_stream import MixtureStreaming
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    rows = docs.orderBy("doc_id").collect()
+    third = len(rows) // 3
+    waves = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+
+    lane = MixtureStreaming(spark, workdir)
+    for wave in waves:
+        lane.ingest(
+            spark.createDataFrame(
+                [(int(r.doc_id), r.lang, r.text) for r in wave],
+                "doc_id BIGINT, lang STRING, text STRING",
+            )
+        )
+        lane.advance()
+
+    bpe = (
+        f"size(regexp_extract_all(text, "
+        f"'{T.spark_re(T.BPE_TOKEN_REGEX)}', 0))"
+    )
+    batch_masses = {
+        (r.lang, r.n_d)
+        for r in docs.select(
+            "lang", F.expr(bpe).cast("bigint").alias("n_tokens")
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("bigint").alias("n_d"))
+        .collect()
+    }
+    assert {
+        (r.lang, r.n_d) for r in lane.masses().collect()
+    } == batch_masses
+
+    batch = {
+        tuple(r) for r in pipeline_ops.mixture_resample_tokens(docs).collect()
+    }
+    streamed = {tuple(r) for r in lane.resample(docs).collect()}
+    assert streamed == batch and len(batch) > 0
+
+    # cold restart serves identical decisions with no new input
+    lane2 = MixtureStreaming(spark, workdir)
+    assert {tuple(r) for r in lane2.resample(docs).collect()} == batch
