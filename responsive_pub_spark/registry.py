@@ -2761,6 +2761,52 @@ def q_mixture_stream(spark, sf_dir):
     )
 
 
+def q_decontam_stream(spark, sf_dir):
+    """Incrementally-maintained decontamination fingerprints
+    (streaming/decontam_stream.py): the fixture's eval_mod split streams
+    in as two topics (two corpus waves, two benchmark waves — the second
+    benchmark wave exercising the retroactive path); report() then runs
+    the batch aggregation over the maintained shingle postings. The
+    postings are order-independent, so the oracle is the batch
+    decontaminate oracle VERBATIM."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.operators.pipeline_ops import EVAL_MOD
+    from responsive_pub_spark.streaming.decontam_stream import (
+        DecontamStreaming,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(f"doc_id % {EVAL_MOD} != 0").orderBy("doc_id").collect()
+    evals = docs.filter(f"doc_id % {EVAL_MOD} = 0").orderBy("doc_id").collect()
+    wd = tempfile.mkdtemp(prefix="decontam_gate_")
+    try:
+        lane = DecontamStreaming(spark, wd)
+
+        def _df(rows):
+            return spark.createDataFrame(
+                [(int(r.doc_id), r.text) for r in rows],
+                "doc_id BIGINT, text STRING",
+            )
+
+        hc, he = len(corpus) // 2, len(evals) // 2
+        lane.ingest_corpus(_df(corpus[:hc]))
+        lane.ingest_evals(_df(evals[:he]))
+        lane.advance()
+        lane.ingest_corpus(_df(corpus[hc:]))
+        lane.ingest_evals(_df(evals[he:]))
+        lane.advance()
+        out = lane.report().collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "doc_id BIGINT, n_shingles BIGINT, n_shared BIGINT, "
+        "n_eval_docs BIGINT, contam_frac DOUBLE",
+    )
+
+
 def q_bm25_stream_stats(spark, sf_dir):
     """Incrementally-maintained BM25 statistics (streaming/bm25_stream.py,
     r10 VERDICT task 8): the corpus streams in as TWO waves; per-term df
@@ -2972,6 +3018,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "re-rank unchanged — row-identical to the batch recompute by "
         "construction; NEW gate r12 (r11 VERDICT task 2)",
     ),
+    "decontam_stream": QuerySpec(
+        q_decontam_stream,
+        pipeline_ops.decontaminate_oracle(),
+        doc="STREAMING decontamination fingerprints: corpus and "
+        "benchmark docs shingled ONCE at ingest into maintained "
+        "postings (zero aggregation state — the tables are the state); "
+        "report() is the batch aggregation over them, automatically "
+        "RETROACTIVE when a new benchmark wave lands; oracle = the "
+        "batch decontaminate oracle verbatim; NEW gate r12",
+    ),
     "mixture_stream": QuerySpec(
         q_mixture_stream,
         pipeline_ops.mixture_resample_tokens_oracle(),
@@ -3129,12 +3185,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- streaming FK-join lane, Repartitioned co-location, and
     # --- approximateNumEntries — the last §2 rows with no driver evidence
     "fk_join_streaming": QuerySpec(q_fk_join_streaming, ORACLE_FK_JOIN_CHANGELOG),
-    "repartition_colocate": QuerySpec(
-        q_repartition_colocate, ORACLE_REPARTITION_COLOCATE
-    ),
-    "approx_num_entries": QuerySpec(q_approx_num_entries, ORACLE_APPROX_NUM_ENTRIES),
     "papi_tws_running_count": QuerySpec(
         q_papi_tws_running_count, ORACLE_PAPI_RUNNING_COUNT
+    ),
+    "repartition_colocate": QuerySpec(
+        q_repartition_colocate, ORACLE_REPARTITION_COLOCATE
     ),
     # --- new in r4: sliding-window chunking, target-mixture resampling,
     # --- SemDeDup semantic dedup (join_table_table, dedup_embedding,
@@ -3467,6 +3522,10 @@ REGISTRY: dict[str, QuerySpec] = {
         "Jaccard misses; recall EXACT at containment 1.0; NEW inventory, "
         "first-gates in r6",
     ),
+    # (approx_num_entries — green r4-r11 — parked in the r12 fourth
+    # rotation for the decontam_stream gate row; the PAPI-store family
+    # keeps papi_tws_running_count and papi_window_key_range in-window)
+    "approx_num_entries": QuerySpec(q_approx_num_entries, ORACLE_APPROX_NUM_ENTRIES),
     # --- r11 rotation-OUT: green r6-r10, parked past 50 for the
     # --- mixture_temperature and shard_stream gate rows (sketch family
     # --- keeps sketch_hll_windowed in-window; peek identity stays pinned

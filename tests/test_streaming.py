@@ -1325,3 +1325,62 @@ def test_mixture_streaming_masses_equal_batch_and_survive_restart(
     # cold restart serves identical decisions with no new input
     lane2 = MixtureStreaming(spark, workdir)
     assert {tuple(r) for r in lane2.resample(docs).collect()} == batch
+
+
+def test_decontam_streaming_report_equals_batch_and_is_retroactive(
+    spark, sf_dir, workdir
+):
+    """Incrementally-maintained decontamination fingerprints: with the
+    fixture's eval_mod split ingested as the two topics across waves,
+    report() must row-equal the batch decontaminate over the union; a
+    LATE benchmark wave must retro-actively surface contamination in
+    already-ingested corpus docs without re-shingling anything; and a
+    cold restart serves the identical report."""
+    from responsive_pub_spark.operators import pipeline_ops
+    from responsive_pub_spark.operators.pipeline_ops import EVAL_MOD
+    from responsive_pub_spark.sources.readers import read_table
+    from responsive_pub_spark.streaming.decontam_stream import (
+        DecontamStreaming,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_rows = docs.filter(f"doc_id % {EVAL_MOD} != 0").orderBy(
+        "doc_id"
+    ).collect()
+    eval_rows = docs.filter(f"doc_id % {EVAL_MOD} = 0").orderBy(
+        "doc_id"
+    ).collect()
+    half_c = len(corpus_rows) // 2
+    half_e = len(eval_rows) // 2
+
+    lane = DecontamStreaming(spark, workdir)
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(int(r.doc_id), r.text) for r in rows],
+            "doc_id BIGINT, text STRING",
+        )
+
+    # wave 1: half the corpus, half the benchmarks
+    lane.ingest_corpus(_df(corpus_rows[:half_c]))
+    lane.ingest_evals(_df(eval_rows[:half_e]))
+    lane.advance()
+    partial = {int(r.doc_id) for r in lane.report().collect()}
+
+    # wave 2a: rest of the corpus
+    lane.ingest_corpus(_df(corpus_rows[half_c:]))
+    lane.advance()
+
+    # wave 2b: a LATE benchmark wave — retroactive over everything
+    lane.ingest_evals(_df(eval_rows[half_e:]))
+    lane.advance()
+
+    batch = {tuple(r) for r in pipeline_ops.decontaminate(docs).collect()}
+    streamed = {tuple(r) for r in lane.report().collect()}
+    assert streamed == batch and len(batch) > 0
+    # the late benchmarks grew the flagged set retroactively
+    assert partial <= {r[0] for r in streamed}
+
+    # cold restart serves the identical report
+    lane2 = DecontamStreaming(spark, workdir)
+    assert {tuple(r) for r in lane2.report().collect()} == batch
