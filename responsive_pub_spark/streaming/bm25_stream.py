@@ -200,6 +200,15 @@ class Bm25Streaming:
         )
         q.awaitTermination()
 
+    # -- maintenance -------------------------------------------------------
+    def compact(self) -> None:
+        """Fold the term-df KV table's delta log into one base delta
+        (changelog truncation — kv_sink.KeyValueTableSink.compact); the
+        postings topic is bounded by Spark's own file-sink metadata
+        compaction, and the stats snapshot is one versioned dir by
+        construction."""
+        self.df_sink.compact(self.spark)
+
     # -- maintained state readers ----------------------------------------
     def postings(self) -> DataFrame:
         return self.spark.read.schema(POSTINGS_SCHEMA).parquet(

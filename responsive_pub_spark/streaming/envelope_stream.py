@@ -125,6 +125,11 @@ class EnvelopeAuditStreaming:
         )
         q.awaitTermination()
 
+    def compact(self) -> None:
+        """Fold the audit KV table's delta log into one base delta
+        (changelog truncation — kv_sink.KeyValueTableSink.compact)."""
+        self.sink.compact(self.spark)
+
     def audit(self) -> DataFrame:
         """The maintained inventory — the batch op's exact schema:
         (event_type, key, n_present, n_null, n_num, n_str, n_bool,

@@ -90,6 +90,11 @@ class MixtureStreaming:
         )
         q.awaitTermination()
 
+    def compact(self) -> None:
+        """Fold the masses KV table's delta log into one base delta
+        (changelog truncation — kv_sink.KeyValueTableSink.compact)."""
+        self.sink.compact(self.spark)
+
     # -- maintained state readers ----------------------------------------
     def masses(self) -> DataFrame:
         """Current (lang, n_d) per-language token masses."""

@@ -1384,3 +1384,73 @@ def test_decontam_streaming_report_equals_batch_and_is_retroactive(
     # cold restart serves the identical report
     lane2 = DecontamStreaming(spark, workdir)
     assert {tuple(r) for r in lane2.report().collect()} == batch
+
+
+def test_maintained_lanes_compact_preserve_served_state(
+    spark, sf_dir, tmp_path
+):
+    """Every maintained-statistics lane owns a bounded-metadata story:
+    compacting the KV delta log must leave the served state
+    row-identical and shrink the delta count to one."""
+    from responsive_pub_spark.sources.readers import read_table
+    from responsive_pub_spark.streaming.bm25_stream import Bm25Streaming
+    from responsive_pub_spark.streaming.envelope_stream import (
+        EnvelopeAuditStreaming,
+    )
+    from responsive_pub_spark.streaming.mixture_stream import MixtureStreaming
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    rows = docs.orderBy("doc_id").limit(60).collect()
+    half = len(rows) // 2
+
+    # mixture lane
+    mx = MixtureStreaming(spark, str(tmp_path / "mx"))
+    for wave in (rows[:half], rows[half:]):
+        mx.ingest(
+            spark.createDataFrame(
+                [(int(r.doc_id), r.lang, r.text) for r in wave],
+                "doc_id BIGINT, lang STRING, text STRING",
+            )
+        )
+        mx.advance()
+    before = {tuple(r) for r in mx.masses().collect()}
+    assert len(mx.sink._deltas()) == 2
+    mx.compact()
+    assert len(mx.sink._deltas()) == 1
+    assert {tuple(r) for r in mx.masses().collect()} == before
+
+    # envelope lane
+    ev = read_table(spark, sf_dir, "events").select("event_type", "props")
+    erows = ev.limit(60).collect()
+    en = EnvelopeAuditStreaming(spark, str(tmp_path / "en"))
+    for wave in (erows[:30], erows[30:]):
+        en.ingest(
+            spark.createDataFrame(
+                [(r.event_type, r.props) for r in wave],
+                "event_type STRING, props STRING",
+            )
+        )
+        en.advance()
+    before = {tuple(r) for r in en.audit().collect()}
+    en.compact()
+    assert len(en.sink._deltas()) == 1
+    assert {tuple(r) for r in en.audit().collect()} == before
+
+    # bm25 lane (df table)
+    bm = Bm25Streaming(spark, str(tmp_path / "bm"))
+    for wave in (rows[:half], rows[half:]):
+        bm.ingest(
+            spark.createDataFrame(
+                [(int(r.doc_id), r.text) for r in wave],
+                "doc_id BIGINT, text STRING",
+            )
+        )
+        bm.advance()
+    topk_before = {tuple(r) for r in bm.topk().collect()}
+    df_before = {tuple(r) for r in bm.term_df().collect()}
+    bm.compact()
+    assert len(bm.df_sink._deltas()) == 1
+    assert {tuple(r) for r in bm.term_df().collect()} == df_before
+    assert {tuple(r) for r in bm.topk().collect()} == topk_before
