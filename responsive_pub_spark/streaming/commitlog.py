@@ -203,7 +203,16 @@ class DeltaCommitLog:
         Crash-safe at every instant: before the flip readers serve the
         old base + full tail (the staged dir is unreferenced); after it
         the new base + empty tail. Verified by the SIGKILL-at-every-
-        stage chaos e2e (tests/test_chaos_sigkill.py)."""
+        stage chaos e2e (tests/test_chaos_sigkill.py).
+
+        Single-maintainer call (the IvfIncremental.compact contract):
+        run it from the one maintenance driver, not concurrently with
+        itself from two processes — two racers would interleave writes
+        into the same staged version dir. Racing the lane's OWN
+        ``_apply`` is safe by construction: only marker-committed
+        batches fold, an uncommitted batch's base lookup falls through
+        to the published base, and a reader that loses a marker to GC
+        mid-plan fails loudly and replays."""
         tail = self.tail_ids()
         if not tail:
             return 0
