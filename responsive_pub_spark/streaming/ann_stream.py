@@ -46,6 +46,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.operators import similarity
+from responsive_pub_spark.streaming.commitlog import (
+    fsync_dir,
+    maintenance_lock,
+)
 
 VECS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>"
 CENT_SCHEMA = "cid BIGINT, centv ARRAY<DOUBLE>"
@@ -102,23 +106,30 @@ class IvfIncremental:
         self.index_root = os.path.join(workdir, "index")
         self.pointer = os.path.join(workdir, "CURRENT")
         self.ck = os.path.join(workdir, "ck-assign")
+        self.maint_lock = os.path.join(workdir, "maint.lock")
         os.makedirs(self.vecs_dir, exist_ok=True)
         os.makedirs(self.index_root, exist_ok=True)
-        self._gc_unpublished()
+        # NO construction-time GC (r12 verdict: reader-GC hazard) —
+        # constructing a handle is a READER action; a reader collecting
+        # while a retrain/compact has the next version staged would
+        # delete it right before the maintainer's pointer flip. Orphans
+        # are collected by the next LOCKED maintenance call.
         if self._current() is None:
             if centroids is None:
                 raise ValueError(
                     "IvfIncremental: first build needs centroids= "
                     "(e.g. similarity.train_centroids(corpus_sample))"
                 )
-            v0 = os.path.join(self.index_root, "v000000")
-            os.makedirs(os.path.join(v0, "lists"), exist_ok=True)
-            centroids.select(
-                "cid", F.col("centv").cast("array<double>").alias("centv")
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(v0, "centroids")
-            )
-            self._publish("v000000")
+            with maintenance_lock(self.maint_lock, "IVF initial build"):
+                v0 = os.path.join(self.index_root, "v000000")
+                os.makedirs(os.path.join(v0, "lists"), exist_ok=True)
+                centroids.select(
+                    "cid",
+                    F.col("centv").cast("array<double>").alias("centv"),
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(v0, "centroids")
+                )
+                self._publish("v000000")
 
     # -- versioned-pointer protocol ------------------------------------
     def _current(self) -> "str | None":
@@ -139,12 +150,16 @@ class IvfIncremental:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.pointer)
+        fsync_dir(os.path.dirname(self.pointer) or ".")
 
     def _gc_unpublished(self) -> None:
         """Remove version dirs the pointer does not reference — staged
         next-versions from a crash before the flip, and superseded old
         versions from a crash after it. Safe by construction: the
-        pointed-to version is never touched."""
+        pointed-to version is never touched. INTERNAL — callers hold the
+        maintenance flock (readers must never GC: a reader collecting
+        mid-retrain deletes the staged next version right before the
+        maintainer's flip)."""
         cur = self._current()
         for name in os.listdir(self.index_root):
             if name != cur:
@@ -154,6 +169,15 @@ class IvfIncremental:
         tmp = self.pointer + ".tmp"
         if os.path.exists(tmp):
             os.remove(tmp)
+
+    def gc(self) -> None:
+        """LOCKED orphan collection — a maintainer action: collect
+        staged-then-crashed and superseded version dirs under the same
+        ``maint.lock`` flock as :meth:`compact`/:meth:`maybe_retrain`
+        (fails loudly if another maintainer holds it; readers never
+        GC)."""
+        with maintenance_lock(self.maint_lock, "IVF maintenance"):
+            self._gc_unpublished()
 
     @property
     def cent_dir(self) -> str:
@@ -284,22 +308,29 @@ class IvfIncremental:
         serving pair stays self-consistent at every instant). Run it on
         the maintenance cadence of any LSM-ish store's compaction (the
         reference's analog: changelog compaction). Returns the compacted
-        row count."""
-        cur = self._current()
-        nxt = f"v{int(cur[1:]) + 1:06d}"
-        stage = os.path.join(self.index_root, nxt)
-        if os.path.isdir(stage):
-            shutil.rmtree(stage)
-        compacted = self.lists(dedup=True)
-        compacted.write.mode("overwrite").partitionBy("cid").parquet(
-            os.path.join(stage, "lists")
-        )
-        self.centroids().coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage, "centroids")
-        )
-        self._publish(nxt)
-        shutil.rmtree(os.path.join(self.index_root, cur), ignore_errors=True)
-        return self.lists().count()
+        row count.
+
+        Single-maintainer BY MECHANISM: holds the exclusive
+        ``maint.lock`` flock for the whole stage-flip-GC cycle — a
+        second concurrent maintainer fails loudly; a concurrent
+        ``advance`` is fenced by the epoch check (fails pre-commit and
+        replays into the new version)."""
+        with maintenance_lock(self.maint_lock, "IVF maintenance"):
+            cur = self._current()
+            nxt = f"v{int(cur[1:]) + 1:06d}"
+            stage = os.path.join(self.index_root, nxt)
+            if os.path.isdir(stage):
+                shutil.rmtree(stage)
+            compacted = self.lists(dedup=True)
+            compacted.write.mode("overwrite").partitionBy("cid").parquet(
+                os.path.join(stage, "lists")
+            )
+            self.centroids().coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, "centroids")
+            )
+            self._publish(nxt)
+            self._gc_unpublished()
+            return self.lists().count()
 
     def drift(self, retrain_pm: int = 1200, dedup: bool = True) -> DataFrame:
         """Per-centroid residual-growth report over the stored lists —
@@ -346,27 +377,28 @@ class IvfIncremental:
         )
         if flagged < min_flagged:
             return False
-        cur = self._current()
-        nxt = f"v{int(cur[1:]) + 1:06d}"
-        stage = os.path.join(self.index_root, nxt)
-        if os.path.isdir(stage):  # leftover from a crashed attempt
-            shutil.rmtree(stage)
-        vecs = self.lists(dedup=True).select("vec_id", "embedding")
-        cent = similarity.train_centroids(
-            vecs, n_centroids=n_centroids, iters=iters
-        ).localCheckpoint(eager=True)  # pin: must not lazily re-derive
-        #                                from the version we retire below
-        similarity.ivf_assign(vecs, cent).write.mode("overwrite").partitionBy(
-            "cid"
-        ).parquet(os.path.join(stage, "lists"))
-        _chaos_kill("staged-lists")
-        cent.select(
-            "cid", F.col("centv").cast("array<double>").alias("centv")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage, "centroids")
-        )
-        _chaos_kill("staged-all")
-        self._publish(nxt)
-        _chaos_kill("post-flip")
-        shutil.rmtree(os.path.join(self.index_root, cur), ignore_errors=True)
-        return True
+        with maintenance_lock(self.maint_lock, "IVF maintenance"):
+            cur = self._current()
+            nxt = f"v{int(cur[1:]) + 1:06d}"
+            stage = os.path.join(self.index_root, nxt)
+            if os.path.isdir(stage):  # leftover from a crashed attempt
+                shutil.rmtree(stage)
+            vecs = self.lists(dedup=True).select("vec_id", "embedding")
+            cent = similarity.train_centroids(
+                vecs, n_centroids=n_centroids, iters=iters
+            ).localCheckpoint(eager=True)  # pin: must not lazily re-
+            #                      derive from the version we retire below
+            similarity.ivf_assign(vecs, cent).write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(os.path.join(stage, "lists"))
+            _chaos_kill("staged-lists")
+            cent.select(
+                "cid", F.col("centv").cast("array<double>").alias("centv")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, "centroids")
+            )
+            _chaos_kill("staged-all")
+            self._publish(nxt)
+            _chaos_kill("post-flip")
+            self._gc_unpublished()
+            return True

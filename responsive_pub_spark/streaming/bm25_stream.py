@@ -71,6 +71,7 @@ from responsive_pub_spark.operators.textops import (
     BM25_TOP,
 )
 from responsive_pub_spark.streaming.commitlog import (
+    maintenance_lock,
     publish_pointer,
     read_pointer,
 )
@@ -101,17 +102,23 @@ class Bm25Streaming:
         self.ck_post = os.path.join(workdir, "ck-postings")
         self.ck_df = os.path.join(workdir, "ck-df")
         self.ck_stats = os.path.join(workdir, "ck-stats")
+        self.maint_lock = os.path.join(workdir, "maint.lock")
         os.makedirs(self.docs_dir, exist_ok=True)
         os.makedirs(self.postings_dir, exist_ok=True)
         os.makedirs(self.stats_root, exist_ok=True)
-        self._gc_stats()
+        # NO construction-time GC (r12 verdict: reader-GC hazard) — a
+        # reader constructing while the lane has the next stats version
+        # staged would delete it right before the publish flip; orphans
+        # are collected inside the next LOCKED publish.
         self.df_sink = KeyValueTableSink(
             os.path.join(workdir, "term_df"), ["w"], ["df"]
         )
 
     def _gc_stats(self) -> None:
         """Remove stats versions the pointer does not reference (staged-
-        then-crashed and superseded) — the ann_stream GC posture."""
+        then-crashed and superseded) — the ann_stream GC posture.
+        INTERNAL: callers hold the maintenance flock (readers never
+        GC)."""
         cur = read_pointer(self.stats_pointer)
         for name in os.listdir(self.stats_root):
             if name != cur:
@@ -179,17 +186,22 @@ class Bm25Streaming:
             # crash-atomic versioned publish (never an in-place
             # overwrite of the serving snapshot): stage the new 1-row
             # frame in its own version dir, then flip the fsync'd
-            # pointer — a SIGKILL anywhere serves the previous snapshot
+            # pointer — a SIGKILL anywhere serves the previous snapshot.
+            # The stage-flip-GC cycle holds the maintenance flock: a
+            # second concurrent maintainer fails LOUDLY instead of
+            # interleaving writes into the same staged version (r13
+            # single-maintainer-by-mechanism).
             _chaos_kill("pre-stats")
-            cur = read_pointer(self.stats_pointer)
-            nxt = f"v{(int(cur[1:]) + 1) if cur else 0:06d}"
-            stage = os.path.join(self.stats_root, nxt)
-            shutil.rmtree(stage, ignore_errors=True)
-            bdf.coalesce(1).write.mode("overwrite").parquet(stage)
-            _chaos_kill("staged-stats")
-            publish_pointer(self.stats_pointer, nxt)
-            _chaos_kill("post-flip")
-            self._gc_stats()
+            with maintenance_lock(self.maint_lock, "BM25 stats publish"):
+                cur = read_pointer(self.stats_pointer)
+                nxt = f"v{(int(cur[1:]) + 1) if cur else 0:06d}"
+                stage = os.path.join(self.stats_root, nxt)
+                shutil.rmtree(stage, ignore_errors=True)
+                bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+                _chaos_kill("staged-stats")
+                publish_pointer(self.stats_pointer, nxt)
+                _chaos_kill("post-flip")
+                self._gc_stats()
 
         q = (
             stats.writeStream.foreachBatch(write_stats)

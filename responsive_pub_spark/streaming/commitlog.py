@@ -36,6 +36,17 @@ after flush) — the same durability-log-bounding concern; the marker
 protocol itself mirrors the CommitBuffer offset-fencing posture
 (CommitBuffer.java:340-423).
 
+Durability: every commit point (marker rename, pointer flip) is followed
+by an fsync of the containing directory, so the protocol is crash-safe
+across POWER LOSS, not merely process SIGKILL (POSIX makes the rename
+atomic but only the directory fsync makes it persistent).
+
+Single-maintainer BY MECHANISM: ``compact()`` and ``gc()`` hold an
+exclusive non-blocking flock (``maint.lock``) — a second concurrent
+maintainer fails loudly — and CONSTRUCTION never GCs: a log handle is a
+reader, and a reader collecting while a maintainer has a base staged
+would delete the segment right before the pointer flip.
+
 Scale posture: the base segment is written once per maintenance cycle by
 a distributed job (no driver data path); the tail stays
 micro-batch-sized; ``read_all`` lists O(1) + O(tail) paths instead of
@@ -44,16 +55,56 @@ O(total batches ever).
 
 from __future__ import annotations
 
+import fcntl
 import glob
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+def fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-completed ``os.rename``/``os.replace``
+    of an entry inside it is durable across power loss, not merely
+    process crash — POSIX only guarantees the rename itself is atomic;
+    its persistence needs the parent directory synced."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+@contextmanager
+def maintenance_lock(lock_path: str, what: str):
+    """Exclusive non-blocking maintenance flock (the _FileTopicMixin
+    ingest-lock posture applied to the MAINTENANCE side): compaction /
+    GC / versioned publish is single-maintainer BY MECHANISM, not by
+    convention — a second concurrent maintainer fails LOUDLY instead of
+    interleaving writes into the same staged version. Reference anchor:
+    internal/db/LwtWriter.java:29-95 (fencing is mechanical, never
+    documentation)."""
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            raise RuntimeError(
+                f"concurrent {what}: another maintainer holds "
+                f"{lock_path}; compaction/GC is single-maintainer "
+                "(two racers would interleave writes into the same "
+                "staged version)"
+            )
+        yield
+    finally:
+        os.close(fd)  # releases the flock
+
+
 def publish_pointer(path: str, value: str) -> None:
-    """Atomic pointer publish: write-temp + fsync + ``os.replace`` —
-    readers see the old or the new value, never a partial write (the
+    """Atomic pointer publish: write-temp + fsync + ``os.replace`` +
+    parent-directory fsync — readers see the old or the new value, never
+    a partial write, and the flip survives power loss (the
     ann_stream._publish contract, shared)."""
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -61,6 +112,7 @@ def publish_pointer(path: str, value: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    fsync_dir(os.path.dirname(path) or ".")
 
 
 def read_pointer(path: str) -> "str | None":
@@ -95,8 +147,19 @@ class DeltaCommitLog:
         self.totals_schema = totals_schema
         self.chaos = chaos or (lambda label: None)
         self.pointer = os.path.join(log_dir, "BASE")
+        # the lock lives BESIDE the log dir (not inside it) so the log's
+        # file count stays exactly base+pointer after a compaction —
+        # the plateau the soak artifact tracks
+        self.maint_lock = log_dir.rstrip("/") + ".maint.lock"
         os.makedirs(log_dir, exist_ok=True)
-        self.gc()
+        # NO construction-time GC: constructing a log handle is a READER
+        # action, and a reader GC'ing while a maintainer has a base
+        # staged (pointer not yet flipped) would delete the staged
+        # segment out from under the imminent flip — the flip + delta GC
+        # would then destroy the log. Orphans (torn marker .tmp dirs,
+        # staged-then-crashed base versions) are harmless to every read
+        # path and are collected by the next LOCKED maintenance call
+        # (compact()/gc()).
 
     # -- paths -----------------------------------------------------------
     def delta_path(self, batch_id: int) -> str:
@@ -161,6 +224,7 @@ class DeltaCommitLog:
         totals.coalesce(1).write.mode("overwrite").parquet(tmp)
         self.chaos("mid-marker")
         os.rename(tmp, final)
+        fsync_dir(self.log_dir)
 
     def latest_totals(self, batch_id: int) -> "DataFrame | None":
         """The carried-totals snapshot as of the latest commit below
@@ -205,43 +269,78 @@ class DeltaCommitLog:
         the new base + empty tail. Verified by the SIGKILL-at-every-
         stage chaos e2e (tests/test_chaos_sigkill.py).
 
-        Single-maintainer call (the IvfIncremental.compact contract):
-        run it from the one maintenance driver, not concurrently with
-        itself from two processes — two racers would interleave writes
-        into the same staged version dir. Racing the lane's OWN
-        ``_apply`` is safe by construction: only marker-committed
-        batches fold, an uncommitted batch's base lookup falls through
-        to the published base, and a reader that loses a marker to GC
-        mid-plan fails loudly and replays."""
-        tail = self.tail_ids()
-        if not tail:
-            return 0
-        cur, _ = self.base_info()
-        nxt = f"base-v{(int(cur.split('-v')[1]) + 1) if cur else 0:06d}"
-        new_upto = tail[-1]
-        stage = os.path.join(self.log_dir, nxt)
-        shutil.rmtree(stage, ignore_errors=True)
-        self.read_all().write.mode("overwrite").parquet(
-            os.path.join(stage, "rows")
-        )
-        self.chaos("compact-staged-rows")
-        totals = self.latest_totals(new_upto + 1)
-        totals.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage, "totals")
-        )
-        self.chaos("compact-staged-all")
-        publish_pointer(self.pointer, f"{nxt} {new_upto}")
-        self.chaos("compact-post-flip")
-        self.gc()
-        return len(tail)
+        Single-maintainer BY MECHANISM: the whole call holds the
+        exclusive ``maint.lock`` flock — a second concurrent maintainer
+        (compact or gc, any process) fails LOUDLY instead of
+        interleaving writes into the same staged version dir. Racing
+        the lane's OWN ``_apply`` is safe by construction: the tail is
+        CAPTURED once up front and every staged path derives from that
+        capture (a marker committed after the capture folds next time
+        — its delta stays in the tail because ``upto`` records only the
+        captured tail's last id), an uncommitted batch's base lookup
+        falls through to the published base, and a reader that loses a
+        marker to GC mid-plan fails loudly and replays."""
+        with maintenance_lock(self.maint_lock, "commit-log maintenance"):
+            tail = self.tail_ids()
+            if not tail:
+                # nothing to fold, but still collect orphans — a crash
+                # after a previous flip (pre-GC) leaves folded deltas/
+                # markers that only a maintenance call may reclaim
+                self._gc()
+                return 0
+            cur, _ = self.base_info()
+            nxt = (
+                f"base-v{(int(cur.split('-v')[1]) + 1) if cur else 0:06d}"
+            )
+            new_upto = tail[-1]
+            stage = os.path.join(self.log_dir, nxt)
+            shutil.rmtree(stage, ignore_errors=True)
+            # staged rows come from the CAPTURED tail explicitly — NOT
+            # read_all(), which re-enumerates tail_ids() and would fold
+            # a marker committed between the capture and the read while
+            # ``upto`` (new_upto) excluded it: its delta would stay in
+            # the tail and read_all() would return those rows TWICE
+            # after the flip.
+            paths = []
+            ver, _ = self.base_info()
+            if ver is not None:
+                paths.append(os.path.join(self.log_dir, ver, "rows"))
+            paths += [self.delta_path(i) for i in tail]
+            self.spark.read.schema(self.assign_schema).parquet(
+                *paths
+            ).write.mode("overwrite").parquet(os.path.join(stage, "rows"))
+            self.chaos("compact-staged-rows")
+            # totals snapshot AS OF the captured tail's last marker —
+            # read it directly (latest_totals() would re-enumerate the
+            # tail and could pick up a marker past the capture)
+            totals = self.spark.read.schema(self.totals_schema).parquet(
+                self.marker_path(new_upto)
+            )
+            totals.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, "totals")
+            )
+            self.chaos("compact-staged-all")
+            publish_pointer(self.pointer, f"{nxt} {new_upto}")
+            self.chaos("compact-post-flip")
+            self._gc()
+            return len(tail)
 
     def gc(self) -> None:
+        """LOCKED orphan collection (see :meth:`_gc`) — a maintainer
+        action: takes the same ``maint.lock`` flock as :meth:`compact`
+        and fails loudly if another maintainer holds it."""
+        with maintenance_lock(self.maint_lock, "commit-log maintenance"):
+            self._gc()
+
+    def _gc(self) -> None:
         """Remove everything no longer referenced: base versions the
         pointer does not name (staged-then-crashed and superseded),
         deltas/markers folded into the base, and ``.tmp`` staging
         leftovers (torn marker commits — their batch is uncommitted and
         will be replayed). Never touches the pointed-to base or the
-        committed tail."""
+        committed tail. INTERNAL — callers hold the maintenance lock
+        (readers must never GC: a reader collecting mid-compact would
+        delete the staged base right before the maintainer's flip)."""
         cur, upto = self.base_info()
         for name in os.listdir(self.log_dir):
             path = os.path.join(self.log_dir, name)

@@ -37,8 +37,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
+from responsive_pub_spark.operators.timeseries import json_envelope_audit
 from responsive_pub_spark.streaming.kv_sink import KeyValueTableSink
 
 EVENTS_SCHEMA = "event_type STRING, props STRING"
@@ -72,50 +72,12 @@ class EnvelopeAuditStreaming:
         ev = self.spark.readStream.schema(EVENTS_SCHEMA).parquet(
             self.events_dir
         )
-        # the batch op's own per-row pipeline (timeseries.
-        # json_envelope_audit): variant parse once, key explode, per-key
-        # type bucket — zero streaming state until the final agg
-        typed = (
-            ev.select(
-                "event_type",
-                F.try_parse_json("props").alias("pv"),
-                F.explode(F.json_object_keys("props")).alias("key"),
-            )
-            .select(
-                "event_type",
-                "key",
-                F.expr(
-                    "schema_of_variant(variant_get(pv, concat('$.', key)))"
-                ).alias("t"),
-            )
-            .withColumn(
-                "bucket",
-                F.expr(
-                    "CASE WHEN t = 'VOID' THEN 'null' "
-                    "WHEN t IN ('BIGINT', 'DOUBLE', 'FLOAT') "
-                    "  OR t LIKE 'DECIMAL%' THEN 'num' "
-                    "WHEN t = 'STRING' THEN 'str' "
-                    "WHEN t = 'BOOLEAN' THEN 'bool' "
-                    "ELSE 'nested' END"
-                ),
-            )
-        )
-
-        def n(bucket: str, name: str):
-            return (
-                F.sum(F.when(F.col("bucket") == bucket, 1).otherwise(0))
-                .cast("bigint")
-                .alias(name)
-            )
-
-        counts = typed.groupBy("event_type", "key").agg(
-            F.count("*").cast("bigint").alias("n_present"),
-            n("null", "n_null"),
-            n("num", "n_num"),
-            n("str", "n_str"),
-            n("bool", "n_bool"),
-            n("nested", "n_nested"),
-        )
+        # the batch op ITSELF runs on the streaming frame (every stage —
+        # variant parse, key explode, type bucket, keyed agg — is valid
+        # on a streaming DataFrame in update mode), so batch/stream
+        # parity holds BY CONSTRUCTION instead of by keeping a 50-line
+        # copy in sync (r12 ADVICE)
+        counts = json_envelope_audit(ev)
         q = (
             counts.writeStream.foreachBatch(self.sink)
             .outputMode("update")

@@ -30,10 +30,16 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from responsive_pub_spark.streaming.commitlog import (
+    fsync_dir,
+    maintenance_lock,
+)
 
 
 class KeyValueTableSink:
@@ -83,6 +89,7 @@ class KeyValueTableSink:
         # atomic publish: the rename IS the commit point; a crash before it
         # leaves only staging, which the retry overwrites deterministically
         os.rename(staged, target)
+        fsync_dir(self.path)
 
     # -- read side -------------------------------------------------------
 
@@ -115,6 +122,12 @@ class KeyValueTableSink:
                 f"empty KV table at {self.path}"
                 + (f" as of batch {as_of_batch}" if as_of_batch is not None else "")
             )
+        return self._latest(spark, files)
+
+    def _latest(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        """Latest row per key over an EXPLICIT file list, tombstones
+        dropped — the read path over a captured snapshot of the log (so
+        compaction folds exactly what it later GCs)."""
         log = spark.read.parquet(*files)
         ord_ = (
             F.struct(F.col("_batch_id"), F.col(self.ts_col))
@@ -135,21 +148,59 @@ class KeyValueTableSink:
         The base file is named after the HIGHEST folded batch id, so the
         ``batch_id <= last_applied`` guard in ``__call__`` still rejects
         redeliveries of folded batches.
-        """
-        files = self._deltas()
-        if len(files) <= 1:
+
+        Crash-safe at every instant (r13): the fold is staged OUTSIDE
+        the delta glob space, renamed in as ``delta-{max}.g{N}.parquet``
+        (a generation suffix — the plain ``delta-{max}`` name is taken
+        by the delta being folded) BEFORE any old file is deleted, and
+        only then are the folded files GC'd. A crash pre-rename leaves
+        the old log intact; mid-GC the fold supersedes every surviving
+        old row per key by batch id (tombstoned keys stay dead: the fold
+        omits them and the surviving tombstone row still wins over older
+        values), so reads are value-identical at any instant — the
+        previous delete-then-rename order had a window where ONLY the
+        invisible staging dir held the table.
+
+        Single-maintainer BY MECHANISM: holds an exclusive flock beside
+        the table dir; a second concurrent compactor fails loudly. The
+        checkpoint-fenced writer (``__call__``) never conflicts: a delta
+        committed after the capture below has a higher batch id than the
+        fold and survives GC untouched."""
+        if len(self._deltas()) <= 1:
             return
-        log_schema = spark.read.parquet(*files).schema
-        spark_df = self.read(spark)
-        max_id = self._last_applied()
-        # tombstones are gone post-compaction (keys fully dead are dropped)
-        staged = self._delta_dir(max_id) + ".compacting"
-        shutil.rmtree(staged, ignore_errors=True)
-        out = spark_df.withColumn("_batch_id", F.lit(max_id))
-        if self.ts_col:
-            ts_type = log_schema[self.ts_col].dataType
-            out = out.withColumn(self.ts_col, F.lit(None).cast(ts_type))
-        out.write.mode("overwrite").parquet(staged)
-        for f in files:
-            shutil.rmtree(f, ignore_errors=True)
-        os.rename(staged, self._delta_dir(max_id))
+        lock = self.path.rstrip("/") + ".maint.lock"
+        with maintenance_lock(lock, "KV-table compaction"):
+            files = self._deltas()  # CAPTURED: every path below derives
+            if len(files) <= 1:     # from this snapshot of the log
+                return
+            log_schema = spark.read.parquet(*files).schema
+            max_id = int(
+                os.path.basename(files[-1])[len("delta-"):].split(".")[0]
+            )
+            gen = 1 + max(
+                (
+                    int(m.group(1))
+                    for f in files
+                    for m in [re.search(r"\.g(\d+)\.parquet$", f)]
+                    if m
+                ),
+                default=0,
+            )
+            target = os.path.join(
+                self.path, f"delta-{max_id:020d}.g{gen}.parquet"
+            )
+            staged = target + ".compacting"
+            shutil.rmtree(staged, ignore_errors=True)
+            out = self._latest(spark, files).withColumn(
+                "_batch_id", F.lit(max_id)
+            )
+            if self.ts_col:
+                ts_type = log_schema[self.ts_col].dataType
+                out = out.withColumn(
+                    self.ts_col, F.lit(None).cast(ts_type)
+                )
+            out.write.mode("overwrite").parquet(staged)
+            os.rename(staged, target)  # commit point: fold now visible
+            fsync_dir(self.path)
+            for f in files:
+                shutil.rmtree(f, ignore_errors=True)

@@ -44,6 +44,7 @@ is the per-lang totals table; the commit log compacts.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,7 +55,7 @@ from responsive_pub_spark.operators.pipeline_ops import (
     PACK_BUDGET_TOKENS,
     bucketed_running_sum,
 )
-from responsive_pub_spark.streaming.commitlog import DeltaCommitLog
+from responsive_pub_spark.streaming.commitlog import DeltaCommitLog, fsync_dir
 from responsive_pub_spark.streaming.shard_stream import (
     _chaos_kill_env,
     _FileTopicMixin,
@@ -100,7 +101,7 @@ class PackIdsStreaming(_FileTopicMixin):
             TOTALS_SCHEMA,
             chaos=_chaos_kill,
         )
-        if not os.path.exists(os.path.join(self.tok_dir, "vocab")):
+        if not os.path.exists(self.tok_dir):
             if fit_docs is None:
                 raise ValueError(
                     "PackIdsStreaming: first build needs fit_docs= "
@@ -113,21 +114,30 @@ class PackIdsStreaming(_FileTopicMixin):
         """Fit ``k`` merges on ``fit_docs`` and freeze the full apply
         artifact: merge table (k rows), the fit vocab's segmentation map
         (vocab-sized), and the token->id table (bpe_token_ids's
-        lexicographic-rank contract). Written in dependency order with
-        the vocab LAST — its presence is the artifact-complete marker a
-        restart checks."""
+        lexicographic-rank contract).
+
+        ATOMIC publish (r12 ADVICE): the three pieces are staged under
+        ``tokenizer.staging`` and the COMPLETE directory is renamed into
+        place in one ``os.rename`` — Spark creates output directories
+        before job commit, so a bare-existence check on a directly
+        written ``tokenizer/`` dir was the torn-artifact hazard: a
+        SIGKILL during the vocab write would leave merges+seg complete
+        and vocab empty, a restart would skip the freeze, and every
+        token would silently emit as UNK (-1). After the rename the
+        artifact either exists complete or not at all; a crash before
+        it leaves only the staging dir, which the retry overwrites."""
+        stage = self.tok_dir + ".staging"
+        shutil.rmtree(stage, ignore_errors=True)
         merges = bpe.bpe_merges(fit_docs, k)
         merges.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.tok_dir, "merges")
+            os.path.join(stage, "merges")
         )
         words = fit_docs.select(F.explode(F.expr(_WORDS)).alias("word"))
         seg = bpe.segment_spaced_with_merges(words, merges)
-        seg.write.mode("overwrite").parquet(
-            os.path.join(self.tok_dir, "seg")
-        )
+        seg.write.mode("overwrite").parquet(os.path.join(stage, "seg"))
         vocab = (
             self.spark.read.schema(SEG_SCHEMA)
-            .parquet(os.path.join(self.tok_dir, "seg"))
+            .parquet(os.path.join(stage, "seg"))
             .select(F.explode(F.expr("split(trim(s), ' ')")).alias("token"))
             .distinct()
             .withColumn(
@@ -138,8 +148,11 @@ class PackIdsStreaming(_FileTopicMixin):
             )
         )
         vocab.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.tok_dir, "vocab")
+            os.path.join(stage, "vocab")
         )
+        _chaos_kill("mid-freeze")
+        os.rename(stage, self.tok_dir)
+        fsync_dir(os.path.dirname(self.tok_dir) or ".")
 
     def _merges(self) -> DataFrame:
         return self.spark.read.schema(MERGES_SCHEMA).parquet(

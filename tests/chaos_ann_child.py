@@ -70,7 +70,10 @@ def main() -> None:
     else:
         lane = IvfIncremental(spark, workdir)
         ran = lane.maybe_retrain(retrain_pm=1050)
-        # only reached when no kill label matched (the clean final run)
+        # only reached when no kill label matched (the clean final run):
+        # the maintenance driver also collects crash orphans under the
+        # locked gc (construction never GCs — reader safety, r12 verdict)
+        lane.gc()
         print(f"RETRAIN {ran}", flush=True)
 
     spark.stop()

@@ -372,3 +372,53 @@ def test_append_fenced_against_concurrent_publish(spark, sf_dir, tmp_path):
     # lists without error)
     assert lane.topk().count() > 0
     cent.unpersist()
+
+
+def test_ivf_maintenance_single_maintainer_and_reader_no_gc(
+    spark, sf_dir, tmp_path
+):
+    """r13 VERDICT task 1 applied to the IVF's versioned publishes:
+    compact()/maybe_retrain()/gc() are single-maintainer BY MECHANISM
+    (a held maintenance flock fails them loudly), and constructing a
+    reader handle never GCs — a staged next version survives a reader
+    construction and the maintainer's flip then completes."""
+    import fcntl
+    import os
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb).persist()
+    wd = str(tmp_path / "ivf-maint")
+    lane = IvfIncremental(spark, wd, centroids=cent)
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.limit(100).collect()
+    ]
+    _feed(spark, lane, rows)
+    lane.advance()
+
+    # a second maintainer (another process looks identical to flock)
+    fd = os.open(lane.maint_lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(RuntimeError, match="single-maintainer"):
+            lane.compact()
+        with pytest.raises(RuntimeError, match="single-maintainer"):
+            lane.gc()
+    finally:
+        os.close(fd)
+
+    # simulate a maintainer mid-compact: the next version staged, the
+    # pointer not yet flipped — a READER construction must not GC it
+    stage = os.path.join(wd, "index", "v000001")
+    lane.lists(dedup=True).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(os.path.join(stage, "lists"))
+    _reader = IvfIncremental(spark, wd)
+    assert os.path.isdir(stage)
+
+    # the maintainer's compact then completes over the intact state
+    before = {tuple(r) for r in lane.topk().collect()}
+    assert lane.compact() == len(rows)
+    assert {tuple(r) for r in lane.topk().collect()} == before
+    assert os.listdir(os.path.join(wd, "index")) == ["v000001"]
+    cent.unpersist()

@@ -514,6 +514,11 @@ def test_sigkill_mid_retrain_index_never_mixed(spark, tmp_path):
         rc, _ = _run_ann_child(workdir, "retrain", kill=label)
         assert rc == -signal.SIGKILL, (label, rc)
         _assert_index_self_consistent(spark, workdir, "v000000", n_rows)
+        # reader construction (inside the assert above) must NOT have
+        # GC'd the staged next version — readers never GC (r13: a
+        # reader collecting mid-retrain would delete the stage right
+        # before the maintainer's flip)
+        assert os.path.isdir(os.path.join(workdir, "index", "v000001"))
 
     # crash AFTER the flip (before old-version cleanup): the NEW version
     # serves, complete and self-consistent
@@ -522,7 +527,8 @@ def test_sigkill_mid_retrain_index_never_mixed(spark, tmp_path):
     _assert_index_self_consistent(spark, workdir, "v000001", n_rows)
 
     # a clean run converges: the rebuilt index shows no drift breach,
-    # and the orphaned v000000 was GC'd by construction
+    # and the orphaned v000000 is collected by the maintainer's LOCKED
+    # gc (construction never GCs)
     rc, out = _run_ann_child(workdir, "retrain")
     assert rc == 0 and "RETRAIN False" in out, out
     versions = os.listdir(os.path.join(workdir, "index"))
@@ -1057,3 +1063,36 @@ def test_sigkill_mid_packids_commit_exactly_once(spark, tmp_path):
         rows, totals = _dump_packids(workdir)
         assert rows == referee_all, (label, len(rows), len(referee_all))
         assert totals == tot_all, (label, totals)
+
+
+def test_sigkill_mid_tokenizer_freeze_never_serves_torn_artifact(
+    spark, tmp_path
+):
+    """r12 ADVICE: SIGKILL inside the tokenizer FREEZE (all three pieces
+    staged, before the atomic directory rename). The torn-artifact
+    hazard was a bare-existence check on a directly-written tokenizer
+    dir: a crash mid-vocab-write left merges+seg complete and vocab
+    empty, a restart skipped the freeze, and every token silently
+    emitted as UNK (-1) forever. With the staged atomic publish, the
+    crashed freeze leaves NO artifact — the restart re-freezes and the
+    lane converges to the real-id referee."""
+    referee_w1 = _packids_referee(spark, [0])
+    workdir = str(tmp_path / "packids-chaos-mid-freeze")
+    os.makedirs(workdir)
+
+    rc, _ = _run_packids_child(workdir, "setup", kill="mid-freeze")
+    assert rc == -signal.SIGKILL, rc
+    # the artifact either exists complete or not at all: the crashed
+    # freeze left only the invisible staging dir
+    assert not os.path.isdir(os.path.join(workdir, "tokenizer"))
+    assert os.path.isdir(os.path.join(workdir, "tokenizer.staging"))
+
+    # restart re-freezes (artifact absent -> fit_docs path) and the
+    # lane serves REAL token ids — rows equal the referee, which never
+    # contains the silent UNK (-1) the torn artifact would have emitted
+    rc, out = _run_packids_child(workdir, "setup")
+    assert rc == 0 and "SETUP-DONE" in out, out
+    assert os.path.isdir(os.path.join(workdir, "tokenizer"))
+    rows, _ = _dump_packids(workdir)
+    assert rows == referee_w1
+    assert not any(tok == -1 for (_, _, _, tok) in rows)

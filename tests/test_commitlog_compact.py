@@ -220,14 +220,89 @@ def test_torn_marker_tmp_is_not_committed_and_gcs(spark, tmp_path):
     assert {tuple(r) for r in lane.assignments().collect()} == once
     assert lane.total_tokens() == sum(r[1] for r in once)
 
-    # a fresh instance GC's the staging leftover; the torn batch replays
-    # through _apply and commits normally
+    # a fresh instance is a READER — it must NOT GC (r13: construction
+    # GC could delete a maintainer's staged base mid-compact); the torn
+    # staging leftover is invisible to every read path and the torn
+    # batch replays through _apply and commits normally (its own
+    # commit_marker clears the leftover)
     lane2 = ShardStreaming(spark, str(tmp_path), budget=BUDGET, n_buckets=8)
-    assert not os.path.exists(tmp)
+    assert os.path.exists(tmp)  # readers leave orphans alone
     lane2._apply(_wave(spark, 1).limit(5), 1)
     assert lane2.log.is_committed(1)
+    assert not os.path.exists(tmp)  # the replayed commit reclaimed it
     after = {tuple(r) for r in lane2.assignments().collect()}
     assert len(after) == len(once) + 5
+
+    # the torn leftover class IS collected by the next locked
+    # maintenance call
+    spark.createDataFrame(
+        [(9, 9)], "batch_id BIGINT, post_total BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        lane2.log.marker_path(9) + ".tmp"
+    )
+    lane2.log.gc()
+    assert not os.path.exists(lane2.log.marker_path(9) + ".tmp")
+
+
+def test_reader_construction_never_deletes_staged_base(spark, tmp_path):
+    """r13 VERDICT task 1: a maintainer has the next base segment staged
+    (pointer not yet flipped) when a READER constructs a log handle over
+    the same directory — the reader must leave the stage alone; the
+    maintainer's subsequent flip + GC must then serve the identical
+    log. Previously construction-time gc() deleted the staged dir and
+    the flip destroyed the log."""
+    lane = ShardStreaming(spark, str(tmp_path), budget=BUDGET, n_buckets=8)
+    for w in range(2):
+        lane.ingest(_wave(spark, w))
+        lane.advance()
+    before = {tuple(r) for r in lane.assignments().collect()}
+
+    # freeze the compaction right after staging (chaos hook raises —
+    # the in-process stand-in for a maintainer paused pre-flip)
+    class _Freeze(Exception):
+        pass
+
+    def freeze(label):
+        if label == "compact-staged-all":
+            raise _Freeze()
+
+    lane.log.chaos = freeze
+    with pytest.raises(_Freeze):
+        lane.compact()
+    lane.log.chaos = lambda label: None
+    staged = os.path.join(lane.log.log_dir, "base-v000000")
+    assert os.path.isdir(staged)
+
+    # a READER constructs over the same workdir: stage must survive
+    reader = ShardStreaming(spark, str(tmp_path), budget=BUDGET, n_buckets=8)
+    assert os.path.isdir(staged)
+    assert {tuple(r) for r in reader.assignments().collect()} == before
+
+    # the maintainer resumes: compaction completes over the intact log
+    assert lane.compact() == 2
+    assert {tuple(r) for r in lane.assignments().collect()} == before
+
+
+def test_concurrent_maintenance_fails_loudly(spark, tmp_path):
+    """r13 VERDICT task 1: compact()/gc() are single-maintainer BY
+    MECHANISM — with the maintenance flock held (another process looks
+    identical to flock), both fail loudly instead of interleaving
+    writes into the same staged version."""
+    lane = ShardStreaming(spark, str(tmp_path), budget=BUDGET, n_buckets=8)
+    lane.ingest(_wave(spark, 0))
+    lane.advance()
+    fd = os.open(lane.log.maint_lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(RuntimeError, match="single-maintainer"):
+            lane.compact()
+        with pytest.raises(RuntimeError, match="single-maintainer"):
+            lane.log.gc()
+    finally:
+        os.close(fd)
+    # after release, maintenance proceeds
+    assert lane.compact() == 1
+    assert lane.log.tail_ids() == []
 
 
 def test_concurrent_ingest_fails_loudly(spark, tmp_path):
