@@ -28,6 +28,27 @@ import shutil
 import sys
 import time
 
+def _head_commit() -> "str | None":
+    """Short HEAD hash stamped into the artifact so the freshness gate
+    (tests/test_artifact_freshness.py) can verify no benched module
+    changed after the recording."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:  # noqa: BLE001
+        return None
+
+
 AMPLIFY = int(sys.argv[sys.argv.index("--amplify") + 1]) if "--amplify" in sys.argv else 10
 DOCS_MODE = "--docs" in sys.argv
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -239,6 +260,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _TAG.replace("sf", ""),
+                "recorded_at_commit": _head_commit(),
             }
         )
     )

@@ -38,6 +38,27 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SOAK = int(sys.argv[sys.argv.index("--soak") + 1]) if "--soak" in sys.argv else 0
 
 
+def _head_commit() -> "str | None":
+    """Short HEAD hash stamped into the artifact so the freshness gate
+    (tests/test_artifact_freshness.py) can verify no benched module
+    changed after the recording."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -468,6 +489,7 @@ def main() -> None:
                 ),
                 "lanes": results,
                 "sf": SF_DIR,
+                "recorded_at_commit": _head_commit(),
             }
         )
     )

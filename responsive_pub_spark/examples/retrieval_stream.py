@@ -13,15 +13,23 @@ index; and two query surfaces serve from the live state:
   centroids covering the drifted distribution, crash-atomically);
 - :meth:`hybrid` — BM25 lexical candidates re-ranked by embedding cosine
   over the SURVIVING documents, served from the INCREMENTALLY MAINTAINED
-  BM25 statistics (``Bm25Streaming.hybrid_topk`` — the r11 VERDICT
-  task-2 wiring): query time is joins over the postings/df/stats tables
-  the ingest path keeps current, never a per-query corpus-wide df/dl
-  re-aggregation. The BM25 lane indexes exactly the dedup SURVIVORS —
-  new survivors are handed off per advance() with a doc_id anti-join
-  against the lane's own topic, so an at-least-once replay of the
-  handoff ships nothing twice (a doc is one row in the topic, and df/dl
-  state would double-count a duplicate — read-time dedup cannot fix an
-  aggregate, so the handoff dedups at the source).
+  BM25 statistics (``Bm25Streaming.hybrid_topk``): query time is joins
+  over the postings/df/stats tables the ingest path keeps current, never
+  a per-query corpus-wide df/dl re-aggregation.
+
+HANDOFFS ARE O(NEW-WORK) (r12 verdict task 3): both stage-to-stage
+handoffs (survivor vectors -> IVF, survivor docs -> BM25) ride the
+carried-watermark protocol of ``streaming/handoff.py`` — the source
+topics are mtime-stamped at ingest, each leg carries a 1-row
+crash-atomic ``upto`` marker, and an advance reads ONLY the source
+files past the mark (a later advance never re-scans wave-1 files; an
+advance with nothing new runs zero Spark jobs). Exactly-once across a
+crash anywhere: the shipped file's atomic rename is the commit point
+and its name proves its coverage on replay. This replaced the r12
+full-topic anti-joins ("ship what the destination does not already
+hold"), which re-read every destination row per wave. The build step
+is deterministic at any replay because dedup verdicts are IMMUTABLE
+(first-copy-wins: a survivor never becomes a duplicate later).
 
 The reference analog is the async-enrich posture of
 e2etest/E2ETestApplication.java:120-148 composed with FACT-store dedup
@@ -29,19 +37,13 @@ e2etest/E2ETestApplication.java:120-148 composed with FACT-store dedup
 feeds interactive queries. Spark-first mapping: each stage is its own
 checkpointed availableNow drain; every handoff is a parquet topic.
 
-Delivery contract: the vector handoff (survivors -> IVF) is
-AT-LEAST-ONCE — a crash between the survivor write and the IVF
-checkpoint commit replays the batch — and the index collapses replays at
-read time (``lists(dedup=True)``, the documented IvfIncremental
-contract), so queries are replay-identical to a batch rebuild over the
-same survivor set (asserted across a cold restart in
-tests/test_examples.py).
-
 Scale posture: the dedup lane shuffles (band, band_hash) keyed bucket
-state holding member IDS only; the survivor anti-joins are equi-joins on
-doc_id/vec_id (AQE broadcasts the drop set while it is small); the IVF
-upsert is one broadcast-assign pass over NEW vectors only; both query
-surfaces probe — they never shuffle the corpus.
+state holding member IDS only; each handoff leg reads the NEW wave's
+files plus one pointer (driver work = one listdir per topic); the
+anti-join against the drop set is a doc_id equi-join whose left side is
+wave-sized (AQE broadcasts it); the IVF upsert is one broadcast-assign
+pass over NEW vectors only; both query surfaces probe — they never
+shuffle the corpus.
 """
 
 from __future__ import annotations
@@ -53,14 +55,12 @@ from pyspark.sql import functions as F
 
 from responsive_pub_spark.operators import similarity
 from responsive_pub_spark.streaming.ann_stream import IvfIncremental
-from responsive_pub_spark.streaming.bm25_stream import (
-    DOCS_SCHEMA as BM25_DOCS_SCHEMA,
-    Bm25Streaming,
-)
+from responsive_pub_spark.streaming.bm25_stream import Bm25Streaming
 from responsive_pub_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
     NearDupStreaming,
 )
+from responsive_pub_spark.streaming.handoff import StampedTopic, ship
 
 #: staged (vec_id, embedding) rows awaiting their dedup verdict
 PENDING_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>"
@@ -71,7 +71,7 @@ class RetrievalStream:
     one ingest-to-query pipeline over a shared ``workdir``. All state is
     on disk; a fresh instance over the same workdir resumes where the
     last one stopped (cold restart — every stage re-reads its own
-    checkpoint/topic)."""
+    checkpoint/topic/marker)."""
 
     def __init__(
         self,
@@ -82,8 +82,6 @@ class RetrievalStream:
         probe_depth: int = 8,
     ):
         self.spark = spark
-        self.pending_dir = os.path.join(workdir, "pending_vecs")
-        os.makedirs(self.pending_dir, exist_ok=True)
         self.nd = NearDupStreaming(
             spark,
             os.path.join(workdir, "neardup"),
@@ -95,52 +93,81 @@ class RetrievalStream:
             spark, os.path.join(workdir, "ivf"), centroids=centroids
         )
         self.bm25 = Bm25Streaming(spark, os.path.join(workdir, "bm25"))
+        # both ingest topics carry the deterministic mtime stamps the
+        # handoff watermark orders by; one marker per consumer leg
+        self.src_docs = StampedTopic(
+            os.path.join(workdir, "ingress-docs"), self.nd.docs_dir
+        )
+        self.src_vecs = StampedTopic(
+            os.path.join(workdir, "ingress-vecs"),
+            os.path.join(workdir, "pending_vecs"),
+        )
+        self.markers = os.path.join(workdir, "markers")
+        os.makedirs(self.markers, exist_ok=True)
 
     # -- ingest ----------------------------------------------------------
     def ingest(self, rows: DataFrame) -> None:
         """Append a wave of (doc_id, text, embedding, ts) rows: the text
         goes to the dedup lane's docs topic, the vector is STAGED until
-        its doc survives the near-dup verdict."""
-        rows.select("doc_id", "text", F.col("ts").cast("double")).write.mode(
-            "append"
-        ).parquet(self.nd.docs_dir)
-        rows.select(
-            F.col("doc_id").alias("vec_id"),
-            F.col("embedding").cast("array<float>").alias("embedding"),
-        ).write.mode("append").parquet(self.pending_dir)
+        its doc survives the near-dup verdict. Both writes land under
+        the stamp discipline so every handoff leg can watermark them."""
+        self.src_docs.append(
+            lambda: rows.select(
+                "doc_id", "text", F.col("ts").cast("double")
+            )
+            .write.mode("append")
+            .parquet(self.src_docs.docs_dir)
+        )
+        self.src_vecs.append(
+            lambda: rows.select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("embedding").cast("array<float>").alias("embedding"),
+            )
+            .write.mode("append")
+            .parquet(self.src_vecs.docs_dir)
+        )
 
     def advance(self) -> None:
         """Drain every stage: dedup verdicts over everything ingested,
-        then upsert the vectors of NEW survivors (never indexed before)
-        into the IVF. Idempotent: re-running after a crash re-ships at
-        most one wave of survivor vectors, which ``lists(dedup=True)``
-        collapses at read time."""
+        then ship the NEW survivors (watermarked — only source files
+        past each leg's carried mark are read) to the IVF and BM25
+        lanes. Exactly-once per leg across a crash anywhere (the
+        handoff's atomic-rename commit point); idempotent because the
+        dedup verdict for a doc never changes once emitted."""
         self.nd.advance()
         drops = (
-            self.nd.verdicts()
-            .filter("is_duplicate")
-            .select(F.col("doc_id").alias("vec_id"))
+            self.nd.verdicts().filter("is_duplicate").select("doc_id")
         )
-        staged = self.spark.read.schema(PENDING_SCHEMA).parquet(
-            self.pending_dir
+
+        ship(
+            self.spark,
+            self.src_vecs,
+            PENDING_SCHEMA,
+            os.path.join(self.markers, "ivf.upto"),
+            self.ivf.vecs_dir,
+            lambda staged: staged.join(
+                drops.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_anti",
+            ),
         )
-        survivors = staged.join(drops, "vec_id", "left_anti")
-        new = survivors.join(
-            self.ivf.lists().select("vec_id"), "vec_id", "left_anti"
-        )
-        new.write.mode("append").parquet(self.ivf.vecs_dir)
         self.ivf.advance()
-        # BM25 lane: hand off NEW surviving docs (doc_id anti-join
-        # against the lane's own topic — exactly-once at doc granularity
-        # even across a crashed handoff, since a visible part file only
-        # ever holds complete rows)
-        have = (
-            self.spark.read.schema(BM25_DOCS_SCHEMA)
-            .parquet(self.bm25.docs_dir)
-            .select("doc_id")
+
+        # BM25 leg: the lane indexes exactly the dedup survivors; the
+        # watermark (not a topic anti-join) is what makes an
+        # at-least-once replay of the handoff ship nothing twice — df/dl
+        # state would double-count a duplicate, and read-time dedup
+        # cannot fix an aggregate, so the handoff dedups at the source.
+        ship(
+            self.spark,
+            self.src_docs,
+            DOCS_SCHEMA,
+            os.path.join(self.markers, "bm25.upto"),
+            self.bm25.docs_dir,
+            lambda staged: staged.select("doc_id", "text").join(
+                drops, "doc_id", "left_anti"
+            ),
         )
-        new_docs = self.surviving_docs().join(have, "doc_id", "left_anti")
-        self.bm25.ingest(new_docs)
         self.bm25.advance()
 
     # -- maintenance ------------------------------------------------------

@@ -250,6 +250,13 @@ class NearDupStreaming:
     reach). The watermark also formalizes the late-data contract: a doc
     arriving more than ``retention`` behind the stream is dropped by the
     bucket stage rather than deduplicated against already-reaped state.
+
+    Epoch-boundary footgun (measured, r13): in continuous mode a record
+    with ``ts == 0.0`` sits exactly ON the initial watermark (epoch 0
+    ms) and Spark's stateful late-row filter drops it from the bucket
+    stage — the doc never becomes a bucket member, so later copies of
+    it are not flagged. Real event times are far from the epoch; test
+    fixtures that enumerate ``ts`` from 0.0 must offset it.
     """
 
     def __init__(

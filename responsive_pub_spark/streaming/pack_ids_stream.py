@@ -87,13 +87,15 @@ class PackIdsStreaming(_FileTopicMixin):
         k: int = bpe.BPE_MERGES,
         budget: int = PACK_BUDGET_TOKENS,
         n_buckets: int = 64,
+        topic_dir: "str | None" = None,
     ):
         self.spark = spark
         self.budget = int(budget)
         self.n_buckets = int(n_buckets)
         self.ck = os.path.join(workdir, "ck-ids")
         self.tok_dir = os.path.join(workdir, "tokenizer")
-        self._init_topic(workdir, os.path.join(workdir, "docs"))
+        # topic_dir= -> shared docs topic (see ShardStreaming.__init__)
+        self._init_topic(workdir, topic_dir or os.path.join(workdir, "docs"))
         self.log = DeltaCommitLog(
             spark,
             os.path.join(workdir, "ids"),

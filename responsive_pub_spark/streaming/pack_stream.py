@@ -78,12 +78,14 @@ class PackStreaming(_FileTopicMixin):
         workdir: str,
         budget: int = PACK_BUDGET_TOKENS,
         n_buckets: int = 64,
+        topic_dir: "str | None" = None,
     ):
         self.spark = spark
         self.budget = int(budget)
         self.n_buckets = int(n_buckets)
         self.ck = os.path.join(workdir, "ck-assign")
-        self._init_topic(workdir, os.path.join(workdir, "docs"))
+        # topic_dir= -> shared docs topic (see ShardStreaming.__init__)
+        self._init_topic(workdir, topic_dir or os.path.join(workdir, "docs"))
         self.log = DeltaCommitLog(
             spark,
             os.path.join(workdir, "assign"),

@@ -191,13 +191,18 @@ class ShardStreaming(_FileTopicMixin):
         budget: int = SHARD_BUDGET_TOKENS,
         seed: int = 0,
         n_buckets: int = SHARD_BUCKETS,
+        topic_dir: "str | None" = None,
     ):
         self.spark = spark
         self.budget = int(budget)
         self.seed = int(seed)
         self.n_buckets = int(n_buckets)
         self.ck = os.path.join(workdir, "ck-assign")
-        self._init_topic(workdir, os.path.join(workdir, "docs"))
+        # topic_dir= points the lane at a SHARED docs topic written by a
+        # composing pipeline (one topic, N consumer lanes — the Kafka
+        # consumer-group shape); ingest then belongs to the topic's
+        # owner, and this lane contributes only its checkpoint + log
+        self._init_topic(workdir, topic_dir or os.path.join(workdir, "docs"))
         self.log = DeltaCommitLog(
             spark,
             os.path.join(workdir, "assign"),

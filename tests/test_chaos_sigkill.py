@@ -1096,3 +1096,82 @@ def test_sigkill_mid_tokenizer_freeze_never_serves_torn_artifact(
     rows, _ = _dump_packids(workdir)
     assert rows == referee_w1
     assert not any(tok == -1 for (_, _, _, tok) in rows)
+
+
+# -- SIGKILL mid-handoff: the composed pipeline's watermark legs --------------
+PRETRAIN_CHILD = os.path.join(REPO, "tests", "chaos_pretrain_child.py")
+
+
+def _run_pretrain_child(workdir, mode, kill=None, timeout=420):
+    env = dict(os.environ)
+    if kill:
+        env["SPARK_GRAFT_CHAOS_ENABLE"] = "1"
+        env["SPARK_GRAFT_HANDOFF_KILL"] = kill
+    else:
+        env.pop("SPARK_GRAFT_CHAOS_ENABLE", None)
+        env.pop("SPARK_GRAFT_HANDOFF_KILL", None)
+    proc = subprocess.Popen(
+        [sys.executable, PRETRAIN_CHILD, workdir, mode],
+        cwd=REPO,
+        env=env,
+        start_new_session=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    out, _ = proc.communicate(timeout=timeout)
+    return proc.returncode, out
+
+
+def _dump_pretrain(workdir):
+    rc, out = _run_pretrain_child(workdir, "dump")
+    assert rc == 0, out
+    ship_list, assign_list = [], []
+    for line in out.splitlines():
+        if line.startswith("SHIP "):
+            ship_list.append(int(line.split()[1]))
+        elif line.startswith("ASSIGN "):
+            assign_list.append(int(line.split()[1]))
+    return ship_list, assign_list
+
+
+def test_sigkill_mid_handoff_ships_every_survivor_exactly_once(
+    spark, tmp_path
+):
+    """r13 verdict task 3: SIGKILL the driver inside every crash window
+    of the composed pipeline's watermark handoff legs (survivors leg /
+    ship leg x staged / placed). The handoff-placed window is the sharp
+    one: the destination file is renamed in but the marker was never
+    published — the replay must recover the covered range from the
+    file's NAME and re-ship nothing. After the replay, every dedup
+    survivor (wave-1 + wave-2, planted exact dups dropped) is shipped
+    and shard-assigned EXACTLY once."""
+    import chaos_pretrain_child as child
+
+    want = sorted(
+        {d for d, *_ in child._wave_rows(0)}
+        | {d for d, *_ in child._wave_rows(1)}
+    )  # planted dup copies (ids >= 10**6) must never ship
+
+    for label in (
+        "surv:handoff-staged",
+        "surv:handoff-placed",
+        "ship:handoff-staged",
+        "ship:handoff-placed",
+    ):
+        workdir = str(
+            tmp_path / f"pretrain-chaos-{label.replace(':', '-')}"
+        )
+        os.makedirs(workdir)
+        rc, out = _run_pretrain_child(workdir, "setup")
+        assert rc == 0 and "SETUP-DONE" in out, out
+
+        rc, _ = _run_pretrain_child(workdir, "wave2", kill=label)
+        assert rc == -signal.SIGKILL, (label, rc)
+
+        rc, out = _run_pretrain_child(workdir, "resume")
+        assert rc == 0 and "RESUME-DONE" in out, out
+
+        ship_list, assign_list = _dump_pretrain(workdir)
+        assert ship_list == want, (label, len(ship_list), len(want))
+        assert assign_list == want, (label, len(assign_list))
