@@ -1622,6 +1622,120 @@ def boilerplate_chunks_oracle(
 DUP_SPAN_W = 8
 
 
+def span_gram_starts_sql(w: int) -> str:
+    """The stride-1 w-token gram expression over a ``toks`` column:
+    (pos, gh) structs, 1-indexed start positions, xxhash64 of the
+    space-joined window (the gram never leaves the projection as text).
+    Shared by the batch ops below and the streaming twin
+    (``streaming/span_stream.py``) so their gram tables are identical
+    by construction."""
+    w = int(w)
+    return (
+        f"CASE WHEN size(toks) < {w} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {w} + 1), "
+        f"i -> struct(i AS pos, "
+        f"xxhash64(array_join(slice(toks, i, {w}), ' ')) AS gh)) "
+        f"END"
+    )
+
+
+def span_report_from(
+    base: DataFrame, grams: DataFrame, w: int = DUP_SPAN_W
+) -> DataFrame:
+    """``dup_span_report``'s aggregation tail over EXPLICIT frames:
+    ``base`` = (doc_id, n_tokens), ``grams`` = (doc_id, pos, gh). The
+    batch op derives both from one tokenization; the streaming twin
+    serves them from its maintained tables — either way this tail is
+    the single definition of the report semantics (no copy to drift)."""
+    w = int(w)
+    grams = scoped_persist(grams)
+    occ = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("gh")
+    )
+    covered = (
+        grams.join(occ, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("cov"),
+        )
+        .distinct()
+    )
+    dup_cnt = covered.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dup_tokens")
+    )
+    return base.join(dup_cnt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (10000 * coalesce(dup_tokens, 0)) DIV n_tokens END"
+        ).alias("dup_bp"),
+    )
+
+
+def strip_spans_from(
+    base: DataFrame,
+    grams: DataFrame,
+    positions: DataFrame,
+    w: int = DUP_SPAN_W,
+) -> DataFrame:
+    """``strip_dup_spans``'s aggregation tail over EXPLICIT frames:
+    ``base`` = (doc_id, n_tokens), ``grams`` = (doc_id, pos, gh),
+    ``positions`` = (doc_id, pos, tok) — the 1-indexed token stream the
+    rebuild re-joins (see ``strip_dup_spans`` for the plan-shape notes;
+    this tail is shared with the streaming twin)."""
+    w = int(w)
+    grams = scoped_persist(grams)
+    occ = (
+        grams.groupBy("gh")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("c"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select(
+            "gh",
+            F.col("c.doc_id").alias("c_doc"),
+            F.col("c.pos").alias("c_pos"),
+        )
+    )
+    dup_occ = grams.join(occ, "gh").withColumn(
+        "is_canon",
+        (F.col("doc_id") == F.col("c_doc")) & (F.col("pos") == F.col("c_pos")),
+    )
+    cov = F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("cov")
+    dropped = (
+        dup_occ.select("doc_id", cov, "is_canon")
+        .groupBy("doc_id", "cov")
+        .agg(F.max("is_canon").alias("any_canon"))
+        .filter(~F.col("any_canon"))
+        .select("doc_id", "cov")
+    )
+    kept = positions.join(
+        dropped.withColumnRenamed("cov", "pos"), ["doc_id", "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
 def dup_span_report(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     """Cross-document DUPLICATED-SPAN detection — the substring-level
     dedup signal of "Deduplicating Training Data Makes Language Models
@@ -1659,48 +1773,14 @@ def dup_span_report(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     base = tks.select(
         "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
     )
-    starts = (
-        f"CASE WHEN size(toks) < {w} THEN "
-        f"array() "
-        f"ELSE transform(sequence(1, size(toks) - {w} + 1), "
-        f"i -> struct(i AS pos, "
-        f"xxhash64(array_join(slice(toks, i, {w}), ' ')) AS gh)) "
-        f"END"
-    )
     grams = tks.select(
-        "doc_id", F.explode(F.expr(starts)).alias("g")
+        "doc_id", F.explode(F.expr(span_gram_starts_sql(w))).alias("g")
     ).select(
         "doc_id",
         F.col("g.pos").cast("bigint").alias("pos"),
         F.col("g.gh").alias("gh"),
     )
-    grams = scoped_persist(grams)
-    occ = (
-        grams.groupBy("gh")
-        .agg(F.count("*").alias("n_occ"))
-        .filter(F.col("n_occ") > 1)
-        .select("gh")
-    )
-    covered = (
-        grams.join(occ, "gh")
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("cov"),
-        )
-        .distinct()
-    )
-    dup_cnt = covered.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("dup_tokens")
-    )
-    return base.join(dup_cnt, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
-        F.expr(
-            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
-            "ELSE (10000 * coalesce(dup_tokens, 0)) DIV n_tokens END"
-        ).alias("dup_bp"),
-    )
+    return span_report_from(base, grams, w)
 
 
 def dup_span_report_oracle(w: int = DUP_SPAN_W) -> str:
@@ -1786,67 +1866,17 @@ def strip_dup_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     base = tks.select(
         "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
     )
-    starts = (
-        f"CASE WHEN size(toks) < {w} THEN array() "
-        f"ELSE transform(sequence(1, size(toks) - {w} + 1), "
-        f"i -> struct(i AS pos, "
-        f"xxhash64(array_join(slice(toks, i, {w}), ' ')) AS gh)) "
-        f"END"
-    )
-    grams = scoped_persist(
-        tks.select("doc_id", F.explode(F.expr(starts)).alias("g")).select(
-            "doc_id",
-            F.col("g.pos").cast("bigint").alias("pos"),
-            F.col("g.gh").alias("gh"),
-        )
-    )
-    occ = (
-        grams.groupBy("gh")
-        .agg(
-            F.count("*").alias("n_occ"),
-            F.min(F.struct("doc_id", "pos")).alias("c"),
-        )
-        .filter(F.col("n_occ") > 1)
-        .select(
-            "gh",
-            F.col("c.doc_id").alias("c_doc"),
-            F.col("c.pos").alias("c_pos"),
-        )
-    )
-    dup_occ = grams.join(occ, "gh").withColumn(
-        "is_canon",
-        (F.col("doc_id") == F.col("c_doc")) & (F.col("pos") == F.col("c_pos")),
-    )
-    cov = F.explode(F.expr(f"sequence(pos, pos + {w} - 1)")).alias("cov")
-    dropped = (
-        dup_occ.select("doc_id", cov, "is_canon")
-        .groupBy("doc_id", "cov")
-        .agg(F.max("is_canon").alias("any_canon"))
-        .filter(~F.col("any_canon"))
-        .select("doc_id", "cov")
+    grams = tks.select(
+        "doc_id", F.explode(F.expr(span_gram_starts_sql(w))).alias("g")
+    ).select(
+        "doc_id",
+        F.col("g.pos").cast("bigint").alias("pos"),
+        F.col("g.gh").alias("gh"),
     )
     positions = tks.select(
         "doc_id", F.posexplode("toks").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")
-    kept = positions.join(
-        dropped.withColumnRenamed("cov", "pos"), ["doc_id", "pos"], "left_anti"
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("kept_tokens"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("kept_text"),
-    )
-    return base.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
-        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
-    )
+    return strip_spans_from(base, grams, positions, w)
 
 
 def strip_dup_spans_oracle(w: int = DUP_SPAN_W) -> str:

@@ -2807,6 +2807,67 @@ def q_decontam_stream(spark, sf_dir):
     )
 
 
+def _span_stream_lane(spark, sf_dir):
+    """Shared fixture-wave driver for the streaming span-dedup gate rows
+    (streaming/span_stream.py — r13 stretch): the documents table
+    streams in as two waves; the lane grams each doc ONCE into the
+    maintained (doc_id, pos, gh) posting table, and report()/strip()
+    run the batch ops' shared aggregation tails over the maintained
+    state. Postings are order-independent, so the oracles are the batch
+    dup_span_report / strip_dup_spans oracles VERBATIM."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.streaming.span_stream import SpanDedupStreaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    wd = tempfile.mkdtemp(prefix="span_gate_")
+    lane = SpanDedupStreaming(spark, wd)
+
+    def _df(rs):
+        return spark.createDataFrame(
+            [(int(r.doc_id), r.text) for r in rs],
+            "doc_id BIGINT, text STRING",
+        )
+
+    try:
+        lane.ingest(_df(rows[:half]))
+        lane.advance()
+        lane.ingest(_df(rows[half:]))
+        lane.advance()
+        yield lane
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def q_dup_span_stream(spark, sf_dir):
+    """Streaming twin of dup_span_report: the duplicated-span report
+    served from incrementally-maintained gram postings (two ingest
+    waves, gram-once); oracle = the batch oracle verbatim."""
+    for lane in _span_stream_lane(spark, sf_dir):
+        out = lane.report().collect()
+    return spark.createDataFrame(
+        out,
+        "doc_id BIGINT, n_tokens BIGINT, dup_tokens BIGINT, dup_bp BIGINT",
+    )
+
+
+def q_strip_spans_stream(spark, sf_dir):
+    """Streaming twin of strip_dup_spans: the canonical-first strip
+    decision served AT READ from the maintained gram postings (only the
+    token stream for the text rebuild re-derives from the docs topic);
+    oracle = the batch oracle verbatim."""
+    for lane in _span_stream_lane(spark, sf_dir):
+        out = lane.strip().collect()
+    return spark.createDataFrame(
+        out,
+        "doc_id BIGINT, n_tokens BIGINT, kept_tokens BIGINT, "
+        "kept_text STRING",
+    )
+
+
 def q_bm25_stream_stats(spark, sf_dir):
     """Incrementally-maintained BM25 statistics (streaming/bm25_stream.py,
     r10 VERDICT task 8): the corpus streams in as TWO waves; per-term df
@@ -2988,15 +3049,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # rotate past 50 in r8; the analytics family keeps dq_audit_events,
     # ab_test_zscore, group_variance, skew_report, outlier_report
     # in-window)
-    "pack_stream_ids": QuerySpec(
-        q_pack_stream_ids,
-        bpe.pack_token_ids_oracle(order_sql="doc_id % 2, doc_id"),
-        doc="STREAMED pack_token_ids: frozen-tokenizer artifact + "
-        "per-batch tokenize of arriving docs only + carried per-lang "
-        "totals through the compacting delta+marker commit log; oracle "
-        "is the batch unrolled-merge twin under wave-major order; NEW "
-        "gate r12 (r11 VERDICT task 6)",
-    ),
     "pack_stream": QuerySpec(
         q_pack_stream,
         _oracle_pack_stream(),
@@ -3009,35 +3061,30 @@ REGISTRY: dict[str, QuerySpec] = {
         "r11 (dq_audit_events, green r5-r10, rotates past 50 — "
         "timeseries family keeps outlier_report in-window)",
     ),
-    "bm25_stream_hybrid": QuerySpec(
-        q_bm25_stream_hybrid,
-        similarity.hybrid_rerank_oracle(),
-        doc="hybrid retrieval from MAINTAINED BM25 statistics: stage-1 "
-        "candidates from the incrementally-kept postings/df/stats "
-        "tables via hybrid_rerank's cands= injection, stage-2 cosine "
-        "re-rank unchanged — row-identical to the batch recompute by "
-        "construction; NEW gate r12 (r11 VERDICT task 2)",
+    # (rotated out r13, all green r12: pack_stream_ids,
+    # bm25_stream_hybrid, decontam_stream, mixture_stream,
+    # envelope_audit_stream, json_envelope_audit, knn_label_purity_ivf —
+    # every family keeps in-window coverage: pack ids via
+    # bpe_token_ids/pack_token_ids, BM25 via bm25_stream_stats/
+    # text_bm25_topk, decontam via decontam_fuzzy, mixture via
+    # mixture_resample_tokens/mixture_temperature, envelope via
+    # json_props_rollup, knn via knn_label_purity)
+    "dup_span_stream": QuerySpec(
+        q_dup_span_stream,
+        pipeline_ops.dup_span_report_oracle(),
+        doc="STREAMED duplicated-span report: gram postings maintained "
+        "incrementally (gram-once per doc, the decontam_stream posture "
+        "applied to w-grams), report served from the shared batch "
+        "aggregation tail; oracle = the batch oracle verbatim; NEW "
+        "gate r13 (r12 VERDICT task 8 stretch)",
     ),
-    "decontam_stream": QuerySpec(
-        q_decontam_stream,
-        pipeline_ops.decontaminate_oracle(),
-        doc="STREAMING decontamination fingerprints: corpus and "
-        "benchmark docs shingled ONCE at ingest into maintained "
-        "postings (zero aggregation state — the tables are the state); "
-        "report() is the batch aggregation over them, automatically "
-        "RETROACTIVE when a new benchmark wave lands; oracle = the "
-        "batch decontaminate oracle verbatim; NEW gate r12",
-    ),
-    "mixture_stream": QuerySpec(
-        q_mixture_stream,
-        pipeline_ops.mixture_resample_tokens_oracle(),
-        doc="STREAMING mixture statistics: per-lang token masses kept "
-        "current by one update-mode keyed agg (KV-table upsert, "
-        "lang-cardinality state); resample() serves the decision from "
-        "the maintained table via mixture_resample_tokens' masses= "
-        "injection — no corpus-wide re-aggregation at decision time; "
-        "oracle = the batch oracle verbatim (order-independent sums); "
-        "NEW gate r12",
+    "strip_spans_stream": QuerySpec(
+        q_strip_spans_stream,
+        pipeline_ops.strip_dup_spans_oracle(),
+        doc="STREAMED span strip: the canonical-first strip decision "
+        "served at read from the maintained gram postings (only the "
+        "text-rebuild token stream re-reads the docs topic); oracle = "
+        "the batch oracle verbatim; NEW gate r13",
     ),
     "bm25_stream_stats": QuerySpec(
         q_bm25_stream_stats,
@@ -3072,29 +3119,6 @@ REGISTRY: dict[str, QuerySpec] = {
         "errors; NEW r11 (dedup_keep_best, green r5-r10, rotates past "
         "50 — the dedup family keeps containment/span/stream rows "
         "in-window)",
-    ),
-    "envelope_audit_stream": QuerySpec(
-        q_envelope_audit_stream,
-        timeseries.json_envelope_audit_oracle(),
-        doc="STREAMING twin of json_envelope_audit: per-row variant "
-        "expressions at ingest + ONE update-mode (event_type, key)-"
-        "keyed streaming agg upserted into the KV table sink — the "
-        "inventory stays current without re-scanning history; state is "
-        "schema-sized; oracle = the batch audit oracle verbatim "
-        "(order-independent sums); NEW gate r12",
-    ),
-    "json_envelope_audit": QuerySpec(
-        lambda spark, sf_dir: timeseries.json_envelope_audit(
-            _t(spark, sf_dir, "events")
-        ),
-        timeseries.json_envelope_audit_oracle(),
-        doc="schema-on-read envelope AUDIT (r11 VERDICT task 5 — the "
-        "generalization past json_props_rollup's fixed $.k path): per "
-        "(event_type, key) presence, JSON-null count, and type "
-        "histogram via Spark 4 VARIANT expressions (try_parse_json + "
-        "json_object_keys + variant_get/schema_of_variant, all "
-        "JVM-side, one keyed agg); DuckDB oracle via json_keys/"
-        "json_type behind a json_valid guard; NEW gate r12",
     ),
     # --- NEW in r8 (r7 VERDICT task 2): greedy first-arrival near-dup
     # --- verdicts — the batch twin of the STREAMING near-dup lane
@@ -3393,19 +3417,6 @@ REGISTRY: dict[str, QuerySpec] = {
         "(embed_pca_power, green r6-r10, rotates past 50 — the embedding "
         "family keeps ann_ivf_drift in-window)",
     ),
-    "knn_label_purity_ivf": QuerySpec(
-        lambda spark, sf_dir: similarity.knn_label_purity_ivf(
-            _t(spark, sf_dir, "embeddings")
-        ),
-        similarity.knn_label_purity_ivf_oracle(),
-        doc="IVF-probed label-purity audit (r11 VERDICT stretch): the "
-        "same audit run on inverted lists — probes restricted to their "
-        "3 nearest of 8 pinned-centroid cells, so each probe scores "
-        "~corpus*3/8 candidates instead of the corpus; missed "
-        "neighbors read as mismatches (denominator stays k, never "
-        "inflated); recall referee >= 0.95 on a clustered corpus in "
-        "tests/test_embedding_recall.py; NEW gate r12",
-    ),
     "shard_stream": QuerySpec(
         q_shard_stream,
         _oracle_shard_stream(),
@@ -3511,6 +3522,84 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "papi_partition_stream_time": QuerySpec(
         q_papi_partition_stream_time, ORACLE_PAPI_PARTITION_STREAM_TIME
+    ),
+    # (r13 rotation-OUT park: the seven r12 first-gating rows, all
+    # driver-green r12 and still pytest-oracled; the five veterans
+    # above slid back into the window to keep it at 50)
+    "pack_stream_ids": QuerySpec(
+        q_pack_stream_ids,
+        bpe.pack_token_ids_oracle(order_sql="doc_id % 2, doc_id"),
+        doc="STREAMED pack_token_ids: frozen-tokenizer artifact + "
+        "per-batch tokenize of arriving docs only + carried per-lang "
+        "totals through the compacting delta+marker commit log; oracle "
+        "is the batch unrolled-merge twin under wave-major order; NEW "
+        "gate r12 (r11 VERDICT task 6)",
+    ),
+    "bm25_stream_hybrid": QuerySpec(
+        q_bm25_stream_hybrid,
+        similarity.hybrid_rerank_oracle(),
+        doc="hybrid retrieval from MAINTAINED BM25 statistics: stage-1 "
+        "candidates from the incrementally-kept postings/df/stats "
+        "tables via hybrid_rerank's cands= injection, stage-2 cosine "
+        "re-rank unchanged — row-identical to the batch recompute by "
+        "construction; NEW gate r12 (r11 VERDICT task 2)",
+    ),
+    "decontam_stream": QuerySpec(
+        q_decontam_stream,
+        pipeline_ops.decontaminate_oracle(),
+        doc="STREAMING decontamination fingerprints: corpus and "
+        "benchmark docs shingled ONCE at ingest into maintained "
+        "postings (zero aggregation state — the tables are the state); "
+        "report() is the batch aggregation over them, automatically "
+        "RETROACTIVE when a new benchmark wave lands; oracle = the "
+        "batch decontaminate oracle verbatim; NEW gate r12",
+    ),
+    "mixture_stream": QuerySpec(
+        q_mixture_stream,
+        pipeline_ops.mixture_resample_tokens_oracle(),
+        doc="STREAMING mixture statistics: per-lang token masses kept "
+        "current by one update-mode keyed agg (KV-table upsert, "
+        "lang-cardinality state); resample() serves the decision from "
+        "the maintained table via mixture_resample_tokens' masses= "
+        "injection — no corpus-wide re-aggregation at decision time; "
+        "oracle = the batch oracle verbatim (order-independent sums); "
+        "NEW gate r12",
+    ),
+    "envelope_audit_stream": QuerySpec(
+        q_envelope_audit_stream,
+        timeseries.json_envelope_audit_oracle(),
+        doc="STREAMING twin of json_envelope_audit: per-row variant "
+        "expressions at ingest + ONE update-mode (event_type, key)-"
+        "keyed streaming agg upserted into the KV table sink — the "
+        "inventory stays current without re-scanning history; state is "
+        "schema-sized; oracle = the batch audit oracle verbatim "
+        "(order-independent sums); NEW gate r12",
+    ),
+    "json_envelope_audit": QuerySpec(
+        lambda spark, sf_dir: timeseries.json_envelope_audit(
+            _t(spark, sf_dir, "events")
+        ),
+        timeseries.json_envelope_audit_oracle(),
+        doc="schema-on-read envelope AUDIT (r11 VERDICT task 5 — the "
+        "generalization past json_props_rollup's fixed $.k path): per "
+        "(event_type, key) presence, JSON-null count, and type "
+        "histogram via Spark 4 VARIANT expressions (try_parse_json + "
+        "json_object_keys + variant_get/schema_of_variant, all "
+        "JVM-side, one keyed agg); DuckDB oracle via json_keys/"
+        "json_type behind a json_valid guard; NEW gate r12",
+    ),
+    "knn_label_purity_ivf": QuerySpec(
+        lambda spark, sf_dir: similarity.knn_label_purity_ivf(
+            _t(spark, sf_dir, "embeddings")
+        ),
+        similarity.knn_label_purity_ivf_oracle(),
+        doc="IVF-probed label-purity audit (r11 VERDICT stretch): the "
+        "same audit run on inverted lists — probes restricted to their "
+        "3 nearest of 8 pinned-centroid cells, so each probe scores "
+        "~corpus*3/8 candidates instead of the corpus; missed "
+        "neighbors read as mismatches (denominator stays k, never "
+        "inflated); recall referee >= 0.95 on a clustered corpus in "
+        "tests/test_embedding_recall.py; NEW gate r12",
     ),
     "dedup_containment": QuerySpec(
         lambda spark, sf_dir: dedup.containment_pairs(

@@ -1,0 +1,147 @@
+"""Incrementally-maintained duplicated-span detection: streaming gram
+postings for the substring-level dedup family
+(``pipeline_ops.dup_span_report`` / ``strip_dup_spans`` — Lee et al.
+2022 strip semantics).
+
+The batch ops re-tokenize and re-gram the WHOLE corpus on every run. In
+a live pipeline the expensive part — the stride-1 w-token sliding
+window with its per-position hash — is a pure function of each doc
+alone, so it belongs in a maintained table written ONCE per doc (the
+``decontam_stream`` shingle-once posture applied to w-grams):
+
+- **gram postings** (stateless, append): each arriving doc is grammed
+  once into (doc_id, pos, gh) rows — the identical
+  ``span_gram_starts_sql`` expression the batch ops use, so the
+  maintained table IS the batch op's gram table;
+- **doc base** (stateless, append): (doc_id, n_tokens) per doc, so
+  shorter-than-w docs still report (they have no gram rows);
+- :meth:`report` runs ``pipeline_ops.span_report_from`` — the batch
+  aggregation tail VERBATIM (shared function, no copy to drift) — over
+  the maintained tables: occurrence counts, coverage union, per-doc
+  duplicated-token fraction. Retroactive in both directions: a new doc
+  duplicating an old doc's span raises BOTH docs' ``dup_bp`` at the
+  next read, with nothing re-tokenized.
+- :meth:`strip` serves the STRIP decision at read:
+  ``pipeline_ops.strip_spans_from`` (shared tail) over the maintained
+  gram/base tables plus a position stream re-derived from the docs
+  topic — the text rebuild inherently needs the raw tokens, but the
+  gram hashing and the canonical-occurrence election run on maintained
+  state. First-by-(doc_id, pos) canonicalization makes the kept text
+  deterministic at any corpus prefix.
+
+Both maintenance queries are checkpointed availableNow drains through
+Spark's transactional file sink (exactly-once). There is ZERO
+aggregation state — the maintained tables ARE the fingerprints.
+
+Parity contract (tests/test_streaming.py): postings are
+order-independent, so after any wave sequence ``report()`` /
+``strip()`` row-equal the batch ops over the union — the gate oracles
+are the batch oracles VERBATIM.
+
+Scale posture: gram postings are corpus-position-scale but append-only
+and written once per doc (the honest cost of substring-level dedup —
+the alternative re-grams the corpus per audit); the report's exchanges
+are the audited batch plan's (gram-keyed agg with map-side partials,
+equi-join marking, coverage distinct) over an already-materialized
+table, saving the tokenize+gram scan every run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from responsive_pub_spark.functions import text as T
+from responsive_pub_spark.operators.pipeline_ops import (
+    DUP_SPAN_W,
+    span_gram_starts_sql,
+    span_report_from,
+    strip_spans_from,
+)
+from responsive_pub_spark.streaming.runtime import run_to_sink
+
+DOCS_SCHEMA = "doc_id BIGINT, text STRING"
+BASE_SCHEMA = "doc_id BIGINT, n_tokens BIGINT"
+GRAMS_SCHEMA = "doc_id BIGINT, pos BIGINT, gh BIGINT"
+
+
+class SpanDedupStreaming:
+    """Incrementally-maintained duplicated-span fingerprints over a docs
+    file topic (see module docstring). All state is under ``workdir``;
+    a fresh instance resumes from the checkpoints (cold restart)."""
+
+    def __init__(self, spark: SparkSession, workdir: str, w: int = DUP_SPAN_W):
+        self.spark = spark
+        self.w = int(w)
+        self.docs_dir = os.path.join(workdir, "docs")
+        self.base_dir = os.path.join(workdir, "base")
+        self.grams_dir = os.path.join(workdir, "grams")
+        self.ck_base = os.path.join(workdir, "ck-base")
+        self.ck_grams = os.path.join(workdir, "ck-grams")
+        os.makedirs(self.docs_dir, exist_ok=True)
+
+    def ingest(self, docs: DataFrame) -> None:
+        """Append a wave of (doc_id, text) docs to the topic."""
+        docs.select("doc_id", "text").write.mode("append").parquet(
+            self.docs_dir
+        )
+
+    def _tks(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.expr(T.tokens_sql("text")).alias("toks")
+        )
+
+    def advance(self) -> None:
+        """Drain pending docs through the gram-once maintenance queries
+        (stateless — the maintained tables are the state)."""
+        docs = self.spark.readStream.schema(DOCS_SCHEMA).parquet(
+            self.docs_dir
+        )
+        tks = self._tks(docs)
+        base = tks.select(
+            "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+        )
+        run_to_sink(base, self.base_dir, self.ck_base)
+        grams = tks.select(
+            "doc_id",
+            F.explode(F.expr(span_gram_starts_sql(self.w))).alias("g"),
+        ).select(
+            "doc_id",
+            F.col("g.pos").cast("bigint").alias("pos"),
+            F.col("g.gh").alias("gh"),
+        )
+        run_to_sink(grams, self.grams_dir, self.ck_grams)
+
+    # -- maintained state readers ----------------------------------------
+    def base(self) -> DataFrame:
+        return self.spark.read.schema(BASE_SCHEMA).parquet(self.base_dir)
+
+    def grams(self) -> DataFrame:
+        return self.spark.read.schema(GRAMS_SCHEMA).parquet(self.grams_dir)
+
+    def report(self) -> DataFrame:
+        """The duplicated-span report from the MAINTAINED fingerprints —
+        ``span_report_from`` (the batch tail, shared) over the postings:
+        (doc_id, n_tokens, dup_tokens, dup_bp), retroactive over
+        everything ingested."""
+        return span_report_from(self.base(), self.grams(), self.w)
+
+    def strip(self) -> DataFrame:
+        """The strip decision served at read — ``strip_spans_from`` (the
+        batch tail, shared) over the maintained gram/base tables; only
+        the token-position stream for the text REBUILD re-derives from
+        the docs topic (the output needs the raw tokens)."""
+        positions = (
+            self._tks(
+                self.spark.read.schema(DOCS_SCHEMA).parquet(self.docs_dir)
+            )
+            .select("doc_id", F.posexplode("toks").alias("p0", "tok"))
+            .select(
+                "doc_id",
+                (F.col("p0") + 1).cast("bigint").alias("pos"),
+                "tok",
+            )
+        )
+        return strip_spans_from(self.base(), self.grams(), positions, self.w)

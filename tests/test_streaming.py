@@ -1454,3 +1454,63 @@ def test_maintained_lanes_compact_preserve_served_state(
     assert len(bm.df_sink._deltas()) == 1
     assert {tuple(r) for r in bm.term_df().collect()} == df_before
     assert {tuple(r) for r in bm.topk().collect()} == topk_before
+
+
+def test_span_streaming_report_and_strip_equal_batch_across_restart(
+    spark, sf_dir, workdir
+):
+    """Incrementally-maintained duplicated-span fingerprints (r13
+    verdict task 8): with the fixture corpus ingested as two waves,
+    report() and strip() must row-equal the batch dup_span_report /
+    strip_dup_spans over the union (the maintained gram table is the
+    batch op's gram table, written once per doc); a second wave must
+    retroactively RAISE the dup_bp of a wave-1 doc it duplicates; and a
+    cold restart serves identical results."""
+    from responsive_pub_spark.operators import pipeline_ops
+    from responsive_pub_spark.sources.readers import read_table
+    from responsive_pub_spark.streaming.span_stream import SpanDedupStreaming
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    # wave 2 carries exact copies of 5 wave-1 docs under shifted ids —
+    # the retroactive case: wave-1 originals become duplicated spans
+    copies = [(int(r.doc_id) + 10**6, r.text) for r in rows[:5]]
+    w1 = [(int(r.doc_id), r.text) for r in rows[:half]]
+    w2 = [(int(r.doc_id), r.text) for r in rows[half:]] + copies
+
+    lane = SpanDedupStreaming(spark, workdir)
+    sch = "doc_id BIGINT, text STRING"
+    lane.ingest(spark.createDataFrame(w1, sch))
+    lane.advance()
+    rep1 = {r.doc_id: r.dup_bp for r in lane.report().collect()}
+
+    lane.ingest(spark.createDataFrame(w2, sch))
+    lane.advance()
+
+    union = spark.createDataFrame(w1 + w2, sch)
+    batch_rep = {
+        tuple(r) for r in pipeline_ops.dup_span_report(union).collect()
+    }
+    streamed_rep = {tuple(r) for r in lane.report().collect()}
+    assert streamed_rep == batch_rep and len(batch_rep) == len(w1 + w2)
+
+    # retroactivity: every copied wave-1 original is now fully duplicated
+    rep2 = {r[0]: r[3] for r in streamed_rep}
+    for d, _t in w1[:5]:
+        assert rep2[d] >= rep1[d]
+    full_dup = [d for d, _ in copies]
+    assert all(rep2[d] == 10000 for d in full_dup if rep2[d] is not None)
+
+    # strip parity: the canonical-first strip decision over the
+    # maintained fingerprints equals the batch op on the union
+    batch_strip = {
+        tuple(r) for r in pipeline_ops.strip_dup_spans(union).collect()
+    }
+    streamed_strip = {tuple(r) for r in lane.strip().collect()}
+    assert streamed_strip == batch_strip
+
+    # cold restart serves identical results
+    lane2 = SpanDedupStreaming(spark, workdir)
+    assert {tuple(r) for r in lane2.report().collect()} == batch_rep
+    assert {tuple(r) for r in lane2.strip().collect()} == batch_strip
