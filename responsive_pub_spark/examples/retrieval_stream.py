@@ -61,6 +61,15 @@ from responsive_pub_spark.streaming.dedup_stream import (
     NearDupStreaming,
 )
 from responsive_pub_spark.streaming.handoff import StampedTopic, ship
+from responsive_pub_spark.streaming.shard_stream import _chaos_kill_env
+
+_chaos_kill = _chaos_kill_env("SPARK_GRAFT_HANDOFF_KILL")
+
+
+def _leg_chaos(leg: str):
+    """Per-leg chaos hook (the pretrain_stream pattern): arm with
+    SPARK_GRAFT_HANDOFF_KILL=<leg>:<window>."""
+    return lambda label: _chaos_kill(f"{leg}:{label}")
 
 #: staged (vec_id, embedding) rows awaiting their dedup verdict
 PENDING_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>"
@@ -150,6 +159,7 @@ class RetrievalStream:
                 "vec_id",
                 "left_anti",
             ),
+            chaos=_leg_chaos("ivf"),
         )
         self.ivf.advance()
 
@@ -167,6 +177,7 @@ class RetrievalStream:
             lambda staged: staged.select("doc_id", "text").join(
                 drops, "doc_id", "left_anti"
             ),
+            chaos=_leg_chaos("bm25"),
         )
         self.bm25.advance()
 

@@ -1175,3 +1175,89 @@ def test_sigkill_mid_handoff_ships_every_survivor_exactly_once(
         ship_list, assign_list = _dump_pretrain(workdir)
         assert ship_list == want, (label, len(ship_list), len(want))
         assert assign_list == want, (label, len(assign_list))
+
+
+# -- SIGKILL mid-handoff: the retrieval pipeline's PLAIN-dest legs ------------
+RETRIEVAL_CHILD = os.path.join(REPO, "tests", "chaos_retrieval_child.py")
+
+
+def _run_retrieval_child(workdir, mode, kill=None, timeout=420):
+    env = dict(os.environ)
+    if kill:
+        env["SPARK_GRAFT_CHAOS_ENABLE"] = "1"
+        env["SPARK_GRAFT_HANDOFF_KILL"] = kill
+    else:
+        env.pop("SPARK_GRAFT_CHAOS_ENABLE", None)
+        env.pop("SPARK_GRAFT_HANDOFF_KILL", None)
+    proc = subprocess.Popen(
+        [sys.executable, RETRIEVAL_CHILD, workdir, mode],
+        cwd=REPO,
+        env=env,
+        start_new_session=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    out, _ = proc.communicate(timeout=timeout)
+    return proc.returncode, out
+
+
+def _dump_retrieval(workdir):
+    rc, out = _run_retrieval_child(workdir, "dump")
+    assert rc == 0, out
+    vecs, dfs, stats = [], {}, None
+    for line in out.splitlines():
+        if line.startswith("VEC "):
+            vecs.append(int(line.split()[1]))
+        elif line.startswith("DF "):
+            p = line.split()
+            dfs[p[1]] = int(p[2])
+        elif line.startswith("STATS "):
+            p = line.split()
+            stats = (int(p[1]), int(p[2]))
+    return vecs, dfs, stats
+
+
+def test_sigkill_mid_retrieval_handoff_never_double_counts(spark, tmp_path):
+    """The plain-destination ship() variant (no destination stamping):
+    SIGKILL inside both crash windows of BOTH retrieval legs. The BM25
+    leg is the sharp one — its maintained df/dl statistics AGGREGATE the
+    topic, so a re-shipped duplicate would silently double-count (no
+    read-time dedup can repair an aggregate). After the replay: the
+    index holds each survivor exactly once (physically — dedup=False),
+    every term's df equals the survivor count carrying it (1 per doc in
+    this fixture: every word is doc-unique), and n_docs equals the
+    survivor count."""
+    import chaos_retrieval_child as child
+
+    want = sorted(
+        {d for d, *_ in child._wave_rows_raw(0)}
+        | {d for d, *_ in child._wave_rows_raw(1)}
+    )
+
+    for label in (
+        "ivf:handoff-staged",
+        "ivf:handoff-placed",
+        "bm25:handoff-staged",
+        "bm25:handoff-placed",
+    ):
+        workdir = str(
+            tmp_path / f"retrieval-chaos-{label.replace(':', '-')}"
+        )
+        os.makedirs(workdir)
+        rc, out = _run_retrieval_child(workdir, "setup")
+        assert rc == 0 and "SETUP-DONE" in out, out
+
+        rc, _ = _run_retrieval_child(workdir, "wave2", kill=label)
+        assert rc == -signal.SIGKILL, (label, rc)
+
+        rc, out = _run_retrieval_child(workdir, "resume")
+        assert rc == 0 and "RESUME-DONE" in out, out
+
+        vecs, dfs, stats = _dump_retrieval(workdir)
+        assert vecs == want, (label, len(vecs), len(want))
+        # every fixture word is unique to its doc: df > 1 anywhere means
+        # a doc shipped twice into the BM25 aggregate
+        dups = {w: c for w, c in dfs.items() if c != 1}
+        assert not dups, (label, list(dups.items())[:5])
+        assert stats is not None and stats[1] == len(want), (label, stats)
