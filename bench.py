@@ -25,6 +25,28 @@ import sys
 import time
 
 
+def _head_commit() -> "str | None":
+    """Short HEAD hash stamped into the headline record so the
+    freshness gate (tests/test_artifact_freshness.py) can verify no
+    benched module changed between the recording and the commit that
+    landed the BENCH artifact."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -121,6 +143,10 @@ def main() -> None:
         # rounds; calib_sec moves with the box, the ratio with the code
         "calib_sec": calib_sec,
         "value_per_calib": round(total / calib_sec, 2) if calib_sec else None,
+        # the artifact-freshness gate (tests/test_artifact_freshness.py)
+        # checks the recording commit against later changes to this
+        # script's import closure
+        "recorded_at_commit": _head_commit(),
     }
     line = json.dumps(out)
     if len(line) > 1900:  # stay parseable even if the query set grows

@@ -356,6 +356,61 @@ def main() -> None:
         }
     except Exception as e:  # noqa: BLE001
         results["dedup_neardup_continuous"] = {"error": f"{type(e).__name__}: {e}"}
+    # r14 (r13 verdict task 5): the continuous lane's per-wave overhead
+    # characterization — the same three-wave drive with each wave 10x
+    # the size (documents replicated with shifted ids). If the gap to
+    # the availableNow twin is FIXED per-batch cost (timers + python
+    # state-channel spawn) amortized over tiny waves, rec/s must rise
+    # roughly with wave size here; a flat rec/s would mean per-row cost
+    # and a real lane problem.
+    try:
+        from responsive_pub_spark.streaming.dedup_stream import NearDupStreaming
+
+        nx_dir = os.path.join(work, "neardup_cont_10x")
+        nx = NearDupStreaming(
+            spark, nx_dir, probe_depth=8, retention=100.0, continuous=True
+        )
+        docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        waves, reps = 3, 10
+        t0 = time.perf_counter()
+        for w in range(waves):
+            for r in range(reps):
+                (
+                    docs.select(
+                        (
+                            F.col("doc_id") + F.lit((w * reps + r + 1) * 10**9)
+                        ).alias("doc_id"),
+                        "text",
+                        (F.col("doc_id") % 50 + F.lit(w * 1000))
+                        .cast("double")
+                        .alias("ts"),
+                    )
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(nx.docs_dir)
+                )
+            nx.advance()
+        wall = time.perf_counter() - t0
+        base = results.get("dedup_neardup_continuous", {})
+        rps = int(n_docs * waves * reps / wall)
+        results["dedup_neardup_continuous_10x"] = {
+            "wall_sec": round(wall, 3),
+            "rows_in": n_docs * waves * reps,
+            "rec_per_sec": rps,
+            "retention_sec": 100.0,
+            "wave_rows": n_docs * reps,
+            "speedup_vs_1x_wave": (
+                round(rps / base["rec_per_sec"], 2)
+                if base.get("rec_per_sec")
+                else None
+            ),
+            "checkpoint_bytes": _dir_bytes(nx.ck_cand),
+        }
+    except Exception as e:  # noqa: BLE001
+        results["dedup_neardup_continuous_10x"] = {
+            "error": f"{type(e).__name__}: {e}"
+        }
     # the r4 map-state lane (per-entry delta writes) needs the RocksDB
     # provider and a protobuf runtime; record it when available, never
     # fail the whole bench over it

@@ -72,12 +72,18 @@ from pyspark.sql import functions as F
 from responsive_pub_spark.operators.pipeline_ops import (
     mixture_resample_tokens,
 )
+from responsive_pub_spark.streaming.commitlog import publish_pointer
 from responsive_pub_spark.streaming.decontam_stream import DecontamStreaming
 from responsive_pub_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
     NearDupStreaming,
 )
-from responsive_pub_spark.streaming.handoff import StampedTopic, ship
+from responsive_pub_spark.streaming.handoff import (
+    StampedTopic,
+    assert_handoff_layout,
+    read_marker,
+    ship,
+)
 from responsive_pub_spark.streaming.mixture_stream import MixtureStreaming
 from responsive_pub_spark.streaming.pack_ids_stream import PackIdsStreaming
 from responsive_pub_spark.streaming.pack_stream import PackStreaming
@@ -146,16 +152,43 @@ class PretrainStream:
         self.shipped = StampedTopic(os.path.join(workdir, "shipped"))
         self.markers = os.path.join(workdir, "markers")
         os.makedirs(self.markers, exist_ok=True)
+        # refuse to resume a PRE-handoff (r12) workdir: a fresh marker
+        # over an already-populated destination would re-ship history
+        assert_handoff_layout(
+            self.survivors.docs_dir,
+            os.path.join(self.markers, "surv.upto"),
+            "PretrainStream surv leg",
+        )
+        assert_handoff_layout(
+            self.shipped.docs_dir,
+            os.path.join(self.markers, "ship.upto"),
+            "PretrainStream ship leg",
+        )
+        #: files-read surfaces for the O(new-work) gate tests: the drop
+        #: files the last advance's anti-join read, and the decision
+        #: paths the last contamination gate served from
+        self.last_drops_files: "list[str]" = []
+        self.last_decision_paths: "list[str]" = []
 
         self.decontam: DecontamStreaming | None = None
         if contam_threshold is not None:
             self.decontam = DecontamStreaming(
                 spark, os.path.join(workdir, "decontam")
             )
+            assert_handoff_layout(
+                self.decontam.corpus_dir,
+                os.path.join(self.markers, "decontam.upto"),
+                "PretrainStream decontam leg",
+            )
         self.mixture: MixtureStreaming | None = None
         if mixture_weights_bp is not None:
             self.mixture = MixtureStreaming(
                 spark, os.path.join(workdir, "mixture")
+            )
+            assert_handoff_layout(
+                self.mixture.docs_dir,
+                os.path.join(self.markers, "mixture.upto"),
+                "PretrainStream mixture leg",
             )
 
         kw = {} if budget is None else {"budget": int(budget)}
@@ -217,24 +250,37 @@ class PretrainStream:
     # -- gates ---------------------------------------------------------------
     def _contaminated_ids(self) -> DataFrame:
         """doc_ids at or above the contamination threshold, from the
-        MAINTAINED report (empty frame when the gate is off)."""
+        MAINTAINED decision table (base + post-base deltas — never a
+        corpus-postings scan; empty frame when the gate is off)."""
         if self.decontam is None:
+            self.last_decision_paths = []
             return self.spark.createDataFrame([], "doc_id BIGINT")
-        return (
-            self.decontam.report()
+        ids = (
+            self.decontam.decision()
             .filter(F.col("contam_frac") >= float(self.contam_threshold))
             .select("doc_id")
         )
+        self.last_decision_paths = list(self.decontam.last_decision_paths)
+        return ids
 
     def advance(self) -> None:
         """Drain every stage (see module docstring for the topic chain
         and the replay contract): dedup verdicts, then the watermarked
         legs — survivors, decontam postings, mixture masses, the gated
-        ship — then the three export lanes over the shipped topic."""
+        ship — then the three export lanes over the shipped topic.
+
+        Every derived read on this path is O(new-work): the surv leg
+        anti-joins drop verdicts SINCE the leg's carried drops pointer
+        (verdicts are immutable, so over-reading after a crash is
+        harmless and the pointer advances only after the ship covered
+        every ingested doc), and the contamination gate reads the
+        maintained decision table (r13 verdict task 1)."""
         self.nd.advance()
-        drops = (
-            self.nd.verdicts().filter("is_duplicate").select("doc_id")
+        drops_mark = os.path.join(self.markers, "surv.drops")
+        drops, dmax, dfiles = self.nd.drop_ids_since(
+            read_marker(drops_mark)
         )
+        self.last_drops_files = dfiles
         ship(
             self.spark,
             self.ingress,
@@ -247,6 +293,9 @@ class PretrainStream:
             dest_topic=self.survivors,
             chaos=_leg_chaos("surv"),
         )
+        # after the ship: everything ingested is covered, so verdicts up
+        # to dmax can never be needed by a future wave's anti-join
+        publish_pointer(drops_mark, str(dmax))
 
         if self.decontam is not None:
             # maintain the corpus fingerprints BEFORE gating, so this
@@ -295,6 +344,12 @@ class PretrainStream:
             gate,
             dest_topic=self.shipped,
             chaos=_leg_chaos("ship"),
+            # the exporter lanes read this topic with wave == file ==
+            # micro-batch (their batch-parity contract; shard and pack
+            # order by DIFFERENT keys, so no multi-file split preserves
+            # both) — the gate build still runs at full parallelism,
+            # only the final write stage is one task (handoff.ship)
+            wave_files=1,
         )
 
         self.shards.advance()
@@ -353,15 +408,16 @@ class PretrainStream:
         return self.spark.read.schema(SURV_SCHEMA).parquet(*files)
 
     def contamination_report(self) -> DataFrame:
-        """The maintained per-doc contamination report (see
-        DecontamStreaming.report), retroactive over every registered
-        benchmark."""
+        """The MAINTAINED per-doc contamination decision table (see
+        DecontamStreaming.decision), retroactive over every registered
+        benchmark — row-equal to the derived ``decontam.report()``
+        whenever an advance followed the ingests."""
         if self.decontam is None:
             raise ValueError(
                 "PretrainStream: the decontamination lane was never "
                 "enabled — pass contam_threshold= at construction"
             )
-        return self.decontam.report()
+        return self.decontam.decision()
 
     def quarantine(self) -> DataFrame:
         """The retroactive-contamination manifest (r13 verdict task 2):

@@ -60,7 +60,13 @@ from responsive_pub_spark.streaming.dedup_stream import (
     DOCS_SCHEMA,
     NearDupStreaming,
 )
-from responsive_pub_spark.streaming.handoff import StampedTopic, ship
+from responsive_pub_spark.streaming.commitlog import publish_pointer
+from responsive_pub_spark.streaming.handoff import (
+    StampedTopic,
+    assert_handoff_layout,
+    read_marker,
+    ship,
+)
 from responsive_pub_spark.streaming.shard_stream import _chaos_kill_env
 
 _chaos_kill = _chaos_kill_env("SPARK_GRAFT_HANDOFF_KILL")
@@ -113,6 +119,22 @@ class RetrievalStream:
         )
         self.markers = os.path.join(workdir, "markers")
         os.makedirs(self.markers, exist_ok=True)
+        # refuse to resume a PRE-handoff (r12) workdir (pending_vecs/
+        # doc_lang layout): a fresh marker over an already-populated
+        # destination would re-ship the full history — for the BM25
+        # df/dl aggregates an unrepairable double-count
+        assert_handoff_layout(
+            self.ivf.vecs_dir,
+            os.path.join(self.markers, "ivf.upto"),
+            "RetrievalStream ivf leg",
+        )
+        assert_handoff_layout(
+            self.bm25.docs_dir,
+            os.path.join(self.markers, "bm25.upto"),
+            "RetrievalStream bm25 leg",
+        )
+        #: drop files the last advance's anti-joins read (files-read gate)
+        self.last_drops_files: "list[str]" = []
 
     # -- ingest ----------------------------------------------------------
     def ingest(self, rows: DataFrame) -> None:
@@ -144,10 +166,15 @@ class RetrievalStream:
         handoff's atomic-rename commit point); idempotent because the
         dedup verdict for a doc never changes once emitted."""
         self.nd.advance()
-        drops = (
-            self.nd.verdicts().filter("is_duplicate").select("doc_id")
+        # the anti-join side is O(new-work) too (r13 verdict task 1a):
+        # each leg carries a drops pointer and reads only verdict files
+        # stamped past it — verdicts are immutable (first copy wins),
+        # so a crash-stale pointer over-reads harmlessly and the pointer
+        # advances only after the leg's ship covered every ingested doc
+        ivf_mark = os.path.join(self.markers, "ivf.drops")
+        drops_ivf, dmax_ivf, f_ivf = self.nd.drop_ids_since(
+            read_marker(ivf_mark)
         )
-
         ship(
             self.spark,
             self.src_vecs,
@@ -155,12 +182,13 @@ class RetrievalStream:
             os.path.join(self.markers, "ivf.upto"),
             self.ivf.vecs_dir,
             lambda staged: staged.join(
-                drops.select(F.col("doc_id").alias("vec_id")),
+                drops_ivf.select(F.col("doc_id").alias("vec_id")),
                 "vec_id",
                 "left_anti",
             ),
             chaos=_leg_chaos("ivf"),
         )
+        publish_pointer(ivf_mark, str(dmax_ivf))
         self.ivf.advance()
 
         # BM25 leg: the lane indexes exactly the dedup survivors; the
@@ -168,6 +196,11 @@ class RetrievalStream:
         # at-least-once replay of the handoff ship nothing twice — df/dl
         # state would double-count a duplicate, and read-time dedup
         # cannot fix an aggregate, so the handoff dedups at the source.
+        bm25_mark = os.path.join(self.markers, "bm25.drops")
+        drops_bm, dmax_bm, f_bm = self.nd.drop_ids_since(
+            read_marker(bm25_mark)
+        )
+        self.last_drops_files = sorted(set(f_ivf) | set(f_bm))
         ship(
             self.spark,
             self.src_docs,
@@ -175,10 +208,11 @@ class RetrievalStream:
             os.path.join(self.markers, "bm25.upto"),
             self.bm25.docs_dir,
             lambda staged: staged.select("doc_id", "text").join(
-                drops, "doc_id", "left_anti"
+                drops_bm, "doc_id", "left_anti"
             ),
             chaos=_leg_chaos("bm25"),
         )
+        publish_pointer(bm25_mark, str(dmax_bm))
         self.bm25.advance()
 
     # -- maintenance ------------------------------------------------------

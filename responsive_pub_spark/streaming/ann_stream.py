@@ -240,6 +240,8 @@ class IvfIncremental:
 
         q = (
             self.spark.readStream.schema(VECS_SCHEMA)
+            # handoff waves are committed DIRECTORIES (handoff.ship)
+            .option("recursiveFileLookup", "true")
             .parquet(self.vecs_dir)
             .writeStream.foreachBatch(assign_batch)
             .option("checkpointLocation", self.ck)

@@ -140,8 +140,11 @@ class Bm25Streaming:
         # 1) stateless tokenize-once -> postings topic. tf per term is a
         # per-row fold over the doc's own token array (distinct x len per
         # doc), so NO streaming aggregation state exists here
-        docs = self.spark.readStream.schema(DOCS_SCHEMA).parquet(
-            self.docs_dir
+        docs = (
+            self.spark.readStream.schema(DOCS_SCHEMA)
+            # handoff waves are committed DIRECTORIES (handoff.ship)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.docs_dir)
         )
         entries = (
             f"transform(array_distinct({_ARR}), "
@@ -173,8 +176,10 @@ class Bm25Streaming:
         q.awaitTermination()
 
         # 3) stateful corpus scalars: 1-row complete-mode aggregate
-        doc_stream = self.spark.readStream.schema(DOCS_SCHEMA).parquet(
-            self.docs_dir
+        doc_stream = (
+            self.spark.readStream.schema(DOCS_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.docs_dir)
         )
         stats = doc_stream.select(
             F.expr(f"CAST(size({_ARR}) AS BIGINT)").alias("dl")

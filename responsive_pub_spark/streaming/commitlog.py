@@ -76,6 +76,23 @@ def fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+def fsync_tree(path: str) -> None:
+    """fsync every regular file under ``path`` plus every directory on
+    the way down: a staged commit's CONTENTS must be durable BEFORE the
+    rename publishes its name — renaming first would let a power loss
+    persist the committed name over torn data, which every
+    name-is-the-commit-point protocol here (handoff directories, marker
+    dirs, base segments) silently trusts on replay (r13 ADVICE)."""
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fd = os.open(os.path.join(root, f), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fsync_dir(root)
+
+
 @contextmanager
 def maintenance_lock(lock_path: str, what: str):
     """Exclusive non-blocking maintenance flock (the _FileTopicMixin
@@ -222,6 +239,7 @@ class DeltaCommitLog:
         tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         totals.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fsync_tree(tmp)  # contents durable BEFORE the name (power loss)
         self.chaos("mid-marker")
         os.rename(tmp, final)
         fsync_dir(self.log_dir)

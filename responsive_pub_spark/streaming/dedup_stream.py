@@ -288,6 +288,16 @@ class NearDupStreaming:
         self.ck_drop = os.path.join(workdir, "ck-drop")
         for d in (self.docs_dir, self.sig_dir, self.cand_dir, self.drops_dir):
             os.makedirs(d, exist_ok=True)
+        # the drops changelog under the deterministic stamp discipline
+        # (r13 verdict task 1a): verdicts are immutable once emitted
+        # (first copy wins), so stamping each drain's files lets a
+        # consumer anti-join ONLY verdicts-since-its-watermark instead
+        # of recompacting the full docs topic every advance
+        from responsive_pub_spark.streaming.handoff import StampedTopic
+
+        self.drops_topic = StampedTopic(
+            os.path.join(workdir, "drops-meta"), self.drops_dir
+        )
 
     def _run(self, out_df: DataFrame, path: str, ckpt: str) -> None:
         q = (
@@ -345,13 +355,53 @@ class NearDupStreaming:
         drops = dedup._verify_pairs(cand, sets, self.threshold).select(
             "doc_a", "doc_b", "jaccard", "ts"
         )
-        self._run(drops, self.drops_dir, self.ck_drop)
+        # drained under the stamp discipline: each drain's files join
+        # the strictly-increasing sequence, so drop_ids_since() can
+        # serve verdicts-since-a-watermark from new files only
+        self.drops_topic.append(
+            lambda: self._run(drops, self.drops_dir, self.ck_drop)
+        )
 
     def drops(self) -> DataFrame:
         """The verified-drop changelog: doc_b is a near-dup of earlier
         doc_a. A pair colliding in several bands appears once per band —
         it is a changelog; verdicts() compacts."""
         return self.spark.read.schema(DROPS_SCHEMA).parquet(self.drops_dir)
+
+    def drop_ids_since(
+        self, upto: int
+    ) -> "tuple[DataFrame, int, list[str]]":
+        """Distinct dropped doc_ids from the drop files stamped AFTER
+        ``upto`` — the O(new-work) read the composed pipelines' ship
+        legs anti-join against (r13 verdict task 1a), instead of
+        compacting :meth:`verdicts` from the full docs topic per
+        advance. Returns ``(drop_ids, new_watermark, files_read)``;
+        the caller publishes ``new_watermark`` as the leg's drops
+        pointer AFTER its ship commits.
+
+        Correctness of the watermark discipline: a doc's verdict is
+        emitted (and stamped) in the drain of the doc's OWN wave, which
+        runs before any ship of that wave, so every verdict relevant to
+        a not-yet-shipped doc sits in files stamped after the pointer
+        published at the previous ship. OVER-reading (a stale pointer
+        after a crash between ship and publish) is harmless: doc_ids
+        are never re-ingested, so an already-shipped wave's doc_b ids
+        cannot match a newer wave's docs in the anti-join. UNDER-reading
+        cannot happen because the pointer only advances after a ship
+        that covered every ingested doc."""
+        files = self.drops_topic.stamped_files()
+        dmax = max([s for s, _ in files] + [int(upto)])
+        new = [p for s, p in files if s > int(upto)]
+        if not new:
+            empty = self.spark.createDataFrame([], "doc_id BIGINT")
+            return empty, dmax, []
+        ids = (
+            self.spark.read.schema(DROPS_SCHEMA)
+            .parquet(*new)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        return ids, dmax, new
 
     def verdicts(self) -> DataFrame:
         """Compacted (doc_id, is_duplicate) over every ingested doc —

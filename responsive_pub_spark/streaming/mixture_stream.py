@@ -69,8 +69,11 @@ class MixtureStreaming:
 
     def advance(self) -> None:
         """Drain pending docs through the mass-maintenance aggregation."""
-        docs = self.spark.readStream.schema(DOCS_SCHEMA).parquet(
-            self.docs_dir
+        docs = (
+            self.spark.readStream.schema(DOCS_SCHEMA)
+            # handoff waves are committed DIRECTORIES (handoff.ship)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.docs_dir)
         )
         bpe = (
             f"size(regexp_extract_all(text, "

@@ -295,6 +295,10 @@ class PackIdsStreaming(_FileTopicMixin):
         docs = (
             self.spark.readStream.schema(DOCS_SCHEMA)
             .option("maxFilesPerTrigger", "1")
+            # handoff waves are committed single-file DIRECTORIES
+            # (handoff.ship wave_files=1): recurse one level so
+            # wave == file == micro-batch still holds
+            .option("recursiveFileLookup", "true")
             .parquet(self.docs_dir)
         )
         q = (

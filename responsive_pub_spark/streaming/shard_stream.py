@@ -144,10 +144,15 @@ class _FileTopicMixin:
         ]
 
     def _restamp_all(self) -> None:
-        """Normalize EVERY part file onto the deterministic stamp
-        sequence in (mtime, name) order. Stamped files keep their
+        """Normalize EVERY part entry onto the deterministic stamp
+        sequence in (mtime, name) order. Stamped entries keep their
         position (distinct stamps sort stably); unstamped leftovers
-        (mtime >= _STAMP_MAX) sort last — they were the newest write."""
+        (mtime >= _STAMP_MAX) sort last — they were the newest write.
+        A DIRECTORY entry (a committed handoff wave) also has its inner
+        part files normalized to the entry stamp (+1ms per file in name
+        order), so a file-granular streaming consumer sees waves in
+        stamp order even after a crash between the handoff rename and
+        its inner-stamp loop."""
         names = sorted(
             self._part_files(),
             key=lambda n: (
@@ -160,6 +165,15 @@ class _FileTopicMixin:
             path = os.path.join(self.docs_dir, n)
             if os.path.getmtime(path) != stamp:
                 os.utime(path, (stamp, stamp))
+            if os.path.isdir(path):
+                inner = sorted(
+                    f for f in os.listdir(path) if f.startswith("part-")
+                )
+                for j, f in enumerate(inner, start=1):
+                    fstamp = stamp + j * 0.001
+                    fpath = os.path.join(path, f)
+                    if os.path.getmtime(fpath) != fstamp:
+                        os.utime(fpath, (fstamp, fstamp))
         self._pipe_n = len(names)
 
     def _ingest_files(self, write) -> None:
@@ -272,6 +286,10 @@ class ShardStreaming(_FileTopicMixin):
         docs = (
             self.spark.readStream.schema(DOCS_SCHEMA)
             .option("maxFilesPerTrigger", "1")
+            # handoff waves are committed single-file DIRECTORIES
+            # (handoff.ship wave_files=1): recurse one level so
+            # wave == file == micro-batch still holds
+            .option("recursiveFileLookup", "true")
             .parquet(self.docs_dir)
         )
         q = (

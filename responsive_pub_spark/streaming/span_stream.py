@@ -33,6 +33,18 @@ Both maintenance queries are checkpointed availableNow drains through
 Spark's transactional file sink (exactly-once). There is ZERO
 aggregation state — the maintained tables ARE the fingerprints.
 
+Documented crash window (r13 ADVICE): the base and grams tables drain
+through two INDEPENDENTLY checkpointed queries, so a crash between them
+leaves one table a wave ahead of the other until the next ``advance()``
+re-drains the laggard (exactly-once per table is unaffected). In that
+window ``report()``/``strip()`` are transiently conservative: the
+affected wave's docs have ``n_tokens`` but no gram rows yet, so they —
+and the docs they duplicate — under-report ``dup_bp``. The parity
+contract below therefore holds at DRAIN BOUNDARIES (every advance that
+completes both queries), which is when the composed pipelines read
+these surfaces; it converges on the first completed advance after a
+crash.
+
 Parity contract (tests/test_streaming.py): postings are
 order-independent, so after any wave sequence ``report()`` /
 ``strip()`` row-equal the batch ops over the union — the gate oracles

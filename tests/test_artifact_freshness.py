@@ -118,6 +118,54 @@ def test_committed_artifact_is_fresh_or_benched_code_unchanged(
     )
 
 
+def test_latest_bench_artifact_was_recorded_fresh():
+    """The BENCH_rN gate (r13 verdict task 4): the newest BENCH
+    artifact must have been recorded at a tree from which no benched
+    module changed before the artifact itself landed — the same
+    invariant as the SCALE/SOAK gate, with the window ending at the
+    commit that last touched the artifact (BENCH_rN is a per-round
+    historical record re-recorded by the driver, so later code commits
+    do not retroactively stale it; commits BETWEEN its recording and
+    its landing do). bench.py stamps ``recorded_at_commit`` into its
+    headline JSON from r14 on; the driver wraps that line under
+    ``parsed``."""
+    benches = sorted(
+        REPO.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"BENCH_r0*(\d+)", p.name).group(1)),
+    )
+    assert benches, "no BENCH_rN.json committed"
+    path = benches[-1]
+    n = int(re.search(r"BENCH_r0*(\d+)", path.name).group(1))
+    data = json.loads(path.read_text())
+    parsed = data.get("parsed") or {}
+    rec = parsed.get("recorded_at_commit") or data.get(
+        "recorded_at_commit"
+    )
+    if rec is None:
+        assert n <= 13, (
+            f"{path.name} lacks recorded_at_commit — bench.py stamps it "
+            "from r14 on; a missing stamp on a newer artifact means the "
+            "stamping regressed"
+        )
+        pytest.skip("pre-r14 BENCH artifact predates the stamp")
+    landed = _git("log", "-1", "--format=%H", "--", path.name)
+    end = landed or "HEAD"
+    try:
+        changed = _git("diff", "--name-only", f"{rec}..{end}").splitlines()
+    except subprocess.CalledProcessError:
+        pytest.fail(
+            f"{path.name}: recorded_at_commit {rec} is not an ancestor "
+            f"of {end[:12]} — re-record the artifact"
+        )
+    closure = {str(p.relative_to(REPO)) for p in _closure("bench.py")}
+    stale = sorted(set(changed) & closure)
+    assert not stale, (
+        f"{path.name} was STALE when it landed: commits between its "
+        f"recording ({rec}) and its landing touched benched modules "
+        f"{stale}."
+    )
+
+
 def test_closure_walk_reaches_the_registry():
     """Sanity on the gate's teeth: bench_scale's closure must include
     the registry (it dispatches every benched query through it) — an

@@ -1,5 +1,5 @@
 """Protocol tests for the carried-watermark handoff
-(``streaming/handoff.py`` — r13 verdict task 3).
+(``streaming/handoff.py`` — r13 verdict task 3, directory commit r14).
 
 Contracts under test:
 
@@ -11,10 +11,16 @@ Contracts under test:
 - exactly-once across every crash window: a crash after staging (before
   the rename) leaves nothing visible and the replay rebuilds; a crash
   after the rename (before the marker publish) is recovered from the
-  placed file's NAME — the replay never re-ships the covered range even
-  when a NEW source wave landed in between.
+  placed directory's NAME — the replay never re-ships the covered range
+  even when a NEW source wave landed in between.
 - an all-rows-filtered wave still advances the watermark (an empty,
-  schema-stable handoff file; no emptiness probe).
+  schema-stable handoff directory; no emptiness probe).
+- the staged write is NOT single-task (r13 verdict task 2): a
+  multi-partition build commits a multi-part directory atomically —
+  the protocol never funnels a wave through one writer; ``wave_files=1``
+  (for order-sensitive consumers) repartitions only the write stage.
+- one leg per destination directory, by mechanism (r13 ADVICE): a
+  second marker shipping into the same dest fails loudly.
 """
 
 from __future__ import annotations
@@ -176,3 +182,89 @@ def test_all_filtered_wave_still_advances_the_watermark(spark, tmp_path):
         raise AssertionError("watermark must cover the filtered wave")
 
     assert ship(spark, src, SCHEMA, marker, dest, explode) is None
+
+
+def test_multi_partition_wave_commits_atomically_as_multi_part_dir(
+    spark, tmp_path
+):
+    """The staged write is not single-task (r13 verdict task 2): a
+    build returning a multi-partition frame commits a DIRECTORY holding
+    one part file per non-empty partition — the old protocol's
+    coalesce(1) would have collapsed it to one. The crash window
+    between staging and the rename still leaves nothing visible."""
+    src, dest, marker = _mk(spark, tmp_path)
+    _append(spark, src, 0, n=40)
+
+    class _Kill(Exception):
+        pass
+
+    def chaos(label):
+        if label == "handoff-staged":
+            raise _Kill()
+
+    with pytest.raises(_Kill):
+        ship(
+            spark, src, SCHEMA, marker, dest,
+            lambda d: d.repartition(4), chaos=chaos,
+        )
+    assert _dest_rows(spark, dest) == set()  # dir rename never happened
+
+    r = ship(spark, src, SCHEMA, marker, dest, lambda d: d.repartition(4))
+    assert r is not None
+    assert os.path.isdir(r["shipped"]), "handoff commit is a DIRECTORY"
+    parts = [
+        n for n in os.listdir(r["shipped"]) if n.startswith("part-")
+    ]
+    assert len(parts) >= 2, (
+        f"multi-partition wave wrote {parts} — the staged write "
+        "collapsed to a single task"
+    )
+    assert _dest_rows(spark, dest) == {
+        tuple(x) for x in _wave(spark, 0, n=40).collect()
+    }
+
+
+def test_wave_files_repartitions_to_single_file_waves(spark, tmp_path):
+    """wave_files=1 (the order-sensitive exporter-lane contract): the
+    committed directory holds exactly one part file even when the build
+    output is multi-partition."""
+    src, dest, marker = _mk(spark, tmp_path)
+    _append(spark, src, 0, n=40)
+    r = ship(
+        spark, src, SCHEMA, marker, dest,
+        lambda d: d.repartition(4), wave_files=1,
+    )
+    parts = [n for n in os.listdir(r["shipped"]) if n.startswith("part-")]
+    assert len(parts) == 1, parts
+    assert len(_dest_rows(spark, dest)) == 40
+
+
+def test_second_leg_on_same_dest_dir_fails_loudly(spark, tmp_path):
+    """One marker per destination (r13 ADVICE): a second leg's stamps
+    would silently raise the first leg's coverage watermark."""
+    src, dest, marker = _mk(spark, tmp_path)
+    _append(spark, src, 0)
+    assert ship(spark, src, SCHEMA, marker, dest, lambda d: d) is not None
+    other_marker = str(tmp_path / "other-leg.upto")
+    _append(spark, src, 1)
+    with pytest.raises(RuntimeError, match="owned by leg"):
+        ship(spark, src, SCHEMA, other_marker, dest, lambda d: d)
+
+
+def test_pre_handoff_layout_is_refused(spark, tmp_path):
+    """assert_handoff_layout (r13 ADVICE): plain part files with no
+    marker look like an r12 anti-join workdir — a fresh watermark would
+    re-ship the whole source history over them."""
+    from responsive_pub_spark.streaming.handoff import assert_handoff_layout
+
+    dest = str(tmp_path / "old-dest")
+    _wave(spark, 0).coalesce(1).write.mode("append").parquet(dest)
+    marker = str(tmp_path / "leg.upto")
+    with pytest.raises(RuntimeError, match="pre-handoff"):
+        assert_handoff_layout(dest, marker, "test leg")
+    # a fresh (empty) dest and a marker-bearing dest both pass
+    assert_handoff_layout(str(tmp_path / "fresh"), marker, "test leg")
+    src, dest2, marker2 = _mk(spark, tmp_path)
+    _append(spark, src, 1)
+    ship(spark, src, SCHEMA, marker2, dest2, lambda d: d)
+    assert_handoff_layout(dest2, marker2, "test leg")
