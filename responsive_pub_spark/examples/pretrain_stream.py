@@ -379,16 +379,44 @@ class PretrainStream:
             )
         return self.pack_ids.ids()
 
-    def token_sequences(self, lang: str, closed_only: bool = True):
+    def token_sequences(
+        self,
+        lang: str,
+        closed_only: bool = True,
+        mask_quarantined: bool = False,
+    ):
         """Training-batch reader over the streamed ids: (seq_id, toks)
         fixed-length arrays per language (see
-        PackIdsStreaming.sequences)."""
+        PackIdsStreaming.sequences).
+
+        ``mask_quarantined=True`` is the :meth:`quarantine` manifest's
+        CONSUMER (r13 verdict task 3): sequences overlapping any (lang,
+        seq_id_first..seq_id_last) range a retroactively-registered
+        benchmark flagged are DROPPED from the training read, while
+        :meth:`token_ids` (the audit surface) still shows them — the
+        reference's read-side validity filtering over maintained state
+        (internal/db/MongoKVTable.java:164: readers filter by verdict,
+        writers never rewrite shipped data). The quarantine set is
+        benchmark-scale, so the range filter is a broadcast anti-join,
+        never a shuffle of the sequences."""
         if self.pack_ids is None:
             raise ValueError(
                 "PretrainStream: the id leg was never enabled — pass "
                 "tokenizer_fit= on first construction"
             )
-        return self.pack_ids.sequences(lang, closed_only=closed_only)
+        seqs = self.pack_ids.sequences(lang, closed_only=closed_only)
+        if not mask_quarantined:
+            return seqs
+        ranges = (
+            self.quarantine()
+            .filter(F.col("lang") == lang)
+            .select("seq_id_first", "seq_id_last")
+            .distinct()
+        )
+        cond = (seqs["seq_id"] >= ranges["seq_id_first"]) & (
+            seqs["seq_id"] <= ranges["seq_id_last"]
+        )
+        return seqs.join(F.broadcast(ranges), cond, "left_anti")
 
     def surviving_docs(self) -> DataFrame:
         docs = self.spark.read.schema(DOCS_SCHEMA).parquet(self.nd.docs_dir)

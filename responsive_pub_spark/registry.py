@@ -2807,6 +2807,53 @@ def q_decontam_stream(spark, sf_dir):
     )
 
 
+def q_decontam_decision_stream(spark, sf_dir):
+    """The incrementally-MAINTAINED contamination decision table
+    (streaming/decontam_stream.py, r14 — r13 verdict task 1b), driven
+    through BOTH maintenance paths: wave-1 corpus plus the full eval
+    split, advance (the benchmark arms the REBUILD — the one O(corpus)
+    re-check, into the versioned base); wave-2 corpus with NO new
+    benchmark, advance (the DELTA path — decision rows derived from the
+    new wave's postings only). decision() = base + post-base deltas;
+    the oracle is the batch decontaminate oracle VERBATIM, so the gate
+    proves the base+delta union equals the full derived report."""
+    import shutil
+    import tempfile
+
+    from responsive_pub_spark.operators.pipeline_ops import EVAL_MOD
+    from responsive_pub_spark.streaming.decontam_stream import (
+        DecontamStreaming,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(f"doc_id % {EVAL_MOD} != 0").orderBy("doc_id").collect()
+    evals = docs.filter(f"doc_id % {EVAL_MOD} = 0").orderBy("doc_id").collect()
+    wd = tempfile.mkdtemp(prefix="decontam_decision_gate_")
+    try:
+        lane = DecontamStreaming(spark, wd)
+
+        def _df(rows):
+            return spark.createDataFrame(
+                [(int(r.doc_id), r.text) for r in rows],
+                "doc_id BIGINT, text STRING",
+            )
+
+        hc = len(corpus) // 2
+        lane.ingest_corpus(_df(corpus[:hc]))
+        lane.ingest_evals(_df(evals))
+        lane.advance()  # rebuild path: base covers wave 1
+        lane.ingest_corpus(_df(corpus[hc:]))
+        lane.advance()  # delta path: wave-2 rows only, no rebuild
+        out = lane.decision().collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "doc_id BIGINT, n_shingles BIGINT, n_shared BIGINT, "
+        "n_eval_docs BIGINT, contam_frac DOUBLE",
+    )
+
+
 def _span_stream_lane(spark, sf_dir):
     """Shared fixture-wave driver for the streaming span-dedup gate rows
     (streaming/span_stream.py — r13 stretch): the documents table
@@ -3069,22 +3116,30 @@ REGISTRY: dict[str, QuerySpec] = {
     # text_bm25_topk, decontam via decontam_fuzzy, mixture via
     # mixture_resample_tokens/mixture_temperature, envelope via
     # json_props_rollup, knn via knn_label_purity)
-    "dup_span_stream": QuerySpec(
-        q_dup_span_stream,
-        pipeline_ops.dup_span_report_oracle(),
-        doc="STREAMED duplicated-span report: gram postings maintained "
-        "incrementally (gram-once per doc, the decontam_stream posture "
-        "applied to w-grams), report served from the shared batch "
-        "aggregation tail; oracle = the batch oracle verbatim; NEW "
-        "gate r13 (r12 VERDICT task 8 stretch)",
+    # (rotated out r14, green r13: dup_span_stream, strip_spans_stream —
+    # the span family keeps dup_span_report + dedup_strip_spans
+    # in-window; the two streamed rows park in the past-50 block)
+    "decontam_decision_stream": QuerySpec(
+        q_decontam_decision_stream,
+        pipeline_ops.decontaminate_oracle(),
+        doc="incrementally-MAINTAINED contamination decision table (the "
+        "r13 verdict's O(new-work) ask): versioned base rebuilt only "
+        "when a benchmark registers, wave-sized handoff deltas "
+        "otherwise; the gate drives BOTH paths and proves base+deltas "
+        "equals the full derived report (batch oracle verbatim); NEW "
+        "gate r14",
     ),
-    "strip_spans_stream": QuerySpec(
-        q_strip_spans_stream,
-        pipeline_ops.strip_dup_spans_oracle(),
-        doc="STREAMED span strip: the canonical-first strip decision "
-        "served at read from the maintained gram postings (only the "
-        "text-rebuild token stream re-reads the docs topic); oracle = "
-        "the batch oracle verbatim; NEW gate r13",
+    "decontam_stream": QuerySpec(
+        q_decontam_stream,
+        pipeline_ops.decontaminate_oracle(),
+        doc="STREAMING decontamination fingerprints: corpus and "
+        "benchmark docs shingled ONCE at ingest into maintained "
+        "postings (zero aggregation state — the tables are the state); "
+        "report() is the batch aggregation over them, automatically "
+        "RETROACTIVE when a new benchmark wave lands; oracle = the "
+        "batch decontaminate oracle verbatim; NEW gate r12, slid back "
+        "in-window r14 (the decontam lane gained the decision "
+        "maintenance this round — its report row re-gates beside it)",
     ),
     "bm25_stream_stats": QuerySpec(
         q_bm25_stream_stats,
@@ -3544,15 +3599,23 @@ REGISTRY: dict[str, QuerySpec] = {
         "re-rank unchanged — row-identical to the batch recompute by "
         "construction; NEW gate r12 (r11 VERDICT task 2)",
     ),
-    "decontam_stream": QuerySpec(
-        q_decontam_stream,
-        pipeline_ops.decontaminate_oracle(),
-        doc="STREAMING decontamination fingerprints: corpus and "
-        "benchmark docs shingled ONCE at ingest into maintained "
-        "postings (zero aggregation state — the tables are the state); "
-        "report() is the batch aggregation over them, automatically "
-        "RETROACTIVE when a new benchmark wave lands; oracle = the "
-        "batch decontaminate oracle verbatim; NEW gate r12",
+    "dup_span_stream": QuerySpec(
+        q_dup_span_stream,
+        pipeline_ops.dup_span_report_oracle(),
+        doc="STREAMED duplicated-span report: gram postings maintained "
+        "incrementally (gram-once per doc, the decontam_stream posture "
+        "applied to w-grams), report served from the shared batch "
+        "aggregation tail; oracle = the batch oracle verbatim; NEW "
+        "gate r13, rotated past 50 in r14",
+    ),
+    "strip_spans_stream": QuerySpec(
+        q_strip_spans_stream,
+        pipeline_ops.strip_dup_spans_oracle(),
+        doc="STREAMED span strip: the canonical-first strip decision "
+        "served at read from the maintained gram postings (only the "
+        "text-rebuild token stream re-reads the docs topic); oracle = "
+        "the batch oracle verbatim; NEW gate r13, rotated past 50 in "
+        "r14",
     ),
     "mixture_stream": QuerySpec(
         q_mixture_stream,

@@ -211,3 +211,82 @@ def test_mixture_gate_prefix_parity_across_restart(spark, tmp_path):
     assert {
         int(r.doc_id) for r in lane.pack_assignments().collect()
     } == shipped_all
+
+
+def test_mask_quarantined_reader_drops_exactly_the_flagged_sequences(
+    spark, tmp_path
+):
+    """The quarantine manifest's CONSUMER (r14, r13 verdict task 3): a
+    benchmark registered AFTER shipment flags a shipped doc; the next
+    ``token_sequences(mask_quarantined=True)`` read excludes exactly
+    the (lang, seq_id) ranges ``quarantine()`` names, while the
+    unmasked reader and ``token_ids()`` (the audit surfaces) still show
+    them. Stable across a cold restart."""
+    wd = str(tmp_path / "pre-mask")
+    wave1 = [(1, "en", _CLEAN_A, 1.0), (2, "en", _DIRTY_B, 2.0)]
+    lane = PretrainStream(
+        spark,
+        wd,
+        budget=4,
+        contam_threshold=0.5,
+        tokenizer_fit=spark.createDataFrame(
+            [(d, t) for d, _l, t, _ in wave1], "doc_id BIGINT, text STRING"
+        ),
+    )
+    lane.ingest(_df(spark, wave1))
+    lane.advance()
+    assert {int(r.doc_id) for r in lane.shipped_docs().collect()} == {1, 2}
+    # nothing quarantined yet: masked == unmasked
+    all_seqs = {
+        int(r.seq_id)
+        for r in lane.token_sequences("en", closed_only=False).collect()
+    }
+    assert all_seqs
+    assert {
+        int(r.seq_id)
+        for r in lane.token_sequences(
+            "en", closed_only=False, mask_quarantined=True
+        ).collect()
+    } == all_seqs
+
+    # benchmark registered AFTER doc 2 shipped -> retroactive flag
+    lane.register_benchmark(
+        spark.createDataFrame([(200, _DIRTY_B)], "doc_id BIGINT, text STRING")
+    )
+    lane.advance()
+    q = lane.quarantine().collect()
+    assert [int(r.doc_id) for r in q] == [2]
+    flagged = {
+        s
+        for r in q
+        for s in range(int(r.seq_id_first), int(r.seq_id_last) + 1)
+    }
+    assert flagged, "the quarantined doc must span at least one sequence"
+
+    masked = {
+        int(r.seq_id)
+        for r in lane.token_sequences(
+            "en", closed_only=False, mask_quarantined=True
+        ).collect()
+    }
+    unmasked = {
+        int(r.seq_id)
+        for r in lane.token_sequences("en", closed_only=False).collect()
+    }
+    assert masked == unmasked - flagged, (masked, unmasked, flagged)
+    assert unmasked == all_seqs, "the audit surface still shows them"
+    # token_ids (the raw audit table) still carries the flagged spans
+    id_seqs = {
+        int(r.seq_id)
+        for r in lane.token_ids().filter("lang = 'en'").collect()
+    }
+    assert flagged <= id_seqs
+
+    # COLD RESTART: same masked read (frozen tokenizer artifact found)
+    lane2 = PretrainStream(spark, wd, budget=4, contam_threshold=0.5)
+    assert {
+        int(r.seq_id)
+        for r in lane2.token_sequences(
+            "en", closed_only=False, mask_quarantined=True
+        ).collect()
+    } == masked
