@@ -2915,6 +2915,23 @@ def q_strip_spans_stream(spark, sf_dir):
     )
 
 
+def q_strip_stream_materialized(spark, sf_dir):
+    """The MAINTAINED stripped-text table (r14, r13 verdict task-7
+    stretch): two ingest waves; each advance ships a strip DELTA
+    re-deriving only the wave's docs plus their gram-collision partners
+    (the retroactivity set) through the shared batch tail; stripped()
+    reads the deltas last-writer-wins per doc. Oracle = the batch
+    strip_dup_spans oracle VERBATIM, so the gate proves the
+    incrementally-maintained table equals the corpus-wide decision."""
+    for lane in _span_stream_lane(spark, sf_dir):
+        out = lane.stripped().collect()
+    return spark.createDataFrame(
+        out,
+        "doc_id BIGINT, n_tokens BIGINT, kept_tokens BIGINT, "
+        "kept_text STRING",
+    )
+
+
 def q_bm25_stream_stats(spark, sf_dir):
     """Incrementally-maintained BM25 statistics (streaming/bm25_stream.py,
     r10 VERDICT task 8): the corpus streams in as TWO waves; per-term df
@@ -3532,11 +3549,17 @@ REGISTRY: dict[str, QuerySpec] = {
     # (versioned_kv_asof — green r4-r11 — parked in the r12 third
     # rotation for the mixture_stream gate row; the versioned-store
     # family keeps join_versioned_stream in-window)
-    "versioned_kv_asof": QuerySpec(
-        q_versioned_kv_asof,
-        ORACLE_VERSIONED_KV_ASOF,
-        doc="KS 3.5 VersionedKeyValueStore: timestamped puts/tombstones, "
-        "get(key, asOfTimestamp) probes at now/-1h/-1d per key",
+    # (versioned_kv_asof — green r4-r13 — rotates past 50 in r14 for the
+    # strip_stream_materialized gate row; the versioned family keeps
+    # join_versioned_stream in-window)
+    "strip_stream_materialized": QuerySpec(
+        q_strip_stream_materialized,
+        pipeline_ops.strip_dup_spans_oracle(),
+        doc="MAINTAINED stripped-text table: per-wave handoff deltas "
+        "re-strip only the wave's docs plus their gram-collision "
+        "partners (retroactive canonical flips re-emit the old doc); "
+        "stripped() = last-writer-wins over the deltas; oracle = the "
+        "batch strip_dup_spans oracle verbatim; NEW gate r14",
     ),
     # (table_history_scd2 — green r5-r11 — parked in the r12 second
     # rotation for the envelope_audit_stream gate row; the asof/history
@@ -3598,6 +3621,13 @@ REGISTRY: dict[str, QuerySpec] = {
         "tables via hybrid_rerank's cands= injection, stage-2 cosine "
         "re-rank unchanged — row-identical to the batch recompute by "
         "construction; NEW gate r12 (r11 VERDICT task 2)",
+    ),
+    "versioned_kv_asof": QuerySpec(
+        q_versioned_kv_asof,
+        ORACLE_VERSIONED_KV_ASOF,
+        doc="KS 3.5 VersionedKeyValueStore: timestamped puts/tombstones, "
+        "get(key, asOfTimestamp) probes at now/-1h/-1d per key; rotated "
+        "past 50 in r14",
     ),
     "dup_span_stream": QuerySpec(
         q_dup_span_stream,

@@ -28,6 +28,26 @@ alone, so it belongs in a maintained table written ONCE per doc (the
   gram hashing and the canonical-occurrence election run on maintained
   state. First-by-(doc_id, pos) canonicalization makes the kept text
   deterministic at any corpus prefix.
+- **materialized strip sink** (r14, the r13 verdict's task-7 stretch):
+  :meth:`strip` recomputes the full corpus-wide decision per call —
+  inherent for a one-shot full-corpus output, wrong for a training-side
+  consumer polling per wave. ``advance()`` therefore ALSO maintains a
+  stripped-text table incrementally via the carried-watermark handoff
+  (``streaming/handoff.py``): each wave's delta re-strips ONLY the
+  AFFECTED docs — the wave's docs plus every earlier doc sharing a gram
+  with them (the retroactivity set: a new occurrence can flip an old
+  occurrence's duplicated/canonical status) — using the shared batch
+  tail over the gram-context restriction (all occurrences of the
+  affected docs' grams, so counts and canonical election are exact).
+  :meth:`stripped` reads the deltas LAST-WRITER-WINS per doc (delta
+  stamp order), so a retroactively re-stripped doc's newest row
+  shadows its older ones; parity with the batch ``strip_dup_spans``
+  over the union is the gate oracle verbatim. Honest per-advance cost:
+  the affected-set discovery is a gram-keyed semi-join into the
+  maintained postings and the text rebuild fetches the affected docs'
+  rows from the docs topic — index-lookup-shaped row work (O(affected)
+  rows), over columnar maintained tables, never a re-gram of the
+  corpus.
 
 Both maintenance queries are checkpointed availableNow drains through
 Spark's transactional file sink (exactly-once). There is ZERO
@@ -72,11 +92,19 @@ from responsive_pub_spark.operators.pipeline_ops import (
     span_report_from,
     strip_spans_from,
 )
+from responsive_pub_spark.streaming.handoff import (
+    _HANDOFF_RE,
+    StampedTopic,
+    ship,
+)
 from responsive_pub_spark.streaming.runtime import run_to_sink
 
 DOCS_SCHEMA = "doc_id BIGINT, text STRING"
 BASE_SCHEMA = "doc_id BIGINT, n_tokens BIGINT"
 GRAMS_SCHEMA = "doc_id BIGINT, pos BIGINT, gh BIGINT"
+STRIP_SCHEMA = (
+    "doc_id BIGINT, n_tokens BIGINT, kept_tokens BIGINT, kept_text STRING"
+)
 
 
 class SpanDedupStreaming:
@@ -92,7 +120,18 @@ class SpanDedupStreaming:
         self.grams_dir = os.path.join(workdir, "grams")
         self.ck_base = os.path.join(workdir, "ck-base")
         self.ck_grams = os.path.join(workdir, "ck-grams")
+        self.strip_deltas = os.path.join(workdir, "strip", "deltas")
+        self.strip_marker = os.path.join(workdir, "strip", "delta.upto")
         os.makedirs(self.docs_dir, exist_ok=True)
+        os.makedirs(self.strip_deltas, exist_ok=True)
+        # the base table under the stamp discipline: it is the strip
+        # sink's handoff SOURCE (every doc has a base row — gram rows
+        # only exist for docs with >= w tokens)
+        self._base_topic = StampedTopic(
+            os.path.join(workdir, "base-meta"), self.base_dir
+        )
+        #: base files the last strip delta's wave read (files-read gate)
+        self.last_strip_reads: "list[str]" = []
 
     def ingest(self, docs: DataFrame) -> None:
         """Append a wave of (doc_id, text) docs to the topic."""
@@ -107,7 +146,8 @@ class SpanDedupStreaming:
 
     def advance(self) -> None:
         """Drain pending docs through the gram-once maintenance queries
-        (stateless — the maintained tables are the state)."""
+        (stateless — the maintained tables are the state), then ship
+        the wave's stripped-text delta (affected docs only)."""
         docs = self.spark.readStream.schema(DOCS_SCHEMA).parquet(
             self.docs_dir
         )
@@ -115,7 +155,9 @@ class SpanDedupStreaming:
         base = tks.select(
             "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
         )
-        run_to_sink(base, self.base_dir, self.ck_base)
+        self._base_topic.append(
+            lambda: run_to_sink(base, self.base_dir, self.ck_base)
+        )
         grams = tks.select(
             "doc_id",
             F.explode(F.expr(span_gram_starts_sql(self.w))).alias("g"),
@@ -125,6 +167,50 @@ class SpanDedupStreaming:
             F.col("g.gh").alias("gh"),
         )
         run_to_sink(grams, self.grams_dir, self.ck_grams)
+        self._ship_strip()
+
+    def _ship_strip(self) -> None:
+        """One watermarked strip delta (see module docstring): re-strip
+        the wave's docs plus the earlier docs their grams collide with,
+        through the SHARED batch tail over the exact gram context."""
+
+        def build(new_base: DataFrame) -> DataFrame:
+            self.last_strip_reads = sorted(new_base.inputFiles())
+            allg = self.grams()
+            wave_ids = new_base.select("doc_id")
+            gh_new = allg.join(wave_ids, "doc_id").select("gh").distinct()
+            partners = allg.join(gh_new, "gh").select("doc_id").distinct()
+            affected = wave_ids.union(partners).distinct()
+            # exact context: ALL occurrences of the affected docs' grams,
+            # so occurrence counts and the canonical election match the
+            # corpus-wide computation for every affected doc
+            aff_grams = allg.join(affected, "doc_id")
+            gh_ctx = aff_grams.select("gh").distinct()
+            grams_ctx = allg.join(gh_ctx, "gh")
+            base_aff = self.base().join(affected, "doc_id")
+            positions = (
+                self._tks(
+                    self.spark.read.schema(DOCS_SCHEMA)
+                    .parquet(self.docs_dir)
+                    .join(affected, "doc_id")
+                )
+                .select("doc_id", F.posexplode("toks").alias("p0", "tok"))
+                .select(
+                    "doc_id",
+                    (F.col("p0") + 1).cast("bigint").alias("pos"),
+                    "tok",
+                )
+            )
+            return strip_spans_from(base_aff, grams_ctx, positions, self.w)
+
+        ship(
+            self.spark,
+            self._base_topic,
+            BASE_SCHEMA,
+            self.strip_marker,
+            self.strip_deltas,
+            build,
+        )
 
     # -- maintained state readers ----------------------------------------
     def base(self) -> DataFrame:
@@ -157,3 +243,36 @@ class SpanDedupStreaming:
             )
         )
         return strip_spans_from(self.base(), self.grams(), positions, self.w)
+
+    def stripped(self) -> DataFrame:
+        """The MAINTAINED stripped-text table (the training-side read):
+        last-writer-wins per doc over the handoff deltas — a doc
+        retroactively re-stripped by a later wave's collision is read
+        from its newest delta. Row-equal to :meth:`strip` (and the
+        batch ``strip_dup_spans`` over the union) after every advance;
+        never re-derives the corpus-wide decision."""
+        from pyspark.sql.window import Window
+
+        paths = sorted(
+            os.path.join(self.strip_deltas, n)
+            for n in os.listdir(self.strip_deltas)
+            if _HANDOFF_RE.match(n)
+        )
+        if not paths:
+            return self.spark.createDataFrame([], STRIP_SCHEMA)
+        rows = (
+            self.spark.read.schema(STRIP_SCHEMA)
+            .parquet(*paths)
+            .withColumn(
+                "_stamp",
+                F.regexp_extract(
+                    F.input_file_name(), r"part-handoff-(\d{20})", 1
+                ).cast("bigint"),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.col("_stamp").desc())
+        return (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "n_tokens", "kept_tokens", "kept_text")
+        )

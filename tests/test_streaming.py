@@ -1514,3 +1514,81 @@ def test_span_streaming_report_and_strip_equal_batch_across_restart(
     lane2 = SpanDedupStreaming(spark, workdir)
     assert {tuple(r) for r in lane2.report().collect()} == batch_rep
     assert {tuple(r) for r in lane2.strip().collect()} == batch_strip
+
+
+def test_span_stripped_sink_is_incremental_lastwins_and_batch_equal(
+    spark, tmp_path
+):
+    """The materialized strip sink (r14, r13 verdict task-7 stretch):
+    after every advance, stripped() — the maintained last-writer-wins
+    delta table — row-equals both strip() and the batch strip_dup_spans
+    over the union; a steady-state wave's delta handoff reads only NEW
+    base files; and the RETROACTIVE canonical flip (a later wave's copy
+    with a LOWER doc_id steals canonicality) re-emits the old doc with
+    its changed text, which last-wins shadows. Cold-restart stable."""
+    from responsive_pub_spark.operators import pipeline_ops
+    from responsive_pub_spark.streaming.span_stream import SpanDedupStreaming
+
+    sch = "doc_id BIGINT, text STRING"
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w tokens
+    w1 = [
+        (10, span + " tail one two three"),
+        (11, "one two three four five six seven eight nine ten"),
+    ]
+    # wave 2: doc 20 duplicates doc 10's span with a HIGHER id (doc 10
+    # stays canonical); doc 5 duplicates doc 11's full text with a
+    # LOWER id — doc 11's occurrences LOSE canonicality retroactively
+    w2 = [
+        (20, span + " other trailing words here"),
+        (5, "one two three four five six seven eight nine ten"),
+    ]
+
+    wd = str(tmp_path / "span-strip-sink")
+    lane = SpanDedupStreaming(spark, wd)
+    lane.ingest(spark.createDataFrame(w1, sch))
+    lane.advance()
+    u1 = spark.createDataFrame(w1, sch)
+    want1 = {tuple(r) for r in pipeline_ops.strip_dup_spans(u1).collect()}
+    assert {tuple(r) for r in lane.stripped().collect()} == want1
+    assert {tuple(r) for r in lane.strip().collect()} == want1
+    kept11_before = {r[0]: r[3] for r in want1}[11]
+    w1_base = {p for _s, p in lane._base_topic.stamped_files()}
+
+    lane.ingest(spark.createDataFrame(w2, sch))
+    lane.advance()
+    # files-read gate: the wave-2 delta's handoff wave read no wave-1
+    # base file (the gram-context lookup into the maintained postings
+    # is the documented honest cost; the WAVE itself is new-files-only)
+    assert lane.last_strip_reads
+    assert not (set(lane.last_strip_reads) & w1_base)
+
+    u12 = spark.createDataFrame(w1 + w2, sch)
+    want2 = {tuple(r) for r in pipeline_ops.strip_dup_spans(u12).collect()}
+    got2 = {tuple(r) for r in lane.stripped().collect()}
+    assert got2 == want2
+    assert {tuple(r) for r in lane.strip().collect()} == want2
+
+    by_id = {r[0]: r[3] for r in got2}
+    # higher-id copy: doc 10 keeps its text, doc 20's span is stripped
+    assert span in by_id[10] and span not in by_id[20]
+    # lower-id copy stole canonicality: doc 11's text CHANGED
+    # retroactively (last-wins serves the re-emitted row), doc 5 keeps
+    assert by_id[11] != kept11_before and by_id[11] == ""
+    assert by_id[5] == w2[1][1]
+
+    # the delta table genuinely re-emitted doc 11 (two rows, newest wins)
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.schema(
+            "doc_id BIGINT, n_tokens BIGINT, kept_tokens BIGINT, "
+            "kept_text STRING"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(lane.strip_deltas)
+    )
+    assert raw.filter(F.col("doc_id") == 11).count() == 2
+
+    # cold restart: identical maintained read
+    lane2 = SpanDedupStreaming(spark, wd)
+    assert {tuple(r) for r in lane2.stripped().collect()} == want2
