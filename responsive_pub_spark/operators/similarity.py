@@ -614,6 +614,109 @@ PQ_TOPK = 3
 PQ_QUERY_VECS = 10
 
 
+def _pq_subs(
+    df: DataFrame,
+    idc: str,
+    vc: str,
+    out_id: str,
+    out_v: str,
+    m_sub: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    extra: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """(id, [extra...], m, subvector) rows + the full-vector squared
+    norm — the shared subspace projection of every PQ stage (codebook,
+    encode, query LUT). ``extra`` carries passthrough columns (the
+    incremental index threads cid through the encode so codes land
+    cid-partitioned without a join back)."""
+    from responsive_pub_spark.functions.vectors import dot_sql
+
+    return df.select(
+        F.col(idc).alias(out_id),
+        F.expr(dot_sql(vc, vc)).alias(f"{out_id}_n2"),
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.expr(
+                            f"slice({vc}, {m * subdim + 1}, {subdim})"
+                        ).alias(out_v),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        out_id,
+        f"{out_id}_n2",
+        *extra,
+        F.col("s.m").alias("m"),
+        F.col(f"s.{out_v}"),
+    )
+
+
+def pq_codebook(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """(j, m, cbv) pinned per-subspace codebooks: the subvectors of the
+    vectors with id < ``n_codes`` (the pq_topk convention — swap in
+    trained codebooks without changing any downstream plan). The
+    incremental index derives these from its FROZEN CENTROIDS, so the
+    codebooks retrain exactly when the drift loop retrains and the
+    serving {centroids, lists, codes} triple is self-consistent by
+    construction."""
+    return _pq_subs(
+        vecs.filter(F.col(id_col) < n_codes),
+        id_col,
+        vec_col,
+        "j",
+        "cbv",
+        m_sub,
+        subdim,
+    ).select("j", "m", "cbv")
+
+
+def pq_encode(
+    vecs: DataFrame,
+    cb: DataFrame,
+    m_sub: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    extra: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Encode (vec_id, embedding[, extra...]) against broadcast
+    codebooks: argmin ||sv - cbv||^2 per (vector, subspace), ties to the
+    low code — ONE broadcast join over the input, the per-batch cost of
+    the incremental index's code maintenance. Output: (vid, vid_n2,
+    [extra...], m, code)."""
+    from responsive_pub_spark.functions.vectors import dot_unrolled
+
+    corpus = _pq_subs(
+        vecs, "vec_id", "embedding", "vid", "sv", m_sub, subdim, extra
+    )
+    d2 = (
+        f"({dot_unrolled('sv', 'sv', subdim, 'spark')}) "
+        f"- 2 * ({dot_unrolled('sv', 'cbv', subdim, 'spark')}) "
+        f"+ ({dot_unrolled('cbv', 'cbv', subdim, 'spark')})"
+    )
+    return (
+        corpus.join(F.broadcast(cb), "m")
+        .withColumn("d2", pround(F.expr(d2), 6))
+        .groupBy("vid", "vid_n2", *extra, "m")
+        .agg(
+            F.min_by(F.col("j"), F.struct(F.col("d2"), F.col("j"))).alias(
+                "code"
+            )
+        )
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     k: int = PQ_TOPK,
@@ -644,45 +747,17 @@ def pq_topk(
     (codes x LUT equi-join on (m, code), fold over m) -> shortlist ->
     exact cosine re-rank of the shortlist only.
     """
-    from responsive_pub_spark.functions.vectors import dot_sql, dot_unrolled
+    from responsive_pub_spark.functions.vectors import dot_unrolled
 
-    def subs(df, idc, vc, out_id, out_v):
-        """(id, m, subvector) rows + the full-vector squared norm."""
-        return df.select(
-            F.col(idc).alias(out_id),
-            F.expr(dot_sql(vc, vc)).alias(f"{out_id}_n2"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            F.expr(f"slice({vc}, {m * subdim + 1}, {subdim})").alias(out_v),
-                        )
-                        for m in range(m_sub)
-                    ]
-                )
-            ).alias("s"),
-        ).select(out_id, f"{out_id}_n2", F.col("s.m").alias("m"), F.col(f"s.{out_v}"))
-
-    cb = subs(
-        emb.filter(F.col("vec_id") < n_codes), "vec_id", "embedding", "j", "cbv"
-    ).select("j", "m", "cbv")
-    corpus = subs(emb, "vec_id", "embedding", "vid", "sv")
+    cb = pq_codebook(emb, "vec_id", "embedding", m_sub, subdim, n_codes)
     # encode: argmin ||sv - cbv||^2 per (vector, subspace); ties -> low j.
     # L2 via unrolled dots (codegen; fold forms are ~20x slower on joins).
-    d2 = (
-        f"({dot_unrolled('sv', 'sv', subdim, 'spark')}) "
-        f"- 2 * ({dot_unrolled('sv', 'cbv', subdim, 'spark')}) "
-        f"+ ({dot_unrolled('cbv', 'cbv', subdim, 'spark')})"
-    )
-    codes = (
-        corpus.join(F.broadcast(cb), "m")
-        .withColumn("d2", pround(F.expr(d2), 6))
-        .groupBy("vid", "vid_n2", "m")
-        .agg(F.min_by(F.col("j"), F.struct(F.col("d2"), F.col("j"))).alias("code"))
-    )
+    codes = pq_encode(emb, cb, m_sub, subdim)
     # LUT: query-subvector x codebook dot products (tiny: nq * m * K rows)
-    qsub = subs(emb.filter(F.col("vec_id") < n_queries), "vec_id", "embedding", "qid", "qsv")
+    qsub = _pq_subs(
+        emb.filter(F.col("vec_id") < n_queries),
+        "vec_id", "embedding", "qid", "qsv", m_sub, subdim,
+    )
     lut = (
         qsub.join(F.broadcast(cb), "m")
         .withColumn(

@@ -54,6 +54,7 @@ from responsive_pub_spark.streaming.commitlog import (
 VECS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>"
 CENT_SCHEMA = "cid BIGINT, centv ARRAY<DOUBLE>"
 LISTS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, cid BIGINT, ccos DOUBLE"
+CODES_SCHEMA = "vec_id BIGINT, n2 DOUBLE, m INT, code BIGINT, cid BIGINT"
 
 
 def _chaos_kill(label: str) -> None:
@@ -187,8 +188,58 @@ class IvfIncremental:
     def lists_dir(self) -> str:
         return os.path.join(self.index_root, self._current(), "lists")
 
+    @property
+    def codes_dir(self) -> str:
+        return os.path.join(self.index_root, self._current(), "codes")
+
     def centroids(self) -> DataFrame:
         return self.spark.read.schema(CENT_SCHEMA).parquet(self.cent_dir)
+
+    # -- PQ codes beside the lists (r14, r13 verdict task-8 stretch) ----
+    def _codebooks(self, cent: "DataFrame | None" = None) -> DataFrame:
+        """Per-subspace codebooks DERIVED from the version's frozen
+        centroids (the first PQ_K of them — fewer when the index holds
+        fewer centroids): a pure deterministic function of the
+        centroids, so they are never persisted separately, retrain
+        exactly when the drift loop retrains, and the serving
+        {centroids, lists, codes} triple is self-consistent at every
+        pointer flip by construction."""
+        cent = cent if cent is not None else self.centroids()
+        return similarity.pq_codebook(
+            cent.select(
+                F.col("cid").alias("vec_id"),
+                F.col("centv").alias("embedding"),
+            )
+        )
+
+    def _encode(self, assigned: DataFrame, cent: DataFrame) -> DataFrame:
+        """(vec_id, n2, m, code, cid) PQ codes for assigned rows — one
+        broadcast codebook join; cid rides through so the code table
+        lands cid-PARTITIONED like the lists (the probed-cells filter
+        prunes the CODE scan at query time)."""
+        return similarity.pq_encode(
+            assigned.select("vec_id", "embedding", "cid"),
+            self._codebooks(cent),
+            extra=("cid",),
+        ).select(
+            F.col("vid").alias("vec_id"),
+            F.col("vid_n2").alias("n2"),
+            "m",
+            "code",
+            "cid",
+        )
+
+    def codes(self, dedup: bool = False) -> DataFrame:
+        """The maintained PQ code table (PQ_M BIGINT codes + one norm
+        per vector instead of the raw array — the 100 TB scan shape).
+        ``dedup=True`` collapses at-least-once replay duplicates on
+        (vec_id, m), the code-table analog of ``lists(dedup=True)``."""
+        if not os.path.isdir(self.codes_dir):
+            return self.spark.createDataFrame([], CODES_SCHEMA)
+        out = self.spark.read.schema(CODES_SCHEMA).parquet(self.codes_dir)
+        if dedup:
+            out = out.dropDuplicates(["vec_id", "m"])
+        return out
 
     #: test seam for the publish-fence e2e: called between an append's
     #: list write and its version re-check, so a test can flip the
@@ -223,9 +274,17 @@ class IvfIncremental:
             # cid-PARTITIONED layout from the first append: the probed
             # cids become a static partition filter at query time, so a
             # topk scan reads n_probes cells, not the whole index
-            similarity.ivf_assign(batch_df, cent).write.mode(
+            assigned = similarity.ivf_assign(batch_df, cent)
+            assigned.write.mode("append").partitionBy("cid").parquet(
+                os.path.join(vdir, "lists")
+            )
+            # PQ codes beside the lists (one broadcast codebook join
+            # over the new rows): the ADC scan path reads codes, never
+            # raw vectors; at-least-once replays dedup at read like the
+            # lists
+            self._encode(assigned, cent).write.mode(
                 "append"
-            ).partitionBy("cid").parquet(os.path.join(vdir, "lists"))
+            ).partitionBy("cid").parquet(os.path.join(vdir, "codes"))
             if IvfIncremental._mid_append_hook is not None:
                 IvfIncremental._mid_append_hook(self)
             v1 = self._current()
@@ -302,6 +361,128 @@ class IvfIncremental:
             cand_source=cand_source,
         )
 
+    def topk_pq(
+        self,
+        k: int = similarity.IVF_K,
+        n_queries: int = similarity.IVF_QUERY_VECS,
+        n_probes: int = similarity.IVF_PROBES,
+        rerank: int = similarity.PQ_RERANK,
+    ) -> DataFrame:
+        """IVF-PQ query over the maintained index (r14, r13 verdict
+        task-8 stretch) — the 100 TB scan shape: resolve the probed
+        cids (same deterministic probe selection as :meth:`topk`), scan
+        the CODE table of those cells only (PQ_M small ints + one norm
+        per vector, never the raw arrays), rank by asymmetric distance
+        (codes JOIN the broadcast query LUT, m-ordered fold), and fetch
+        raw vectors ONLY for the top-``rerank`` shortlist's exact
+        cosine re-rank. Same query convention as :meth:`topk`
+        (queries = the indexed vectors with vec_id < n_queries); output
+        (query_id, neighbor_id, rank, cosine, adc_cos) — cosines are
+        exact, so the recall referee vs the raw-list :meth:`topk` is a
+        set comparison with score-equality on every shared hit
+        (tests/test_ann_incremental.py)."""
+        from pyspark.sql.window import Window
+
+        from responsive_pub_spark.functions.portable import pround
+        from responsive_pub_spark.functions.vectors import (
+            cosine_sql,
+            dot_unrolled,
+        )
+
+        full = self.lists(dedup=True)
+        cent = self.centroids()
+        cids = sorted(
+            r.cid
+            for r in similarity.ivf_probes(
+                full, cent, n_queries=n_queries, n_probes=n_probes
+            )
+            .select("cid")
+            .distinct()
+            .collect()
+        )
+        codes = self.codes(dedup=True).filter(F.col("cid").isin(cids))
+        cb = self._codebooks(cent)
+        queries = full.filter(F.col("vec_id") < n_queries).select(
+            "vec_id", "embedding"
+        )
+        qsub = similarity._pq_subs(
+            queries, "vec_id", "embedding", "qid", "qsv"
+        )
+        lut = (
+            qsub.join(F.broadcast(cb), "m")
+            .withColumn(
+                "val",
+                pround(
+                    F.expr(
+                        dot_unrolled("qsv", "cbv", similarity.PQ_SUBDIM, "spark")
+                    ),
+                    6,
+                ),
+            )
+            .select(
+                F.col("qid").alias("query_id"),
+                "qid_n2",
+                "m",
+                F.col("j").alias("code"),
+                "val",
+            )
+        )
+        adc = (
+            codes.join(F.broadcast(lut), ["m", "code"])
+            .groupBy(
+                "query_id",
+                "qid_n2",
+                F.col("vec_id").alias("neighbor_id"),
+                "n2",
+            )
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("m"), F.col("val")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["val"],
+                ).alias("adc_dot")
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "adc_cos",
+                pround(
+                    F.col("adc_dot")
+                    / F.sqrt(F.col("qid_n2") * F.col("n2")),
+                    6,
+                ),
+            )
+        )
+        wa = Window.partitionBy("query_id").orderBy(
+            F.desc("adc_cos"), F.asc("neighbor_id")
+        )
+        short = (
+            adc.withColumn("arank", F.row_number().over(wa))
+            .filter(F.col("arank") <= int(rerank))
+            .select("query_id", "neighbor_id", "adc_cos")
+        )
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        nv = full.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+        )
+        rer = (
+            short.join(F.broadcast(qv), "query_id")
+            .join(nv, "neighbor_id")
+            .withColumn("cosine", pround(F.expr(cosine_sql("qv", "nv")), 6))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            rer.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= int(k))
+            .select("query_id", "neighbor_id", "rank", "cosine", "adc_cos")
+        )
+
     def compact(self) -> int:
         """Collapse at-least-once replay duplicates and micro-batch small
         files by rewriting the list table (still cid-partitioned) as a
@@ -327,7 +508,14 @@ class IvfIncremental:
             compacted.write.mode("overwrite").partitionBy("cid").parquet(
                 os.path.join(stage, "lists")
             )
-            self.centroids().coalesce(1).write.mode("overwrite").parquet(
+            cent = self.centroids()
+            # codes RE-ENCODED from the deduped lists (not merely
+            # deduped): compaction heals any code gap and keeps exactly
+            # one code row set per surviving vector
+            self._encode(compacted, cent).write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(os.path.join(stage, "codes"))
+            cent.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(stage, "centroids")
             )
             self._publish(nxt)
@@ -390,9 +578,18 @@ class IvfIncremental:
                 vecs, n_centroids=n_centroids, iters=iters
             ).localCheckpoint(eager=True)  # pin: must not lazily re-
             #                      derive from the version we retire below
-            similarity.ivf_assign(vecs, cent).write.mode(
+            reassigned = similarity.ivf_assign(vecs, cent).localCheckpoint(
+                eager=True
+            )  # pin: the codes encode below reads it after the lists write
+            reassigned.write.mode("overwrite").partitionBy("cid").parquet(
+                os.path.join(stage, "lists")
+            )
+            # codebooks follow the NEW centroids (they are derived from
+            # them), so a retrain re-encodes every stored vector — the
+            # r13 task-8 ask: codes never serve against stale codebooks
+            self._encode(reassigned, cent).write.mode(
                 "overwrite"
-            ).partitionBy("cid").parquet(os.path.join(stage, "lists"))
+            ).partitionBy("cid").parquet(os.path.join(stage, "codes"))
             _chaos_kill("staged-lists")
             cent.select(
                 "cid", F.col("centv").cast("array<double>").alias("centv")

@@ -422,3 +422,85 @@ def test_ivf_maintenance_single_maintainer_and_reader_no_gc(
     assert {tuple(r) for r in lane.topk().collect()} == before
     assert os.listdir(os.path.join(wd, "index")) == ["v000001"]
     cent.unpersist()
+
+
+def test_pq_codes_maintained_beside_lists_recall_vs_raw(
+    spark, sf_dir, tmp_path
+):
+    """IVF-PQ on the incremental index (r14, r13 verdict task-8
+    stretch): codes are appended per micro-batch beside the lists;
+    topk_pq scans only the probed cells' CODE table and re-ranks the
+    shortlist exactly — recall vs the raw-list topk must hold on the
+    clustered corpus, every shared hit carries the identical exact
+    cosine, a replayed append leaves the codes deduped-correct, and a
+    drift retrain RE-ENCODES against the new centroids' codebooks."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # 16 trained centroids: the codebooks derive from the first PQ_K
+    # of them (the full batch-PQ code budget)
+    cent = similarity.train_centroids(emb, n_centroids=16).persist()
+    wd = str(tmp_path / "ivf-pq")
+
+    rows = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    half = len(rows) // 2
+    lane = IvfIncremental(spark, wd, centroids=cent)
+    for chunk in (rows[:half], rows[half:]):
+        _feed(spark, lane, chunk)
+        lane.advance()
+
+    # the code table holds PQ_M rows per indexed vector, cid beside them
+    n_vecs = lane.lists(dedup=True).count()
+    codes = lane.codes(dedup=True)
+    assert codes.count() == n_vecs * similarity.PQ_M
+    assert codes.filter("cid IS NULL").count() == 0
+
+    raw = lane.topk(n_probes=4).collect()
+    pq = lane.topk_pq(n_probes=4, rerank=40).collect()
+    rec = _recall(pq, raw)
+    assert rec >= 0.6, f"IVF-PQ recall vs raw-list topk collapsed: {rec:.2f}"
+    # exact re-rank: every hit shared with the raw path scores identically
+    raw_scores = {(r.query_id, r.neighbor_id): r.cosine for r in raw}
+    for r in pq:
+        if (r.query_id, r.neighbor_id) in raw_scores:
+            assert r.cosine == raw_scores[(r.query_id, r.neighbor_id)]
+        assert -1.0 <= r.adc_cos <= 1.0
+
+    # replayed append: duplicate code rows collapse at read
+    _feed(spark, lane, rows[:20])
+    lane.advance()
+    assert lane.codes().count() > lane.codes(dedup=True).count()
+    assert lane.codes(dedup=True).count() == n_vecs * similarity.PQ_M
+    assert {
+        (r.query_id, r.neighbor_id)
+        for r in lane.topk_pq(n_probes=4, rerank=40).collect()
+    } == {(r.query_id, r.neighbor_id) for r in pq}
+
+    # compact: codes re-encoded from the deduped lists, results unchanged
+    lane.compact()
+    assert lane.codes().count() == n_vecs * similarity.PQ_M
+    assert {
+        (r.query_id, r.neighbor_id)
+        for r in lane.topk_pq(n_probes=4, rerank=40).collect()
+    } == {(r.query_id, r.neighbor_id) for r in pq}
+
+    # drift retrain: shifted ingest triggers a rebuild; the codes are
+    # re-encoded against the NEW centroids' codebooks (count matches the
+    # grown corpus, no stale-codebook rows) and the pq path still serves
+    shifted = [
+        (10**6 + i, [v + 8.0 for v in e]) for i, (_, e) in enumerate(rows)
+    ]
+    _feed(spark, lane, shifted)
+    lane.advance()
+    # 16 centroids again so the derived codebooks keep the full
+    # batch-PQ code budget over the now-bimodal corpus
+    assert lane.maybe_retrain(retrain_pm=200, n_centroids=16)
+    total = lane.lists(dedup=True).count()
+    assert lane.codes(dedup=True).count() == total * similarity.PQ_M
+    pq2 = lane.topk_pq(n_probes=4, rerank=40).collect()
+    raw2 = lane.topk(n_probes=4).collect()
+    # the doubled bimodal corpus is the harder ADC case — the batch
+    # PQ referee's own bar (test_pq_recall.py) is 0.5; everything here
+    # is deterministic, so this is a fixed point, not a flaky margin
+    assert _recall(pq2, raw2) >= 0.5
