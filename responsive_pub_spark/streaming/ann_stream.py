@@ -108,6 +108,8 @@ class IvfIncremental:
         self.pointer = os.path.join(workdir, "CURRENT")
         self.ck = os.path.join(workdir, "ck-assign")
         self.maint_lock = os.path.join(workdir, "maint.lock")
+        #: lazy (m_sub, subdim) for this corpus's embedding dim
+        self._pq_dims_cache: "tuple[int, int] | None" = None
         os.makedirs(self.vecs_dir, exist_ok=True)
         os.makedirs(self.index_root, exist_ok=True)
         # NO construction-time GC (r12 verdict: reader-GC hazard) —
@@ -196,6 +198,27 @@ class IvfIncremental:
         return self.spark.read.schema(CENT_SCHEMA).parquet(self.cent_dir)
 
     # -- PQ codes beside the lists (r14, r13 verdict task-8 stretch) ----
+    def _pq_dims(self, cent: DataFrame) -> "tuple[int, int]":
+        """(m_sub, subdim) for THIS index's embedding dimension —
+        derived from the frozen centroids (1-row control-plane probe,
+        cached: the dim is a property of the corpus, not a version).
+        The batch constants assume PQ_M * PQ_SUBDIM == EMBED_DIM (64);
+        an index over any other dimension splits into dim // PQ_SUBDIM
+        subspaces when it divides evenly, else one full-width subspace
+        — without this, the subvector slices past the vector's end are
+        EMPTY and the encode's unrolled dot products fail under ANSI
+        (the r14 composed-pipeline regression: dim-8 embeddings)."""
+        if self._pq_dims_cache is None:
+            dim = int(cent.select(F.size("centv")).first()[0])
+            if dim % similarity.PQ_SUBDIM == 0:
+                self._pq_dims_cache = (
+                    dim // similarity.PQ_SUBDIM,
+                    similarity.PQ_SUBDIM,
+                )
+            else:
+                self._pq_dims_cache = (1, dim)
+        return self._pq_dims_cache
+
     def _codebooks(self, cent: "DataFrame | None" = None) -> DataFrame:
         """Per-subspace codebooks DERIVED from the version's frozen
         centroids (the first PQ_K of them — fewer when the index holds
@@ -205,11 +228,14 @@ class IvfIncremental:
         {centroids, lists, codes} triple is self-consistent at every
         pointer flip by construction."""
         cent = cent if cent is not None else self.centroids()
+        m_sub, subdim = self._pq_dims(cent)
         return similarity.pq_codebook(
             cent.select(
                 F.col("cid").alias("vec_id"),
                 F.col("centv").alias("embedding"),
-            )
+            ),
+            m_sub=m_sub,
+            subdim=subdim,
         )
 
     def _encode(self, assigned: DataFrame, cent: DataFrame) -> DataFrame:
@@ -217,9 +243,12 @@ class IvfIncremental:
         broadcast codebook join; cid rides through so the code table
         lands cid-PARTITIONED like the lists (the probed-cells filter
         prunes the CODE scan at query time)."""
+        m_sub, subdim = self._pq_dims(cent)
         return similarity.pq_encode(
             assigned.select("vec_id", "embedding", "cid"),
             self._codebooks(cent),
+            m_sub=m_sub,
+            subdim=subdim,
             extra=("cid",),
         ).select(
             F.col("vid").alias("vec_id"),
@@ -278,6 +307,12 @@ class IvfIncremental:
             assigned.write.mode("append").partitionBy("cid").parquet(
                 os.path.join(vdir, "lists")
             )
+            # the r14 torn-codes window: a crash HERE leaves list rows
+            # with no codes — benign, because the batch's checkpoint
+            # has not committed, so the next advance replays it (lists
+            # collapse under dedup=True, codes catch up); SIGKILL chaos
+            # e2e tests/test_chaos_r14.py
+            _chaos_kill("post-lists")
             # PQ codes beside the lists (one broadcast codebook join
             # over the new rows): the ADC scan path reads codes, never
             # raw vectors; at-least-once replays dedup at read like the
@@ -402,20 +437,19 @@ class IvfIncremental:
         )
         codes = self.codes(dedup=True).filter(F.col("cid").isin(cids))
         cb = self._codebooks(cent)
+        m_sub, subdim = self._pq_dims(cent)
         queries = full.filter(F.col("vec_id") < n_queries).select(
             "vec_id", "embedding"
         )
         qsub = similarity._pq_subs(
-            queries, "vec_id", "embedding", "qid", "qsv"
+            queries, "vec_id", "embedding", "qid", "qsv", m_sub, subdim
         )
         lut = (
             qsub.join(F.broadcast(cb), "m")
             .withColumn(
                 "val",
                 pround(
-                    F.expr(
-                        dot_unrolled("qsv", "cbv", similarity.PQ_SUBDIM, "spark")
-                    ),
+                    F.expr(dot_unrolled("qsv", "cbv", subdim, "spark")),
                     6,
                 ),
             )

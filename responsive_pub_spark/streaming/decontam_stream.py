@@ -92,6 +92,12 @@ from responsive_pub_spark.streaming.handoff import (
     ship,
 )
 from responsive_pub_spark.streaming.runtime import run_to_sink
+from responsive_pub_spark.streaming.shard_stream import _chaos_kill_env
+
+#: SIGKILL-self hook for the decision-rebuild chaos e2e
+#: (tests/test_chaos_r14.py) — double opt-in, own label env var so a
+#: composed pipeline arms exactly the lane under test
+_chaos_kill = _chaos_kill_env("SPARK_GRAFT_DECONTAM_KILL")
 
 DOCS_SCHEMA = "doc_id BIGINT, text STRING"
 CORPUS_POSTINGS_SCHEMA = "doc_id BIGINT, n_shingles BIGINT, h BIGINT"
@@ -220,13 +226,17 @@ class DecontamStreaming:
             shutil.rmtree(name, ignore_errors=True)
             self.report().write.mode("overwrite").parquet(stage)
             fsync_tree(stage)
+            _chaos_kill("staged")
             os.rename(stage, name)
             fsync_dir(self.decision_dir)
+            _chaos_kill("renamed")
             publish_pointer(self.base_pointer, f"{ver + 1}:{covered}")
+            _chaos_kill("flipped")
             if read_marker(self.delta_marker) < covered:
                 publish_pointer(self.delta_marker, str(covered))
             os.remove(self.rebuild_flag)
             fsync_dir(self.decision_dir)
+            _chaos_kill("flag-removed")
             # GC superseded state — a crash anywhere above leaves only
             # harmless orphans for the next locked rebuild
             for n in os.listdir(self.decision_dir):

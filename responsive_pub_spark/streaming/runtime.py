@@ -122,15 +122,23 @@ def run_to_sink(
     fmt: str = "parquet",
     output_mode: str = "append",
     available_now: bool = True,
+    partition_by: "list[str] | None" = None,
 ):
     """Run a streaming DF to a durable sink with exactly-once file-sink
     semantics (Spark's transactional file sink log == the reference's
-    commit-aligned flush + offset fencing, SURVEY.md §3.2)."""
+    commit-aligned flush + offset fencing, SURVEY.md §3.2).
+
+    ``partition_by`` lays the sink out as partition directories so
+    batch readers can carry static partition filters (PartitionFilters
+    over the MetadataLogFileIndex — the span lane's bucket-pruned gram
+    reads)."""
     writer = (
         df.writeStream.format(fmt)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start(path)

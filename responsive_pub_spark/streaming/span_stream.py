@@ -76,21 +76,47 @@ the alternative re-grams the corpus per audit); the report's exchanges
 are the audited batch plan's (gram-keyed agg with map-side partials,
 equi-join marking, coverage distinct) over an already-materialized
 table, saving the tokenize+gram scan every run.
+
+r14 hot-loop posture on top of that: the posting table is written
+PARTITIONED by ``gb = pmod(gh, SPAN_GB)`` (one file per touched bucket
+per wave via the pre-write repartition), the strip build re-derives
+the wave's grams IN-FLIGHT from the wave texts (no corpus read to
+discover them), and both corpus-gram reads in the per-advance build —
+the collision probe and the exact-context fetch — carry a static
+``gb IN (...)`` partition filter, so a steady-state advance scans only
+the touched fraction of the corpus-position-scale table. Full-corpus
+readers (:meth:`report`/:meth:`strip`) still scan everything —
+inherent to their corpus-wide outputs. The maintained stripped-text
+table additionally compacts (:meth:`compact_stripped`): the
+last-writer-wins deltas fold into a versioned base snapshot behind an
+fsync'd pointer flip (the decision-table protocol), bounding the
+training-side read to base + post-base deltas. Pre-r14 unpartitioned
+gram layouts are REFUSED at the next maintenance call (fail-loud
+migration posture; rebuild derived state in a fresh workdir).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from responsive_pub_spark.cache import scoped_persist
 from responsive_pub_spark.functions import text as T
 from responsive_pub_spark.operators.pipeline_ops import (
     DUP_SPAN_W,
     span_gram_starts_sql,
     span_report_from,
     strip_spans_from,
+)
+from responsive_pub_spark.streaming.commitlog import (
+    fsync_dir,
+    fsync_tree,
+    maintenance_lock,
+    publish_pointer,
+    read_pointer,
 )
 from responsive_pub_spark.streaming.handoff import (
     _HANDOFF_RE,
@@ -102,6 +128,15 @@ from responsive_pub_spark.streaming.runtime import run_to_sink
 DOCS_SCHEMA = "doc_id BIGINT, text STRING"
 BASE_SCHEMA = "doc_id BIGINT, n_tokens BIGINT"
 GRAMS_SCHEMA = "doc_id BIGINT, pos BIGINT, gh BIGINT"
+#: gram-posting bucket count (r14): the maintained gram table is
+#: written PARTITIONED by ``gb = pmod(gh, SPAN_GB)`` so the per-advance
+#: collision/context reads prune to the buckets the wave's grams can
+#: land in — a static partition filter, the ivf probe-prune posture.
+#: 64 bounds the per-wave file count (<= one file per touched bucket
+#: after the pre-write repartition) while still cutting a steady-state
+#: advance's corpus-gram scan to the touched fraction.
+SPAN_GB = 64
+GRAMS_READ_SCHEMA = GRAMS_SCHEMA + ", gb INT"
 STRIP_SCHEMA = (
     "doc_id BIGINT, n_tokens BIGINT, kept_tokens BIGINT, kept_text STRING"
 )
@@ -120,8 +155,11 @@ class SpanDedupStreaming:
         self.grams_dir = os.path.join(workdir, "grams")
         self.ck_base = os.path.join(workdir, "ck-base")
         self.ck_grams = os.path.join(workdir, "ck-grams")
-        self.strip_deltas = os.path.join(workdir, "strip", "deltas")
-        self.strip_marker = os.path.join(workdir, "strip", "delta.upto")
+        self.strip_root = os.path.join(workdir, "strip")
+        self.strip_deltas = os.path.join(self.strip_root, "deltas")
+        self.strip_marker = os.path.join(self.strip_root, "delta.upto")
+        self.strip_base_pointer = os.path.join(self.strip_root, "BASE")
+        self.strip_maint_lock = os.path.join(self.strip_root, "maint.lock")
         os.makedirs(self.docs_dir, exist_ok=True)
         os.makedirs(self.strip_deltas, exist_ok=True)
         # the base table under the stamp discipline: it is the strip
@@ -132,6 +170,9 @@ class SpanDedupStreaming:
         )
         #: base files the last strip delta's wave read (files-read gate)
         self.last_strip_reads: "list[str]" = []
+        #: (collision, context) gb bucket sets the last strip delta's
+        #: corpus-gram reads were pruned to (scale gate)
+        self.last_strip_buckets: "tuple[list[int], list[int]]" = ([], [])
 
     def ingest(self, docs: DataFrame) -> None:
         """Append a wave of (doc_id, text) docs to the topic."""
@@ -144,10 +185,53 @@ class SpanDedupStreaming:
             "doc_id", F.expr(T.tokens_sql("text")).alias("toks")
         )
 
+    def _gram_rows(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, pos, gh) gram rows from a (doc_id, text) frame —
+        the ONE gram expression (``span_gram_starts_sql``) shared by
+        the maintenance query and the strip build's in-flight wave
+        re-derivation, so both produce identical rows by
+        construction."""
+        return (
+            self._tks(docs)
+            .select(
+                "doc_id",
+                F.explode(F.expr(span_gram_starts_sql(self.w))).alias("g"),
+            )
+            .select(
+                "doc_id",
+                F.col("g.pos").cast("bigint").alias("pos"),
+                F.col("g.gh").alias("gh"),
+            )
+        )
+
+    def _refuse_old_grams_layout(self) -> None:
+        """A pre-r14 (unpartitioned) gram layout must fail LOUDLY at
+        the next maintenance call: the bucket-pruned reads would see
+        ``gb=null`` rows and silently miss every collision. Fresh
+        workdirs are unaffected; read-only surfaces (:meth:`report` /
+        :meth:`strip`) keep working on old state."""
+        if not os.path.isdir(self.grams_dir):
+            return
+        stray = [
+            n
+            for n in os.listdir(self.grams_dir)
+            if n.startswith("part-")
+            and os.path.isfile(os.path.join(self.grams_dir, n))
+        ]
+        if stray:
+            raise RuntimeError(
+                "SpanDedupStreaming: pre-r14 unpartitioned gram layout "
+                f"({len(stray)} top-level part files in {self.grams_dir}) "
+                "— the bucket-pruned strip reads require gb=NN partition "
+                "directories. Rebuild the lane in a fresh workdir (the "
+                "docs topic replays; grams are derived state)."
+            )
+
     def advance(self) -> None:
         """Drain pending docs through the gram-once maintenance queries
         (stateless — the maintained tables are the state), then ship
         the wave's stripped-text delta (affected docs only)."""
+        self._refuse_old_grams_layout()
         docs = self.spark.readStream.schema(DOCS_SCHEMA).parquet(
             self.docs_dir
         )
@@ -158,42 +242,74 @@ class SpanDedupStreaming:
         self._base_topic.append(
             lambda: run_to_sink(base, self.base_dir, self.ck_base)
         )
-        grams = tks.select(
-            "doc_id",
-            F.explode(F.expr(span_gram_starts_sql(self.w))).alias("g"),
-        ).select(
-            "doc_id",
-            F.col("g.pos").cast("bigint").alias("pos"),
-            F.col("g.gh").alias("gh"),
+        # bucket column + pre-write repartition: hash-partitioning on gb
+        # lands each touched bucket in exactly one task, so a wave
+        # writes <= one file per touched partition dir
+        grams = self._gram_rows(docs).withColumn(
+            "gb", F.pmod("gh", F.lit(SPAN_GB)).cast("int")
         )
-        run_to_sink(grams, self.grams_dir, self.ck_grams)
+        run_to_sink(
+            grams.repartition("gb"),
+            self.grams_dir,
+            self.ck_grams,
+            partition_by=["gb"],
+        )
         self._ship_strip()
+
+    def _buckets_of(self, gh_df: DataFrame) -> "list[int]":
+        """Distinct ``gb`` buckets of a gh set — control-plane sized
+        (<= SPAN_GB rows, the ivf probe-prune sanctioned-collect
+        class); becomes a static partition filter on the gram table."""
+        return sorted(
+            r.b
+            for r in gh_df.select(
+                F.pmod("gh", F.lit(SPAN_GB)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
 
     def _ship_strip(self) -> None:
         """One watermarked strip delta (see module docstring): re-strip
         the wave's docs plus the earlier docs their grams collide with,
-        through the SHARED batch tail over the exact gram context."""
+        through the SHARED batch tail over the exact gram context.
+
+        Scale posture (r14): the wave's own grams are re-derived
+        IN-FLIGHT from the wave texts (identical to the maintained rows
+        — ``_gram_rows`` is the one shared expression), so discovering
+        them needs NO corpus read; both corpus-gram reads (collision
+        probe + exact context) carry a static ``gb IN (...)`` partition
+        filter derived from those grams, so a steady-state advance
+        scans only the touched buckets of the corpus-position-scale
+        posting table, never the whole of it."""
 
         def build(new_base: DataFrame) -> DataFrame:
             self.last_strip_reads = sorted(new_base.inputFiles())
-            allg = self.grams()
+            docs_read = self.spark.read.schema(DOCS_SCHEMA).parquet(
+                self.docs_dir
+            )
             wave_ids = new_base.select("doc_id")
-            gh_new = allg.join(wave_ids, "doc_id").select("gh").distinct()
-            partners = allg.join(gh_new, "gh").select("doc_id").distinct()
-            affected = wave_ids.union(partners).distinct()
+            wave_grams = self._gram_rows(docs_read.join(wave_ids, "doc_id"))
+            gh_new = wave_grams.select("gh").distinct()
+            bs1 = self._buckets_of(gh_new)
+            # every corpus occurrence of the wave's grams — the
+            # bucket-pruned collision probe (wave docs' own rows are in
+            # the maintained table: this advance drained them first)
+            hits = self.grams(buckets=bs1).join(gh_new, "gh")
+            affected = wave_ids.union(hits.select("doc_id")).distinct()
+            texts_aff = scoped_persist(docs_read.join(affected, "doc_id"))
             # exact context: ALL occurrences of the affected docs' grams,
             # so occurrence counts and the canonical election match the
-            # corpus-wide computation for every affected doc
-            aff_grams = allg.join(affected, "doc_id")
-            gh_ctx = aff_grams.select("gh").distinct()
-            grams_ctx = allg.join(gh_ctx, "gh")
+            # corpus-wide computation for every affected doc; the
+            # affected docs' gram set derives from the SAME text fetch
+            # the output rebuild needs anyway
+            gh_ctx = self._gram_rows(texts_aff).select("gh").distinct()
+            bs2 = self._buckets_of(gh_ctx)
+            self.last_strip_buckets = (bs1, bs2)
+            grams_ctx = self.grams(buckets=bs2).join(gh_ctx, "gh")
             base_aff = self.base().join(affected, "doc_id")
             positions = (
-                self._tks(
-                    self.spark.read.schema(DOCS_SCHEMA)
-                    .parquet(self.docs_dir)
-                    .join(affected, "doc_id")
-                )
+                self._tks(texts_aff)
                 .select("doc_id", F.posexplode("toks").alias("p0", "tok"))
                 .select(
                     "doc_id",
@@ -216,8 +332,18 @@ class SpanDedupStreaming:
     def base(self) -> DataFrame:
         return self.spark.read.schema(BASE_SCHEMA).parquet(self.base_dir)
 
-    def grams(self) -> DataFrame:
-        return self.spark.read.schema(GRAMS_SCHEMA).parquet(self.grams_dir)
+    def grams(self, buckets: "list[int] | None" = None) -> DataFrame:
+        """The maintained gram postings. ``buckets`` applies a static
+        ``gb IN (...)`` filter BEFORE the bucket column is dropped, so
+        the parquet scan reads only those partition directories
+        (PartitionFilters over the MetadataLogFileIndex — verified in
+        tests/test_span_buckets.py)."""
+        g = self.spark.read.schema(GRAMS_READ_SCHEMA).parquet(
+            self.grams_dir
+        )
+        if buckets is not None:
+            g = g.filter(F.col("gb").isin([int(b) for b in buckets]))
+        return g.drop("gb")
 
     def report(self) -> DataFrame:
         """The duplicated-span report from the MAINTAINED fingerprints —
@@ -244,35 +370,112 @@ class SpanDedupStreaming:
         )
         return strip_spans_from(self.base(), self.grams(), positions, self.w)
 
+    def _strip_base_info(self) -> "tuple[int, int]":
+        """(compacted-base version, highest delta stamp it covers);
+        (0, -1) before the first compaction."""
+        v = read_pointer(self.strip_base_pointer)
+        if not v:
+            return 0, -1
+        ver, cov = v.split(":")
+        return int(ver), int(cov)
+
+    def _strip_base_path(self, ver: int) -> str:
+        return os.path.join(self.strip_root, f"base-v{ver:06d}")
+
     def stripped(self) -> DataFrame:
         """The MAINTAINED stripped-text table (the training-side read):
-        last-writer-wins per doc over the handoff deltas — a doc
-        retroactively re-stripped by a later wave's collision is read
-        from its newest delta. Row-equal to :meth:`strip` (and the
-        batch ``strip_dup_spans`` over the union) after every advance;
-        never re-derives the corpus-wide decision."""
+        the compacted base snapshot (if any) plus the post-base handoff
+        deltas, last-writer-wins per doc — a doc retroactively
+        re-stripped by a later wave's collision is read from its newest
+        delta, which shadows its base row. Row-equal to :meth:`strip`
+        (and the batch ``strip_dup_spans`` over the union) after every
+        advance; never re-derives the corpus-wide decision."""
         from pyspark.sql.window import Window
 
-        paths = sorted(
+        ver, cov = self._strip_base_info()
+        parts = []
+        if ver > 0:
+            parts.append(
+                self.spark.read.schema(STRIP_SCHEMA)
+                .parquet(self._strip_base_path(ver))
+                # base rows carry the coverage stamp: any delta past it
+                # wins, any delta at/below it was folded in and GC'd
+                .withColumn("_stamp", F.lit(cov).cast("bigint"))
+            )
+        delta_paths = sorted(
             os.path.join(self.strip_deltas, n)
             for n in os.listdir(self.strip_deltas)
             if _HANDOFF_RE.match(n)
+            and int(_HANDOFF_RE.match(n).group(1)) > cov
         )
-        if not paths:
-            return self.spark.createDataFrame([], STRIP_SCHEMA)
-        rows = (
-            self.spark.read.schema(STRIP_SCHEMA)
-            .parquet(*paths)
-            .withColumn(
-                "_stamp",
-                F.regexp_extract(
-                    F.input_file_name(), r"part-handoff-(\d{20})", 1
-                ).cast("bigint"),
+        if delta_paths:
+            parts.append(
+                self.spark.read.schema(STRIP_SCHEMA)
+                .parquet(*delta_paths)
+                .withColumn(
+                    "_stamp",
+                    F.regexp_extract(
+                        F.input_file_name(), r"part-handoff-(\d{20})", 1
+                    ).cast("bigint"),
+                )
             )
-        )
+        if not parts:
+            return self.spark.createDataFrame([], STRIP_SCHEMA)
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
         w = Window.partitionBy("doc_id").orderBy(F.col("_stamp").desc())
         return (
             rows.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("doc_id", "n_tokens", "kept_tokens", "kept_text")
         )
+
+    def compact_stripped(self) -> int:
+        """Bounded-metadata compaction for the stripped-text table (the
+        r12 'every maintained lane compacts' posture, the decision-table
+        protocol verbatim): fold the last-writer-wins view of base +
+        deltas into the next versioned base snapshot behind the fsync'd
+        pointer flip, then GC the folded deltas and the superseded
+        base. Crash-safe at every point — the pointer names a complete
+        snapshot or the old state keeps serving, and orphans are
+        collected by the next locked compaction. Returns the number of
+        delta directories folded."""
+        with maintenance_lock(self.strip_maint_lock, "strip compaction"):
+            ver, cov = self._strip_base_info()
+            deltas = [
+                (int(_HANDOFF_RE.match(n).group(1)), n)
+                for n in os.listdir(self.strip_deltas)
+                if _HANDOFF_RE.match(n)
+            ]
+            newer = [s for s, _ in deltas if s > cov]
+            if not newer:
+                return 0
+            covered = max(newer)
+            name = self._strip_base_path(ver + 1)
+            stage = os.path.join(
+                self.strip_root, f".base-v{ver + 1:06d}.stage"
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+            # a crashed previous attempt left `name` unreferenced (the
+            # pointer still names ver) — the retry overwrites it
+            shutil.rmtree(name, ignore_errors=True)
+            self.stripped().write.mode("overwrite").parquet(stage)
+            fsync_tree(stage)
+            os.rename(stage, name)
+            fsync_dir(self.strip_root)
+            publish_pointer(self.strip_base_pointer, f"{ver + 1}:{covered}")
+            folded = 0
+            for s, n in deltas:
+                if s <= covered:
+                    shutil.rmtree(
+                        os.path.join(self.strip_deltas, n),
+                        ignore_errors=True,
+                    )
+                    folded += 1
+            for n in os.listdir(self.strip_root):
+                if n.startswith("base-v") and n != os.path.basename(name):
+                    shutil.rmtree(
+                        os.path.join(self.strip_root, n), ignore_errors=True
+                    )
+            return folded

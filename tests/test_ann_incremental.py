@@ -504,3 +504,34 @@ def test_pq_codes_maintained_beside_lists_recall_vs_raw(
     # PQ referee's own bar (test_pq_recall.py) is 0.5; everything here
     # is deterministic, so this is a fixed point, not a flaky margin
     assert _recall(pq2, raw2) >= 0.5
+
+
+def test_small_dim_embeddings_adapt_pq_subspaces(spark, tmp_path):
+    """Regression (r14): the composed pipelines maintain indices over
+    dim-8 embeddings, but the batch PQ constants assume
+    PQ_M * PQ_SUBDIM == 64 — the encode's subvector slices past the
+    vector's end were EMPTY and the unrolled dots failed under ANSI
+    inside assign_batch. The lane must derive (m_sub, subdim) from the
+    frozen centroids' dimension: dim 8 -> one full-width subspace, and
+    advance/codes/topk_pq all serve."""
+    dim = 8
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 + 0.01 for j in range(dim)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, VECS_SCHEMA)
+    cent = similarity.train_centroids(emb, n_centroids=4, iters=1)
+    lane = IvfIncremental(spark, str(tmp_path / "ivf-dim8"), centroids=cent)
+    _feed(spark, lane, rows)
+    lane.advance()
+    assert lane._pq_dims(lane.centroids()) == (1, dim)
+    total = lane.lists(dedup=True).count()
+    assert total == len(rows)
+    # one subspace -> exactly one code row per vector
+    assert lane.codes(dedup=True).count() == total
+    pq = lane.topk_pq(k=3, n_queries=4, n_probes=2, rerank=10).collect()
+    raw = lane.topk(k=3, n_queries=4, n_probes=2).collect()
+    assert pq, "pq path must serve on small-dim corpora"
+    # single-subspace ADC ranks by the same geometry class; the exact
+    # re-rank makes shared hits score-identical
+    assert _recall(pq, raw) >= 0.5

@@ -487,6 +487,12 @@ def _assert_index_self_consistent(spark, workdir, want_version, want_rows):
         .count()
     )
     assert mismatches == 0, f"{mismatches} rows serve a mixed index"
+    # r14: the PQ code table rides in the SAME version dir — the
+    # serving version must hold exactly PQ_M codes per stored vector
+    # (a torn {lists, codes} pair across the flip would break this)
+    assert (
+        lane.codes(dedup=True).count() == want_rows * similarity.PQ_M
+    ), "serving version's code table is torn vs its lists"
     # no partial pointer write survives
     assert not os.path.exists(lane.pointer + ".tmp")
 
