@@ -411,6 +411,69 @@ def main() -> None:
         results["dedup_neardup_continuous_10x"] = {
             "error": f"{type(e).__name__}: {e}"
         }
+    # r14b: the streaming span-dedup lane with its bucket-pruned strip
+    # hot loop — three disjoint fixture waves drive advance() (gram
+    # maintenance + the watermarked strip delta whose corpus-gram reads
+    # are pruned to the wave's gb buckets), then compact_stripped()
+    # folds the deltas into the versioned base. Recorded: per-wave
+    # walls, the pruned bucket-set sizes (collision/context vs the
+    # SPAN_GB space), and the compaction's fold count.
+    try:
+        from responsive_pub_spark.streaming.span_stream import (
+            SPAN_GB,
+            SpanDedupStreaming,
+        )
+
+        sp_dir = os.path.join(work, "span_strip")
+        sp = SpanDedupStreaming(spark, sp_dir)
+        docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        wave_walls = []
+        bucket_sets = []
+        t_all = time.perf_counter()
+        for wmod in range(3):
+            docs.filter(F.col("doc_id") % 3 == wmod).coalesce(
+                1
+            ).write.mode("append").parquet(sp.docs_dir)
+            t0 = time.perf_counter()
+            sp.advance()
+            wave_walls.append(round(time.perf_counter() - t0, 3))
+            bs1, bs2 = sp.last_strip_buckets
+            bucket_sets.append([len(bs1), len(bs2)])
+        total = time.perf_counter() - t_all
+        # a TINY steady-state wave (10 docs against the full corpus):
+        # the case the bucket pruning exists for — its collision/context
+        # reads should touch a proper subset of the SPAN_GB space, where
+        # the corpus-sized waves above honestly touch every bucket
+        docs.filter(F.col("doc_id") % 3 == 0).limit(10).select(
+            (F.col("doc_id") + F.lit(10**9)).alias("doc_id"), "text"
+        ).coalesce(1).write.mode("append").parquet(sp.docs_dir)
+        t0 = time.perf_counter()
+        sp.advance()
+        tiny_wall = round(time.perf_counter() - t0, 3)
+        tiny_buckets = [len(b) for b in sp.last_strip_buckets]
+        n_deltas = len(
+            [n for n in os.listdir(sp.strip_deltas) if n.startswith("part-")]
+        )
+        t0 = time.perf_counter()
+        folded = sp.compact_stripped()
+        compact_wall = round(time.perf_counter() - t0, 3)
+        results["span_strip_stream"] = {
+            "wall_sec": round(total, 3),
+            "rows_in": n_docs,
+            "rec_per_sec": int(n_docs / total),
+            "wave_walls": wave_walls,
+            "strip_buckets": bucket_sets,
+            "tiny_wave_wall_sec": tiny_wall,
+            "tiny_wave_buckets": tiny_buckets,
+            "span_gb": SPAN_GB,
+            "deltas_before_compact": n_deltas,
+            "deltas_folded": folded,
+            "compact_wall_sec": compact_wall,
+            "stripped_rows": sp.stripped().count(),
+        }
+    except Exception as e:  # noqa: BLE001
+        results["span_strip_stream"] = {"error": f"{type(e).__name__}: {e}"}
     # the r4 map-state lane (per-entry delta writes) needs the RocksDB
     # provider and a protobuf runtime; record it when available, never
     # fail the whole bench over it

@@ -83,8 +83,12 @@ per wave via the pre-write repartition), the strip build re-derives
 the wave's grams IN-FLIGHT from the wave texts (no corpus read to
 discover them), and both corpus-gram reads in the per-advance build —
 the collision probe and the exact-context fetch — carry a static
-``gb IN (...)`` partition filter, so a steady-state advance scans only
-the touched fraction of the corpus-position-scale table. Full-corpus
+``gb IN (...)`` partition filter, so an advance scans only the
+buckets the wave's grams touch. The filter's value is wave-size
+dependent (see the SPAN_GB coverage math): it prunes real I/O for
+micro-waves — the continuous trickle-ingest steady state — and
+degenerates to the full scan for corpus-sized waves, which their
+collision volume requires anyway. Full-corpus
 readers (:meth:`report`/:meth:`strip`) still scan everything —
 inherent to their corpus-wide outputs. The maintained stripped-text
 table additionally compacts (:meth:`compact_stripped`): the
@@ -132,9 +136,16 @@ GRAMS_SCHEMA = "doc_id BIGINT, pos BIGINT, gh BIGINT"
 #: written PARTITIONED by ``gb = pmod(gh, SPAN_GB)`` so the per-advance
 #: collision/context reads prune to the buckets the wave's grams can
 #: land in — a static partition filter, the ivf probe-prune posture.
-#: 64 bounds the per-wave file count (<= one file per touched bucket
-#: after the pre-write repartition) while still cutting a steady-state
-#: advance's corpus-gram scan to the touched fraction.
+#: HONEST coverage math: hashes are uniform, so a wave with g distinct
+#: grams touches ~SPAN_GB * (1 - exp(-g/SPAN_GB)) buckets — pruning
+#: pays for MICRO-waves (g within a few multiples of SPAN_GB, the
+#: continuous trickle-ingest steady state) and degenerates to the full
+#: scan for corpus-sized waves, whose collision volume requires one
+#: anyway (measured in bench_streaming's span_strip_stream lane:
+#: fixture-scale waves touch all 64). 64 bounds the per-wave file
+#: count (<= one file per touched bucket after the pre-write
+#: repartition); trickle-ingest deployments can raise it — the trade
+#: is pruning granularity vs files-per-wave.
 SPAN_GB = 64
 GRAMS_READ_SCHEMA = GRAMS_SCHEMA + ", gb INT"
 STRIP_SCHEMA = (
