@@ -163,3 +163,50 @@ def test_old_unpartitioned_layout_is_refused(spark, tmp_path):
     lane.ingest(_docs(spark, [(9, "a b c d e f g h i j k l m n")]))
     with pytest.raises(RuntimeError, match="pre-r14|unpartitioned"):
         lane.advance()
+
+
+def test_torn_compact_leftovers_never_disturb_serving_and_retry_heals(
+    spark, tmp_path
+):
+    """compact_stripped's crash windows: a staged snapshot (crash
+    before rename) and an UNREFERENCED renamed base (crash after
+    rename, before the pointer flip) must leave ``stripped()`` serving
+    the old state untouched, and the next compaction must overwrite
+    the orphans and converge — the decision-table protocol's recovery,
+    asserted on this lane directly."""
+    lane = _two_wave_lane(spark, tmp_path, "span-torn")
+    before = {tuple(r) for r in lane.stripped().collect()}
+    ver0, _ = lane._strip_base_info()
+
+    # crash-before-rename leftover: a stale staged dir with garbage
+    stage = os.path.join(lane.strip_root, f".base-v{ver0 + 1:06d}.stage")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "garbage"), "w") as f:
+        f.write("torn")
+    # crash-after-rename leftover: a renamed-but-unreferenced base dir
+    # holding WRONG rows (the pointer still names ver0, so it must be
+    # invisible to readers and overwritten by the retry)
+    orphan = lane._strip_base_path(ver0 + 1)
+    spark.createDataFrame(
+        [(999, 1, 1, "bogus")],
+        "doc_id BIGINT, n_tokens BIGINT, kept_tokens BIGINT, kept_text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(orphan)
+
+    assert {tuple(r) for r in lane.stripped().collect()} == before, (
+        "orphaned staged/renamed state must be invisible to readers"
+    )
+
+    folded = lane.compact_stripped()
+    assert folded > 0
+    ver1, _ = lane._strip_base_info()
+    assert ver1 == ver0 + 1
+    assert {tuple(r) for r in lane.stripped().collect()} == before
+    assert not os.path.exists(stage)
+    # exactly one base survives and it is the pointer's
+    bases = [
+        n
+        for n in os.listdir(lane.strip_root)
+        if n.startswith("base-v")
+    ]
+    assert bases == [f"base-v{ver1:06d}"], bases
+    assert 999 not in {int(r[0]) for r in lane.stripped().collect()}
