@@ -78,7 +78,13 @@ def curate_corpus(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    curated = kept_exact.join(dropped, "doc_id", "left_anti")
+    # curated feeds two consumers at the final stage (the lang join and —
+    # via AQE's runtime broadcast decision — its own broadcast subquery);
+    # unpersisted, the whole pairs->endpoint-joins->distinct->anti chain
+    # re-executed under EACH broadcast exchange (two ~0.4s collects of the
+    # same 4.3k-row set in the sf0.1 node metrics). Same hygiene contract
+    # as kept_exact above.
+    curated = scoped_persist(kept_exact.join(dropped, "doc_id", "left_anti"))
 
     toks = textops.token_counts(docs).select("doc_id", "n_bpe_tokens")
     return (

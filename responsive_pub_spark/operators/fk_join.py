@@ -130,6 +130,19 @@ def _stage1_declarative(merged: DataFrame) -> DataFrame:
       next S/U of the same (join_key, left_key) — an equi-join on
       join_key with an interval filter, never a cartesian.
 
+    The interval END is computed INSIDE the shared (persisted) stage with
+    a masked lead on the join_key partitioning — sort by (kind=='R',
+    left_key, pos) puts every subscriber's S/U rows contiguous (R rows
+    last), so the next row null-safe-matching this row's left_key and not
+    being an R IS the next S/U of the same (join_key, left_key); anything
+    else means the interval never closes. Identical to the r13 form —
+    lead() over a (join_key, left_key) window on the R-filtered rows —
+    but it reuses the ordw exchange (hashpartitioning(join_key) already
+    clusters (join_key, left_key)) instead of paying a second full
+    shuffle + sort of the subscription rows on every run (guide §2.4;
+    the AQE-wrapped cached plan's partitioning reads as unknown, so the
+    post-cache window could never elide its exchange).
+
     Emission-identity with the processor is asserted by
     tests/test_fk_join.py (processor referee; the salted-equivalence test
     pins engine='processor' on both sides since salting is processor-only).
@@ -137,6 +150,11 @@ def _stage1_declarative(merged: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     ordw = Window.partitionBy("join_key").orderBy("ts", "kind", "left_key", "payload")
+    # interval-end ordering: R rows sort LAST within the join_key
+    # partition so they never interrupt a subscriber's contiguous S/U run
+    endw = Window.partitionBy("join_key").orderBy(
+        F.col("kind") == "R", "left_key", "pos"
+    )
     rec = merged.withColumn("pos", F.row_number().over(ordw)).withColumn(
         "r_state",
         F.last(
@@ -144,6 +162,19 @@ def _stage1_declarative(merged: DataFrame) -> DataFrame:
             ignorenulls=True,
         ).over(ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+    nxt = F.struct(
+        F.col("kind").alias("k"),
+        F.col("left_key").alias("lk"),
+        F.col("pos").alias("p"),
+    )
+    rec = rec.withColumn("nxt", F.lead(nxt).over(endw)).withColumn(
+        "end_pos",
+        F.when(
+            (F.col("nxt.k") != "R")
+            & F.col("nxt.lk").eqNullSafe(F.col("left_key")),
+            F.col("nxt.p"),
+        ),
+    ).drop("nxt")
     # shared by the S/U pass and both interval-join sides; scoped_persist
     # (cache.py) — warm across repeat calls, bounded across a session
     rec = scoped_persist(rec)
@@ -153,18 +184,12 @@ def _stage1_declarative(merged: DataFrame) -> DataFrame:
         F.when(F.col("kind") == "S", F.col("r_state.p")).alias("right_payload"),
         F.col("ts").cast("bigint").alias("ts_sec"),
     )
-    ivw = Window.partitionBy("join_key", "left_key").orderBy("pos")
-    iv = (
-        rec.filter(F.col("kind") != "R")
-        .withColumn("end_pos", F.lead("pos").over(ivw))
-        .filter(F.col("kind") == "S")
-        .select(
-            "join_key",
-            "left_key",
-            F.col("payload").alias("left_payload"),
-            F.col("pos").alias("start_pos"),
-            "end_pos",
-        )
+    iv = rec.filter(F.col("kind") == "S").select(
+        "join_key",
+        "left_key",
+        F.col("payload").alias("left_payload"),
+        F.col("pos").alias("start_pos"),
+        "end_pos",
     )
     r = rec.filter(F.col("kind") == "R").select(
         "join_key",

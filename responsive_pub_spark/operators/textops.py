@@ -681,10 +681,21 @@ def bm25_topk(
     arr = "filter(split(text, '\\\\s+'), x -> x != '')"
     tokens = docs.select("doc_id", F.explode(F.expr(arr)).alias("w"))
     tf = tokens.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    # dl/df/stats all derive from the (doc, word)-sized tf table — the
-    # corpus explodes ONCE; dl = sum(tf) per doc is definitionally the
-    # token count
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # dl is DEFINITIONALLY the per-doc token count, i.e. size() of the
+    # token array — a pure projection of the docs scan, no explode and no
+    # shuffle (docs with zero tokens are filtered so the row set matches
+    # the former sum(tf)-per-doc derivation exactly, token-less docs
+    # having had no tf rows). The r13 form derived dl AND stats by
+    # re-aggregating tf, but per-branch column pruning made every tf
+    # consumer's subtree unique, so ReuseExchange never fired and the
+    # corpus exploded FOUR times (4 Generate->HashAggregate chains in the
+    # plan); this leaves exactly two explode consumers (tf scoring + df).
+    dl = (
+        docs.select(
+            "doc_id", F.expr(f"size({arr})").cast("bigint").alias("dl")
+        )
+        .filter(F.col("dl") > 0)
+    )
     stats = dl.agg(
         F.sum("dl").alias("total_dl"), F.count("*").alias("n_docs")
     )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from responsive_pub_spark.cache import scoped_persist
 from responsive_pub_spark.functions.hashing import P
 from responsive_pub_spark.functions.portable import dround, pround
 
@@ -45,7 +46,12 @@ def rollup_gapfill(
         )
         * bucket_s
     ).alias("bucket_start")
-    rolled = (
+    # scoped_persist (cache.py): rolled feeds BOTH the span derivation and
+    # the fill join — unpersisted, per-branch column pruning split them
+    # into two independent full aggregations of the raw events (the plan
+    # showed two Scan->HashAggregate->Exchange chains); materialized once,
+    # the span pass runs over the bucket-level table instead of the corpus
+    rolled = scoped_persist(
         events.select(F.col(key), bucket, F.col(value_col).alias("v"))
         .groupBy(key, "bucket_start")
         .agg(
