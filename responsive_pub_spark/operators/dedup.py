@@ -1002,8 +1002,17 @@ def semantic_dedup(
     scored = emb.join(F.broadcast(centroids)).withColumn(
         "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
     )
-    assign = scored.groupBy("vec_id", "embedding").agg(
-        F.max_by(F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))).alias("cid")
+    # assign feeds THREE consumers (both within-cluster pair sides + the
+    # final verdict join); unpersisted, each re-ran the broadcast
+    # assignment pass over the corpus. Same write-once-join-many pattern
+    # as minhash_pairs' signature table (at 100 TB: a checkpointed
+    # assignment table, exactly the paper's precomputed cluster files).
+    assign = scoped_persist(
+        scored.groupBy("vec_id", "embedding").agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))
+            ).alias("cid")
+        )
     )
     pairs = (
         assign.alias("a")

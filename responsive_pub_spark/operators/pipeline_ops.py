@@ -143,30 +143,43 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         F.expr("size(array_distinct(toks))").cast("bigint").alias("n_distinct"),
         "toks",
     )
-    pos = toks.select(
-        "doc_id", "n_tokens", "n_distinct", F.posexplode("toks").alias("pos", "tok")
-    )
+    pos = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     from pyspark.sql import Window
 
+    # ONE explode + ONE (doc_id, tok) exchange serves BOTH per-token
+    # metrics: run lengths via gaps-and-islands on the window's own
+    # partitioning, and the token's total count as the SUM of its run
+    # lengths (definitionally equal to count(*) per (doc, tok) — the r13
+    # form re-derived the explode and paid a second corpus shuffle for
+    # it). The (doc_id, tok, grp) agg and the (doc_id, tok) re-agg reuse
+    # the window exchange; only doc-cardinality rows shuffle afterwards.
     runw = Window.partitionBy("doc_id", "tok").orderBy("pos")
-    runs = (
+    per_tok = (
         pos.withColumn("grp", F.col("pos") - F.row_number().over(runw))
         .groupBy("doc_id", "tok", "grp")
         .agg(F.count("*").alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.max("run_len").cast("bigint").alias("max_run"))
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.sum("run_len").alias("c"),
+            F.max("run_len").alias("mr"),
+        )
     )
-    top_tok = (
-        pos.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").cast("bigint").alias("top_token_cnt"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.max("c").cast("bigint").alias("top_token_cnt"),
+        F.max("mr").cast("bigint").alias("max_run"),
     )
+    # bind the token array ONCE as a real column before the bigram
+    # transform: splicing tokens_sql(text) directly into _bigrams_sql puts
+    # the tokenizer expression inside the per-element lambda, and the
+    # interpreted higher-order transform re-tokenized the document at
+    # EVERY bigram position — O(tokens^2) regex work per doc (measured:
+    # this branch alone was 10.2s of the operator's 11.5s at sf0.1; bound,
+    # it is 0.9s). Same let-binding rule as textops.repetition_report.
     big = docs.select(
+        "doc_id", F.expr(T.tokens_sql("text")).alias("toks")
+    ).select(
         "doc_id",
-        F.explode(
-            F.expr(_bigrams_sql(T.tokens_sql("text"), "spark"))
-        ).alias("bg"),
+        F.explode(F.expr(_bigrams_sql("toks", "spark"))).alias("bg"),
     )
     top_big = (
         big.groupBy("doc_id", "bg")
@@ -180,9 +193,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     # as the oracle
     out = (
         toks.select("doc_id", "n_tokens", "n_distinct")
-        .join(top_tok, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .join(top_big, "doc_id", "left")
-        .join(runs, "doc_id", "left")
         .withColumn("top_token_cnt", F.coalesce("top_token_cnt", F.lit(0)))
         .withColumn("top_bigram_cnt", F.coalesce("top_bigram_cnt", F.lit(0)))
         .withColumn("max_run", F.coalesce("max_run", F.lit(0)))

@@ -381,16 +381,31 @@ def ivf_drift_report(
     cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
     )
-    return drift_from_assign(ivf_assign(emb, cent), retrain_pm=retrain_pm)
+    # ids_source=emb: the split scalar is max(vec_id) DIV 2, which is the
+    # same over the raw table as over the assignment (assignment preserves
+    # every vec_id) — deriving it from emb spares re-running the whole
+    # broadcast-assignment pass under the split's broadcast subquery
+    # (exactly the DuckDB oracle's derivation, which reads embeddings).
+    return drift_from_assign(
+        ivf_assign(emb, cent), retrain_pm=retrain_pm, ids_source=emb
+    )
 
 
 def drift_from_assign(
-    assign: DataFrame, retrain_pm: int = 1200
+    assign: DataFrame,
+    retrain_pm: int = 1200,
+    ids_source: "DataFrame | None" = None,
 ) -> DataFrame:
     """The drift aggregation over an EXISTING (vec_id, cid, ccos)
     assignment table — shared by the batch report above and the
     incremental index's stored inverted lists (streaming/ann_stream),
-    where the assignment was already computed at ingest time."""
+    where the assignment was already computed at ingest time.
+
+    ``ids_source``: optional cheaper relation carrying the SAME vec_id
+    population as ``assign`` (e.g. the raw embeddings table) for the
+    1-row split-point scalar — the batch report passes its input so the
+    broadcast subquery scans the parquet instead of re-running the
+    assignment join; the streaming lane's stored lists stay the default."""
     a = assign.withColumn(
         "res_bp",
         (
@@ -401,7 +416,7 @@ def drift_from_assign(
     # integer DIV end-to-end (r8 ADVICE): counts/sums/means are all
     # non-negative bigints, so DIV == floor-division here and — unlike
     # floor(double / double) — stays exact past 2^53 accumulated residual
-    split = assign.agg(
+    split = (ids_source if ids_source is not None else assign).agg(
         F.expr("max(vec_id) DIV 2").cast("bigint").alias("split_id")
     )
     a = a.join(F.broadcast(split))
@@ -941,11 +956,20 @@ def hybrid_rerank(
     if cands is None:
         cands = bm25_topk(docs, n_queries=nq, top=int(n_cand))
     cands = cands.select("term", "rk", "doc_id")
-    withv = cands.join(
-        emb.select(
-            F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")
-        ),
-        "doc_id",
+    # withv feeds the anchor derivation AND the rescoring leg; unpersisted,
+    # each consumer re-ran the whole stage-1 BM25 chain (per-branch pruning
+    # defeats ReuseExchange — the bm25/rollup lesson). The table is
+    # n_queries * n_cand rows — control-plane sized at any corpus scale —
+    # so pooling it is free (cache.scoped_persist).
+    from responsive_pub_spark.cache import scoped_persist
+
+    withv = scoped_persist(
+        cands.join(
+            emb.select(
+                F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")
+            ),
+            "doc_id",
+        )
     )
     anchors = withv.filter(F.col("rk") == 1).select(
         F.col("term").alias("a_term"), F.col("cv").alias("qv")

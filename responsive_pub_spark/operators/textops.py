@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from responsive_pub_spark.cache import scoped_persist
 from responsive_pub_spark.functions import text as T
 from responsive_pub_spark.functions.hashing import poly_hash_duck, poly_hash_sql
 from responsive_pub_spark.functions.portable import dround, pround
@@ -478,7 +479,15 @@ def collocations_pmi(
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # c12 feeds FOUR consumers (both marginals, N, and the scored join);
+    # unpersisted, each branch re-ran the corpus bigram explode + agg
+    # (per-branch pruning defeats ReuseExchange — the bm25/rollup lesson).
+    # The table is vocab^2-bounded, i.e. a scale constant, so pooling it
+    # is safe at any corpus size (cache.scoped_persist: warm on repeats,
+    # LRU-bounded across a session).
+    c12 = scoped_persist(
+        bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
     n = c12.agg(F.sum("c12").alias("n_bigrams"))

@@ -59,4 +59,14 @@ def build_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # scale-dependent overrides without code edits: every SPARK_GRAFT_CONF_*
+    # env var becomes a Spark conf (key = suffix with '__' -> '.'), e.g.
+    #   SPARK_GRAFT_CONF_spark__sql__join__preferSortMergeJoin=false
+    # Local defaults above keep the bench comparable; a cluster deploy sets
+    # its own values here instead of forking the session factory.
+    for env_k, v in os.environ.items():
+        if env_k.startswith("SPARK_GRAFT_CONF_"):
+            builder = builder.config(
+                env_k[len("SPARK_GRAFT_CONF_"):].replace("__", "."), v
+            )
     return builder.getOrCreate()
