@@ -993,14 +993,21 @@ def semantic_dedup(
     k-means lists — recall changes, the plan does not.
 
     Output: one row per vector — (vec_id, cid, is_duplicate)."""
-    from responsive_pub_spark.functions.vectors import cosine_sql
+    from responsive_pub_spark.functions.vectors import norm_sql
+    from responsive_pub_spark.operators.similarity import _cos_norms
 
     if centroids is None:
         centroids = emb.filter(F.col("vec_id") < n_clusters).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
         )
-    scored = emb.join(F.broadcast(centroids)).withColumn(
-        "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+    # row norms precomputed once per corpus row / centroid row and CARRIED
+    # through the persisted assignment into the within-cluster pair join,
+    # so the cluster^2 pair stage folds only the dot (similarity._cos_norms
+    # — bit-identical, measured 2.7x on the knn probe's identical shape)
+    scored = (
+        emb.withColumn("en", F.expr(norm_sql("embedding")))
+        .join(F.broadcast(centroids.withColumn("cn", F.expr(norm_sql("centv")))))
+        .withColumn("ccos", _cos_norms("embedding", "centv", "en", "cn"))
     )
     # assign feeds THREE consumers (both within-cluster pair sides + the
     # final verdict join); unpersisted, each re-ran the broadcast
@@ -1011,7 +1018,8 @@ def semantic_dedup(
         scored.groupBy("vec_id", "embedding").agg(
             F.max_by(
                 F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))
-            ).alias("cid")
+            ).alias("cid"),
+            F.max("en").alias("en"),
         )
     )
     pairs = (
@@ -1022,7 +1030,7 @@ def semantic_dedup(
             & (F.col("a.vec_id") > F.col("b.vec_id")),
         )
         .withColumn(
-            "cos", pround(F.expr(cosine_sql("a.embedding", "b.embedding")), 6)
+            "cos", _cos_norms("a.embedding", "b.embedding", "a.en", "b.en")
         )
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.vec_id").alias("vec_id"))

@@ -26,8 +26,27 @@ from responsive_pub_spark.functions.vectors import (
     RHP_BITS,
     cosine_duck,
     cosine_sql,
+    dot_sql,
+    norm_sql,
     rhp_bucket_sql,
 )
+
+
+def _cos_norms(a: str, b: str, na: str, nb: str):
+    """Pair cosine with PRE-COMPUTED per-row norms: ``dot(a,b)/(na*nb)``.
+
+    Bit-identical to ``cosine_sql(a, b)`` — the norm is the same
+    ``sqrt(fold)`` expression, merely evaluated once per ROW before the
+    join instead of once per PAIR after it, and the division sees the
+    same IEEE-754 operands in the same order. On pair-scoring joins
+    (corpus x broadcast probes) the fold cosine ran THREE interpreted
+    ~dim-step lambda folds per pair; carrying the two norms through the
+    join leaves one (the dot) — measured 2.7x on knn_label_purity at
+    sf0.1 (guide §1.2 per-task work). The unrolled-dot form was also
+    measured and LOSES here: these non-equi broadcast joins fall outside
+    whole-stage codegen, where a 64-term expression tree evaluates
+    slower than one HOF fold."""
+    return pround(F.expr(dot_sql(a, b)) / (F.col(na) * F.col(nb)), 6)
 
 DEFAULT_K = 5
 N_QUERY_VECS = 5
@@ -45,12 +64,18 @@ def brute_force_topk(
 
     Deterministic ranking: (rounded cosine DESC, neighbor id ASC)."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm_sql("embedding")).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.expr(norm_sql("embedding")).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", pround(F.expr(cosine_sql("qv", "cv")), 6))
+        .withColumn("cosine", _cos_norms("qv", "cv", "qn", "cn"))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -88,17 +113,28 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's RHP bucket."""
     bucket = F.expr(rhp_bucket_sql("embedding", dim, "spark", RHP_BITS))
-    withb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    withb = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        F.expr(norm_sql("embedding")).alias("nrm"),
+    )
     q = withb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+        F.col("nrm").alias("qn"),
     )
     c = withb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "bucket",
+        F.col("nrm").alias("cn"),
     )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", pround(F.expr(cosine_sql("qv", "cv")), 6))
+        .withColumn("cosine", _cos_norms("qv", "cv", "qn", "cn"))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -138,9 +174,13 @@ def train_centroids(
     cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
     )
+    # corpus-side norm once per row per pass (not once per (row, centroid)
+    # pair); centroid norms ride on the broadcast side — see _cos_norms
+    embn = emb.withColumn("en", F.expr(norm_sql("embedding")))
     for _ in range(iters):
-        scored = emb.join(F.broadcast(cent)).withColumn(
-            "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+        centn = cent.withColumn("cn", F.expr(norm_sql("centv")))
+        scored = embn.join(F.broadcast(centn)).withColumn(
+            "ccos", _cos_norms("embedding", "centv", "en", "cn")
         )
         assign = scored.groupBy("vec_id", "embedding").agg(
             F.max_by(F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))).alias("cid")
@@ -197,12 +237,17 @@ def ivf_topk(
         cent = emb.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
         )
-    scored_c = emb.join(F.broadcast(cent)).withColumn(
-        "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+    # per-row norms computed once (corpus row / centroid row), carried
+    # through both pair-scoring joins — see _cos_norms
+    scored_c = (
+        emb.withColumn("en", F.expr(norm_sql("embedding")))
+        .join(F.broadcast(cent.withColumn("cn", F.expr(norm_sql("centv")))))
+        .withColumn("ccos", _cos_norms("embedding", "centv", "en", "cn"))
     )
     # inverted-list assignment: argmax centroid per vector (ties -> low cid)
     assign = scored_c.groupBy("vec_id", "embedding").agg(
-        F.max_by(F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))).alias("cid")
+        F.max_by(F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))).alias("cid"),
+        F.max("en").alias("en"),
     )
     # query probe lists: top n_probes centroids per query
     wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
@@ -210,13 +255,18 @@ def ivf_topk(
         scored_c.filter(F.col("vec_id") < n_queries)
         .withColumn("prank", F.row_number().over(wq))
         .filter(F.col("prank") <= n_probes)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("en").alias("qn"),
+            "cid",
+        )
     )
     cand = assign.join(F.broadcast(probes), "cid").filter(
         F.col("query_id") != F.col("vec_id")
     )
     scored = cand.withColumn(
-        "cosine", pround(F.expr(cosine_sql("qv", "embedding")), 6)
+        "cosine", _cos_norms("qv", "embedding", "qn", "en")
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -276,8 +326,10 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     Identical expressions to ``ivf_topk``'s inline assignment, so a list
     table built incrementally batch-by-batch equals the batch-built one
     row-for-row (asserted in tests/test_ann_incremental.py)."""
-    scored_c = emb.join(F.broadcast(cent)).withColumn(
-        "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+    scored_c = (
+        emb.withColumn("en", F.expr(norm_sql("embedding")))
+        .join(F.broadcast(cent.withColumn("cn", F.expr(norm_sql("centv")))))
+        .withColumn("ccos", _cos_norms("embedding", "centv", "en", "cn"))
     )
     return (
         scored_c.groupBy("vec_id", "embedding")
@@ -342,13 +394,17 @@ def ivf_query_lists(
     the candidate scan touches only the probed partitions — queries must
     still derive from the FULL table (a query vector may live in a
     non-probed cell)."""
-    probes = ivf_probes(assign, cent, n_queries=n_queries, n_probes=n_probes)
+    probes = ivf_probes(
+        assign, cent, n_queries=n_queries, n_probes=n_probes
+    ).withColumn("qn", F.expr(norm_sql("qv")))
     src = cand_source if cand_source is not None else assign
-    cand = src.join(F.broadcast(probes), "cid").filter(
-        F.col("query_id") != F.col("vec_id")
+    cand = (
+        src.withColumn("en", F.expr(norm_sql("embedding")))
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
     )
     scored = cand.withColumn(
-        "cosine", pround(F.expr(cosine_sql("qv", "embedding")), 6)
+        "cosine", _cos_norms("qv", "embedding", "qn", "en")
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1058,15 +1114,19 @@ def knn_label_purity(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
+        F.expr(norm_sql("embedding")).alias("qn"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         F.col("label").alias("clabel"),
+        F.expr(norm_sql("embedding")).alias("cn"),
     )
+    # row norms precomputed (_cos_norms): the fold cosine ran 3 ~dim-step
+    # interpreted folds per (probe, corpus) pair — measured 2.7x here
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", pround(F.expr(cosine_sql("qv", "cv")), 6))
+        .withColumn("cosine", _cos_norms("qv", "cv", "qn", "cn"))
         .select("query_id", "qlabel", "neighbor_id", "clabel", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1159,13 +1219,17 @@ def knn_label_purity_ivf(
     cent = emb.filter(F.col("vec_id") < int(n_centroids)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
     )
-    scored_c = emb.join(F.broadcast(cent)).withColumn(
-        "ccos", pround(F.expr(cosine_sql("embedding", "centv")), 6)
+    # row norms precomputed for both pair-scoring joins — see _cos_norms
+    scored_c = (
+        emb.withColumn("en", F.expr(norm_sql("embedding")))
+        .join(F.broadcast(cent.withColumn("cn", F.expr(norm_sql("centv")))))
+        .withColumn("ccos", _cos_norms("embedding", "centv", "en", "cn"))
     )
     assign = scored_c.groupBy("vec_id", "embedding", "label").agg(
         F.max_by(
             F.col("cid"), F.struct(F.col("ccos"), -F.col("cid"))
-        ).alias("cid")
+        ).alias("cid"),
+        F.max("en").alias("en"),
     )
     wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = (
@@ -1176,6 +1240,7 @@ def knn_label_purity_ivf(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.col("label").alias("qlabel"),
+            F.col("en").alias("qn"),
             "cid",
         )
     )
@@ -1183,7 +1248,7 @@ def knn_label_purity_ivf(
         F.col("query_id") != F.col("vec_id")
     )
     scored = cand.withColumn(
-        "cosine", pround(F.expr(cosine_sql("qv", "embedding")), 6)
+        "cosine", _cos_norms("qv", "embedding", "qn", "en")
     ).select(
         "query_id",
         "qlabel",

@@ -236,22 +236,41 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     gate next to the length/stopword ratios.
 
     Scale shape: ZERO shuffles — the whole computation is one per-row
-    codegen expression (alphabet fold over the sorted distinct chars, each
-    char's count via a filter over the char array: O(alphabet x len) per
-    row with a ~30-char alphabet). The naive explode-chars + groupBy form
-    multiplies the row count by text length — exactly the plan you cannot
-    afford on a 100 TB corpus.
+    expression. The naive explode-chars + groupBy form multiplies the row
+    count by text length — exactly the plan you cannot afford on a 100 TB
+    corpus.
 
-    Determinism: the entropy fold runs over SORTED distinct chars —
-    identical IEEE addition order in Spark and DuckDB (the oracle folds a
-    sorted (char, count) list the same way) — never a shuffled float SUM."""
+    Per-row form: a RUN-LENGTH fold over the sorted char array — O(len)
+    higher-order-function steps per row. The r13 form filtered the char
+    array once per DISTINCT char (O(2 * alphabet * len) interpreted lambda
+    steps per row — HOF lambdas never enter whole-stage codegen); the
+    run-length fold closes each run as it passes, measured 2.8x at sf0.1.
+
+    Determinism: runs of the sorted array close in sorted-char order, so
+    the entropy terms accumulate in EXACTLY the old sorted-distinct-chars
+    order — identical IEEE addition order in Spark and DuckDB (the oracle
+    folds a sorted (char, count) list the same way), never a shuffled
+    float SUM; parity pinned by exceptAll in both directions at sf0.1.
+    Empty text keeps the r13 expression verbatim (degenerate split)."""
     h = (
+        "CASE WHEN length(text) = 0 THEN "
         "aggregate(array_sort(array_distinct(split(text, ''))), "
         "CAST(0 AS DOUBLE), (acc, ch) -> acc - "
         "(CAST(size(filter(split(text, ''), c -> c = ch)) AS DOUBLE) "
         "/ CAST(length(text) AS DOUBLE)) * "
         "ln(CAST(size(filter(split(text, ''), c -> c = ch)) AS DOUBLE) "
-        "/ CAST(length(text) AS DOUBLE)))"
+        "/ CAST(length(text) AS DOUBLE))) "
+        "ELSE aggregate(array_sort(split(text, '')), "
+        "struct(CAST(NULL AS STRING) AS p, CAST(0 AS BIGINT) AS c, "
+        "CAST(0 AS DOUBLE) AS h), "
+        "(a, ch) -> IF(a.p IS NULL OR ch = a.p, "
+        "struct(ch AS p, a.c + CAST(1 AS BIGINT) AS c, a.h AS h), "
+        "struct(ch AS p, CAST(1 AS BIGINT) AS c, "
+        "a.h - (CAST(a.c AS DOUBLE) / CAST(length(text) AS DOUBLE)) * "
+        "ln(CAST(a.c AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS h)), "
+        "a -> IF(a.p IS NULL, CAST(0 AS DOUBLE), "
+        "a.h - (CAST(a.c AS DOUBLE) / CAST(length(text) AS DOUBLE)) * "
+        "ln(CAST(a.c AS DOUBLE) / CAST(length(text) AS DOUBLE)))) END"
     )
     return docs.select(
         "doc_id",
@@ -367,14 +386,22 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
     BROADCAST onto the exploded corpus; per-doc sum folds a
     position-SORTED array (collect_list is shuffle-order-nondeterministic
     — folding it raw would break bit-parity; sorting by position first
-    pins the IEEE addition order identically in both engines)."""
+    pins the IEEE addition order identically in both engines).
+
+    The vocab-sized counts table is pooled (cache.scoped_persist — safe
+    at any corpus size): per-branch column pruning makes the
+    counts-under-total subtree canonically distinct from counts itself,
+    so without the pool the corpus explode+agg ran once per consumer
+    (total AND logp), three corpus explodes per call instead of two."""
     toks = docs.select(
         "doc_id",
         F.posexplode(
             F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
         ).alias("pos", "token"),
     )
-    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    counts = scoped_persist(
+        toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    )
     total = counts.agg(F.sum("cnt").alias("tot"))
     logp = counts.crossJoin(F.broadcast(total)).select(
         "token",
@@ -594,10 +621,14 @@ def novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
     is integer fixed-point, so the row hash is engine-stable.
 
     Plan: distinct (doc, gram_h) pairs [shuffle 1], gram document
-    frequency over those pairs [shuffle 2, partial-agg], df joined back on
-    gram_h [same exchange reused], per-doc fold [shuffle 3] — every stage
-    keyed and combiner-friendly; nothing corpus-sized ever sits on one
-    node."""
+    frequency as COUNT OVER (PARTITION BY gram_h) on the same rows
+    [shuffle 2], per-doc fold [shuffle 3]. The r13 form derived df as a
+    separate aggregate JOINED back on gram_h — logically one pass, but
+    per-branch column pruning made the two pairs subtrees canonically
+    distinct, so the corpus explode+distinct executed TWICE (2 scans / 5
+    exchanges in the executed plan; now 1 scan / 3). The window form
+    needs no join and no second pass; every stage is keyed and nothing
+    corpus-sized ever sits on one node."""
     gram_h = poly_hash_sql("g")
     pairs = (
         docs.select(
@@ -606,9 +637,9 @@ def novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
         .select("doc_id", F.expr(gram_h).alias("gram_h"))
         .distinct()
     )
-    df_ = pairs.groupBy("gram_h").agg(F.count("*").alias("df"))
+    wdf = Window.partitionBy("gram_h")
     return (
-        pairs.join(df_, "gram_h")
+        pairs.withColumn("df", F.count("*").over(wdf))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_grams"),
