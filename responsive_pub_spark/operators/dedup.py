@@ -790,24 +790,25 @@ def embedding_dup_pairs(
     ``exact=True`` is the all-pairs O(n^2) referee used by tests only —
     NOT the product path (a cross join at 100 TB).
 
-    Pair scoring uses the UNROLLED dot product with squared norms
-    precomputed once per vector (one fold per row, not three per pair):
-    the higher-order-function cosine is interpreted per element and made
-    the verification join ~20x slower at 1M+ candidates."""
+    Pair scoring: ONE fold dot per pair with squared norms precomputed
+    once per vector. On this Spark build the zip_with+aggregate fold beats
+    the 64-term unrolled sum ~4x on the 1.27M-candidate verification join
+    (r14 measurement on a persisted pair table: fold 0.96s vs unrolled
+    3.7s; both compile — the unrolled tree's cost is per-term row access,
+    not a codegen fallback). Bit-identical swap: both forms are the same
+    left-associated double addition."""
     from responsive_pub_spark.functions.vectors import (
         RHP_BAND_BITS,
         RHP_BANDS,
         dot_sql,
-        dot_unrolled,
         rhp_pack_sql,
-        rhp_plane_dot_sql,
     )
 
     n_bands = RHP_BANDS if bands is None else bands
     n_bits = RHP_BAND_BITS if bits is None else bits
 
     cos_expr = F.expr(
-        f"{dot_unrolled('va', 'vb', dim, 'spark')} / (sqrt(na2) * sqrt(nb2))"
+        f"{dot_sql('va', 'vb')} / (sqrt(na2) * sqrt(nb2))"
     )
     if exact:
         a = emb.select(
@@ -826,40 +827,34 @@ def embedding_dup_pairs(
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
-    # Signature step: 64 per-plane dot columns, computed in CHUNKED layers
-    # with an eager localCheckpoint barrier between chunks. One flat
-    # 64-plane projection generates a ~20k-line class: janino hits the
-    # 64KB method limit (whole-stage falls back to interpreted eval, 20x
-    # slower) and on a 1g driver heap dies outright in compile
-    # (OutOfMemoryError inside UnitCompiler — observed on pyspark 4.1.2;
-    # DataFrame persist() of the same plan OOMs identically in the cache
-    # writer). Chunks of 16 keep every generated class small enough to
-    # COMPILE, so the hot path stays codegen'd JVM; the checkpoint also
-    # doubles as the signature-table materialization the band self-join
-    # reads twice (minhash_pairs' persist pattern). On a cluster, swap
-    # localCheckpoint for checkpoint() if executor loss must be
-    # survivable mid-query.
+    # Signature step (rewritten r14): ALL plane dots as ONE fold-based
+    # array<double> projection (vectors.rhp_planes_fold_sql). The former
+    # shape computed 64 UNROLLED per-plane sums in 16-plane chunks with
+    # eager localCheckpoint barriers — needed only because the unrolled
+    # trees blew the janino 64KB method limit (and the 1g-driver compile
+    # heap); the fold compiles to tiny bytecode at any dim, so the
+    # chunking, its five sequential single-task driver round trips, and
+    # the block-manager bookkeeping all disappear, and the signature
+    # joins the plan as a normal pooled stage. The fold is also ~4x
+    # faster per term on this Spark build (see cos_expr note above).
+    # Signature table pooled via scoped_persist (minhash_pairs' pattern):
+    # the band self-join reads it twice. spread_scan first: the fixture
+    # scan is one unsplittable task, and every stage of this query
+    # (signature folds, band join, pair cosines) inherits its partitioning
+    # — without the spread the whole query runs on one core (guide §2.5);
+    # at scale the probe short-circuits to a no-op.
+    from responsive_pub_spark.cache import scoped_persist
+    from responsive_pub_spark.functions.vectors import rhp_planes_fold_sql
+    from responsive_pub_spark.sources.readers import spread_scan
+
     n_planes = n_bands * n_bits
-    _CHUNK = 16
-    layered = emb.select("vec_id", "embedding")
-    prev_layer = None
-    for c0 in range(0, n_planes, _CHUNK):
-        layered = layered.select(
-            "*",
-            *[
-                F.expr(rhp_plane_dot_sql("embedding", dim, "spark", j)).alias(
-                    f"p{j}"
-                )
-                for j in range(c0, min(c0 + _CHUNK, n_planes))
-            ],
-        ).localCheckpoint(eager=True)
-        # each layer supersedes its parent — release the parent's blocks
-        # immediately (ADVICE r3) instead of leaving every intermediate
-        # layer in the block manager until ContextCleaner GC
-        if prev_layer is not None:
-            prev_layer.unpersist()
-        prev_layer = layered
-    planes = layered.drop("embedding")
+    emb = spread_scan(emb.sparkSession, emb)
+    planes = scoped_persist(
+        emb.select(
+            "vec_id",
+            F.expr(rhp_planes_fold_sql("embedding", dim, n_planes)).alias("pd"),
+        )
+    )
     bandsdf = planes.select(
         "vec_id",
         F.explode(
@@ -869,7 +864,7 @@ def embedding_dup_pairs(
                         F.lit(k).alias("band_pos"),
                         F.expr(
                             rhp_pack_sql(
-                                [f"p{k * n_bits + jj}" for jj in range(n_bits)]
+                                [f"pd[{k * n_bits + jj}]" for jj in range(n_bits)]
                             )
                         ).alias("band_val"),
                     )
@@ -879,7 +874,7 @@ def embedding_dup_pairs(
         ).alias("bp"),
     ).select("vec_id", F.col("bp.band_pos").alias("band_pos"), F.col("bp.band_val").alias("band_val"))
     # bandsdf itself stays unpersisted: both join sides re-derive it from
-    # the cached plane table with a small pack+explode projection
+    # the pooled plane table with a small pack+explode projection
     cand = (
         bandsdf.alias("a")
         .join(bandsdf.alias("b"), ["band_pos", "band_val"])

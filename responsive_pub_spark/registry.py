@@ -74,6 +74,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + scale-adaptive scan spread (readers.spread_scan): for queries
+    whose FIRST stage is expression-dense and pre-shuffle (gram explode +
+    hashing, per-row vector arithmetic, regex feature extraction). The
+    fixture parquet files are single-row-group — a scan is ONE unsplittable
+    task, so without the spread that stage runs on one core of the cluster.
+    Only for such queries: the registry-wide interleaved A/B (r14) showed
+    the extra exchange is a net LOSS for everything whose heavy work
+    already sits behind its own first shuffle — see spread_scan's
+    docstring. At scale the spread is a no-op (scan splits >=
+    defaultParallelism short-circuits it)."""
+    from responsive_pub_spark.sources.readers import spread_scan, table_path
+
+    return spread_scan(
+        spark, read_table(spark, sf_dir, name), table_path(sf_dir, name)
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship: stream-table join + windowed aggregation (STJoinExample analog)
 # ---------------------------------------------------------------------------
@@ -910,7 +928,7 @@ def q_curate_corpus(spark, sf_dir):
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing word-shingles with
     the (deterministic doc_id%20) eval split — broadcast overlap join."""
-    return pipeline_ops.decontaminate(_t(spark, sf_dir, "documents"))
+    return pipeline_ops.decontaminate(_ts(spark, sf_dir, "documents"))
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -933,7 +951,7 @@ def q_stratified_sample(spark, sf_dir):
 def q_quality_classifier(spark, sf_dir):
     """fasttext-shaped linear quality model over hashed token+3-gram
     features; integer milli-weights make the sum order-free."""
-    return pipeline_ops.quality_classifier(_t(spark, sf_dir, "documents"))
+    return pipeline_ops.quality_classifier(_ts(spark, sf_dir, "documents"))
 
 
 def q_window_topk(spark, sf_dir):
@@ -3478,7 +3496,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "knn_label_purity": QuerySpec(
         lambda spark, sf_dir: similarity.knn_label_purity(
-            _t(spark, sf_dir, "embeddings")
+            _ts(spark, sf_dir, "embeddings")
         ),
         similarity.knn_label_purity_oracle(),
         doc="kNN LABEL-AGREEMENT probe (embedding-quality audit): for a "
@@ -3852,7 +3870,7 @@ REGISTRY: dict[str, QuerySpec] = {
         "interpolation; fixed-size mergeable state",
     ),
     "text_novelty": QuerySpec(
-        lambda spark, sf_dir: textops.novelty(_t(spark, sf_dir, "documents")),
+        lambda spark, sf_dir: textops.novelty(_ts(spark, sf_dir, "documents")),
         textops.novelty_oracle(),
         doc="per-doc 3-gram novelty (share of hashed grams in no other "
         "doc) — the partial-overlap memorization signal next to dedup",
@@ -3893,7 +3911,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "text_entropy": QuerySpec(
         lambda spark, sf_dir: textops.char_entropy(
-            _t(spark, sf_dir, "documents")
+            _ts(spark, sf_dir, "documents")
         ),
         textops.char_entropy_oracle(),
         doc="char-unigram Shannon entropy per doc (sorted-fold, bit-stable)",
@@ -3990,7 +4008,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "resample_by_score": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.resample_by_score(
-            _t(spark, sf_dir, "documents")
+            _ts(spark, sf_dir, "documents")
         ),
         pipeline_ops.resample_by_score_oracle(),
     ),

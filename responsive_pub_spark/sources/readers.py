@@ -33,6 +33,50 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: path -> spread decision cache (the scan partition count is a property of
+#: the file layout; probing it costs a py4j round-trip per call otherwise).
+_SPREAD: dict = {}
+
+
+def spread_scan(spark: SparkSession, df: DataFrame, key: "str | None" = None) -> DataFrame:
+    """Scale-adaptive scan parallelization (optimization guide §2.5, "input
+    skew: one huge unsplittable file ... repartition immediately after the
+    read").
+
+    A parquet scan cannot be split below a row group, and the fixture
+    tables are single-row-group files — every scan is ONE task, so any
+    expression-dense stage fused above it (gram explode + hashing, vector
+    arithmetic, regex tokenization) runs on one core while the other
+    cluster cores idle. Measured on text_novelty at sf0.1/local[32]: the
+    whole 12s query was one task's aggregation-build time; spreading the
+    5k docs over the cluster before the gram stage cut it to ~1.5-3s.
+
+    Adaptive, not local-tuned: rows are redistributed ONLY when the scan's
+    split count is below the cluster's defaultParallelism, i.e. when the
+    input is too small or too unsplittable to occupy the cluster. At
+    production scale a 100 TB table scans as millions of splits, the
+    condition never fires, and no extra exchange enters the plan; the
+    shuffle this adds in the small-input regime moves at most
+    (defaultParallelism - 1) splits' worth of bytes, which is by
+    construction the regime where that is cheap.
+
+    NOT applied inside read_table: a registry-wide interleaved A/B (r14)
+    showed the extra exchange is pure overhead for queries whose heavy
+    work already sits behind their own first shuffle (every relational
+    aggregate/join, and the corpus queries that pool a shuffled
+    intermediate) — 2-3x slower on agg_pricing_summary / window_tumbling /
+    join_asof. Call sites opt in per query where the first stage is
+    expression-dense and pre-shuffle (registry._ts)."""
+    p = spark.sparkContext.defaultParallelism
+    if key is None:
+        return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    dec = _SPREAD.get((key, p))
+    if dec is None:
+        dec = p if df.rdd.getNumPartitions() < p else 0
+        _SPREAD[(key, p)] = dec
+    return df.repartition(dec) if dec else df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one fixture table. Column pruning + predicate pushdown into
     the parquet scan come free from using the DataFrame reader.

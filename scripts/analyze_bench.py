@@ -45,8 +45,13 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     base = f"http://localhost:4049/api/v1/applications/{app_id}"
 
-    only = set(sys.argv[1:])
-    qs = bench_queries()
+    only = set(a for a in sys.argv[1:] if not a.startswith("--"))
+    if "--registry" in sys.argv:
+        from responsive_pub_spark.registry import REGISTRY
+
+        qs = {k: v.fn for k, v in REGISTRY.items()}
+    else:
+        qs = bench_queries()
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
 
@@ -77,7 +82,7 @@ def main() -> None:
             mt = {m["name"]: m["value"] for m in nd.get("metrics", [])}
             keep = {}
             for k, v in mt.items():
-                if any(s in k for s in ("time", "rows", "bytes", "spill")):
+                if any(s in k for s in ("time", "rows", "bytes", "spill", "duration")):
                     keep[k] = v
             if keep:
                 nodes.append({"node": nd["nodeName"], "id": nd["nodeId"], "m": keep})

@@ -258,3 +258,35 @@ def test_ivf_label_purity_recall_referee(spark, sf_dir):
     mean_exact = sum(exact_p.values()) / len(exact_p)
     mean_ivf = sum(ivf_p.values()) / len(ivf_p)
     assert abs(mean_exact - mean_ivf) <= 500, (mean_exact, mean_ivf)
+
+
+def test_fold_signature_bit_parity_with_unrolled_planes(spark, sf_dir):
+    """The r14 fold-based signature (vectors.rhp_planes_fold_sql) must
+    reproduce the unrolled per-plane dots BIT-exactly: the fold adds the
+    same weighted terms in the same ascending-d order, differing only in
+    folding zero weights as exact +0.0 steps — which cannot move any
+    partial sum. Every banded consumer (candidate generation, the DuckDB
+    oracle's rhp_band_sql) depends on these dots only through their sign,
+    but we pin full bit equality so the invariant does not silently decay
+    into sign-only."""
+    from pyspark.sql import functions as F
+
+    from responsive_pub_spark.functions.vectors import (
+        rhp_plane_dot_sql,
+        rhp_planes_fold_sql,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_planes = 64
+    both = emb.select(
+        "vec_id",
+        F.expr(rhp_planes_fold_sql("embedding", 64, n_planes)).alias("pd"),
+        *[
+            F.expr(rhp_plane_dot_sql("embedding", 64, "spark", j)).alias(f"u{j}")
+            for j in range(0, n_planes, 7)  # sampled planes: unrolled twin
+        ],
+    )
+    bad = both.filter(
+        " OR ".join(f"pd[{j}] != u{j}" for j in range(0, n_planes, 7))
+    )
+    assert bad.count() == 0
