@@ -836,17 +836,26 @@ def pq_topk(
         )
         .select(F.col("qid").alias("query_id"), "qid_n2", "m", F.col("j").alias("code"), "val")
     )
-    # ADC: approx cosine = (m-ordered fold of LUT vals) / (|q| * |x|)
+    # ADC: approx cosine = (m-ordered sum of LUT vals) / (|q| * |x|).
+    # One fixed-width slot per subspace (every (query, vid) group has
+    # exactly one LUT row per m), summed in ascending-m order as a plain
+    # expression — the same left-associated addition the old
+    # collect_list + array_sort + fold produced, but partial-aggregable
+    # map-side (max per slot) with no per-group list buffer or sort:
+    # r14, interleaved A/B on sim_search_pq.
+    slot_sum = F.lit(0.0)
+    for _i in range(m_sub):
+        slot_sum = slot_sum + F.col(f"_v{_i}")
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .groupBy("query_id", "qid_n2", F.col("vid").alias("neighbor_id"), "vid_n2")
         .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("val")))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["val"],
-            ).alias("adc_dot")
+            *[
+                F.max(F.when(F.col("m") == _i, F.col("val"))).alias(f"_v{_i}")
+                for _i in range(m_sub)
+            ]
         )
+        .withColumn("adc_dot", slot_sum)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "adc_cos",

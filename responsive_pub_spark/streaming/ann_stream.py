@@ -461,6 +461,13 @@ class IvfIncremental:
                 "val",
             )
         )
+        # fixed-width per-m slots summed in ascending-m order — identical
+        # addition order to the old collect_list+array_sort fold, but
+        # partial-aggregable map-side with no list buffer (mirrors
+        # similarity.pq_topk, r14)
+        slot_sum = F.lit(0.0)
+        for _i in range(m_sub):
+            slot_sum = slot_sum + F.col(f"_v{_i}")
         adc = (
             codes.join(F.broadcast(lut), ["m", "code"])
             .groupBy(
@@ -470,14 +477,14 @@ class IvfIncremental:
                 "n2",
             )
             .agg(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("m"), F.col("val")))
-                    ),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["val"],
-                ).alias("adc_dot")
+                *[
+                    F.max(F.when(F.col("m") == _i, F.col("val"))).alias(
+                        f"_v{_i}"
+                    )
+                    for _i in range(m_sub)
+                ]
             )
+            .withColumn("adc_dot", slot_sum)
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn(
                 "adc_cos",
