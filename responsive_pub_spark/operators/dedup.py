@@ -667,13 +667,23 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
     """Group near-duplicate pairs into clusters and elect a canonical doc
     (the minimum doc_id) — the keep/drop decision step of a dedup pipeline.
 
-    Distributed min-label propagation: every doc starts labeled with its
-    own id; each round every doc takes the min label over itself and its
-    neighbors; converged when no label changes. Rounds needed = graph
-    diameter (near-dup clusters are small, so a handful); each round is
-    one shuffle join on doc_id — no driver-side graph materialization, so
-    it scales to billions of edges. ``max_iters`` bounds the loop; the
-    early-exit check is one count per round.
+    Distributed min-label propagation WITH pointer doubling: every doc
+    starts labeled with its own id; each round every doc takes the min
+    label over itself and its neighbors, then JUMPS once — label[v] <-
+    label[label[v]] (label values are always node ids, so the jump is a
+    node-sized self-join). The jump roughly doubles how far a component's
+    min id travels per round, so rounds ~ log2(diameter) instead of
+    diameter (r14: the simhash rep graph converged in 4 rounds instead of
+    7; output identical — the fixpoint, component-min labels, is the same
+    with or without jumps because labels only decrease within the
+    component and the component min is a fixed point of both operators).
+    Each round is one edge-sized shuffle join + two node-sized joins; no
+    driver-side graph materialization, so it scales to billions of edges.
+    ``max_iters`` bounds the loop; the early-exit check reads a _chg flag
+    computed INSIDE the round's checkpointed pass (old label carried
+    through the round), so convergence detection is a cached-scan
+    filter/limit/count — not the extra node-table join per round it was
+    before r14.
 
     Inputs and per-round labels are eagerly localCheckpoint'ed, not merely
     persisted: persist caches DATA but leaves the LOGICAL plan intact, so
@@ -694,33 +704,45 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
     labels = docs.select(
         F.col("doc_id"), F.col("doc_id").alias("label")
     ).localCheckpoint(eager=True)
+    prev_ckpt = labels  # the checkpoint handle unpersist must target
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+        # neighbor-min step, old label carried for the in-pass change flag
+        cur = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("_l"),
+        )
+        # pointer jump: label <- label[label] (left join: the label's own
+        # row is always present — label values are node ids — but the
+        # outer join keeps the row if an upstream caller ever passes a
+        # label not in docs rather than silently dropping it)
+        jump = cur.select(F.col("doc_id").alias("_l"), F.col("_l").alias("_l2"))
+        new_flagged = (
+            cur.join(jump, "_l", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                F.least(F.col("_l"), F.coalesce("_l2", "_l")).alias("label"),
+                (
+                    F.least(F.col("_l"), F.coalesce("_l2", "_l"))
+                    != F.col("_old")
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_flagged.filter("_chg").limit(1).count()
         # release the superseded round's checkpointed blocks NOW (ADVICE
         # r3): without this every round's RDD blocks sit in the block
         # manager until ContextCleaner GC — accumulating storage across
-        # rounds and repeated bench runs on a small gate heap
-        labels.unpersist()
-        labels = new_labels
+        # rounds and repeated bench runs on a small gate heap. unpersist
+        # targets the CHECKPOINTED frame, not the projection over it.
+        prev_ckpt.unpersist()
+        prev_ckpt = new_flagged
+        labels = new_flagged.select("doc_id", "label")
         if changed == 0:
             break
     edges.unpersist()

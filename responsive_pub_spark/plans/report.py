@@ -182,20 +182,25 @@ EXTENDED_NOTES = {
     ),
     "pii_redact": ("pure regexp codegen scan, zero shuffles."),
     "dedup_clusters": (
-        "distributed min-label propagation over minhash candidate edges: "
-        "one shuffle per round, rounds = cluster diameter; output LINEAR "
-        "in docs — the shape to ship for dup-heavy corpora (pair "
-        "materialization is quadratic in dup-group size by contract). "
-        "Inputs + per-round labels eagerly localCheckpoint'ed so the "
-        "per-round Catalyst plan stays O(1) (persist alone let analysis "
-        "grow superlinearly with rounds — measured 0.9s -> 20s/round)."
+        "distributed min-label propagation over minhash candidate edges "
+        "with a per-round pointer jump (label <- label[label], a node-"
+        "sized self-join): rounds ~ log2(cluster diameter), one edge-"
+        "sized shuffle per round; output LINEAR in docs — the shape to "
+        "ship for dup-heavy corpora (pair materialization is quadratic "
+        "in dup-group size by contract). Inputs + per-round labels "
+        "eagerly localCheckpoint'ed so the per-round Catalyst plan stays "
+        "O(1) (persist alone let analysis grow superlinearly with rounds "
+        "— measured 0.9s -> 20s/round); convergence reads a _chg flag "
+        "off the round's own checkpoint, not an extra label join."
     ),
     "dedup_simhash_clusters": (
         "dup-heavy-safe simhash: identical simhashes collapse to ONE "
         "representative (min doc_id) BEFORE the byte-band candidate join "
         "— hamming is a function of the simhash VALUES, so candidates are "
         "quadratic in DISTINCT simhashes, not docs; components over "
-        "representatives, labels broadcast back through the simhash. "
+        "representatives (pointer-doubling label propagation: 4 rounds "
+        "instead of 7 on this graph, r14), labels broadcast back "
+        "through the simhash. "
         "Dup-heavy 10x: 4.7s vs the pair form's 112.6s (BASELINE.md)."
     ),
     "dedup_embedding_strict": (
@@ -398,7 +403,8 @@ EXTENDED_NOTES = {
     ),
     "split_leakage_safe": (
         "minhash pairs -> min-label components (localCheckpoint-"
-        "truncated rounds) -> affine split hash of the canonical id. "
+        "truncated, pointer-doubled rounds) -> affine split hash of the "
+        "canonical id. "
         "The split adds ZERO shuffles beyond clustering; singletons "
         "cost the signature pass only. Rerun-stable and append-stable "
         "by construction (no rand())."

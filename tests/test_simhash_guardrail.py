@@ -81,3 +81,43 @@ def test_clusters_output_mode_delegates(spark):
     assert len(a) == docs.count()
     with pytest.raises(ValueError, match="output"):
         dedup.simhash_pairs(docs, output="bogus")
+
+
+def test_cluster_pairs_pointer_doubling_beats_diameter(spark):
+    """r14 optimization pin: min-label propagation carries a pointer jump
+    (label <- label[label]) per round, so a path graph of diameter D
+    converges in ~log2(D) rounds. A 41-node chain (diameter 40) would NOT
+    converge inside the default max_iters=20 under plain per-hop
+    propagation — with the jump it must, and every node must label to the
+    component min."""
+    n = 41
+    docs = spark.range(n).selectExpr("id AS doc_id")
+    pairs = spark.range(n - 1).selectExpr(
+        "id AS doc_a", "id + 1 AS doc_b"
+    )
+    out = {
+        r.doc_id: (r.canonical_id, r.is_duplicate)
+        for r in dedup.cluster_pairs(docs, pairs).collect()
+    }
+    assert len(out) == n
+    for v, (canon, is_dup) in out.items():
+        assert canon == 0, f"node {v} labeled {canon}, not the chain min"
+        assert is_dup == (v != 0)
+
+
+def test_cluster_pairs_singletons_and_empty_pairs(spark):
+    """Jump-join edge cases: no pairs at all (every doc its own canonical)
+    and a mix of a triangle + singletons."""
+    docs = spark.range(5).selectExpr("id AS doc_id")
+    empty = spark.range(0).selectExpr("id AS doc_a", "id AS doc_b")
+    out = dedup.cluster_pairs(docs, empty).collect()
+    assert all(r.canonical_id == r.doc_id and not r.is_duplicate for r in out)
+
+    tri = spark.createDataFrame(
+        [(2, 3), (3, 4), (2, 4)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        r.doc_id: r.canonical_id
+        for r in dedup.cluster_pairs(docs, tri).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 2}
