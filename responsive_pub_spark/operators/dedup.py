@@ -24,7 +24,7 @@ Every operator has a DuckDB oracle twin built from the same constants in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from responsive_pub_spark.functions.hashing import (
@@ -679,11 +679,11 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
     component and the component min is a fixed point of both operators).
     Each round is one edge-sized shuffle join + two node-sized joins; no
     driver-side graph materialization, so it scales to billions of edges.
-    ``max_iters`` bounds the loop; the early-exit check reads a _chg flag
-    computed INSIDE the round's checkpointed pass (old label carried
-    through the round), so convergence detection is a cached-scan
-    filter/limit/count — not the extra node-table join per round it was
-    before r14.
+    ``max_iters`` bounds the loop; the early-exit check is an OBSERVED
+    METRIC (sum of a changed flag, old label carried through the round)
+    collected during the round's own checkpoint materialization — zero
+    extra jobs per round, where the pre-r14 form paid a node-table join
+    plus a count job every round.
 
     Inputs and per-round labels are eagerly localCheckpoint'ed, not merely
     persisted: persist caches DATA but leaves the LOGICAL plan intact, so
@@ -722,7 +722,12 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
         # outer join keeps the row if an upstream caller ever passes a
         # label not in docs rather than silently dropping it)
         jump = cur.select(F.col("doc_id").alias("_l"), F.col("_l").alias("_l2"))
-        new_flagged = (
+        # the convergence metric rides the checkpoint job itself
+        # (CollectMetrics below the final projection, so the _chg flag is
+        # computed during materialization but never stored); obs.get is
+        # already resolved once the eager checkpoint returns
+        obs = Observation()
+        new_labels = (
             cur.join(jump, "_l", "left")
             .select(
                 "doc_id",
@@ -732,17 +737,18 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
                     != F.col("_old")
                 ).alias("_chg"),
             )
+            .observe(obs, F.sum(F.col("_chg").cast("bigint")).alias("n_chg"))
+            .select("doc_id", "label")
             .localCheckpoint(eager=True)
         )
-        changed = new_flagged.filter("_chg").limit(1).count()
+        changed = obs.get.get("n_chg") or 0
         # release the superseded round's checkpointed blocks NOW (ADVICE
         # r3): without this every round's RDD blocks sit in the block
         # manager until ContextCleaner GC — accumulating storage across
-        # rounds and repeated bench runs on a small gate heap. unpersist
-        # targets the CHECKPOINTED frame, not the projection over it.
+        # rounds and repeated bench runs on a small gate heap
         prev_ckpt.unpersist()
-        prev_ckpt = new_flagged
-        labels = new_flagged.select("doc_id", "label")
+        prev_ckpt = new_labels
+        labels = new_labels
         if changed == 0:
             break
     edges.unpersist()

@@ -190,8 +190,9 @@ EXTENDED_NOTES = {
         "in dup-group size by contract). Inputs + per-round labels "
         "eagerly localCheckpoint'ed so the per-round Catalyst plan stays "
         "O(1) (persist alone let analysis grow superlinearly with rounds "
-        "— measured 0.9s -> 20s/round); convergence reads a _chg flag "
-        "off the round's own checkpoint, not an extra label join."
+        "— measured 0.9s -> 20s/round); convergence is an observed "
+        "metric riding the round's own checkpoint job, not an extra "
+        "label join plus count job."
     ),
     "dedup_simhash_clusters": (
         "dup-heavy-safe simhash: identical simhashes collapse to ONE "
