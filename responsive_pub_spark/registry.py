@@ -3450,32 +3450,30 @@ REGISTRY: dict[str, QuerySpec] = {
         "3): the same counts pack_token_ids packs on now cut the export "
         "shards; NEW gate r10",
     ),
-    "dup_span_report": QuerySpec(
-        lambda spark, sf_dir: pipeline_ops.dup_span_report(
-            _t(spark, sf_dir, "documents")
-        ),
+    # (r15 window repair, VERDICT r14 item 1: the r14 rotation that
+    # parked dup_span_stream / strip_spans_stream / versioned_kv_asof
+    # was inherited partial-BUILD work; the three driver-verified rows
+    # return here. dup_span_report / dedup_strip_spans park past 50 —
+    # their oracles stay driver-verified VERBATIM via the streamed
+    # twins below, which share the identical oracle SQL and the batch
+    # aggregation tail. No further rotation during optimization rounds.)
+    "dup_span_stream": QuerySpec(
+        q_dup_span_stream,
         pipeline_ops.dup_span_report_oracle(),
-        doc="substring-level dedup signal (Lee et al. 2022 shape): "
-        "stride-1 w-token windows, corpus-wide occurrence counts via "
-        "keyed agg + equi-join (NEVER a per-gram window — AQE splits hot "
-        "grams), per-doc union-of-spans duplicated-token fraction in "
-        "integer bp; grams shuffle as xxhash64 BIGINTs, never as text "
-        "(r11); catches boilerplate spans that doc-level minhash "
-        "and non-overlapping chunk_dedup both miss",
+        doc="STREAMED duplicated-span report: gram postings maintained "
+        "incrementally (gram-once per doc, the decontam_stream posture "
+        "applied to w-grams), report served from the shared batch "
+        "aggregation tail; oracle = the batch oracle verbatim; NEW "
+        "gate r13, restored to the window r15 (r14 VERDICT item 1)",
     ),
-    "dedup_strip_spans": QuerySpec(
-        lambda spark, sf_dir: pipeline_ops.strip_dup_spans(
-            _t(spark, sf_dir, "documents")
-        ),
+    "strip_spans_stream": QuerySpec(
+        q_strip_spans_stream,
         pipeline_ops.strip_dup_spans_oracle(),
-        doc="the ACTION to dup_span_report: remove all-but-first copies "
-        "of every duplicated w-token span (canonical = globally first by "
-        "(doc_id, pos), picked by ONE keyed min(struct(doc_id, pos)) agg "
-        "— lexicographic struct order IS the election, no per-gram "
-        "window, no packed-key arithmetic, no second gram pass); grams "
-        "shuffle as xxhash64 BIGINTs, never as text (r11); drop set is "
-        "one (doc, pos) max(is_canon) agg; first copies survive "
-        "verbatim, later copies are cut, rebuilt text per doc",
+        doc="STREAMED span strip: the canonical-first strip decision "
+        "served at read from the maintained gram postings (only the "
+        "text-rebuild token stream re-reads the docs topic); oracle = "
+        "the batch oracle verbatim; NEW gate r13, restored to the "
+        "window r15 (r14 VERDICT item 1)",
     ),
     "pack_sequences": QuerySpec(
         lambda spark, sf_dir: pipeline_ops.pack_sequences(_t(spark, sf_dir, "documents")),
@@ -3579,13 +3577,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "stripped() = last-writer-wins over the deltas; oracle = the "
         "batch strip_dup_spans oracle verbatim; NEW gate r14",
     ),
-    # (table_history_scd2 — green r5-r11 — parked in the r12 second
-    # rotation for the envelope_audit_stream gate row; the asof/history
-    # family keeps versioned_kv_asof in-window)
-    "table_history_scd2": QuerySpec(
-        q_scd2_history,
-        asof.scd2_history_events_oracle(),
-        doc="SCD2 changelog history: versioned [valid_from, valid_to) rows",
+    # (table_history_scd2 — green r4-r14, ten driver-verified rounds —
+    # parks past 50 in the r15 window repair so versioned_kv_asof
+    # returns (r14 VERDICT item 1); the asof/history family keeps
+    # versioned_kv_asof + join_versioned_stream in-window)
+    "versioned_kv_asof": QuerySpec(
+        q_versioned_kv_asof,
+        ORACLE_VERSIONED_KV_ASOF,
+        doc="KS 3.5 VersionedKeyValueStore: timestamped puts/tombstones, "
+        "get(key, asOfTimestamp) probes at now/-1h/-1d per key; green "
+        "r4-r13, restored to the window r15 (r14 VERDICT item 1)",
     ),
     "join_stream_stream_outer": QuerySpec(
         q_join_stream_stream_outer, ORACLE_JOIN_STREAM_STREAM_OUTER
@@ -3640,30 +3641,48 @@ REGISTRY: dict[str, QuerySpec] = {
         "re-rank unchanged — row-identical to the batch recompute by "
         "construction; NEW gate r12 (r11 VERDICT task 2)",
     ),
-    "versioned_kv_asof": QuerySpec(
-        q_versioned_kv_asof,
-        ORACLE_VERSIONED_KV_ASOF,
-        doc="KS 3.5 VersionedKeyValueStore: timestamped puts/tombstones, "
-        "get(key, asOfTimestamp) probes at now/-1h/-1d per key; rotated "
-        "past 50 in r14",
+    # (r15 window-repair parks: the three veterans below made room for
+    # the returning driver-verified rows — every one stays pytest-
+    # oracled via test_registry_oracle.py, and the span rows' oracles
+    # remain driver-verified verbatim through their streamed twins)
+    "table_history_scd2": QuerySpec(
+        q_scd2_history,
+        asof.scd2_history_events_oracle(),
+        doc="SCD2 changelog history: versioned [valid_from, valid_to) "
+        "rows; green r4-r14, parked in the r15 window repair (the "
+        "asof/history family keeps versioned_kv_asof + "
+        "join_versioned_stream in-window)",
     ),
-    "dup_span_stream": QuerySpec(
-        q_dup_span_stream,
+    "dup_span_report": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.dup_span_report(
+            _t(spark, sf_dir, "documents")
+        ),
         pipeline_ops.dup_span_report_oracle(),
-        doc="STREAMED duplicated-span report: gram postings maintained "
-        "incrementally (gram-once per doc, the decontam_stream posture "
-        "applied to w-grams), report served from the shared batch "
-        "aggregation tail; oracle = the batch oracle verbatim; NEW "
-        "gate r13, rotated past 50 in r14",
+        doc="substring-level dedup signal (Lee et al. 2022 shape): "
+        "stride-1 w-token windows, corpus-wide occurrence counts via "
+        "keyed agg + equi-join (NEVER a per-gram window — AQE splits hot "
+        "grams), per-doc union-of-spans duplicated-token fraction in "
+        "integer bp; grams shuffle as xxhash64 BIGINTs, never as text "
+        "(r11); catches boilerplate spans that doc-level minhash "
+        "and non-overlapping chunk_dedup both miss; green r10-r14, "
+        "parked in the r15 window repair (same oracle stays in-window "
+        "via dup_span_stream)",
     ),
-    "strip_spans_stream": QuerySpec(
-        q_strip_spans_stream,
+    "dedup_strip_spans": QuerySpec(
+        lambda spark, sf_dir: pipeline_ops.strip_dup_spans(
+            _t(spark, sf_dir, "documents")
+        ),
         pipeline_ops.strip_dup_spans_oracle(),
-        doc="STREAMED span strip: the canonical-first strip decision "
-        "served at read from the maintained gram postings (only the "
-        "text-rebuild token stream re-reads the docs topic); oracle = "
-        "the batch oracle verbatim; NEW gate r13, rotated past 50 in "
-        "r14",
+        doc="the ACTION to dup_span_report: remove all-but-first copies "
+        "of every duplicated w-token span (canonical = globally first by "
+        "(doc_id, pos), picked by ONE keyed min(struct(doc_id, pos)) agg "
+        "— lexicographic struct order IS the election, no per-gram "
+        "window, no packed-key arithmetic, no second gram pass); grams "
+        "shuffle as xxhash64 BIGINTs, never as text (r11); drop set is "
+        "one (doc, pos) max(is_canon) agg; first copies survive "
+        "verbatim, later copies are cut, rebuilt text per doc; green "
+        "r10-r14, parked in the r15 window repair (same oracle stays "
+        "in-window via strip_spans_stream + strip_stream_materialized)",
     ),
     "mixture_stream": QuerySpec(
         q_mixture_stream,

@@ -26,6 +26,12 @@ import signal
 import subprocess
 import sys
 
+import pytest
+
+# multi-minute process-kill e2e: slow tier, deselected under the
+# driver's default run (pytest.ini); round-close runs the full tier
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DECONTAM_CHILD = os.path.join(REPO, "tests", "chaos_decontam_child.py")
 ANN_APPEND_CHILD = os.path.join(REPO, "tests", "chaos_ann_append_child.py")

@@ -24,6 +24,11 @@ import sys
 import time
 
 import duckdb
+import pytest
+
+# multi-minute process-kill e2e: slow tier, deselected under the
+# driver's default run (pytest.ini); round-close runs the full tier
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = os.path.join(REPO, "tests", "chaos_child.py")
