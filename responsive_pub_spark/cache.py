@@ -39,10 +39,15 @@ Correctness hardening (r7 ADVICE):
 from __future__ import annotations
 
 import itertools
+import threading
 import weakref
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
+
+#: guards the probe/insert/evict sequences: maintenance legs may call in
+#: from concurrent driver threads (streaming.runtime.run_concurrent)
+_POOL_LOCK = threading.RLock()
 
 #: max simultaneously-pooled intermediates; evicting past this unpersists
 POOL_MAX = 16
@@ -131,6 +136,11 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     # token (and liveness re-arm) FIRST: if this session's previous
     # wrapper was GC'd, purging before re-arming would flush the live
     # session's own entries on every wrapper churn
+    with _POOL_LOCK:
+        return _scoped_persist_locked(df)
+
+
+def _scoped_persist_locked(df: DataFrame) -> DataFrame:
     tok = _session_token(df.sparkSession)
     _purge_dead_sessions()
     h = _plan_hash(df)
@@ -173,10 +183,11 @@ def pool_size() -> int:
 
 def clear_pool() -> None:
     """Unpersist and drop every pooled entry (test hook / session reset)."""
-    while _POOL:
-        _, old = _POOL.popitem(last=False)
-        try:
-            old.unpersist(blocking=False)
-        except Exception:  # noqa: BLE001
-            pass
-    _SESSION_REFS.clear()
+    with _POOL_LOCK:
+        while _POOL:
+            _, old = _POOL.popitem(last=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001
+                pass
+        _SESSION_REFS.clear()

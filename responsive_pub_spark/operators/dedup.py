@@ -315,17 +315,29 @@ def _simhash_sql(dialect: str) -> str:
     is > 0. Token frequencies via a sorted-token fold would be costly in SQL;
     instead we sum over ALL token instances (equivalent: each instance
     contributes ±1). The token-hash array is let-bound (single-element
-    transform) so tokenize+hash runs once per row, not once per bit."""
+    transform) so tokenize+hash runs once per row, not once per bit.
+
+    Spark side (r15, guide §1.2 per-task work): ONE fold with a 32-lane
+    count accumulator instead of 32 per-bit folds — the token-hash array
+    is traversed once, not 32 times (O(tokens) array passes down from
+    O(32*tokens)). Exact-integer equivalence with the per-bit form (and
+    hence with the unchanged DuckDB oracle): the old per-bit signed sum
+    is ones_k - (n - ones_k) = 2*ones_k - n, so bit_k = [2*ones_k > n];
+    the fold counts ones_k per lane and applies exactly that predicate.
+    Parity verified mismatch-free against the old expression on the
+    fixture corpus before the swap."""
     if dialect == "spark":
         hashes = T.token_hashes_sql("text")
-        terms = []
-        for k in range(32):
-            bit = (
-                f"aggregate(hs, 0L, (acc, h) -> acc + "
-                f"(CASE WHEN (h div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
-            )
-            terms.append(f"(CASE WHEN ({bit}) > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)")
-        body = "(" + " + ".join(terms) + ")"
+        counts = (
+            "aggregate(hs, array_repeat(0L, 32), "
+            "(acc, h) -> zip_with(acc, sequence(0, 31), "
+            "(a, k) -> a + shiftright(h, k) % 2))"
+        )
+        body = (
+            f"aggregate(zip_with({counts}, sequence(0, 31), "
+            "(c, k) -> IF(2 * c > size(hs), shiftleft(1L, k), 0L)), "
+            "0L, (a, x) -> a + x)"
+        )
         return f"element_at(transform(array({hashes}), hs -> {body}), 1)"
     hashes = T.token_hashes_duck("text")
     terms = []

@@ -2519,7 +2519,12 @@ def q_shard_stream(spark, sf_dir):
             lane.ingest(
                 spark.createDataFrame(wave, "doc_id BIGINT, text STRING")
             )
-            lane.advance()
+        # ONE availableNow start drains both waves as SEPARATE
+        # micro-batches (maxFilesPerTrigger=1 + the mixin's mtime-stamped
+        # wave order): identical per-batch commits and carried totals,
+        # minus one per-query-start python-worker/planning spawn (r15,
+        # guide §2.6 — the wave-startup constant was the lane's cost)
+        lane.advance()
         out = lane.assignments().collect()
     finally:
         shutil.rmtree(wd, ignore_errors=True)
@@ -2590,7 +2595,9 @@ def q_pack_stream(spark, sf_dir):
                     wave, "doc_id BIGINT, lang STRING, text STRING"
                 )
             )
-            lane.advance()
+        # one query start, both waves as separate micro-batches
+        # (maxFilesPerTrigger=1; see q_shard_stream)
+        lane.advance()
         out = lane.assignments().collect()
     finally:
         shutil.rmtree(wd, ignore_errors=True)
@@ -2661,7 +2668,9 @@ def q_pack_stream_ids(spark, sf_dir):
                     wave, "doc_id BIGINT, lang STRING, text STRING"
                 )
             )
-            lane.advance()
+        # one query start, both waves as separate micro-batches
+        # (maxFilesPerTrigger=1; see q_shard_stream)
+        lane.advance()
         out = lane.ids().collect()
     finally:
         shutil.rmtree(wd, ignore_errors=True)
@@ -2696,7 +2705,11 @@ def q_bm25_stream_hybrid(spark, sf_dir):
                     "doc_id BIGINT, text STRING",
                 )
             )
-            lane.advance()
+        # ONE drain of both ingested waves (r15, guide §2.6): the lane's
+        # maintained tables are order/batch-structure independent sums,
+        # so the drained state is identical; the saved cost is one full
+        # set of per-query-start python-worker/planning spawns
+        lane.advance()
         out = lane.hybrid_topk(emb).collect()
     finally:
         shutil.rmtree(wd, ignore_errors=True)
@@ -2732,7 +2745,9 @@ def q_envelope_audit_stream(spark, sf_dir):
                     "event_type STRING, props STRING",
                 )
             )
-            lane.advance()
+        # one drain of both waves (see q_bm25_stream_hybrid): counts are
+        # order-independent sums, drained state identical
+        lane.advance()
         out = lane.audit().collect()
     finally:
         shutil.rmtree(wd, ignore_errors=True)
@@ -2769,7 +2784,9 @@ def q_mixture_stream(spark, sf_dir):
                     "doc_id BIGINT, lang STRING, text STRING",
                 )
             )
-            lane.advance()
+        # one drain of both waves (see q_bm25_stream_hybrid): masses are
+        # order-independent sums, drained state identical
+        lane.advance()
         out = lane.resample(docs).collect()
     finally:
         shutil.rmtree(wd, ignore_errors=True)
@@ -2811,9 +2828,13 @@ def q_decontam_stream(spark, sf_dir):
         hc, he = len(corpus) // 2, len(evals) // 2
         lane.ingest_corpus(_df(corpus[:hc]))
         lane.ingest_evals(_df(evals[:he]))
-        lane.advance()
         lane.ingest_corpus(_df(corpus[hc:]))
         lane.ingest_evals(_df(evals[he:]))
+        # one drain of all four waves (r15, guide §2.6): the maintained
+        # shingle postings are order-independent and report() is the
+        # batch aggregation over them — identical rows, half the
+        # query-start machinery. The per-advance rebuild/delta decision
+        # paths stay exercised wave-by-wave in q_decontam_decision_stream.
         lane.advance()
         out = lane.report().collect()
     finally:
@@ -2978,7 +2999,8 @@ def q_bm25_stream_stats(spark, sf_dir):
                     "doc_id BIGINT, text STRING",
                 )
             )
-            lane.advance()
+        # one drain of both waves (see q_bm25_stream_hybrid)
+        lane.advance()
         # materialize before the workdir vanishes
         out = lane.topk().collect()
     finally:

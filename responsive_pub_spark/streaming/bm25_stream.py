@@ -76,7 +76,7 @@ from responsive_pub_spark.streaming.commitlog import (
     read_pointer,
 )
 from responsive_pub_spark.streaming.kv_sink import KeyValueTableSink
-from responsive_pub_spark.streaming.runtime import run_to_sink
+from responsive_pub_spark.streaming.runtime import run_concurrent, run_to_sink
 from responsive_pub_spark.streaming.shard_stream import _chaos_kill_env
 
 DOCS_SCHEMA = "doc_id BIGINT, text STRING"
@@ -156,26 +156,30 @@ class Bm25Streaming:
             F.explode(F.expr(entries)).alias("e"),
             F.expr(f"CAST(size({_ARR}) AS BIGINT)").alias("dl"),
         ).select("doc_id", F.col("e.w").alias("w"), F.col("e.tf").alias("tf"), "dl")
-        run_to_sink(postings, self.postings_dir, self.ck_post)
 
-        # 2) stateful df: one streaming agg over posting rows, update-mode
-        # upsert into the KV table (vocab-sized state)
-        post_stream = self.spark.readStream.schema(POSTINGS_SCHEMA).parquet(
-            self.postings_dir
-        )
-        dfreq = post_stream.groupBy("w").agg(
-            F.count("*").cast("bigint").alias("df")
-        )
-        q = (
-            dfreq.writeStream.foreachBatch(self.df_sink)
-            .outputMode("update")
-            .option("checkpointLocation", self.ck_df)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        def drain_postings_then_df() -> None:
+            run_to_sink(postings, self.postings_dir, self.ck_post)
+            # 2) stateful df: one streaming agg over posting rows,
+            # update-mode upsert into the KV table (vocab-sized state).
+            # Defined AFTER the postings drain so its initial listing
+            # sees the new files — the 1 -> 2 order is a real dependency
+            post_stream = self.spark.readStream.schema(
+                POSTINGS_SCHEMA
+            ).parquet(self.postings_dir)
+            dfreq = post_stream.groupBy("w").agg(
+                F.count("*").cast("bigint").alias("df")
+            )
+            q = (
+                dfreq.writeStream.foreachBatch(self.df_sink)
+                .outputMode("update")
+                .option("checkpointLocation", self.ck_df)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
-        # 3) stateful corpus scalars: 1-row complete-mode aggregate
+        # 3) stateful corpus scalars: 1-row complete-mode aggregate —
+        # reads the docs topic, independent of the postings/df chain
         doc_stream = (
             self.spark.readStream.schema(DOCS_SCHEMA)
             .option("recursiveFileLookup", "true")
@@ -208,14 +212,21 @@ class Bm25Streaming:
                 _chaos_kill("post-flip")
                 self._gc_stats()
 
-        q = (
-            stats.writeStream.foreachBatch(write_stats)
-            .outputMode("complete")
-            .option("checkpointLocation", self.ck_stats)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        def drain_stats() -> None:
+            q = (
+                stats.writeStream.foreachBatch(write_stats)
+                .outputMode("complete")
+                .option("checkpointLocation", self.ck_stats)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # the (postings -> df) chain and the stats drain are independent
+        # legs — overlap them in driver threads (r15, guide §2.6): the
+        # per-query-start machinery of the stats leg rides inside the
+        # postings leg's wall time instead of after it
+        run_concurrent(drain_postings_then_df, drain_stats)
 
     # -- maintenance -------------------------------------------------------
     def compact(self) -> None:

@@ -91,7 +91,7 @@ from responsive_pub_spark.streaming.handoff import (
     read_marker,
     ship,
 )
-from responsive_pub_spark.streaming.runtime import run_to_sink
+from responsive_pub_spark.streaming.runtime import run_concurrent, run_to_sink
 from responsive_pub_spark.streaming.shard_stream import _chaos_kill_env
 
 #: SIGKILL-self hook for the decision-rebuild chaos e2e
@@ -177,16 +177,23 @@ class DecontamStreaming:
                 F.explode("hs").alias("h"),
             )
         )
-        self._post_topic.append(
-            lambda: run_to_sink(corpus, self.corpus_post_dir, self.ck_corpus)
-        )
         evals = (
             self.spark.readStream.schema(DOCS_SCHEMA)
             .parquet(self.evals_dir)
             .select(F.col("doc_id").alias("eval_id"), hs.alias("hs"))
             .select("eval_id", F.explode("hs").alias("h"))
         )
-        run_to_sink(evals, self.eval_post_dir, self.ck_evals)
+        # the corpus and eval postings drains are independent topics with
+        # independent sinks/checkpoints — overlap them in driver threads
+        # (r15, guide §2.6); the decision maintenance below needs both
+        run_concurrent(
+            lambda: self._post_topic.append(
+                lambda: run_to_sink(
+                    corpus, self.corpus_post_dir, self.ck_corpus
+                )
+            ),
+            lambda: run_to_sink(evals, self.eval_post_dir, self.ck_evals),
+        )
 
         if os.path.exists(self.rebuild_flag):
             self._rebuild_base()

@@ -115,6 +115,37 @@ class TopologyTestDriver:
             shutil.rmtree(self.workdir, ignore_errors=True)
 
 
+def run_concurrent(*thunks: Callable[[], None]) -> None:
+    """Run INDEPENDENT maintenance drains in parallel driver threads
+    (guide §2.6 — actions are only sequential because driver code calls
+    them sequentially). Each thunk typically wraps one availableNow
+    streaming query with its own checkpoint; Spark's scheduler runs the
+    queries' jobs concurrently, so the fixed per-query-start machinery
+    (source listing, planning, python-worker spawn) overlaps instead of
+    serializing. ``inheritable_thread_target`` carries the driver
+    thread's JVM-local properties (job group/description) into the
+    worker threads, per the PySpark docs. Raises the first failure
+    after all thunks settle — a crashed sibling never leaves a query
+    silently running."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as e:  # settle all before raising
+                errs.append(e)
+        if errs:
+            raise errs[0]
+
+
 def run_to_sink(
     df: DataFrame,
     path: str,

@@ -127,7 +127,7 @@ from responsive_pub_spark.streaming.handoff import (
     StampedTopic,
     ship,
 )
-from responsive_pub_spark.streaming.runtime import run_to_sink
+from responsive_pub_spark.streaming.runtime import run_concurrent, run_to_sink
 
 DOCS_SCHEMA = "doc_id BIGINT, text STRING"
 BASE_SCHEMA = "doc_id BIGINT, n_tokens BIGINT"
@@ -250,20 +250,27 @@ class SpanDedupStreaming:
         base = tks.select(
             "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
         )
-        self._base_topic.append(
-            lambda: run_to_sink(base, self.base_dir, self.ck_base)
-        )
         # bucket column + pre-write repartition: hash-partitioning on gb
         # lands each touched bucket in exactly one task, so a wave
         # writes <= one file per touched partition dir
         grams = self._gram_rows(docs).withColumn(
             "gb", F.pmod("gh", F.lit(SPAN_GB)).cast("int")
         )
-        run_to_sink(
-            grams.repartition("gb"),
-            self.grams_dir,
-            self.ck_grams,
-            partition_by=["gb"],
+        # base + grams are INDEPENDENT drains of the same docs topic
+        # (own checkpoints, own sink dirs, own single-writer locks) —
+        # overlap them in driver threads (r15, guide §2.6) so the two
+        # per-query-start spawns pay once in wall time; _ship_strip
+        # needs both drained and runs after the barrier
+        run_concurrent(
+            lambda: self._base_topic.append(
+                lambda: run_to_sink(base, self.base_dir, self.ck_base)
+            ),
+            lambda: run_to_sink(
+                grams.repartition("gb"),
+                self.grams_dir,
+                self.ck_grams,
+                partition_by=["gb"],
+            ),
         )
         self._ship_strip()
 

@@ -105,3 +105,183 @@ def gapfill_old(spark, sf_dir) -> DataFrame:
 def gapfill_new(spark, sf_dir) -> DataFrame:
     """Current form (r14 pooled rolled)."""
     return timeseries.rollup_gapfill(_ev(spark, sf_dir))
+
+
+# --- graph_pagerank: fused edges-with-degree variant ----------------------
+
+def pagerank_cur(spark, sf_dir) -> DataFrame:
+    from responsive_pub_spark.operators import graph
+
+    return graph.pagerank(read_table(spark, sf_dir, "lineitem"))
+
+
+def pagerank_fused(spark, sf_dir) -> DataFrame:
+    """Per-round contrib computed edge-side off ONE pre-joined
+    edges-with-outdeg table (ReuseExchange dedups it across rounds):
+    one edge-sized join per round instead of a node-sized join plus an
+    edge-sized join. Integer arithmetic -> bit-identical ranks."""
+    from responsive_pub_spark.operators.graph import (
+        PR_DAMP_PCT,
+        PR_ITERS,
+        PR_SCALE,
+        _bipartite_edges,
+    )
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    edges = _bipartite_edges(lineitem).repartition("src")
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(deg, "src")
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_SCALE).cast("bigint").alias("rank"),
+    )
+    base = (15 * PR_SCALE) // 100
+    for _ in range(int(PR_ITERS)):
+        ranks = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{PR_DAMP_PCT} * sum(rank DIV outdeg) DIV 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank")
+            )
+            .select(F.col("node2").alias("node"), "rank")
+        )
+    return ranks.join(deg, ranks.node == deg.src).select(
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("node_key"),
+        F.col("rank").alias("rank_fp"),
+        F.col("outdeg").cast("bigint").alias("outdeg"),
+    )
+
+
+# --- pack_token_ids: fit/explode overlap (VERDICT r14 item 5) -------------
+
+def pack_ids_cur(spark, sf_dir) -> DataFrame:
+    from responsive_pub_spark.operators import bpe
+
+    return bpe.pack_token_ids(read_table(spark, sf_dir, "documents"))
+
+
+def pack_ids_overlap(spark, sf_dir) -> DataFrame:
+    """Overlap the merge-loop fit (driver-round-trip bound, cluster
+    mostly idle) with the corpus word explode+pre-shuffle (cluster
+    bound, independent of the fit) via two driver threads (guide §2.6).
+    The explode is persisted pre-shuffled by doc_id so the rank window
+    reuses the partitioning. NOTE the scale trade-off measured in
+    OPTIMIZATION_r15.md: this materializes the exploded corpus, which
+    the committed single-tokenization form deliberately avoids."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+    from pyspark.sql import Window
+
+    from responsive_pub_spark.cache import scoped_persist
+    from responsive_pub_spark.operators import bpe
+    from responsive_pub_spark.operators.bpe import (
+        BPE_MERGES,
+        _apply_merges,
+        _spaced,
+        word_freqs,
+    )
+    from responsive_pub_spark.operators.pipeline_ops import (
+        PACK_BUDGET_TOKENS,
+        bucketed_running_sum,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    b = int(PACK_BUDGET_TOKENS)
+    corpus_plan = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).alias("word_idx", "word"),
+    ).repartition("doc_id")
+
+    def fit():
+        words = word_freqs(docs).select(
+            "word", F.expr(_spaced("word")).alias("s"), "freq"
+        )
+        seg = _apply_merges(words, BPE_MERGES, carry=("word",)).select(
+            "word", F.expr("split(trim(s), ' ')").alias("toks")
+        )
+        vocab_ids = (
+            seg.select(F.explode("toks").alias("token"))
+            .distinct()
+            .withColumn(
+                "token_id",
+                (F.row_number().over(Window.orderBy("token")) - 1).cast(
+                    "bigint"
+                ),
+            )
+        )
+        return seg, vocab_ids
+
+    def explode():
+        c = scoped_persist(corpus_plan)
+        c.write.format("noop").mode("overwrite").save()
+        return c
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fit = pool.submit(inheritable_thread_target(fit))
+        f_exp = pool.submit(inheritable_thread_target(explode))
+        seg, vocab_ids = f_fit.result()
+        corpus = f_exp.result()
+
+    ids = (
+        corpus.join(F.broadcast(seg), "word")
+        .select(
+            "doc_id",
+            "word_idx",
+            F.posexplode("toks").alias("sub_idx", "token"),
+        )
+        .join(F.broadcast(vocab_ids), "token")
+        .select(
+            "doc_id",
+            F.col("word_idx").cast("bigint").alias("word_idx"),
+            F.col("sub_idx").cast("bigint").alias("sub_idx"),
+            "token",
+            "token_id",
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy("word_idx", "sub_idx")
+    ranked = scoped_persist(
+        ids.select(
+            "doc_id",
+            "token_id",
+            (F.row_number().over(rank_w) - 1).cast("bigint").alias(
+                "tok_rank"
+            ),
+            F.count("*")
+            .over(Window.partitionBy("doc_id"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    per_doc = (
+        ranked.select("doc_id", "n_tokens")
+        .distinct()
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    packed = bucketed_running_sum(
+        per_doc, ["lang"], "doc_id", "n_tokens", "cum_tokens"
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("doc_start"),
+    )
+    return ranked.join(packed, "doc_id").select(
+        "lang",
+        F.expr(f"(doc_start + tok_rank) DIV {b}").alias("seq_id"),
+        ((F.col("doc_start") + F.col("tok_rank")) % b)
+        .cast("bigint")
+        .alias("pos"),
+        "token_id",
+    )

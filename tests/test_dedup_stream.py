@@ -280,3 +280,11 @@ def test_continuous_mode_requires_retention(spark, tmp_path):
 
     with pytest.raises(ValueError, match="retention"):
         NearDupStreaming(spark, str(tmp_path / "x"), continuous=True)
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -229,3 +229,11 @@ def test_decontam_rebuild_flag_is_idempotent_across_a_torn_advance(
     lane.advance()
     assert _rows_set(lane.decision()) == want
     assert _rows_set(lane.decision()) == _rows_set(lane.report())
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

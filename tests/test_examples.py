@@ -571,3 +571,11 @@ def test_pretrain_stream_shards_survivors_across_restart(
             if lg == a_lang and s == int(r.seq_id)
         ]
         assert list(r.toks) == want and len(want) == 512
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

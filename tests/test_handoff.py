@@ -268,3 +268,11 @@ def test_pre_handoff_layout_is_refused(spark, tmp_path):
     _append(spark, src, 1)
     ship(spark, src, SCHEMA, marker2, dest2, lambda d: d)
     assert_handoff_layout(dest2, marker2, "test leg")
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

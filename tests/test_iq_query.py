@@ -333,3 +333,11 @@ def test_session_store_find_sessions_iq(spark, workdir):
         (1, 0.0), (1, 40.0), (2, 100.0)
     }
     drv.close()
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -181,3 +181,11 @@ def test_cancellable_cancellation_survives_streaming_restarts(spark, tmp_path):
         drv.pipe([{"user_id": 1, "ts": ts}])
         assert drv.advance() == []
     drv.close()
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

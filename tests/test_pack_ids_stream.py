@@ -195,3 +195,11 @@ def test_sequences_reader_and_compact(spark, tmp_path):
     assert {
         r.lang: r.post_total for r in lane.totals().collect()
     } == totals_before
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -290,3 +290,11 @@ def test_mask_quarantined_reader_drops_exactly_the_flagged_sequences(
             "en", closed_only=False, mask_quarantined=True
         ).collect()
     } == masked
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -67,3 +67,11 @@ def test_every_query_has_oracle_or_reason():
     # all current queries are batch-expressible; streaming-only entries may
     # be oracle-less later
     assert len(qs) >= 30
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -164,3 +164,11 @@ def test_redelivered_batch_is_skipped_and_torn_delta_replays(
     assert min(
         r[2] * lane.budget + r[3] for r in replayed
     ) == base if replayed else True
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

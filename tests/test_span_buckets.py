@@ -210,3 +210,11 @@ def test_torn_compact_leftovers_never_disturb_serving_and_retry_heals(
     ]
     assert bases == [f"base-v{ver1:06d}"], bases
     assert 999 not in {int(r[0]) for r in lane.stripped().collect()}
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

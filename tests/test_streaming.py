@@ -1592,3 +1592,11 @@ def test_span_stripped_sink_is_incremental_lastwins_and_batch_equal(
     # cold restart: identical maintained read
     lane2 = SpanDedupStreaming(spark, wd)
     assert {tuple(r) for r in lane2.stripped().collect()} == want2
+
+
+# measured >60s per-module (r15 tier audit, OPTIMIZATION_r15.md): slow
+# tier, deselected under the driver default run; round-close runs the
+# full tier with -m "slow or not slow"
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow
