@@ -74,6 +74,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _median_id(df: DataFrame, col: str = "doc_id"):
+    """The id at sorted position n//2 — reproduces the streaming gate
+    rows' historical ``rows[:half]`` / ``rows[half:]`` wave split as two
+    source-side filters (ids are unique), so the corpus never round-trips
+    the driver as pickled rows (r15, guide §5)."""
+    n = df.count()
+    return (
+        df.select(col).orderBy(col).offset(n // 2).limit(1).collect()[0][0]
+    )
+
+
 def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """_t + scale-adaptive scan spread (readers.spread_scan): for queries
     whose FIRST stage is expression-dense and pre-shuffle (gram explode +
@@ -2508,17 +2519,16 @@ def q_shard_stream(spark, sf_dir):
     from responsive_pub_spark.streaming.shard_stream import ShardStreaming
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    rows = docs.orderBy("doc_id").collect()
     wd = tempfile.mkdtemp(prefix="shard_gate_")
     try:
         lane = ShardStreaming(spark, wd)
+        # waves ingest as FILTERED source frames (r15): identical wave
+        # content, but the corpus no longer round-trips the driver as
+        # pickled rows (collect + createDataFrame took longer than the
+        # lane's own maintenance at sf0.1 — guide §5 'the driver should
+        # do almost no data work')
         for parity in (0, 1):
-            wave = [
-                (int(r.doc_id), r.text) for r in rows if r.doc_id % 2 == parity
-            ]
-            lane.ingest(
-                spark.createDataFrame(wave, "doc_id BIGINT, text STRING")
-            )
+            lane.ingest(docs.filter(F.col("doc_id") % 2 == parity))
         # ONE availableNow start drains both waves as SEPARATE
         # micro-batches (maxFilesPerTrigger=1 + the mixin's mtime-stamped
         # wave order): identical per-batch commits and carried totals,
@@ -2580,21 +2590,12 @@ def q_pack_stream(spark, sf_dir):
     from responsive_pub_spark.streaming.pack_stream import PackStreaming
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    rows = docs.orderBy("doc_id").collect()
     wd = tempfile.mkdtemp(prefix="pack_gate_")
     try:
         lane = PackStreaming(spark, wd)
+        # filtered-source waves, no driver round trip (see q_shard_stream)
         for parity in (0, 1):
-            wave = [
-                (int(r.doc_id), r.lang, r.text)
-                for r in rows
-                if r.doc_id % 2 == parity
-            ]
-            lane.ingest(
-                spark.createDataFrame(
-                    wave, "doc_id BIGINT, lang STRING, text STRING"
-                )
-            )
+            lane.ingest(docs.filter(F.col("doc_id") % 2 == parity))
         # one query start, both waves as separate micro-batches
         # (maxFilesPerTrigger=1; see q_shard_stream)
         lane.advance()
@@ -2653,21 +2654,12 @@ def q_pack_stream_ids(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    rows = docs.orderBy("doc_id").collect()
     wd = tempfile.mkdtemp(prefix="packids_gate_")
     try:
         lane = PackIdsStreaming(spark, wd, fit_docs=docs)
+        # filtered-source waves, no driver round trip (see q_shard_stream)
         for parity in (0, 1):
-            wave = [
-                (int(r.doc_id), r.lang, r.text)
-                for r in rows
-                if r.doc_id % 2 == parity
-            ]
-            lane.ingest(
-                spark.createDataFrame(
-                    wave, "doc_id BIGINT, lang STRING, text STRING"
-                )
-            )
+            lane.ingest(docs.filter(F.col("doc_id") % 2 == parity))
         # one query start, both waves as separate micro-batches
         # (maxFilesPerTrigger=1; see q_shard_stream)
         lane.advance()
@@ -2693,18 +2685,16 @@ def q_bm25_stream_hybrid(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _t(spark, sf_dir, "embeddings")
-    rows = docs.orderBy("doc_id").collect()
-    half = len(rows) // 2
+    cut = _median_id(docs)
     wd = tempfile.mkdtemp(prefix="bm25hyb_gate_")
     try:
         lane = Bm25Streaming(spark, wd)
-        for wave in (rows[:half], rows[half:]):
-            lane.ingest(
-                spark.createDataFrame(
-                    [(int(r.doc_id), r.text) for r in wave],
-                    "doc_id BIGINT, text STRING",
-                )
-            )
+        # filtered-source waves, no driver round trip (see q_shard_stream)
+        for wave in (
+            docs.filter(F.col("doc_id") < cut),
+            docs.filter(F.col("doc_id") >= cut),
+        ):
+            lane.ingest(wave)
         # ONE drain of both ingested waves (r15, guide §2.6): the lane's
         # maintained tables are order/batch-structure independent sums,
         # so the drained state is identical; the saved cost is one full
@@ -2732,19 +2722,20 @@ def q_envelope_audit_stream(spark, sf_dir):
         EnvelopeAuditStreaming,
     )
 
-    ev = _t(spark, sf_dir, "events").select("event_type", "props")
-    rows = ev.collect()
-    half = len(rows) // 2
+    ev = _t(spark, sf_dir, "events")
+    cut = _median_id(ev, "event_id")
     wd = tempfile.mkdtemp(prefix="envaudit_gate_")
     try:
         lane = EnvelopeAuditStreaming(spark, wd)
-        for wave in (rows[:half], rows[half:]):
-            lane.ingest(
-                spark.createDataFrame(
-                    [(r.event_type, r.props) for r in wave],
-                    "event_type STRING, props STRING",
-                )
-            )
+        # filtered-source waves, no driver round trip (see q_shard_stream;
+        # the audit counts are order-independent sums, so the exact wave
+        # boundary — here the median event_id instead of the collected
+        # row order's midpoint — cannot change the maintained state)
+        for wave in (
+            ev.filter(F.col("event_id") < cut),
+            ev.filter(F.col("event_id") >= cut),
+        ):
+            lane.ingest(wave.select("event_type", "props"))
         # one drain of both waves (see q_bm25_stream_hybrid): counts are
         # order-independent sums, drained state identical
         lane.advance()
@@ -2772,18 +2763,16 @@ def q_mixture_stream(spark, sf_dir):
     from responsive_pub_spark.streaming.mixture_stream import MixtureStreaming
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    rows = docs.orderBy("doc_id").collect()
-    half = len(rows) // 2
+    cut = _median_id(docs)
     wd = tempfile.mkdtemp(prefix="mixture_gate_")
     try:
         lane = MixtureStreaming(spark, wd)
-        for wave in (rows[:half], rows[half:]):
-            lane.ingest(
-                spark.createDataFrame(
-                    [(int(r.doc_id), r.lang, r.text) for r in wave],
-                    "doc_id BIGINT, lang STRING, text STRING",
-                )
-            )
+        # filtered-source waves, no driver round trip (see q_shard_stream)
+        for wave in (
+            docs.filter(F.col("doc_id") < cut),
+            docs.filter(F.col("doc_id") >= cut),
+        ):
+            lane.ingest(wave)
         # one drain of both waves (see q_bm25_stream_hybrid): masses are
         # order-independent sums, drained state identical
         lane.advance()
@@ -2813,23 +2802,17 @@ def q_decontam_stream(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(f"doc_id % {EVAL_MOD} != 0").orderBy("doc_id").collect()
-    evals = docs.filter(f"doc_id % {EVAL_MOD} = 0").orderBy("doc_id").collect()
+    corpus = docs.filter(f"doc_id % {EVAL_MOD} != 0")
+    evals = docs.filter(f"doc_id % {EVAL_MOD} = 0")
+    ccut, ecut = _median_id(corpus), _median_id(evals)
     wd = tempfile.mkdtemp(prefix="decontam_gate_")
     try:
         lane = DecontamStreaming(spark, wd)
-
-        def _df(rows):
-            return spark.createDataFrame(
-                [(int(r.doc_id), r.text) for r in rows],
-                "doc_id BIGINT, text STRING",
-            )
-
-        hc, he = len(corpus) // 2, len(evals) // 2
-        lane.ingest_corpus(_df(corpus[:hc]))
-        lane.ingest_evals(_df(evals[:he]))
-        lane.ingest_corpus(_df(corpus[hc:]))
-        lane.ingest_evals(_df(evals[he:]))
+        # filtered-source waves, no driver round trip (see q_shard_stream)
+        lane.ingest_corpus(corpus.filter(F.col("doc_id") < ccut))
+        lane.ingest_evals(evals.filter(F.col("doc_id") < ecut))
+        lane.ingest_corpus(corpus.filter(F.col("doc_id") >= ccut))
+        lane.ingest_evals(evals.filter(F.col("doc_id") >= ecut))
         # one drain of all four waves (r15, guide §2.6): the maintained
         # shingle postings are order-independent and report() is the
         # batch aggregation over them — identical rows, half the
@@ -2865,23 +2848,19 @@ def q_decontam_decision_stream(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(f"doc_id % {EVAL_MOD} != 0").orderBy("doc_id").collect()
-    evals = docs.filter(f"doc_id % {EVAL_MOD} = 0").orderBy("doc_id").collect()
+    corpus = docs.filter(f"doc_id % {EVAL_MOD} != 0")
+    evals = docs.filter(f"doc_id % {EVAL_MOD} = 0")
+    ccut = _median_id(corpus)
     wd = tempfile.mkdtemp(prefix="decontam_decision_gate_")
     try:
         lane = DecontamStreaming(spark, wd)
-
-        def _df(rows):
-            return spark.createDataFrame(
-                [(int(r.doc_id), r.text) for r in rows],
-                "doc_id BIGINT, text STRING",
-            )
-
-        hc = len(corpus) // 2
-        lane.ingest_corpus(_df(corpus[:hc]))
-        lane.ingest_evals(_df(evals))
+        # filtered-source waves, no driver round trip (see q_shard_stream);
+        # the PER-WAVE advances stay — this row exists to drive the
+        # rebuild path and the delta path separately
+        lane.ingest_corpus(corpus.filter(F.col("doc_id") < ccut))
+        lane.ingest_evals(evals)
         lane.advance()  # rebuild path: base covers wave 1
-        lane.ingest_corpus(_df(corpus[hc:]))
+        lane.ingest_corpus(corpus.filter(F.col("doc_id") >= ccut))
         lane.advance()  # delta path: wave-2 rows only, no rebuild
         out = lane.decision().collect()
     finally:
@@ -2907,21 +2886,17 @@ def _span_stream_lane(spark, sf_dir):
     from responsive_pub_spark.streaming.span_stream import SpanDedupStreaming
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    rows = docs.orderBy("doc_id").collect()
-    half = len(rows) // 2
+    cut = _median_id(docs)
     wd = tempfile.mkdtemp(prefix="span_gate_")
     lane = SpanDedupStreaming(spark, wd)
 
-    def _df(rs):
-        return spark.createDataFrame(
-            [(int(r.doc_id), r.text) for r in rs],
-            "doc_id BIGINT, text STRING",
-        )
-
     try:
-        lane.ingest(_df(rows[:half]))
+        # filtered-source waves, no driver round trip (see
+        # q_shard_stream); the PER-WAVE advances stay — each wave must
+        # ship its own strip delta (the retroactivity set)
+        lane.ingest(docs.filter(F.col("doc_id") < cut))
         lane.advance()
-        lane.ingest(_df(rows[half:]))
+        lane.ingest(docs.filter(F.col("doc_id") >= cut))
         lane.advance()
         yield lane
     finally:
@@ -2987,18 +2962,16 @@ def q_bm25_stream_stats(spark, sf_dir):
     from responsive_pub_spark.streaming.bm25_stream import Bm25Streaming
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    rows = docs.orderBy("doc_id").collect()
-    half = len(rows) // 2
+    cut = _median_id(docs)
     wd = tempfile.mkdtemp(prefix="bm25_gate_")
     try:
         lane = Bm25Streaming(spark, wd)
-        for wave in (rows[:half], rows[half:]):
-            lane.ingest(
-                spark.createDataFrame(
-                    [(int(r.doc_id), r.text) for r in wave],
-                    "doc_id BIGINT, text STRING",
-                )
-            )
+        # filtered-source waves, no driver round trip (see q_shard_stream)
+        for wave in (
+            docs.filter(F.col("doc_id") < cut),
+            docs.filter(F.col("doc_id") >= cut),
+        ):
+            lane.ingest(wave)
         # one drain of both waves (see q_bm25_stream_hybrid)
         lane.advance()
         # materialize before the workdir vanishes
