@@ -291,7 +291,9 @@ def bpe_encode(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
     )
 
 
-def bpe_token_ids(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
+def bpe_token_ids(
+    docs: DataFrame, k: int = BPE_MERGES, partition_by_doc: bool = False
+) -> DataFrame:
     """The tokenizer's FULL output: every corpus token as a vocab ID —
     (doc_id, word_idx, sub_idx, token, token_id). ``bpe_encode`` gives
     per-doc counts; this gives the id sequences a training pipeline
@@ -328,6 +330,16 @@ def bpe_token_ids(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
             F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
         ).alias("word_idx", "word"),
     )
+    if partition_by_doc:
+        # pack_token_ids' rank window shuffles on doc_id anyway; hoisting
+        # that exchange BELOW the broadcast joins moves word-level rows
+        # (doc_id, word_idx, word) instead of the wider post-explode
+        # sub-token stream (guide §2.3 shuffle fewer bytes) — the window
+        # then reuses the partitioning. A/B at sf0.1: 4.55 -> 3.95s
+        # median on pack_token_ids. Off by default: bpe_token_ids' own
+        # plan has no downstream shuffle, so the exchange would be pure
+        # added cost there.
+        corpus = corpus.repartition("doc_id")
     return (
         corpus.join(F.broadcast(seg), "word")
         .select(
@@ -634,7 +646,12 @@ def pack_token_ids(
     from responsive_pub_spark.cache import scoped_persist
 
     b = int(budget if budget is not None else PACK_BUDGET_TOKENS)
-    ids = bpe_token_ids(docs, k)
+    # partition_by_doc: the rank window's doc_id exchange is hoisted below
+    # the broadcast joins so word-level rows cross it, not sub-token rows
+    # (r15, guide §2.3; A/B 4.55 -> 3.95s median — the thread-overlap
+    # variant measured the same 3.95s, so the whole win is the narrower
+    # shuffle, see OPTIMIZATION_r15.md)
+    ids = bpe_token_ids(docs, k, partition_by_doc=True)
     rank_w = Window.partitionBy("doc_id").orderBy("word_idx", "sub_idx")
     # pooled: the ranked token stream feeds BOTH the per-doc counts and
     # the final join — one tokenization/rank, not a duplicated subtree

@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from responsive_pub_spark.cache import scoped_persist
 from responsive_pub_spark.functions.hashing import P
 from responsive_pub_spark.functions.portable import dround, pround
 
@@ -46,12 +45,16 @@ def rollup_gapfill(
         )
         * bucket_s
     ).alias("bucket_start")
-    # scoped_persist (cache.py): rolled feeds BOTH the span derivation and
-    # the fill join — unpersisted, per-branch column pruning split them
-    # into two independent full aggregations of the raw events (the plan
-    # showed two Scan->HashAggregate->Exchange chains); materialized once,
-    # the span pass runs over the bucket-level table instead of the corpus
-    rolled = scoped_persist(
+    # UNPERSISTED on purpose (r15, reverting the r14 pool — VERDICT r14
+    # item 3): the interleaved A/B at sf0.1 measured the pooled form a
+    # WASH warm (0.900 vs 0.913s median, the bench's warmup-then-timed
+    # methodology) and a LOSS cold (0.949 vs 0.754s — the pool write
+    # never pays back within a run), and a lead()+explode one-pass
+    # restructuring lost both ways (1.01-1.10s). Per-branch pruning does
+    # aggregate the events twice in this plan, but both aggregations
+    # share the scan and the partial-agg side, and at bucket-level
+    # cardinality the re-aggregation is cheaper than materializing.
+    rolled = (
         events.select(F.col(key), bucket, F.col(value_col).alias("v"))
         .groupBy(key, "bucket_start")
         .agg(

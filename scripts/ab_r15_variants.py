@@ -107,6 +107,59 @@ def gapfill_new(spark, sf_dir) -> DataFrame:
     return timeseries.rollup_gapfill(_ev(spark, sf_dir))
 
 
+def gapfill_onepass(spark, sf_dir) -> DataFrame:
+    """ONE corpus aggregation, no persist, no self-join: each bucket row
+    emits itself plus its trailing gap rows (lead() over the bucket
+    table + explode). Dense coverage is identical: the first present
+    bucket is b0, the last is b1, and every inter-bucket gap is emitted
+    exactly once by its predecessor."""
+    events = _ev(spark, sf_dir)
+    key, ts_col, value_col = "user_id", "ts", "value"
+    bucket_s = timeseries.BUCKET_S
+    bucket = (
+        F.floor(
+            F.unix_timestamp(F.col(ts_col)).cast("bigint") / bucket_s
+        ).cast("bigint")
+        * bucket_s
+    ).alias("bucket_start")
+    rolled = (
+        events.select(F.col(key), bucket, F.col(value_col).alias("v"))
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            pround(F.avg("v"), 6).alias("avg_value"),
+            pround(F.max("v"), 6).alias("max_value"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy("bucket_start")
+    ranked = rolled.withColumn("nxt", F.lead("bucket_start").over(w))
+    step = int(bucket_s)
+    rows = ranked.select(
+        F.col(key),
+        F.explode(
+            F.expr(
+                f"concat(array(struct(bucket_start AS bucket_start, "
+                f"n_events AS n_events, avg_value AS avg_value, "
+                f"max_value AS max_value)), "
+                f"IF(nxt IS NOT NULL AND nxt - bucket_start > {step}, "
+                f"transform(sequence(bucket_start + {step}, nxt - {step}, "
+                f"{step}), b -> struct(b AS bucket_start, "
+                f"CAST(0 AS BIGINT) AS n_events, "
+                f"CAST(NULL AS DOUBLE) AS avg_value, "
+                f"CAST(NULL AS DOUBLE) AS max_value)), "
+                f"array()))"
+            )
+        ).alias("r"),
+    )
+    return rows.select(
+        key,
+        F.col("r.bucket_start").alias("bucket_start"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.avg_value").alias("avg_value"),
+        F.col("r.max_value").alias("max_value"),
+    )
+
+
 # --- graph_pagerank: fused edges-with-degree variant ----------------------
 
 def pagerank_cur(spark, sf_dir) -> DataFrame:
@@ -159,6 +212,101 @@ def pagerank_fused(spark, sf_dir) -> DataFrame:
         F.expr("node DIV 2").alias("node_key"),
         F.col("rank").alias("rank_fp"),
         F.col("outdeg").cast("bigint").alias("outdeg"),
+    )
+
+
+def pack_ids_preshuffle(spark, sf_dir) -> DataFrame:
+    """Isolate the no-thread half of the overlap win: shuffle the WORD
+    stream by doc_id BEFORE the vocab broadcast joins (narrower rows
+    cross the exchange than the post-explode sub-token stream; the rank
+    window then reuses the partitioning). No threads, no extra persist,
+    scale-shape neutral."""
+    from pyspark.sql import Window
+
+    from responsive_pub_spark.cache import scoped_persist
+    from responsive_pub_spark.operators.bpe import (
+        BPE_MERGES,
+        _apply_merges,
+        _spaced,
+        word_freqs,
+    )
+    from responsive_pub_spark.operators.pipeline_ops import (
+        PACK_BUDGET_TOKENS,
+        bucketed_running_sum,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    b = int(PACK_BUDGET_TOKENS)
+    words = word_freqs(docs).select(
+        "word", F.expr(_spaced("word")).alias("s"), "freq"
+    )
+    seg = _apply_merges(words, BPE_MERGES, carry=("word",)).select(
+        "word", F.expr("split(trim(s), ' ')").alias("toks")
+    )
+    vocab_ids = (
+        seg.select(F.explode("toks").alias("token"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            (F.row_number().over(Window.orderBy("token")) - 1).cast(
+                "bigint"
+            ),
+        )
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        ).alias("word_idx", "word"),
+    ).repartition("doc_id")
+    ids = (
+        corpus.join(F.broadcast(seg), "word")
+        .select(
+            "doc_id",
+            "word_idx",
+            F.posexplode("toks").alias("sub_idx", "token"),
+        )
+        .join(F.broadcast(vocab_ids), "token")
+        .select(
+            "doc_id",
+            F.col("word_idx").cast("bigint").alias("word_idx"),
+            "sub_idx",
+            F.col("token_id"),
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy("word_idx", "sub_idx")
+    ranked = scoped_persist(
+        ids.select(
+            "doc_id",
+            "token_id",
+            (F.row_number().over(rank_w) - 1).cast("bigint").alias(
+                "tok_rank"
+            ),
+            F.count("*")
+            .over(Window.partitionBy("doc_id"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    per_doc = (
+        ranked.select("doc_id", "n_tokens")
+        .distinct()
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    packed = bucketed_running_sum(
+        per_doc, ["lang"], "doc_id", "n_tokens", "cum_tokens"
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("doc_start"),
+    )
+    return ranked.join(packed, "doc_id").select(
+        "lang",
+        F.expr(f"(doc_start + tok_rank) DIV {b}").alias("seq_id"),
+        ((F.col("doc_start") + F.col("tok_rank")) % b)
+        .cast("bigint")
+        .alias("pos"),
+        "token_id",
     )
 
 
