@@ -215,7 +215,11 @@ class PackIdsStreaming(_FileTopicMixin):
             "doc_id",
             "lang",
             F.posexplode(F.expr(_WORDS)).alias("word_idx", "word"),
-        )
+        ).repartition("doc_id")
+        # ^ the rank window below shuffles on doc_id anyway; hoisting the
+        # exchange under the broadcast segmentation join moves word-level
+        # rows instead of the post-explode sub-token stream (r15, guide
+        # §2.3 — same change as the batch pack_token_ids, A/B'd there)
         seg = self._segment_batch(corpus.select("word").distinct())
         sub = corpus.join(F.broadcast(seg), "word").select(
             "doc_id",

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for bench queries to plans/r14/<name>_<tag>.txt.
+"""Dump .explain('formatted') for bench queries to
+plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt (round dir defaults to r15).
 
 Usage: python scripts/dump_plans.py <tag> [query ...]
 (tag is 'before' or 'after'; no queries = all bench queries)
@@ -16,7 +17,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r14")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from responsive_pub_spark.session import build_spark
