@@ -8,8 +8,12 @@ SCALE_NOTES = {
         "downsample is one (key, bucket) hash shuffle with map-side "
         "partials; gap-fill generates buckets per key via sequence()+explode "
         "(JVM codegen) so fill cost is O(active span / bucket), not O(raw "
-        "points), and the final left join reuses the key partitioning. Idle "
-        "keys bound their span via TTL upstream (FACT-store retention)."
+        "points), and the final left join reuses the key partitioning. The "
+        "bucket table is deliberately UNPOOLED (r15: the r14 persist "
+        "measured a wash warm and a loss cold — both branches share the "
+        "scan and partial-agg side, and bucket-level re-aggregation is "
+        "cheaper than materializing). Idle keys bound their span via TTL "
+        "upstream (FACT-store retention)."
     ),
     "join_asof": (
         "union trick: both sides tagged and hash-shuffled ONCE on the key, "
@@ -623,7 +627,10 @@ EXTENDED_NOTES = {
     "pack_token_ids": (
         "the packed-id deliverable: ONE pooled ranked-id stream feeds "
         "both the per-doc counts and the output join (single merge "
-        "loop, single corpus explode); positions are global-offset "
+        "loop, single corpus explode); the rank window's doc_id "
+        "exchange is hoisted BELOW the vocab broadcast joins so "
+        "word-level rows cross the shuffle, not the post-explode "
+        "sub-token stream (r15); positions are global-offset "
         "DIV/mod budget so budget-spanning docs roll into the next "
         "sequence — every sequence a dense fixed-length slice, no "
         "per-sequence window or global sort anywhere in the plan."
