@@ -691,6 +691,10 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
     component and the component min is a fixed point of both operators).
     Each round is one edge-sized shuffle join + two node-sized joins; no
     driver-side graph materialization, so it scales to billions of edges.
+    (Honest plan note, r14 ADVICE: the jump's build side re-derives the
+    un-checkpointed ``cur``, so the post-shuffle neighbor-min aggregation
+    is EVALUATED twice per round — ReuseExchange dedups the shuffle
+    itself; the benched form is a net win over materializing ``cur``.)
     ``max_iters`` bounds the loop; the early-exit check is an OBSERVED
     METRIC (sum of a changed flag, old label carried through the round)
     collected during the round's own checkpoint materialization — zero
@@ -716,7 +720,6 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
     labels = docs.select(
         F.col("doc_id"), F.col("doc_id").alias("label")
     ).localCheckpoint(eager=True)
-    prev_ckpt = labels  # the checkpoint handle unpersist must target
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -737,7 +740,12 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
         # the convergence metric rides the checkpoint job itself
         # (CollectMetrics below the final projection, so the _chg flag is
         # computed during materialization but never stored); obs.get is
-        # already resolved once the eager checkpoint returns
+        # already resolved once the eager checkpoint returns BECAUSE
+        # Dataset.localCheckpoint(eager=True) executes through a
+        # listener-firing withAction on this Spark build (r14 ADVICE:
+        # the unit tests in test_simhash_guardrail.py are the pin — a
+        # Spark upgrade that reroutes checkpoint execution would hang
+        # here rather than fail silently)
         obs = Observation()
         new_labels = (
             cur.join(jump, "_l", "left")
@@ -758,8 +766,7 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> Dat
         # r3): without this every round's RDD blocks sit in the block
         # manager until ContextCleaner GC — accumulating storage across
         # rounds and repeated bench runs on a small gate heap
-        prev_ckpt.unpersist()
-        prev_ckpt = new_labels
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
